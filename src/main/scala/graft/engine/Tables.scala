@@ -1,0 +1,30 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * One parquet directory per table under `sfDir`. Parquet carries its own
+  * schema (validated against [[graft.engine.schema.Schemas]] in tests); a scan
+  * here is a plain `FileScan parquet` that Catalyst prunes/pushes into — do
+  * not cache or materialize at this layer, so every query keeps full
+  * pushdown freedom.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = load(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "lineitem")
+  def events(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}
