@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -21,7 +22,16 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "events")
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read nanos as LONG and convert to a
+    * microsecond timestamp with integer arithmetic (`div 1000` — exact; a
+    * double division would lose precision above 2^53 ns).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 

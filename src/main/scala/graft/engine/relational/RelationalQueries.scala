@@ -1,27 +1,32 @@
 package graft.engine.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.engine.{GraftQuery, Tables}
 import Exact._
 
 /** Relational core (SURVEY.md §2.5 X6): scans, filters, projections,
-  * aggregations, joins, windows, set ops, scalar functions — each as a named
+  * aggregations, joins, windows, set ops, scalar functions — each a named
   * query with a DuckDB oracle.
   *
-  * Scale notes apply to every query here: filters/projections are expressed
-  * before aggregation so Catalyst pushes them into the parquet scan
-  * (PushedFilters + pruned ReadSchema); aggregations are hash-aggregates
-  * with map-side partials; the ORDER BY at the tail is on an
-  * already-reduced (small) result, so its global sort is cheap at any scale.
+  * Scale posture, applied throughout:
+  *  - filters/projections precede aggregation so Catalyst pushes them into
+  *    the parquet scan (PushedFilters / pruned ReadSchema);
+  *  - joins against dimension tables are explicitly `broadcast()` (at 100 TB
+  *    the fact side never shuffles for a dim join); fact-fact joins are left
+  *    to sort-merge + AQE;
+  *  - aggregates are hash-aggregates with map-side partials; the trailing
+  *    total ORDER BY sorts an already-reduced result;
+  *  - window queries partition on high-cardinality keys (custkey/user_id) so
+  *    the shuffle is even; no single-partition global windows.
   */
 object RelationalQueries {
+  private def ep(c: Column): Column = unix_timestamp(c)
 
-  /** q01 — TPC-H Q1-shaped pricing summary: filter → hash-agg → sort.
-    * The flagship query. At 100 TB this is a single scan + partial agg
-    * (8 groups), so the shuffle carries only #partitions × #groups rows.
-    */
-  val q01PricingSummary = GraftQuery(
+  /** q01 — TPC-H Q1-shaped pricing summary: filter → hash-agg → sort. */
+  val q01 = GraftQuery(
     "q01_pricing_summary",
     (spark, sfDir) => {
       Tables.lineitem(spark, sfDir)
@@ -53,5 +58,589 @@ object RelationalQueries {
       ORDER BY l_returnflag, l_linestatus"""),
     doc = "TPC-H Q1 shape: filtered scan + 8-group hash aggregate")
 
-  def queries: Seq[GraftQuery] = Seq(q01PricingSummary)
+  /** q02 — TPC-H Q6 shape: tight selective filter, single-row global agg.
+    * All three predicates push to parquet; the agg is a 1-row reduce. */
+  val q02 = GraftQuery(
+    "q02_forecast_revenue",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          lcount().as("n_rows"))
+    },
+    Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue,
+      COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+    doc = "TPC-H Q6 shape: selective pushdown filter + global agg")
+
+  /** q03 — pure filter + projection, fully pushed to the parquet scan. */
+  val q03 = GraftQuery(
+    "q03_filter_project",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_quantity"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
+      ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity"""),
+    doc = "filter+project with parquet pushdown, 2-col ReadSchema")
+
+  /** q04 — dimension join chain, both sides broadcast: no fact shuffle. */
+  val q04 = GraftQuery(
+    "q04_broadcast_join",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      val r = Tables.region(spark, sfDir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(lcount().as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy(col("r_name"))
+    },
+    Some(s"""SELECT r_name, COUNT(*) AS n_customers,
+      ${sqlDsum("c_acctbal")} AS total_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""),
+    doc = "customer⋈nation⋈region with broadcast dims")
+
+  /** q05 — fact-fact equi-join (orders⋈lineitem), shuffle on orderkey,
+    * AQE picks sort-merge; agg after join is 5 groups. */
+  val q05 = GraftQuery(
+    "q05_join_agg",
+    (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val l = Tables.lineitem(spark, sfDir)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          lcount().as("n_lines"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority,
+      ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    doc = "orders⋈lineitem sort-merge join + small agg")
+
+  /** q06 — TPC-H Q5-shaped multi-join: two broadcast dims + two fact joins,
+    * date filter pushed below the join. */
+  val q06 = GraftQuery(
+    "q06_multi_join_revenue",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      val r = Tables.region(spark, sfDir).filter(col("r_name") =!= "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          lcount().as("n_lines"))
+        .orderBy(col("n_name"))
+    },
+    Some(s"""SELECT n_name,
+      ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND r_name <> 'ASIA'
+      GROUP BY n_name ORDER BY n_name"""),
+    doc = "5-table join: fact joins shuffle, dims broadcast")
+
+  /** q07 — left outer join preserving customers with zero matching orders. */
+  val q07 = GraftQuery(
+    "q07_left_join",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).cast(LongType).as("n_big_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("big_total"))
+        .orderBy(col("c_custkey"))
+        .limit(500)
+    },
+    Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+      COALESCE(${sqlDsum("o_totalprice")}, 0.0) AS big_total
+      FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey LIMIT 500"""),
+    doc = "left outer join, null-preserving agg with COALESCE")
+
+  /** q08 — left-semi join (EXISTS): customers with a finished order. */
+  val q08 = GraftQuery(
+    "q08_semi_join",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(lcount().as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    doc = "left-semi join = EXISTS")
+
+  /** q09 — left-anti join (NOT EXISTS): customers with no 400k+ order. */
+  val q09 = GraftQuery(
+    "q09_anti_join",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+      val n = Tables.nation(spark, sfDir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(lcount().as("n_customers"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name, COUNT(*) AS n_customers
+      FROM customer c JOIN nation ON c_nationkey = n_nationkey
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      GROUP BY n_name ORDER BY n_name"""),
+    doc = "left-anti join = NOT EXISTS")
+
+  /** q10 — ROLLUP hierarchy totals; sentinel '@ALL' instead of NULL so sort
+    * order is engine-independent (Spark sorts NULLS FIRST, DuckDB LAST). */
+  val q10 = GraftQuery(
+    "q10_rollup",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), lcount().as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("@ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("@ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("rf"), col("ls"))
+    },
+    Some(s"""SELECT COALESCE(l_returnflag, '@ALL') AS rf,
+      COALESCE(l_linestatus, '@ALL') AS ls,
+      ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""),
+    doc = "ROLLUP with NULL-sentinel normalization")
+
+  /** q11 — CUBE over two order dimensions. */
+  val q11 = GraftQuery(
+    "q11_cube",
+    (spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(lcount().as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("@ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("@ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+    Some(s"""SELECT COALESCE(o_orderstatus, '@ALL') AS status,
+      COALESCE(o_orderpriority, '@ALL') AS priority,
+      COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""),
+    doc = "CUBE with NULL-sentinel normalization")
+
+  /** q12 — GROUPING SETS via the SQL entry point (spark.sql over a view). */
+  val q12 = GraftQuery(
+    "q12_grouping_sets",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+      spark.sql(s"""SELECT COALESCE(l_returnflag, '@ALL') AS rf,
+        COALESCE(l_linestatus, '@ALL') AS ls,
+        ${sqlDsum("l_extendedprice")} AS sum_price, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""")
+    },
+    Some(s"""SELECT COALESCE(l_returnflag, '@ALL') AS rf,
+      COALESCE(l_linestatus, '@ALL') AS ls,
+      ${sqlDsum("l_extendedprice")} AS sum_price, COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls"""),
+    doc = "GROUPING SETS through spark.sql — same text runs in DuckDB")
+
+  /** q13 — multi-distinct aggregation (expand-based in Spark). */
+  val q13 = GraftQuery(
+    "q13_distinct_agg",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).cast(LongType).as("n_parts"),
+          countDistinct(col("l_suppkey")).cast(LongType).as("n_supps"),
+          lcount().as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    doc = "two COUNT(DISTINCT) in one agg")
+
+  /** q14 — ranking window: top-5 customers by balance per nation.
+    * Partition key c_nationkey (25 partitions of ~equal size) — the window
+    * shuffle is even; rank ties are kept (rank semantics) so the filter is
+    * deterministic without a unique tiebreaker. */
+  val q14 = GraftQuery(
+    "q14_window_rank",
+    (spark, sfDir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(spark, sfDir)
+        .withColumn("rnk", rank().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select(col("c_nationkey").cast(LongType).as("nationkey"),
+          col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("nationkey"), col("rnk"), col("c_custkey"))
+    },
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      CAST(rnk AS BIGINT) AS rnk, c_custkey, c_acctbal FROM (
+        SELECT *, RANK() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        FROM customer) t
+      WHERE rnk <= 5 ORDER BY nationkey, rnk, c_custkey"""),
+    doc = "rank() window, top-5 per nation")
+
+  /** q15 — lag window: order-to-order price delta per customer. */
+  val q15 = GraftQuery(
+    "q15_window_lag",
+    (spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          ep(col("o_orderdate")).as("order_epoch"),
+          col("o_totalprice"), col("prev_price"),
+          (col("o_totalprice") - col("prev_price")).as("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+        .limit(1000)
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+      o_totalprice,
+      LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      o_totalprice - LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) AS delta
+      FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000"""),
+    doc = "lag() window with per-row delta")
+
+  /** q16 — running sum with explicit ROWS frame. Sequential in-order fold on
+    * both engines → bit-identical doubles, no decimal needed. */
+  val q16 = GraftQuery(
+    "q16_running_sum",
+    (spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(spark, sfDir)
+        .withColumn("running_total", sum(col("o_totalprice")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+        .limit(1000)
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000"""),
+    doc = "running sum, explicit ROWS frame")
+
+  /** q17 — global top-k: TakeOrderedAndProject, no full sort materialized. */
+  val q17 = GraftQuery(
+    "q17_topk",
+    (spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          ep(col("o_orderdate")).as("order_epoch"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+      CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""),
+    doc = "ORDER BY DESC LIMIT 20 → TakeOrderedAndProject")
+
+  /** q18 — set operations: UNION (distinct), INTERSECT, EXCEPT. */
+  val q18 = GraftQuery(
+    "q18_setops",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = o.filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      val k = c.filter(col("c_nationkey") < 12).select(col("c_custkey"))
+      val d = o.filter(col("o_orderstatus") === "F" && col("o_totalprice") < 5000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      a.union(b).distinct().intersect(k).except(d)
+        .orderBy(col("c_custkey"))
+    },
+    Some("""(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000.0)
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_nationkey < 12
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice < 5000.0
+      ORDER BY c_custkey"""),
+    doc = "UNION/INTERSECT/EXCEPT composition")
+
+  /** q19 — string scalar functions over part. */
+  val q19 = GraftQuery(
+    "q19_string_fns",
+    (spark, sfDir) => {
+      Tables.part(spark, sfDir)
+        .filter(col("p_partkey") < 1000)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_type"), 1, 4).as("type_prefix"),
+          length(col("p_name")).cast(LongType).as("name_len"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "a", "@").as("name_subst"),
+          lpad(col("p_size").cast("string"), 5, "0").as("size_padded"),
+          col("p_name").like("%bolt%").cast(LongType).as("is_bolt"),
+          split(col("p_name"), " ").getItem(0).as("first_word"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, UPPER(p_name) AS name_upper,
+      LOWER(p_brand) AS brand_lower,
+      SUBSTRING(p_type, 1, 4) AS type_prefix,
+      CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      p_brand || '#' || p_type AS brand_type,
+      REPLACE(p_name, 'a', '@') AS name_subst,
+      LPAD(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+      CAST(p_name LIKE '%bolt%' AS BIGINT) AS is_bolt,
+      STRING_SPLIT(p_name, ' ')[1] AS first_word
+      FROM part WHERE p_partkey < 1000 ORDER BY p_partkey"""),
+    doc = "string functions: case, substr, concat, replace, pad, like, split")
+
+  /** q20 — date/time scalar functions over orders. */
+  val q20 = GraftQuery(
+    "q20_date_fns",
+    (spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"),
+          month(col("o_orderdate")).cast(LongType).as("o_month"),
+          quarter(col("o_orderdate")).cast(LongType).as("o_quarter"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("o_day"),
+          ep(date_trunc("month", col("o_orderdate"))).as("month_start_epoch"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast(LongType).as("days_to_y2k"),
+          ep(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("epoch_plus30d"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
+    },
+    Some("""SELECT o_orderkey,
+      CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      CAST(month(o_orderdate) AS BIGINT) AS o_month,
+      CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+      CAST(day(o_orderdate) AS BIGINT) AS o_day,
+      CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+      CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+      CAST(epoch(o_orderdate + INTERVAL 30 DAY) AS BIGINT) AS epoch_plus30d
+      FROM orders ORDER BY o_orderkey LIMIT 1000"""),
+    doc = "date functions: extract, trunc, diff, interval arithmetic")
+
+  /** q21 — math scalar functions. Transcendentals rounded to 6dp to absorb
+    * last-ulp libm differences between JVM and C. */
+  val q21 = GraftQuery(
+    "q21_math_fns",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_disc"),
+          ceil(col("l_extendedprice")).cast(LongType).as("price_ceil"),
+          floor(col("l_extendedprice")).cast(LongType).as("price_floor"),
+          round(col("l_tax"), 2).as("tax_round"),
+          round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          round(exp(col("l_discount")), 6).as("disc_exp"),
+          round(pow(col("l_quantity"), 2), 6).as("qty_sq"),
+          (col("l_linenumber") % 3).cast(LongType).as("line_mod3"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // extend the sort until tied rows are identical in every output col.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_ln"),
+          col("qty_sqrt"), col("disc_exp"), col("tax_round"))
+        .limit(1000)
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      ABS(l_discount - 0.05) AS abs_disc,
+      CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+      CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+      ROUND(l_tax, 2) AS tax_round,
+      ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+      ROUND(LN(l_extendedprice), 6) AS price_ln,
+      ROUND(EXP(l_discount), 6) AS disc_exp,
+      ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+      CAST(l_linenumber % 3 AS BIGINT) AS line_mod3
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, price_ln, qty_sqrt, disc_exp, tax_round
+      LIMIT 1000"""),
+    doc = "math functions: abs/ceil/floor/round/sqrt/ln/exp/pow/mod")
+
+  /** q22 — CASE expression bucketing + agg. */
+  val q22 = GraftQuery(
+    "q22_case_buckets",
+    (spark, sfDir) => {
+      Tables.orders(spark, sfDir)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000.0, "S")
+            .when(col("o_totalprice") < 200000.0, "M")
+            .when(col("o_totalprice") < 400000.0, "L")
+            .otherwise("XL"))
+        .groupBy(col("bucket"))
+        .agg(lcount().as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'S'
+        WHEN o_totalprice < 200000.0 THEN 'M'
+        WHEN o_totalprice < 400000.0 THEN 'L' ELSE 'XL' END AS bucket,
+      COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
+      FROM orders GROUP BY 1 ORDER BY bucket"""),
+    doc = "CASE WHEN bucketing + agg")
+
+  /** q23 — JSON extraction from the events.props string column. */
+  val q23 = GraftQuery(
+    "q23_json_extract",
+    (spark, sfDir) => {
+      Tables.events(spark, sfDir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(lcount().as("n_events"), sum(col("k")).cast(LongType).as("sum_k"),
+          davg(col("k").cast("double")).as("avg_k"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      ${sqlDavg("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS avg_k
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    doc = "get_json_object over JSON string props")
+
+  /** q24 — array functions over the 64-dim embedding column. In-order
+    * left-fold sum on both engines → deterministic doubles. */
+  val q24 = GraftQuery(
+    "q24_array_fns",
+    (spark, sfDir) => {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          round(aggregate(transform(col("embedding"), x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 4).as("vec_sum"),
+          array_min(col("embedding")).cast("double").as("vec_min"),
+          array_max(col("embedding")).cast("double").as("vec_max"),
+          element_at(col("embedding"), 1).cast("double").as("first_elem"))
+        .orderBy(col("vec_id"))
+        .limit(500)
+    },
+    Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vec_sum,
+      CAST(list_min(embedding) AS DOUBLE) AS vec_min,
+      CAST(list_max(embedding) AS DOUBLE) AS vec_max,
+      CAST(embedding[1] AS DOUBLE) AS first_elem
+      FROM embeddings ORDER BY vec_id LIMIT 500"""),
+    doc = "array size/fold/min/max/index over embeddings")
+
+  /** q25 — tumbling 1-hour event windows (batch twin of the streaming agg).
+    * Spark `window()`; DuckDB twin via epoch bucket arithmetic. */
+  val q25 = GraftQuery(
+    "q25_events_tumbling",
+    (spark, sfDir) => {
+      Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(ep(col("window.start")).as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some(s"""SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+      event_type, COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+    doc = "tumbling window group-by (batch twin of streaming)")
+
+  /** q26 — sliding windows (1h width, 30m slide): each event lands in two
+    * windows. DuckDB twin: union of the two aligned bucketings. */
+  val q26 = GraftQuery(
+    "q26_events_sliding",
+    (spark, sfDir) => {
+      Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(ep(col("window.start")).as("win_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"))
+    },
+    Some(s"""SELECT win_start, COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+      FROM (
+        SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, value FROM events
+        UNION ALL
+        SELECT CAST(FLOOR((epoch(ts) - 1800) / 3600) * 3600 + 1800 AS BIGINT) AS win_start, value FROM events
+      ) t GROUP BY win_start ORDER BY win_start"""),
+    doc = "sliding window (1h/30m): event fans out to 2 windows")
+
+  /** q27 — session windows (30-minute gap) per user, batch mode.
+    * Spark `session_window`; DuckDB twin via lag + cumulative session ids.
+    * Scale: state is per-user and the shuffle key is user_id — even at
+    * 100 TB the window never concentrates on one partition. */
+  val q27 = GraftQuery(
+    "q27_events_session",
+    (spark, sfDir) => {
+      Tables.events(spark, sfDir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          ep(col("session_window.start")).as("sess_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+    Some(s"""WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL 30 MINUTE
+               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sessions AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS sess_start,
+        COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, sess_start"""),
+    doc = "session_window(30m) per user; oracle via lag+cumsum sessionization")
+
+  def queries: Seq[GraftQuery] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }
