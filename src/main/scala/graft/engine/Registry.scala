@@ -23,5 +23,6 @@ object Registry {
     * objects; SparkEntry flattens this into the driver's two maps.
     */
   def all: Seq[GraftQuery] =
-    relational.RelationalQueries.queries
+    relational.RelationalQueries.queries ++
+      ml.MlQueries.queries
 }

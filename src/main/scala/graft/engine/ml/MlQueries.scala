@@ -1,0 +1,222 @@
+package graft.engine.ml
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.engine.{GraftQuery, Tables}
+
+/** Driver-verifiable queries for the ML surface: the relational twins of the
+  * pipeline stages (oracle-checked against DuckDB) and rows-only queries
+  * that exercise the real MLlib estimators on the deterministic iris
+  * fixture (golden-checked in ScalaTest — SURVEY.md §5.4).
+  */
+object MlQueries {
+
+  /** Shared oracle fragment: the StringIndexer-twin dictionary over
+    * documents.lang (frequency desc, value asc — Spark tie semantics). */
+  private val dictSql =
+    """SELECT lang AS value,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang ASC) - 1 AS BIGINT) AS code,
+         COUNT(*) AS cnt
+       FROM documents GROUP BY lang"""
+
+  /** q30 — T1 twin: dictionary build with exact StringIndexer ordering. */
+  val q30 = GraftQuery(
+    "q30_dict_build",
+    (spark, sfDir) =>
+      Stages.labelDictionary(Tables.documents(spark, sfDir), "lang")
+        .orderBy(col("code")),
+    Some(s"""SELECT * FROM ($dictSql) ORDER BY code"""),
+    doc = "StringIndexer-fit twin: groupBy + window, codes 0..k-1")
+
+  /** q31 — T2 twin: dictionary encode via broadcast join. */
+  val q31 = GraftQuery(
+    "q31_dict_encode",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val dict = Stages.labelDictionary(docs, "lang")
+      Stages.encodeWithDictionary(docs, dict, "lang", "lang_code")
+        .select(col("doc_id"), col("lang"), col("lang_code"))
+        .orderBy(col("doc_id"))
+        .limit(1000)
+    },
+    Some(s"""WITH dict AS ($dictSql)
+      SELECT doc_id, lang, code AS lang_code
+      FROM documents JOIN dict ON lang = value
+      ORDER BY doc_id LIMIT 1000"""),
+    doc = "StringIndexerModel-transform twin: broadcast dictionary join")
+
+  /** q32 — T2∘T7 twin: encode → decode round-trip is the identity. */
+  val q32 = GraftQuery(
+    "q32_dict_roundtrip",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val dict = Stages.labelDictionary(docs, "lang")
+      val encoded = Stages.encodeWithDictionary(docs, dict, "lang", "lang_code")
+      Stages.decodeWithDictionary(encoded, dict, "lang_code", "lang_decoded")
+        .select(col("doc_id"), col("lang"), col("lang_decoded"),
+          (col("lang") === col("lang_decoded")).cast(LongType).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+        .limit(1000)
+    },
+    Some(s"""WITH dict AS ($dictSql)
+      SELECT doc_id, lang, d2.value AS lang_decoded,
+        CAST(lang = d2.value AS BIGINT) AS roundtrip_ok
+      FROM documents
+      JOIN dict d1 ON lang = d1.value
+      JOIN dict d2 ON d1.code = d2.code
+      ORDER BY doc_id LIMIT 1000"""),
+    doc = "IndexToString twin: decode(encode(x)) = x")
+
+  /** q33 — T3 twin: vector-assemble as array projection + checksum. */
+  val q33 = GraftQuery(
+    "q33_assemble",
+    (spark, sfDir) => {
+      val assembled = Stages.assembleArray(Tables.customer(spark, sfDir),
+        Seq("c_acctbal", "c_nationkey"), "features")
+      assembled.select(col("c_custkey"),
+          size(col("features")).cast(LongType).as("dim"),
+          round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x), 4)
+            .as("checksum"))
+        .orderBy(col("c_custkey"))
+        .limit(1000)
+    },
+    Some("""SELECT c_custkey, CAST(2 AS BIGINT) AS dim,
+      ROUND(c_acctbal + CAST(c_nationkey AS DOUBLE), 4) AS checksum
+      FROM customer ORDER BY c_custkey LIMIT 1000"""),
+    doc = "VectorAssembler twin: array projection, fold checksum")
+
+  /** Synthetic (label, prediction) pairs for the evaluation twins: the
+    * prediction disagrees with the label on vec_id % 7 == 0 rows. */
+  private val scoredSql =
+    """SELECT CAST(label AS BIGINT) AS label,
+         CAST((label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) % 3 AS BIGINT) AS prediction
+       FROM embeddings"""
+
+  private def syntheticScored(spark: org.apache.spark.sql.SparkSession, sfDir: String) =
+    Tables.embeddings(spark, sfDir).select(
+      col("label").cast(LongType).as("label"),
+      ((col("label") + when(col("vec_id") % 7 === 0, 1).otherwise(0)) % 3)
+        .cast(LongType).as("prediction"))
+
+  /** q34 — A1 twin part 1: the confusion matrix itself. */
+  val q34 = GraftQuery(
+    "q34_confusion_matrix",
+    (spark, sfDir) =>
+      Metrics.confusionMatrix(syntheticScored(spark, sfDir), "label", "prediction")
+        .orderBy(col("label"), col("prediction")),
+    Some(s"""SELECT label, prediction, COUNT(*) AS n
+      FROM ($scoredSql) GROUP BY label, prediction
+      ORDER BY label, prediction"""),
+    doc = "confusion matrix: one groupBy(label, prediction) pass")
+
+  /** q35 — A1 twin part 2: all four evaluator metrics in one row from one
+    * pass (vs the reference's 4 uncached full scans). */
+  val q35 = GraftQuery(
+    "q35_multiclass_metrics",
+    (spark, sfDir) =>
+      Metrics.multiclassMetrics(syntheticScored(spark, sfDir), "label", "prediction"),
+    Some(s"""WITH scored AS ($scoredSql),
+      cm AS (SELECT label, prediction, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+      bl AS (SELECT label, CAST(SUM(n) AS BIGINT) AS support,
+               CAST(SUM(CASE WHEN prediction = label THEN n ELSE 0 END) AS BIGINT) AS tp
+             FROM cm GROUP BY label),
+      bp AS (SELECT prediction AS label, CAST(SUM(n) AS BIGINT) AS pp FROM cm GROUP BY prediction),
+      pc AS (SELECT bl.label, support, tp, COALESCE(pp, 0) AS pp,
+               CASE WHEN COALESCE(pp, 0) = 0 THEN 0.0
+                    ELSE CAST(tp AS DOUBLE) / pp END AS prec,
+               CAST(tp AS DOUBLE) / support AS rec
+             FROM bl LEFT JOIN bp ON bl.label = bp.label),
+      pc2 AS (SELECT *, CASE WHEN prec + rec = 0.0 THEN 0.0
+                             ELSE 2.0 * prec * rec / (prec + rec) END AS f1 FROM pc)
+      SELECT ROUND(CAST(SUM(tp) AS DOUBLE) / CAST(SUM(support) AS DOUBLE), 6) AS accuracy,
+        ROUND(SUM(prec * support) / CAST(SUM(support) AS DOUBLE), 6) AS weighted_precision,
+        ROUND(SUM(rec * support) / CAST(SUM(support) AS DOUBLE), 6) AS weighted_recall,
+        ROUND(SUM(f1 * support) / CAST(SUM(support) AS DOUBLE), 6) AS weighted_f1
+      FROM pc2"""),
+    doc = "accuracy + weighted P/R/F1, single confusion-matrix pass")
+
+  /** q36 — per-class precision/recall/f1 table. */
+  val q36 = GraftQuery(
+    "q36_per_class_metrics",
+    (spark, sfDir) =>
+      Metrics.perClassMetrics(syntheticScored(spark, sfDir), "label", "prediction")
+        .select(col("label"), col("support"), col("tp"), col("pp"),
+          col("precision").as("prec"), col("recall").as("rec"), col("f1")),
+    Some(s"""WITH scored AS ($scoredSql),
+      cm AS (SELECT label, prediction, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+      bl AS (SELECT label, CAST(SUM(n) AS BIGINT) AS support,
+               CAST(SUM(CASE WHEN prediction = label THEN n ELSE 0 END) AS BIGINT) AS tp
+             FROM cm GROUP BY label),
+      bp AS (SELECT prediction AS label, CAST(SUM(n) AS BIGINT) AS pp FROM cm GROUP BY prediction),
+      pc AS (SELECT bl.label, support, tp, COALESCE(pp, 0) AS pp,
+               ROUND(CASE WHEN COALESCE(pp, 0) = 0 THEN 0.0
+                          ELSE CAST(tp AS DOUBLE) / pp END, 6) AS prec,
+               ROUND(CAST(tp AS DOUBLE) / support, 6) AS rec
+             FROM bl LEFT JOIN bp ON bl.label = bp.label)
+      SELECT label, support, tp, pp, prec, rec,
+        ROUND(CASE WHEN prec + rec = 0.0 THEN 0.0
+                   ELSE 2.0 * prec * rec / (prec + rec) END, 6) AS f1
+      FROM pc ORDER BY label"""),
+    doc = "per-class precision/recall/f1 from the confusion matrix")
+
+  // ---- rows-only ML queries (no SQL twin; golden-checked in ScalaTest) ----
+
+  /** T10 — split invariants: sizes sum to total, sides are disjoint. */
+  val mlSplit = GraftQuery(
+    "ml_split_check",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      val (train, test) = TrainTestSplit.split(docs, 0.7, seed = 42L)
+      val overlap = train.join(test, Seq("doc_id"), "inner")
+      val summary = Seq((train.count(), test.count(), docs.count(), overlap.count()))
+      import spark.implicits._
+      summary.toDF("n_train", "n_test", "n_total", "n_overlap")
+    },
+    None,
+    doc = "randomSplit invariants: n_train+n_test=n_total, overlap=0")
+
+  /** T4/T5/T8 — full RandomForest pipeline on the iris fixture. */
+  val mlRf = GraftQuery(
+    "ml_rf_pipeline",
+    (spark, sfDir) => {
+      val data = IrisData.generate(spark)
+      val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
+      val model = Fit.pipelined(train)
+      model.transform(test)
+        .groupBy(col("species"), col("prediction_species"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("species"), col("prediction_species"))
+    },
+    None,
+    doc = "Pipeline(indexer, assembler, RF, decoder) fit+score on iris fixture")
+
+  /** M1/M2 — CrossValidator grid search (small grid: 4 points × 3 folds). */
+  val mlCv = GraftQuery(
+    "ml_cv_rf",
+    (spark, sfDir) => {
+      val data = IrisData.generate(spark)
+      val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
+      val cv = Fit.crossValidated(train)
+      Metrics.multiclassMetrics(cv.transform(test), "label", "prediction")
+    },
+    None,
+    doc = "CrossValidator(4-point grid, 3 folds, parallelism 4) + metrics")
+
+  /** T6 — boosted classifier slot: OneVsRest(GBT). */
+  val mlGbt = GraftQuery(
+    "ml_gbt_ovr",
+    (spark, sfDir) => {
+      val data = IrisData.generate(spark)
+      val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
+      val model = Fit.gbtOneVsRest(train)
+      model.transform(test)
+        .groupBy(col("species"), col("prediction_species"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("species"), col("prediction_species"))
+    },
+    None,
+    doc = "OneVsRest(GBTClassifier) multiclass pipeline on iris fixture")
+
+  def queries: Seq[GraftQuery] =
+    Seq(q30, q31, q32, q33, q34, q35, q36, mlSplit, mlRf, mlCv, mlGbt)
+}

@@ -1,0 +1,55 @@
+package graft.engine.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+
+class MetricsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // Hand-computed 3×3 fixture (SURVEY.md §5.1):
+  // labels:      0×5, 1×3, 2×2 (10 rows)
+  // predictions: class0: 4 right + 1 as class1
+  //              class1: 2 right + 1 as class2
+  //              class2: 2 right
+  private val pairs = Seq(
+    (0, 0), (0, 0), (0, 0), (0, 0), (0, 1),
+    (1, 1), (1, 1), (1, 2),
+    (2, 2), (2, 2))
+
+  private lazy val scored = pairs.toDF("label", "prediction")
+
+  test("confusion matrix counts match hand computation") {
+    val cm = Metrics.confusionMatrix(scored, "label", "prediction")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cm == Map((0L, 0L) -> 4L, (0L, 1L) -> 1L, (1L, 1L) -> 2L,
+      (1L, 2L) -> 1L, (2L, 2L) -> 2L))
+  }
+
+  test("multiclass metrics match hand computation") {
+    val m = Metrics.multiclassMetrics(scored, "label", "prediction").collect()(0)
+    // accuracy = 8/10
+    assert(m.getAs[Double]("accuracy") == 0.8)
+    // precision: c0=4/4, c1=2/3, c2=2/3 → weighted = (1*5 + 2/3*3 + 2/3*2)/10 = 0.833333
+    assert(math.abs(m.getAs[Double]("weighted_precision") - 0.833333) < 1e-6)
+    // recall: c0=4/5, c1=2/3, c2=2/2 → weighted = (0.8*5 + 2/3*3 + 1*2)/10 = 0.8
+    assert(math.abs(m.getAs[Double]("weighted_recall") - 0.8) < 1e-6)
+  }
+
+  test("relational metrics agree with MulticlassClassificationEvaluator") {
+    val m = Metrics.multiclassMetrics(scored, "label", "prediction").collect()(0)
+    val ev = Metrics.evaluatorMetrics(scored, "label", "prediction")
+    assert(math.abs(m.getAs[Double]("accuracy") - ev("accuracy")) < 1e-6)
+    assert(math.abs(m.getAs[Double]("weighted_precision") - ev("weightedPrecision")) < 1e-6)
+    assert(math.abs(m.getAs[Double]("weighted_recall") - ev("weightedRecall")) < 1e-6)
+    assert(math.abs(m.getAs[Double]("weighted_f1") - ev("f1")) < 1e-6)
+  }
+
+  test("metrics are bounded in [0,1] on skewed predictions") {
+    val skewed = Seq.tabulate(50)(i => (i % 3, 0)).toDF("label", "prediction")
+    val m = Metrics.multiclassMetrics(skewed, "label", "prediction").collect()(0)
+    Seq("accuracy", "weighted_precision", "weighted_recall", "weighted_f1").foreach { c =>
+      val v = m.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+    }
+  }
+}

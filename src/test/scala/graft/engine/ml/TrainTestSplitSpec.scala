@@ -1,0 +1,44 @@
+package graft.engine.ml
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+
+class TrainTestSplitSpec extends AnyFunSuite {
+
+  test("split is disjoint, exhaustive, ~70/30, and deterministic under seed") {
+    val data = IrisData.generate(spark).withColumn("id",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
+    val (tr1, te1) = TrainTestSplit.split(data, 0.7, 42L)
+    val (tr2, te2) = TrainTestSplit.split(data, 0.7, 42L)
+    assert(tr1.count() + te1.count() == data.count())
+    assert(tr1.join(te1, "id").count() == 0)
+    val ratio = tr1.count().toDouble / data.count()
+    assert(ratio > 0.5 && ratio < 0.9, s"ratio $ratio too far from 0.7")
+    assert(tr1.count() == tr2.count() && te1.count() == te2.count())
+  }
+
+  test("run() completes the reference's documented CSV→parquet job (T10)") {
+    val dir = Files.createTempDirectory("graft-split").toString
+    IrisData.generate(spark).write.option("header", "false").csv(s"$dir/iris_csv")
+    TrainTestSplit.run(spark, s"$dir/iris_csv", s"$dir/train", s"$dir/test",
+      overwrite = true)
+    val train = spark.read.parquet(s"$dir/train")
+    val test = spark.read.parquet(s"$dir/test")
+    assert(train.count() + test.count() == 150)
+    assert(train.columns.toSeq == Seq("sepal_length", "sepal_width",
+      "petal_length", "petal_width", "species"))
+  }
+
+  test("same train/test path is rejected (T11 input validation)") {
+    intercept[IllegalArgumentException] {
+      TrainTestSplit.run(spark, "in", "same", "same")
+    }
+  }
+
+  test("trainPercent outside (0,1) is rejected") {
+    intercept[IllegalArgumentException] {
+      TrainTestSplit.split(IrisData.generate(spark), 1.5)
+    }
+  }
+}
