@@ -24,5 +24,7 @@ object Registry {
     */
   def all: Seq[GraftQuery] =
     relational.RelationalQueries.queries ++
-      ml.MlQueries.queries
+      ml.MlQueries.queries ++
+      llm.LlmQueries.queries ++
+      streaming.StreamQueries.queries
 }

@@ -1,0 +1,179 @@
+package graft.engine.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operators Spark's built-ins can't
+  * express efficiently (prompt preference order (b): a native `Expression`
+  * beats a Scala UDF — no SerDe, null handling inside the expression tree,
+  * usable from SQL once registered).
+  *
+  * All three are deterministic, null-intolerant scalar kernels. They use
+  * `CodegenFallback` — each call is a single tight JVM loop over a small
+  * array/string, so interpreted dispatch cost is amortized; the surrounding
+  * plan stays in whole-stage codegen.
+  */
+
+/** Cosine similarity between two ARRAY<FLOAT>/ARRAY<DOUBLE> vectors.
+  *
+  * Accumulates dot and norms in double in element order — bit-identical to
+  * the DuckDB oracle's in-order `SUM(a[i]*b[i])` formulation, which is what
+  * makes exact-equality verification possible. Returns 0 when either norm
+  * is 0. One fused pass: no intermediate zip_with array is allocated (the
+  * `aggregate(zip_with(...))` built-in formulation allocates two).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  @inline private def elem(arr: ArrayData, dt: DataType, i: Int): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case _ => throw new IllegalArgumentException(s"unsupported element type $dt")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val lt = left.dataType.asInstanceOf[ArrayType].elementType
+    val rt = right.dataType.asInstanceOf[ArrayType].elementType
+    val n = math.min(la.numElements(), ra.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(la, lt, i)
+      val y = elem(ra, rt, i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of a token array (near-dup fingerprint, X2).
+  *
+  * Each token is hashed with xxHash64-compatible mixing (Spark's own
+  * XXH64 seed 42 via Murmur-style finalization below — self-consistent, not
+  * claimed to match any external tool); each of the 64 positions votes
+  * +1/-1 by the token-hash bit; the sign of the vote sum becomes the
+  * output bit. Documents differing in a few tokens land within a small
+  * Hamming distance — dedup then groups by band (see Dedup.simHashNearDups).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  @inline private def mix64(input: Long): Long = {
+    var h = input
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  private def tokenHash(s: UTF8String): Long = {
+    // FNV-1a over bytes, then a strong finalizer — deterministic across
+    // JVMs, no dependency on String.hashCode.
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = tokenHash(arr.getUTF8String(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rolling polynomial fingerprint of a string (X4 document fingerprinting):
+  * h = Σ c_i · B^(n-1-i) mod 2^64, B = 131. Shift-invariant enough for
+  * chunk fingerprints, exact for equality grouping; cheaper than md5 (no
+  * allocation, no digest object).
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 131L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API + SQL-registration surface for the custom expressions. */
+object F {
+  def cosineSimilarity(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def simHash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def rollingHash(s: Column): Column =
+    Bridge.column(RollingHash(Bridge.expression(s)))
+
+  /** Register for SQL use: graft_cosine, graft_simhash64, graft_rolling_hash. */
+  def register(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "graft_cosine",
+      es => CosineSimilarity(es.head, es(1)))
+    Bridge.registerFunction(spark, "graft_simhash64", es => SimHash64(es.head))
+    Bridge.registerFunction(spark, "graft_rolling_hash", es => RollingHash(es.head))
+  }
+}

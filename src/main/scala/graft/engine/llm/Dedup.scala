@@ -1,0 +1,137 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.engine.functions.F
+
+/** Deduplication operators for LLM training-data pipelines (X1/X2).
+  *
+  * Scale design: every variant is a *bucketing* strategy — no operator here
+  * ever compares all pairs. Exact dedup shuffles once on a 128-bit content
+  * key; MinHash and SimHash shuffle candidate generation on band keys and
+  * verify only within buckets. At 100 TB the bucket-join key-space is what
+  * controls skew: band hashes are uniformly distributed by construction, so
+  * AQE's skew handling is a safety net, not a requirement.
+  */
+object Dedup {
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** 128-bit content key for exact (normalized) dedup. */
+  def contentKey(text: Column): Column = md5(lower(trim(text)))
+
+  /** X1 — exact dedup: keep the lowest-id row per normalized content key.
+    * One shuffle on the content hash; survivors keep their full row. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** k-token shingles (k-grams of the token stream) as strings; documents
+    * shorter than k tokens collapse to a single whole-text shingle. */
+  def shingles(tokensCol: Column, k: Int): Column =
+    when(size(tokensCol) < k, array(concat_ws(" ", tokensCol)))
+      .otherwise(transform(
+        sequence(lit(0), size(tokensCol) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(tokensCol, i + j)): _*)))
+
+  /** MinHash signature: for each of `numHashes` hash families, the minimum
+    * of xxhash64(shingle, j) over the shingle set. Computed per-row with
+    * higher-order functions — no explode, no shuffle. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shinglesCol, s => xxhash64(s, j))))
+
+  /** X2a — MinHash + LSH banding near-dup candidates, verified by exact
+    * shingle Jaccard. Returns (id_a, id_b, jaccard) pairs with
+    * jaccard >= threshold and id_a < id_b.
+    *
+    * Pipeline: shingle → signature (narrow) → explode `bands` band-hashes →
+    * shuffle on (band, bandHash) → self-join inside buckets → distinct
+    * candidate pairs → verify exact Jaccard on the shingle arrays.
+    * Wrong-bucket collisions are filtered by the verify stage, so hash
+    * collisions cost time, never correctness.
+    */
+  def minHashNearDups(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      jaccardThreshold: Double = 0.5, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+        shingles(tokens(col(textCol)), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = base.withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * rows + 1, lit(rows))).cast("string")).as("band_hash")))))
+      .select(col("id"), col("sh"),
+        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** X2b — SimHash near-dups: 64-bit fingerprint (custom Catalyst
+    * expression), candidates from matching any of four 16-bit bands
+    * (pigeonhole: hamming <= 3 guarantees a shared band), verified by exact
+    * Hamming distance via bit_count(xor).
+    */
+  def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      F.simHash64(tokens(col(textCol))).as("sim"))
+    val banded = base.withColumn("band_id",
+        explode(sequence(lit(0), lit(3))))
+      .withColumn("band_val",
+        expr("(sim >> (band_id * 16)) & 65535"))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** X2c — exact token-set Jaccard between blocked pairs (the verifiable
+    * small-block twin of the MinHash path; blocking keys bound the
+    * pair count, |Δ n_chars| prunes hopeless pairs before the set ops). */
+  def blockedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], lengthCol: String, maxLengthDelta: Int): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      array_distinct(tokens(col(textCol))).as("tok"),
+      col(lengthCol).as("len"),
+      struct(blockCols.map(col): _*).as("blk"))
+    val a = base.select(col("blk"), col("id").as("id_a"),
+      col("tok").as("tok_a"), col("len").as("len_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"),
+      col("tok").as("tok_b"), col("len").as("len_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxLengthDelta)
+      .withColumn("jaccard",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+          size(array_union(col("tok_a"), col("tok_b"))))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,292 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.engine.{GraftQuery, Tables}
+import graft.engine.relational.Exact._
+
+/** Driver-verifiable queries for the LLM-pipeline extensions (X1–X4 + the
+  * similarity path of X3). SQL-expressible semantics get DuckDB oracles;
+  * the hash-family operators (MinHash/SimHash — engine-specific hash
+  * functions) register as rows-only summaries and are correctness-tested
+  * with planted near-duplicates in ScalaTest instead.
+  */
+object LlmQueries {
+
+  /** q40 — X1 exact dedup: lowest doc_id survives per normalized content. */
+  val q40 = GraftQuery(
+    "q40_dedup_exact",
+    (spark, sfDir) =>
+      Dedup.exactDedup(Tables.documents(spark, sfDir), "text", "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+        .limit(2000),
+    Some("""SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+            ORDER BY doc_id ASC) AS rn
+        FROM documents) t
+      WHERE rn = 1 ORDER BY doc_id LIMIT 2000"""),
+    doc = "exact dedup via md5(normalized text), keep min id")
+
+  /** q41 — X2 exact token-set Jaccard on blocked pairs. */
+  val q41 = GraftQuery(
+    "q41_ngram_jaccard",
+    (spark, sfDir) =>
+      Dedup.blockedJaccardPairs(Tables.documents(spark, sfDir), "text", "doc_id",
+          Seq("lang", "source"), "n_chars", maxLengthDelta = 20)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100),
+    Some("""WITH base AS (
+        SELECT doc_id AS id,
+          list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+          n_chars AS len, lang, source
+        FROM documents)
+      SELECT a.id AS id_a, b.id AS id_b,
+        ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
+      FROM base a JOIN base b
+        ON a.lang = b.lang AND a.source = b.source
+        AND a.id < b.id AND abs(a.len - b.len) <= 20
+      ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""),
+    doc = "blocked exact Jaccard pairs (lang+source blocks, |Δlen|<=20)")
+
+  /** q44 — X3 exact cosine top-5 for 10 query vectors (custom Catalyst
+    * CosineSimilarity expression on the Spark side). */
+  val q44 = GraftQuery(
+    "q44_cosine_topk",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+      pairs AS (SELECT q.qid, e.vec_id AS nid,
+          list_dot_product(q.qe, e.emb) AS dot,
+          sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+        FROM q, e WHERE e.vec_id <> q.qid),
+      ranked AS (SELECT qid, nid,
+          CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END AS cos,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END DESC,
+              nid ASC) AS rnk
+        FROM pairs)
+      SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, ROUND(cos, 6) AS cosine
+      FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""),
+    doc = "brute-force cosine top-k, broadcast query set")
+
+  /** q46 — X4 per-language corpus statistics. */
+  val q46 = GraftQuery(
+    "q46_text_stats",
+    (spark, sfDir) =>
+      TextAnalysis.docStats(Tables.documents(spark, sfDir), "text")
+        .groupBy(col("lang"))
+        .agg(lcount().as("n_docs"),
+          davg(col("n_words").cast("double")).as("avg_words"),
+          davg(col("ttr")).as("avg_ttr"),
+          davg(col("mean_word_len")).as("avg_word_len"))
+        .orderBy(col("lang")),
+    Some(s"""WITH stats AS (
+        SELECT lang,
+          len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+          len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS n_distinct,
+          list_aggregate(list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> length(w)), 'sum') AS total_chars
+        FROM documents),
+      per_doc AS (
+        SELECT lang, n_words,
+          ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS ttr,
+          ROUND(CAST(total_chars AS DOUBLE) / n_words, 6) AS mean_word_len
+        FROM stats)
+      SELECT lang, COUNT(*) AS n_docs,
+        ${sqlDavg("CAST(n_words AS DOUBLE)")} AS avg_words,
+        ${sqlDavg("ttr")} AS avg_ttr,
+        ${sqlDavg("mean_word_len")} AS avg_word_len
+      FROM per_doc GROUP BY lang ORDER BY lang"""),
+    doc = "per-language doc stats: words, type-token ratio, word length")
+
+  /** q47 — X4 quality scoring with keep/drop decision. */
+  val q47 = GraftQuery(
+    "q47_quality_score",
+    (spark, sfDir) =>
+      TextAnalysis.qualityScore(Tables.documents(spark, sfDir), "text")
+        .select(col("doc_id"), col("n_words"), col("stopword_ratio"),
+          col("digit_ratio"), col("length_score"), col("quality"), col("keep"))
+        .orderBy(col("doc_id"))
+        .limit(500),
+    Some(s"""WITH base AS (
+        SELECT doc_id, text,
+          string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(list_filter(ws, w -> list_contains(
+            ${TextAnalysis.markers.values.flatten.toSeq.distinct.sorted.mkString("['", "','", "']")},
+            w))) AS DOUBLE) / len(ws) AS sw_raw,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / length(text) AS dg_raw,
+          CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0
+               WHEN len(ws) BETWEEN 5 AND 5000 THEN 0.5
+               ELSE 0.0 END AS length_score
+        FROM base)
+      SELECT doc_id, n_words, ROUND(sw_raw, 6) AS stopword_ratio,
+        ROUND(dg_raw, 6) AS digit_ratio, length_score,
+        ROUND(0.5 * length_score + 0.3 * least(sw_raw * 5.0, 1.0)
+          + 0.2 * (1.0 - least(dg_raw * 10.0, 1.0)), 6) AS quality,
+        CAST(ROUND(0.5 * length_score + 0.3 * least(sw_raw * 5.0, 1.0)
+          + 0.2 * (1.0 - least(dg_raw * 10.0, 1.0)), 6) >= 0.5 AS BIGINT) AS keep
+      FROM scored ORDER BY doc_id LIMIT 500"""),
+    doc = "quality heuristics: length, stopword ratio, digit noise")
+
+  /** q48 — X4 BPE-ish token counting per source. */
+  val q48 = GraftQuery(
+    "q48_token_count",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .groupBy(col("source"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+          davg(col("n_tokens").cast("double")).as("avg_tokens"))
+        .orderBy(col("source")),
+    Some(s"""WITH t AS (SELECT source,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_tokens
+      FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        ${sqlDavg("CAST(n_tokens AS DOUBLE)")} AS avg_tokens
+      FROM t GROUP BY source ORDER BY source"""),
+    doc = "regex pre-tokenizer counts per source")
+
+  /** q49 — X4 heuristic language-ID vs the labeled lang column. */
+  val q49 = GraftQuery(
+    "q49_langid",
+    (spark, sfDir) =>
+      TextAnalysis.languageId(Tables.documents(spark, sfDir), "text")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(lcount().as("n"))
+        .orderBy(col("lang"), col("lang_pred")),
+    Some({
+      def score(lang: String) = {
+        val lst = TextAnalysis.markers(lang).mkString("['", "','", "']")
+        s"len(list_filter(ws, w -> list_contains($lst, w)))"
+      }
+      s"""WITH base AS (
+        SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents),
+      scored AS (SELECT lang,
+          ${score("en")} AS s_en, ${score("de")} AS s_de,
+          ${score("fr")} AS s_fr, ${score("es")} AS s_es
+        FROM base)
+      SELECT lang,
+        CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es' END AS lang_pred,
+        COUNT(*) AS n
+      FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred"""
+    }),
+    doc = "marker-word argmax language ID, fixed tie order")
+
+  /** q50 — X4 TF-IDF: top-20 (doc, term) pairs. */
+  val q50 = GraftQuery(
+    "q50_tfidf",
+    (spark, sfDir) =>
+      TextAnalysis.tfidf(Tables.documents(spark, sfDir), "doc_id", "text")
+        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+        .limit(20),
+    Some("""WITH terms AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        ROUND(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      ORDER BY tfidf DESC, doc_id, term LIMIT 20"""),
+    doc = "explode-based TF-IDF with smoothed idf")
+
+  // ---- rows-only summaries (hash-family ops; planted-dup tests in ScalaTest) ----
+
+  /** X2a — MinHash+LSH near-dup summary. */
+  val x42 = GraftQuery(
+    "x42_minhash_neardup",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val pairs = Dedup.minHashNearDups(docs, "text", "doc_id",
+        jaccardThreshold = 0.3)
+      import spark.implicits._
+      Seq((docs.count(), pairs.count())).toDF("n_docs", "n_neardup_pairs")
+    },
+    None,
+    doc = "MinHash(32 hashes, 8 bands) + exact-Jaccard verify, summary row")
+
+  /** X2b — SimHash near-dup summary (custom Catalyst SimHash64). */
+  val x43 = GraftQuery(
+    "x43_simhash_neardup",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 10)
+      import spark.implicits._
+      Seq((docs.count(), pairs.count())).toDF("n_docs", "n_neardup_pairs")
+    },
+    None,
+    doc = "SimHash64 banding + Hamming verify, summary row")
+
+  /** X2e/X3 — embedding-cosine near-dup via LSH blocking, summary. */
+  val x45 = GraftQuery(
+    "x45_embedding_neardup",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      val pairs = Similarity.embeddingNearDups(emb, threshold = 0.8)
+      import spark.implicits._
+      Seq((emb.count(), pairs.count())).toDF("n_vectors", "n_neardup_pairs")
+    },
+    None,
+    doc = "sign-LSH bucket join + cosine>=0.8 verify, summary row")
+
+  /** X3 — LSH approximate top-k with recall vs the exact answer. */
+  val x44 = GraftQuery(
+    "x44_ann_lsh_recall",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("qid"), col("nid"))
+      val approx = Similarity.lshTopK(emb, queries, 5, bits = 4)
+        .select(col("qid"), col("nid"))
+      val hit = exact.join(approx, Seq("qid", "nid"), "left_semi").count()
+      import spark.implicits._
+      Seq((exact.count(), approx.count(), hit,
+        hit.toDouble / math.max(exact.count(), 1)))
+        .toDF("n_exact", "n_approx", "n_hits", "recall")
+    },
+    None,
+    doc = "LSH(4-bit) ANN vs brute force: recall measurement")
+
+  /** X4 — rolling-hash fingerprint dup groups (custom Catalyst expr). */
+  val x51 = GraftQuery(
+    "x51_fingerprint",
+    (spark, sfDir) => {
+      import graft.engine.functions.F
+      Tables.documents(spark, sfDir)
+        .withColumn("fp", F.rollingHash(lower(trim(col("text")))))
+        .groupBy(col("source"))
+        .agg(lcount().as("n_docs"),
+          countDistinct(col("fp")).cast(LongType).as("n_distinct_fp"))
+        .orderBy(col("source"))
+    },
+    None,
+    doc = "rolling-hash fingerprints: distinct count per source")
+
+  def queries: Seq[GraftQuery] =
+    Seq(q40, q41, q44, q46, q47, q48, q49, q50, x42, x43, x44, x45, x51)
+}

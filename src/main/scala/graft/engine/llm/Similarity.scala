@@ -1,0 +1,97 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.engine.functions.F
+
+/** Similarity search over embedding columns (X3).
+  *
+  * Two paths, as a 100 TB ANN system needs both:
+  *  - `bruteForceTopK`: exact — broadcast the (small) query set against the
+  *    full corpus; one scan, no shuffle of the corpus, per-partition local
+  *    ranking would be the next refinement. This is the correctness oracle.
+  *  - `lshBuckets`/`lshTopK`: sign-random-projection bucketing — corpus is
+  *    hashed once to `bits`-bit buckets (deterministic seeded hyperplanes),
+  *    queries probe only their own bucket (+ optional multi-probe of
+  *    Hamming-1 neighbors). Recall trades against the 2^bits fan-in; at
+  *    scale, bucket id becomes the partitioning/clustering key so a probe
+  *    touches one partition instead of the whole corpus.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes (xorshift from a fixed seed —
+    * no RNG state, reproducible across JVMs/sessions). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s.toDouble / Long.MaxValue)
+    }
+    Array.fill(bits, dim)(next())
+  }
+
+  private def dotWithLiteral(vec: Column, plane: Array[Double]): Column =
+    plane.zipWithIndex.map { case (wgt, i) =>
+      element_at(vec, i + 1).cast("double") * lit(wgt)
+    }.reduce(_ + _)
+
+  /** Sign-LSH bucket id (LongType, `bits` bits) for an embedding column. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(dotWithLiteral(vec, p) >= 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k: each query (broadcast) against every corpus row,
+    * ranked with a window partitioned by query id. Self-matches excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", F.cosineSimilarity(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Approximate top-k: probe only the query's own LSH bucket. Returns the
+    * same schema as bruteForceTopK (fewer than k rows when the bucket is
+    * small — that's the recall trade). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", F.cosineSimilarity(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** X2e — embedding-cosine near-dup pairs via LSH blocking: only pairs
+    * sharing a bucket are scored; cosine >= threshold survives. */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val base = corpus.select(col("vec_id").as("id"), col("embedding").as("e"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val a = base.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"))
+    val b = base.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", F.cosineSimilarity(col("e_a"), col("e_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

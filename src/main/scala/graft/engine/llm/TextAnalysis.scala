@@ -1,0 +1,116 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text analysis for LLM-data curation (X4): per-document statistics,
+  * quality scoring, heuristic language ID, token counting, TF-IDF.
+  * Everything is narrow projections + one aggregation; the only shuffles
+  * are the final group-bys, all on low-cardinality or well-distributed keys.
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Small function-word marker lists for the heuristic language scorer.
+    * Deliberately tiny — the operator shape (argmax over per-language
+    * evidence counts) is what scales, not the lists. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "avec", "de", "un"),
+    "es" -> Seq("el", "los", "las", "es", "con", "de", "un", "una"))
+
+  private def markerScore(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isInCollection(markers(lang)))).cast(LongType)
+
+  /** Per-document statistics: token count, distinct tokens, type-token
+    * ratio, mean token length. */
+  def docStats(df: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    df.withColumn("n_words", size(ws).cast(LongType))
+      .withColumn("n_distinct_words", size(array_distinct(ws)).cast(LongType))
+      .withColumn("ttr",
+        round(col("n_distinct_words").cast("double") / col("n_words"), 6))
+      .withColumn("mean_word_len",
+        round(aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+          / col("n_words"), 6))
+  }
+
+  /** Quality signals: length score, stopword ratio, digit ratio, composite
+    * score in [0,1] with a keep/drop flag — the standard pre-training
+    * heuristics (length bounds + function-word presence + symbol noise). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val allMarkers = markers.values.flatten.toSeq.distinct
+    // Ratios stay UNROUNDED until output: rounding intermediates to 6dp can
+    // land the weighted sum exactly on a round-half boundary, where Spark
+    // and DuckDB round() disagree (observed: 0.8176465 → .817646/.817647).
+    df.withColumn("n_words", size(ws).cast(LongType))
+      .withColumn("_sw_raw",
+        size(filter(ws, w => w.isInCollection(allMarkers))).cast("double")
+          / col("n_words"))
+      .withColumn("_dg_raw",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[0-9]", ""))).cast("double")
+          / length(col(textCol)))
+      .withColumn("length_score",
+        when(col("n_words").between(20, 2000), 1.0)
+          .when(col("n_words").between(5, 5000), 0.5)
+          .otherwise(0.0))
+      .withColumn("quality",
+        round(lit(0.5) * col("length_score")
+          + lit(0.3) * least(col("_sw_raw") * 5.0, lit(1.0))
+          + lit(0.2) * (lit(1.0) - least(col("_dg_raw") * 10.0, lit(1.0))), 6))
+      .withColumn("keep", (col("quality") >= 0.5).cast(LongType))
+      .withColumn("stopword_ratio", round(col("_sw_raw"), 6))
+      .withColumn("digit_ratio", round(col("_dg_raw"), 6))
+      .drop("_sw_raw", "_dg_raw")
+  }
+
+  /** Heuristic language ID: argmax of marker-word evidence with a fixed
+    * tie-break order (en > de > fr > es > unknown). */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    df.withColumn("s_en", markerScore(ws, "en"))
+      .withColumn("s_de", markerScore(ws, "de"))
+      .withColumn("s_fr", markerScore(ws, "fr"))
+      .withColumn("s_es", markerScore(ws, "es"))
+      .withColumn("lang_pred",
+        when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0L, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+  }
+
+  /** BPE-ish token counting: word pieces, numbers, and single non-space
+    * symbols — the standard pre-tokenizer regex family. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  /** TF-IDF via explode → per-(doc,term) tf → per-term df → idf join.
+    * Smoothed idf = ln((N+1)/(df+1)) + 1. Two shuffles (term stats, join
+    * back) — at 100 TB the term dimension is Zipf-skewed, so the doc-freq
+    * aggregation benefits from partial aggregation (automatic) and AQE skew
+    * handling on the join.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val terms = df.select(col(idCol).cast(LongType).as("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("idf", log((lit(n.toDouble) + 1.0) / (col("df") + lit(1.0))) + lit(1.0))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.engine.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (X5): the same event-window semantics as the
+  * batch queries q25–q27, expressed as streaming transforms, plus a custom
+  * stateful sessionizer via flatMapGroupsWithState.
+  *
+  * All transforms take an *unbounded* DataFrame (from readStream) — or a
+  * bounded one for batch twin testing; the logical plan is identical, which
+  * is what keeps batch and stream answers consistent.
+  *
+  * Scale posture: state is keyed by (window, event_type) or user_id — both
+  * well-distributed; watermarks bound state size (late data beyond the
+  * delay is dropped, on time is merged), so a 100 TB/day stream holds state
+  * proportional to the active window count, not the history.
+  */
+object Streaming {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Not private and with unambiguous field names: the state encoder
+    * generates Janino code against this class. */
+  final case class SessionAcc(sessStart: Timestamp, sessLast: Timestamp,
+      cnt: Long, total: Double)
+
+  /** Tumbling 1-hour counts per event type (streaming twin of q25). */
+  def tumblingCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding windows (streaming twin of q26). */
+  def slidingCounts(events: DataFrame, watermarkDelay: String = "10 minutes")
+      : DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("n_events"), col("sum_value"))
+
+  /** Built-in session windows per user (streaming twin of q27). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom stateful sessionization: flatMapGroupsWithState keyed by user.
+    * A session CLOSES (and is emitted) when a later event arrives more than
+    * `gapMinutes` after the session's last event; the open session stays in
+    * state. Demonstrates explicit state management where session_window's
+    * built-in semantics wouldn't fit (e.g. value-dependent gaps).
+    */
+  def sessionizeWithState(events: Dataset[Event], gapMinutes: Long = 30)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionAcc]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts.getTime - s.sessLast.getTime < gapMs =>
+                cur = Some(SessionAcc(s.sessStart, e.ts, s.cnt + 1, s.total + e.value))
+              case Some(s) =>
+                closed += SessionOut(userId, s.sessStart, s.sessLast, s.cnt, s.total)
+                cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
+              case None =>
+                cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+
+/** Planted-duplicate tests for the hash-family dedup operators (their
+  * engine-specific hashes have no DuckDB oracle — SURVEY.md §5). */
+class DedupSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val sentence =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single morning"
+  // SimHash needs enough tokens that a one-token edit moves few bit-votes:
+  // ~200-token docs (like real documents), not one sentence.
+  private val base = Seq.fill(10)(sentence).mkString(" ")
+
+  // 0/1: exact dups. 2: near-dup of 0 (ONE token changed in the last copy).
+  // 3/4: unrelated.
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, (Seq.fill(9)(sentence) :+ sentence.replace("lazy", "sleepy")).mkString(" ")),
+    (3L, "completely different content about spark query engines and columnar execution at massive scale"),
+    (4L, "yet another unrelated document discussing benchmark suites and the joy of deterministic tests")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id of each exact-dup group") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("exactDedup is idempotent") {
+    val once = Dedup.exactDedup(docs, "text", "doc_id")
+    val twice = Dedup.exactDedup(once, "text", "doc_id")
+    assert(once.count() == twice.count())
+  }
+
+  test("minHash finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minHashNearDups(docs, "text", "doc_id",
+        jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dups must pair")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "one-token-changed near-dup must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simHash: identical docs at hamming 0, near-dups within a few bits") {
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) == 0L, "exact dups have identical simhash")
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) <= 16L)
+    assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
+  }
+
+  test("shingles produce n_tokens - k + 1 entries, whole text when short") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b")).toDF("id", "text")
+      .select(col("id"), Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c", "b c d", "c d e"))
+    assert(m(2L) == Seq("a b"))
+  }
+
+  test("blockedJaccardPairs: exact dups have jaccard 1.0") {
+    val blocked = docs.withColumn("blk", lit("x"))
+      .withColumn("len", length(col("text")))
+    val pairs = Dedup.blockedJaccardPairs(blocked, "text", "doc_id",
+        Seq("blk"), "len", maxLengthDelta = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.7 && pairs((0L, 2L)) < 1.0)
+  }
+}

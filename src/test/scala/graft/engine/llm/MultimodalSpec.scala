@@ -1,0 +1,53 @@
+package graft.engine.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sfDir, spark}
+import graft.engine.Tables
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val media = Multimodal.fromDocuments(Tables.documents(spark, sfDir))
+
+  test("media corpus preserves row count and carries binary + meta") {
+    val docs = Tables.documents(spark, sfDir)
+    assert(media.count() == docs.count())
+    val row = media.head()
+    assert(Multimodal.Modalities.contains(row.modality))
+    assert(row.content.nonEmpty && row.meta.width >= 64)
+  }
+
+  test("feature extraction: histogram is L1-normalized, n_bytes matches content") {
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == media.count())
+    feats.take(50).foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3, "histogram must sum to 1")
+      assert(f.n_bytes > 0)
+    }
+  }
+
+  test("feature extraction is deterministic") {
+    val a = Multimodal.extractFeatures(media).collect().map(_.features.toSeq).toSeq
+    val b = Multimodal.extractFeatures(media).collect().map(_.features.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("frame sampling keeps every k-th frame of video rows only") {
+    val frames = Multimodal.frameSample(media, everyK = 2).collect()
+    assert(frames.nonEmpty)
+    val videos = media.filter(_.modality == "video").collect()
+      .map(m => m.media_id -> m.meta.n_frames).toMap
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      assert(videos.contains(id), "frames only from video rows")
+      val expected = (0 until math.max(videos(id), 1) by 2).size
+      assert(fs.length == expected)
+      assert(fs.map(_.frame_idx).forall(_ % 2 == 0))
+    }
+  }
+
+  test("summary aggregates all three modalities") {
+    val s = Multimodal.summary(spark, Tables.documents(spark, sfDir)).collect()
+    assert(s.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    assert(s.map(_.getAs[Long]("n_media")).sum == media.count())
+  }
+}

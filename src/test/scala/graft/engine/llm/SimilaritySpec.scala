@@ -1,0 +1,86 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sfDir, spark}
+import graft.engine.Tables
+import graft.engine.functions.F
+
+class SimilaritySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("CosineSimilarity expression: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "expected")
+    df.withColumn("cos", F.cosineSimilarity(col("a"), col("b")))
+      .collect().foreach { r =>
+        assert(math.abs(r.getAs[Double]("cos") - r.getAs[Double]("expected")) < 1e-12)
+      }
+  }
+
+  test("CosineSimilarity matches the zip_with/aggregate built-in formulation") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding").as("e1"))
+    val b = emb.filter(col("vec_id").between(50, 54))
+      .select(col("vec_id").as("vid2"), col("embedding").as("e2"))
+    val pairs = a.crossJoin(b).orderBy(col("vec_id"), col("vid2"))
+    val viaExpr = pairs.withColumn("c", F.cosineSimilarity(col("e1"), col("e2")))
+    val viaBuiltin = pairs.withColumn("dot",
+        aggregate(zip_with(col("e1"), col("e2"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("na", aggregate(transform(col("e1"), x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+      .withColumn("nb", aggregate(transform(col("e2"), x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+      .withColumn("c2", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+    val exprVals = viaExpr.select("c").collect().map(_.getDouble(0))
+    val builtinVals = viaBuiltin.select("c2").collect().map(_.getDouble(0))
+    exprVals.zip(builtinVals).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-12, s"$x vs $y")
+    }
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    F.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c, " +
+        "graft_simhash64(array('a','b')) AS s, " +
+        "graft_rolling_hash('abc') AS h").collect()(0)
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    assert(r.getAs[Long]("h") == (('a' * 131L + 'b') * 131L + 'c'))
+  }
+
+  test("bruteForceTopK: planted duplicate vector is its twin's top neighbor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val top = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 10003), k = 1).collect()(0)
+    assert(top.getAs[Long]("nid") == 3L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("lshTopK returns a subset of bucket-mates with valid ranks") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, bits = 4)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted
+      assert(ranks.head == 1L && ranks.length <= 3)
+    }
+  }
+
+  test("embeddingNearDups finds planted duplicate pair") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Similarity.embeddingNearDups(emb.unionByName(planted), threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 10007L)))
+  }
+}

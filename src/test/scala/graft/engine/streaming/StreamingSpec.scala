@@ -1,0 +1,112 @@
+package graft.engine.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sfDir, spark}
+import graft.engine.Tables
+import graft.engine.relational.RelationalQueries
+
+/** Batch/stream equivalence: the streaming plans must produce exactly the
+  * batch q25/q27 answers when fed the same bounded data. */
+class StreamingSpec extends AnyFunSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def eventsData: Array[Streaming.Event] =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streaming.Event].collect()
+
+  test("streaming tumbling agg == batch q25 on the same data") {
+    val stream = MemoryStream[Streaming.Event]
+    stream.addData(eventsData.toSeq)
+    val q = Streaming.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_tumbling")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_tumbling")
+      .select(unix_timestamp(col("win_start")).as("win_start"),
+        col("event_type"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = RelationalQueries.q25.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionizer closed sessions match batch session_window") {
+    // Split into two micro-batches by time so state crosses a batch border.
+    val evs = eventsData.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionizeWithState(stream.toDS())
+      .writeStream.format("memory").queryName("t_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("t_sessions")
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = RelationalQueries.q27.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every closed streaming session must equal the batch session exactly
+    assert(closed.nonEmpty)
+    closed.foreach { case (k, n) =>
+      assert(batch.get(k).contains(n), s"session $k: stream=$n batch=${batch.get(k)}")
+    }
+    // and the only sessions NOT closed are the per-user last ones still in state
+    val users = closed.keys.map(_._1).toSet
+    assert(batch.size - closed.size >= users.size)
+  }
+
+  test("session_window streaming (append + watermark) emits finalized sessions") {
+    val evs = eventsData.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionCounts(stream.toDF())
+      .writeStream.format("memory").queryName("t_swindow")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("t_swindow")
+    assert(emitted.count() > 0, "watermark advance must finalize some sessions")
+    val batch = RelationalQueries.q27.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    emitted.select(col("user_id"), unix_timestamp(col("sess_start")).as("s"),
+        col("n_events")).collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(batch.get(k).contains(r.getLong(2)), s"emitted session $k mismatch")
+    }
+  }
+
+  test("late events beyond the watermark are dropped") {
+    val base = Timestamp.valueOf("2024-06-01 10:00:00")
+    def ev(id: Long, offsetMin: Long): Streaming.Event =
+      Streaming.Event(id, new Timestamp(base.getTime + offsetMin * 60000L),
+        1L, "click", 1.0)
+    val stream = MemoryStream[Streaming.Event]
+    val q = Streaming.tumblingCounts(stream.toDF(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(ev(1, 0), ev(2, 30)))       // window [10:00,11:00)
+      q.processAllAvailable()
+      stream.addData(Seq(ev(3, 300)))                 // advance watermark to ~14:50
+      q.processAllAvailable()
+      stream.addData(Seq(ev(4, 5)))                   // LATE: before watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("t_late")
+      .select(unix_timestamp(col("win_start")), col("n_events")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val win1 = Timestamp.valueOf("2024-06-01 10:00:00").getTime / 1000
+    assert(counts(win1) == 2L, "late event must NOT be counted")
+  }
+}
