@@ -133,6 +133,104 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** k-token shingles of a token array in one pass (X2).
+  *
+  * The HOF formulation (`transform(sequence(0, n-k), i -> concat_ws(' ',
+  * element_at(tok, i+1), ...))`) re-evaluates the token-producing child
+  * (a regex split) on EVERY element_at in interpreted mode — O(S·k) full
+  * splits per row. This expression receives the token array once and
+  * builds the windows in a single pass. Short docs (< k tokens) collapse
+  * to one whole-text shingle.
+  */
+case class Shingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = Array.tabulate(n)(i =>
+      if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString)
+    val out: Array[UTF8String] =
+      if (n < k) Array(UTF8String.fromString(toks.mkString(" ")))
+      else Array.tabulate(n - k + 1) { i =>
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        UTF8String.fromString(sb.toString)
+      }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a shingle array in one pass (X2).
+  *
+  * Each shingle's bytes are hashed ONCE (FNV-1a + avalanche); each of the
+  * `numHashes` families is a cheap integer re-mix of that base value
+  * (mix64(base ^ seed_j)). The equivalent higher-order-function formulation
+  * (`transform(sequence(..), j -> array_min(transform(sh, s -> xxhash64(s, j))))`)
+  * re-hashes the string per family through interpreted lambdas — measured
+  * ~25 s at sf0.1 where this expression is ~100 ms.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  @inline private def mix64(input: Long): Long = {
+    var h = input
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  private def baseHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  private val seeds: Array[Long] =
+    Array.tabulate(numHashes)(j => mix64(0x9E3779B97F4A7C15L * (j + 1)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val base = baseHash(arr.getUTF8String(t))
+        var j = 0
+        while (j < numHashes) {
+          val h = mix64(base ^ seeds(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial fingerprint of a string (X4 document fingerprinting):
   * h = Σ c_i · B^(n-1-i) mod 2^64, B = 131. Shift-invariant enough for
   * chunk fingerprints, exact for equality grouping; cheaper than md5 (no
@@ -165,6 +263,12 @@ object F {
 
   def simHash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+
+  def shingles(tokens: Column, k: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(tokens), k))
 
   def rollingHash(s: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(s)))

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.Registry
+
+/** Dump formatted physical plans for plan-shape review (pushdown, pruning,
+  * broadcast choice, codegen spans). Usage: runMain graft.tools.ExplainPlans
+  * [sfDir] [query ...]
+  */
+object ExplainPlans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.drop(1).toSet
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Registry.all
+      .filter(q => names.isEmpty || names.contains(q.name))
+      .foreach { q =>
+        println(s"\n========== ${q.name} ==========")
+        try q.run(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"explain failed: $e") }
+      }
+    spark.stop()
+  }
+}
