@@ -24,6 +24,7 @@ object Registry {
     */
   def all: Seq[GraftQuery] =
     relational.RelationalQueries.queries ++
+      relational.StatsQueries.queries ++
       ml.MlQueries.queries ++
       llm.LlmQueries.queries ++
       streaming.StreamQueries.queries

@@ -1,0 +1,182 @@
+package graft.engine.relational
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.engine.{GraftQuery, Tables}
+import Exact._
+
+/** Statistical aggregates and pivot (rounding out X6).
+  *
+  * stddev/corr are computed FROM exact decimal component sums (Σx, Σx²,
+  * Σxy) rather than the built-in aggregates: the built-ins reduce doubles
+  * in engine-specific order, while component sums are order-independent and
+  * the final closed-form arithmetic is a handful of deterministic double
+  * ops. Same single-pass cost, exact cross-engine equality. */
+object StatsQueries {
+
+  /** q28 — moments, DIY stddev/corr, exact interpolated median. */
+  val q28 = GraftQuery(
+    "q28_stats_fns",
+    (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+      li.groupBy(col("l_linestatus"))
+        .agg(
+          lcount().as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+        .select(col("l_linestatus"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+            .as("stddev_qty"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          col("median_price"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some(s"""WITH comp AS (
+        SELECT l_linestatus, COUNT(*) AS n,
+          ${sqlDsum("l_quantity")} AS sx,
+          ${sqlDsum("l_quantity * l_quantity")} AS sxx,
+          ${sqlDsum("l_extendedprice")} AS sy,
+          ${sqlDsum("l_extendedprice * l_extendedprice")} AS syy,
+          ${sqlDsum("l_quantity * l_extendedprice")} AS sxy,
+          ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS median_price
+        FROM lineitem GROUP BY l_linestatus)
+      SELECT l_linestatus, n,
+        ROUND(sx / n, 6) AS mean_qty,
+        ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+        ROUND((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+        median_price
+      FROM comp ORDER BY l_linestatus"""),
+    doc = "mean/stddev/corr from exact component sums + exact median")
+
+  /** q29 — pivot: returnflag columns per linestatus. */
+  val q29 = GraftQuery(
+    "q29_pivot",
+    (spark, sfDir) => {
+      val p = Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+      p.select(col("l_linestatus"),
+          coalesce(col("A"), lit(0.0)).as("qty_a"),
+          coalesce(col("N"), lit(0.0)).as("qty_n"),
+          coalesce(col("R"), lit(0.0)).as("qty_r"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some(s"""SELECT l_linestatus,
+      COALESCE(${sqlDsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")}, 0.0) AS qty_a,
+      COALESCE(${sqlDsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")}, 0.0) AS qty_n,
+      COALESCE(${sqlDsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")}, 0.0) AS qty_r
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+    doc = "pivot on returnflag (oracle: CASE-filtered sums)")
+
+  /** x28 — sketch aggregates (HLL / approximate percentile): engine-specific
+    * sketches, no cross-engine oracle; invariants tested in ScalaTest. */
+  val x28 = GraftQuery(
+    "x28_approx_sketches",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir)
+        .agg(
+          approx_count_distinct(col("l_partkey")).cast(LongType).as("approx_parts"),
+          countDistinct(col("l_partkey")).cast(LongType).as("exact_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("price_quantiles"))
+        .select(col("approx_parts"), col("exact_parts"),
+          round(element_at(col("price_quantiles"), 1), 2).as("p50"),
+          round(element_at(col("price_quantiles"), 2), 2).as("p95"))
+    },
+    None,
+    doc = "HLL++ distinct + approx_percentile sketch (rows-only)")
+
+  /** q51 — as-of (point-in-time) join: each event picks its user's latest
+    * order at-or-before the event timestamp. */
+  val q51 = GraftQuery(
+    "q51_asof_join",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      AsOf.asofJoin(e, o,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTime = col("ts"), rightTime = col("o_orderdate"),
+          leftRowId = col("event_id"), tieBreak = col("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("last_order_epoch"))
+        .orderBy(col("event_id"))
+        .limit(1000)
+    },
+    Some("""SELECT event_id, user_id, o_orderkey AS last_orderkey,
+        CAST(epoch(o_orderdate) AS BIGINT) AS last_order_epoch
+      FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+          ROW_NUMBER() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+      WHERE rn = 1 ORDER BY event_id LIMIT 1000"""),
+    doc = "as-of join composed from equi-join + range filter + window")
+
+  /** q52 — posexplode / lateral unnest: per-position embedding statistics. */
+  val q52 = GraftQuery(
+    "q52_posexplode",
+    (spark, sfDir) => {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .filter(col("pos") < 8)
+        .groupBy(col("pos").cast(LongType).as("pos"))
+        .agg(lcount().as("n"),
+          dsum(col("v").cast("double")).as("sum_v"),
+          round(max(col("v")).cast("double"), 6).as("max_v"))
+        .orderBy(col("pos"))
+    },
+    Some(s"""WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+          unnest(embedding) AS v
+        FROM embeddings)
+      SELECT CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+        ${sqlDsum("CAST(v AS DOUBLE)")} AS sum_v,
+        ROUND(CAST(MAX(v) AS DOUBLE), 6) AS max_v
+      FROM ex WHERE pos < 8 GROUP BY pos ORDER BY pos"""),
+    doc = "posexplode (lateral unnest with ordinality) + per-position agg")
+
+  /** q53 — subquery forms through the SQL entry point: scalar subquery,
+    * IN-subquery, correlated EXISTS in one statement. */
+  val q53 = GraftQuery(
+    "q53_subqueries",
+    (spark, sfDir) => {
+      Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+      Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+      spark.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND c_nationkey IN (SELECT c_nationkey FROM customer
+                              GROUP BY c_nationkey
+                              HAVING COUNT(*) * 25 >= (SELECT COUNT(*) FROM customer))
+          AND EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        ORDER BY c_custkey LIMIT 500""")
+    },
+    Some("""SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        AND c_nationkey IN (SELECT c_nationkey FROM customer
+                            GROUP BY c_nationkey
+                            HAVING COUNT(*) * 25 >= (SELECT COUNT(*) FROM customer))
+        AND EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey LIMIT 500"""),
+    doc = "scalar + IN + correlated EXISTS subqueries (same SQL both engines)")
+
+  def queries: Seq[GraftQuery] = Seq(q28, q29, q51, q52, q53, x28)
+}

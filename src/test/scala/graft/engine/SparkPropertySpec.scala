@@ -1,0 +1,68 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+import graft.engine.ml.{Metrics, Stages}
+import graft.engine.llm.Dedup
+
+/** Property-style invariants that need a SparkSession: generated inputs via
+  * ScalaCheck Gen (fixed seeds, a handful of samples — each sample runs
+  * Spark jobs). SURVEY.md §5.2. */
+class SparkPropertySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val labelsGen =
+    Gen.nonEmptyListOf(Gen.oneOf("ant", "bee", "cat", "dog", "elk"))
+
+  test("property: decode∘encode = identity for arbitrary label multisets") {
+    samples(labelsGen, 5).foreach { labels =>
+      val df = labels.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "v")
+      val dict = Stages.labelDictionary(df, "v")
+      val rt = Stages.decodeWithDictionary(
+        Stages.encodeWithDictionary(df, dict, "v", "c"), dict, "c", "v2")
+      assert(rt.filter(col("v") =!= col("v2")).count() == 0, s"failed for $labels")
+      // codes are dense 0..k-1
+      val codes = dict.select("code").collect().map(_.getLong(0)).sorted
+      assert(codes.toSeq == (0L until codes.length).toSeq)
+    }
+  }
+
+  test("property: multiclass metrics stay in [0,1]; accuracy invariant under label permutation") {
+    val pairsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0, 3)))
+    samples(pairsGen, 5).foreach { pairs =>
+      val df = pairs.toDF("label", "prediction")
+      val m = Metrics.multiclassMetrics(df, "label", "prediction").collect()(0)
+      Seq("accuracy", "weighted_precision", "weighted_recall", "weighted_f1")
+        .foreach { c =>
+          val v = m.getAs[Double](c)
+          assert(v >= 0.0 && v <= 1.0, s"$c=$v for $pairs")
+        }
+      // permute class ids consistently: accuracy must not change
+      val perm = Map(0 -> 2, 1 -> 3, 2 -> 0, 3 -> 1)
+      val permuted = pairs.map { case (l, p) => (perm(l), perm(p)) }
+        .toDF("label", "prediction")
+      val m2 = Metrics.multiclassMetrics(permuted, "label", "prediction").collect()(0)
+      assert(m.getAs[Double]("accuracy") == m2.getAs[Double]("accuracy"))
+    }
+  }
+
+  test("property: exactDedup is idempotent and keeps one row per distinct text") {
+    val docsGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "aa bb cc", "dd ee ff", "gg hh", "aa bb cc ", "AA BB CC"))
+    samples(docsGen, 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.exactDedup(df, "text", "doc_id")
+      val twice = Dedup.exactDedup(once, "text", "doc_id")
+      assert(once.count() == twice.count())
+      val distinctNorm = texts.map(_.trim.toLowerCase).distinct.size
+      assert(once.count() == distinctNorm, s"for $texts")
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.engine.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the custom expression kernels, evaluated
+  * directly (Expression.eval on literals — no Spark session, so hundreds of
+  * samples are cheap). SURVEY.md §5.2. */
+object ExpressionProperties extends Properties("graft.expressions") {
+
+  private def floatArr(xs: Seq[Float]): Literal =
+    Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(FloatType))
+  private def strArr(xs: Seq[String]): Literal =
+    Literal.create(ArrayData.toArrayData(
+      xs.map(UTF8String.fromString).toArray), ArrayType(StringType))
+
+  private val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f))
+  private val tokGen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double =
+    CosineSimilarity(floatArr(a), floatArr(b)).eval(null).asInstanceOf[Double]
+
+  property("cosine in [-1, 1]") = Prop.forAll(vecGen, vecGen) { (a, b) =>
+    val n = math.min(a.length, b.length)
+    val c = cosine(a.take(n), b.take(n))
+    c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9
+  }
+
+  property("cosine symmetric") = Prop.forAll(vecGen) { a =>
+    val b = a.map(x => x * 0.5f + 1.0f)
+    math.abs(cosine(a, b) - cosine(b, a)) < 1e-12
+  }
+
+  property("cosine of a vector with itself is 1 (unless zero)") =
+    Prop.forAll(vecGen.suchThat(_.exists(_ != 0f))) { a =>
+      math.abs(cosine(a, a) - 1.0) < 1e-9
+    }
+
+  property("simhash invariant under token permutation") =
+    Prop.forAll(tokGen) { toks =>
+      val h1 = SimHash64(strArr(toks)).eval(null)
+      val h2 = SimHash64(strArr(scala.util.Random.shuffle(toks))).eval(null)
+      h1 == h2
+    }
+
+  property("minhash signature invariant under shingle permutation, length = numHashes") =
+    Prop.forAll(tokGen, Gen.choose(1, 32)) { (toks, n) =>
+      def sig(ts: Seq[String]) = {
+        val a = MinHashSignature(strArr(ts), n).eval(null).asInstanceOf[ArrayData]
+        (0 until a.numElements()).map(a.getLong)
+      }
+      val s1 = sig(toks)
+      val s2 = sig(scala.util.Random.shuffle(toks))
+      s1 == s2 && s1.length == n
+    }
+
+  property("identical token sets share minhash signature; supersets only lower mins") =
+    Prop.forAll(tokGen, tokGen) { (a, extra) =>
+      def sig(ts: Seq[String]) = {
+        val d = MinHashSignature(strArr(ts), 16).eval(null).asInstanceOf[ArrayData]
+        (0 until 16).map(d.getLong)
+      }
+      val base = sig(a)
+      val sup = sig(a ++ extra)
+      base.zip(sup).forall { case (b, s) => s <= b }
+    }
+
+  property("shingles: count = max(n-k+1, 1), each has k tokens") =
+    Prop.forAll(tokGen, Gen.choose(1, 5)) { (toks, k) =>
+      val out = Shingles(strArr(toks), k).eval(null).asInstanceOf[ArrayData]
+      val expected = if (toks.length < k) 1 else toks.length - k + 1
+      val widths = (0 until out.numElements())
+        .map(i => out.getUTF8String(i).toString.split(" ", -1).length)
+      out.numElements() == expected &&
+        (toks.length < k || widths.forall(_ == k))
+    }
+
+  property("rolling hash: h(a ++ b) is a deterministic function of h(a), h(b), |b|") =
+    Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
+      def h(s: String): Long =
+        RollingHash(Literal(UTF8String.fromString(s), StringType))
+          .eval(null).asInstanceOf[Long]
+      val pow = b.getBytes("UTF-8").foldLeft(1L)((acc, _) => acc * 131L)
+      h(a + b) == h(a) * pow + h(b)
+    }
+}
