@@ -259,14 +259,18 @@ object LlmQueries {
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
       val queries = emb.filter(col("vec_id") < 10)
+      // Both result sets are tiny (≤ 5·|queries| rows): collect once and
+      // compare driver-side instead of re-running each plan for every count.
       val exact = Similarity.bruteForceTopK(emb, queries, 5)
-        .select(col("qid"), col("nid"))
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
       val approx = Similarity.lshTopK(emb, queries, 5, bits = 4)
-        .select(col("qid"), col("nid"))
-      val hit = exact.join(approx, Seq("qid", "nid"), "left_semi").count()
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = exact.intersect(approx).size.toLong
       import spark.implicits._
-      Seq((exact.count(), approx.count(), hit,
-        hit.toDouble / math.max(exact.count(), 1)))
+      Seq((exact.size.toLong, approx.size.toLong, hit,
+        hit.toDouble / math.max(exact.size, 1)))
         .toDF("n_exact", "n_approx", "n_hits", "recall")
     },
     None,

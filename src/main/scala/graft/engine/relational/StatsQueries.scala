@@ -178,5 +178,31 @@ object StatsQueries {
       ORDER BY c_custkey LIMIT 500"""),
     doc = "scalar + IN + correlated EXISTS subqueries (same SQL both engines)")
 
-  def queries: Seq[GraftQuery] = Seq(q28, q29, q51, q52, q53, x28)
+  /** q54 — bag (multiset) set operations: UNION ALL / EXCEPT ALL /
+    * INTERSECT ALL preserve duplicates, unlike q18's distinct set ops. */
+  val q54 = GraftQuery(
+    "q54_bag_setops",
+    (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+      a.union(b)            // UNION ALL
+        .exceptAll(a.intersectAll(b))
+        .groupBy(col("o_custkey"))
+        .agg(lcount().as("n"))
+        .orderBy(col("o_custkey"))
+        .limit(1000)
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n FROM (
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        EXCEPT ALL
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+      ) t GROUP BY o_custkey ORDER BY o_custkey LIMIT 1000"""),
+    doc = "multiset UNION ALL / EXCEPT ALL / INTERSECT ALL")
+
+  def queries: Seq[GraftQuery] = Seq(q28, q29, q51, q52, q53, q54, x28)
 }

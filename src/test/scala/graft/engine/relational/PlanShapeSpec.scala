@@ -1,0 +1,54 @@
+package graft.engine.relational
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sfDir, spark}
+
+/** Plan-shape regression tests: the *physical* properties that make these
+  * queries scale (pushdown, pruned scans, broadcast dims, top-k without a
+  * global sort) are asserted, not just eyeballed — a refactor that silently
+  * loses them fails here. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private def planString(q: graft.engine.GraftQuery): String = {
+    val df = q.run(spark, sfDir)
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+  private def explainFormatted(q: graft.engine.GraftQuery): String = {
+    val df = q.run(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val plan = explainFormatted(RelationalQueries.q01)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(l_shipdate"), plan.take(2000))
+  }
+
+  test("q03: scan reads only the 5 referenced columns") {
+    val plan = explainFormatted(RelationalQueries.q03)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("q04: both dimension joins are broadcast") {
+    val plan = planString(RelationalQueries.q04)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q17: global top-k runs as TakeOrderedAndProject, not a full sort") {
+    val plan = planString(RelationalQueries.q17)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q25: tumbling-window agg is a two-phase hash aggregate (partial + final)") {
+    val plan = planString(RelationalQueries.q25)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+}

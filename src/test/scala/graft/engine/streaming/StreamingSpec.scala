@@ -86,6 +86,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("file-source streaming: readStream over parquet → writeStream with checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // stage the bounded events table as a file source fed in two chunks
+    val all = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    all.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(all.schema).parquet(s"$dir/in")
+    val q = Streaming.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("t_filesrc")
+      .option("checkpointLocation", s"$dir/chk")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // second chunk arrives as new files — the source must pick them up
+      all.filter(col("event_id") % 2 === 1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedTotal = spark.table("t_filesrc")
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(streamedTotal == all.count(),
+      "all events from both file batches must be aggregated")
+    assert(new java.io.File(s"$dir/chk").exists, "checkpoint dir must be written")
+  }
+
   test("late events beyond the watermark are dropped") {
     val base = Timestamp.valueOf("2024-06-01 10:00:00")
     def ev(id: Long, offsetMin: Long): Streaming.Event =
