@@ -58,7 +58,7 @@ object LlmQueries {
     "q44_cosine_topk",
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy(col("qid"), col("rnk"))
     },
     Some("""WITH e AS (SELECT vec_id,

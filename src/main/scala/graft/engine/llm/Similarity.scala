@@ -58,6 +58,25 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Exact cosine top-k via the typed [[TopK.TopKAggregator]]: same answer
+    * as [[bruteForceTopK]], but ranked by a partially-aggregated top-k
+    * aggregate instead of a window — each map partition reduces to ≤ k rows
+    * per query before the shuffle, so the exchange is O(partitions·q·k)
+    * instead of O(|corpus|·q). This is the 100 TB formulation. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        F.cosineSimilarity(col("qe"), col("ne")).as("cos"))
+      .groupBy(col("qid"))
+      .agg(TopK.topK(k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rnk0", "s")))
+      .select(col("qid"), (col("rnk0") + 1).cast(LongType).as("rnk"),
+        col("s.nid").as("nid"), round(col("s.cos"), 6).as("cosine"))
+  }
+
   /** Approximate top-k: probe only the query's own LSH bucket. Returns the
     * same schema as bruteForceTopK (fewer than k rows when the bucket is
     * small — that's the recall trade). */

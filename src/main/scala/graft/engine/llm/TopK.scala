@@ -1,0 +1,51 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-k aggregator (SURVEY.md §2.5's anticipated custom
+  * `Aggregator[IN, BUF, OUT]`): keeps the k best (cos, nid) pairs, ordered
+  * by cosine desc then nid asc.
+  *
+  * Scale rationale: ranking "top-k neighbors per query" with a window
+  * partitions the shuffle by query id — with q queries that is q reducers
+  * each receiving the FULL corpus's scored rows. As an aggregate, Spark
+  * runs it with map-side partial aggregation: every partition reduces to
+  * ≤ k rows per query before the shuffle, so the exchange carries
+  * O(partitions · q · k) rows regardless of corpus size.
+  */
+object TopK {
+
+  final case class Scored(cos: Double, nid: Long)
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.cos > b.cos || (a.cos == b.cos && a.nid < b.nid)
+
+  /** Buffer/output are k-bounded sorted lists (k is small; insertion into a
+    * size-k vector beats heap constant factors and is trivially encodable). */
+  final class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    override def zero: Seq[Scored] = Vector.empty
+
+    override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
+      if (buf.size >= k && better(buf.last, a)) buf
+      else ((buf :+ a).sortWith(better)).take(k)
+
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+      (b1 ++ b2).sortWith(better).take(k)
+
+    override def finish(r: Seq[Scored]): Seq[Scored] = r
+
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column form, usable in DataFrame agg (case-class input flattens to
+    * its fields: pass the cos and nid columns). */
+  def topK(k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+      .apply(org.apache.spark.sql.functions.col("cos"),
+        org.apache.spark.sql.functions.col("nid"))
+}

@@ -64,6 +64,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("aggregator-based top-k equals window-based top-k exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk")) ->
+        (r.getAs[Long]("nid"), r.getAs[Double]("cosine"))).toMap
+    val viaWindow = key(Similarity.bruteForceTopK(emb, queries, 5))
+    val viaAgg = key(Similarity.bruteForceTopKAgg(emb, queries, 5))
+    assert(viaAgg == viaWindow)
+  }
+
   test("lshTopK returns a subset of bucket-mates with valid ranks") {
     val emb = Tables.embeddings(spark, sfDir)
     val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, bits = 4)
