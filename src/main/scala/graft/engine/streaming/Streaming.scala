@@ -57,6 +57,15 @@ object Streaming {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup (X1 on a stream): drop events whose id was
+    * already seen, with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts seen-keys older than the delay,
+    * so state is O(events per watermark window), not O(stream history). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom stateful sessionization: flatMapGroupsWithState keyed by user.
     * A session CLOSES (and is emitted) when a later event arrives more than
     * `gapMinutes` after the session's last event; the open session stays in

@@ -55,6 +55,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
   }
 
+  test("custom MinHash agrees with MLlib MinHashLSH on planted near-dups") {
+    // cross-check the hand-rolled LSH path against ml.feature.MinHashLSH:
+    // both must surface the planted (0,1)/(0,2) near-dup pairs.
+    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+    val withShingles = docs.select(col("doc_id"),
+      Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+    val cv = new CountVectorizer().setInputCol("sh").setOutputCol("features")
+      .setBinary(true).fit(withShingles)
+    val vectorized = cv.transform(withShingles)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L).fit(vectorized)
+    val pairs = lsh.approxSimilarityJoin(vectorized, vectorized, 0.5, "dist")
+      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"))
+      .filter(col("a") < col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ours = Dedup.minHashNearDups(docs, "text", "doc_id", jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && ours.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && ours.contains((0L, 2L)))
+  }
+
   test("shingles produce n_tokens - k + 1 entries, whole text when short") {
     val df = Seq((1L, "a b c d e"), (2L, "a b")).toDF("id", "text")
       .select(col("id"), Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))

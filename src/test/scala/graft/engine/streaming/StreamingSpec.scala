@@ -111,6 +111,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/chk").exists, "checkpoint dir must be written")
   }
 
+  test("streaming dedup within watermark drops re-sent events") {
+    val evs = eventsData.sortBy(e => (e.ts.getTime, e.event_id)).take(2000)
+    val stream = MemoryStream[Streaming.Event]
+    val q = Streaming.dedupWithinWatermark(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(evs.toSeq); q.processAllAvailable()
+      stream.addData(evs.take(500).toSeq) // duplicate re-delivery
+      q.processAllAvailable()
+    } finally q.stop()
+    // every event id appears exactly once despite the re-delivery
+    val n = spark.table("t_dedup").count()
+    val distinct = spark.table("t_dedup").select("event_id").distinct().count()
+    assert(n == distinct, "no duplicate ids may survive")
+    assert(n == evs.length.toLong, s"all original events must survive (got $n of ${evs.length})")
+  }
+
   test("late events beyond the watermark are dropped") {
     val base = Timestamp.valueOf("2024-06-01 10:00:00")
     def ev(id: Long, offsetMin: Long): Streaming.Event =
