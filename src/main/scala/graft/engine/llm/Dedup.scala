@@ -125,6 +125,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: each vertex repeatedly adopts the smallest component id
+    * among itself and its neighbors; converges in O(component diameter)
+    * rounds (near-dup clusters are dense, so diameter is tiny in practice).
+    *
+    * Each round is one join + one aggregation — fully distributed; the
+    * driver only checks the convergence counter. `localCheckpoint` truncates
+    * the growing lineage each round (on a cluster prefer
+    * `checkpoint()` with a reliable dir; same semantics).
+    *
+    * Returns (id, component) where component = min id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(comp, edges("src") === comp("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val updated = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp2"))
+        .localCheckpoint()
+      changed = updated.filter(col("comp2") < col("comp")).count()
+      comp = updated.select(col("id"), col("comp2").as("comp"))
+      iter += 1
+    }
+    comp
+  }
+
+  /** End-to-end near-duplicate removal: MinHash candidate pairs →
+    * transitive clusters → keep the lowest-id document of each cluster
+    * (plus every unpaired document). This is the operator an LLM data
+    * pipeline actually runs; the pair/cluster stages are its observables.
+    */
+  def dedupNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val pairs = minHashNearDups(df, textCol, idCol,
+      jaccardThreshold = jaccardThreshold)
+    val clusters = connectedComponents(pairs)
+    val losers = clusters.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** X2c — exact token-set Jaccard between blocked pairs (the verifiable
     * small-block twin of the MinHash path; blocking keys bound the
     * pair count, |Δ n_chars| prunes hopeless pairs before the set ops). */

@@ -276,6 +276,24 @@ object LlmQueries {
     None,
     doc = "LSH(4-bit) ANN vs brute force: recall measurement")
 
+  /** X2 end-to-end — MinHash pairs → transitive clusters → survivors. */
+  val x46 = GraftQuery(
+    "x46_neardup_cluster_dedup",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val pairs = Dedup.minHashNearDups(docs, "text", "doc_id",
+        jaccardThreshold = 0.3)
+      val clusters = Dedup.connectedComponents(pairs)
+      val survivors = Dedup.dedupNearDuplicates(docs, "text", "doc_id",
+        jaccardThreshold = 0.3)
+      import spark.implicits._
+      Seq((docs.count(), pairs.count(),
+        clusters.select("comp").distinct().count(), survivors.count()))
+        .toDF("n_docs", "n_pairs", "n_clusters", "n_survivors")
+    },
+    None,
+    doc = "near-dup pipeline: pairs → connected components → representatives")
+
   /** X4 — rolling-hash fingerprint dup groups (custom Catalyst expr). */
   val x51 = GraftQuery(
     "x51_fingerprint",
@@ -292,5 +310,5 @@ object LlmQueries {
     doc = "rolling-hash fingerprints: distinct count per source")
 
   def queries: Seq[GraftQuery] =
-    Seq(q40, q41, q44, q46, q47, q48, q49, q50, x42, x43, x44, x45, x51)
+    Seq(q40, q41, q44, q46, q47, q48, q49, q50, x42, x43, x44, x45, x46, x51)
 }

@@ -84,6 +84,24 @@ class DedupSpec extends AnyFunSuite {
     assert(m(2L) == Seq("a b"))
   }
 
+  test("connected components: transitive chains collapse to one cluster") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (transitive: 1~3 never paired directly) + island 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(7L) == 7L && comp(8L) == 7L)
+  }
+
+  test("dedupNearDuplicates keeps one representative per cluster + singletons") {
+    val survivors = Dedup.dedupNearDuplicates(docs, "text", "doc_id",
+        jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 0/1/2 are one near-dup cluster → representative 0; 3 and 4 singletons
+    assert(survivors == Set(0L, 3L, 4L))
+  }
+
   test("blockedJaccardPairs: exact dups have jaccard 1.0") {
     val blocked = docs.withColumn("blk", lit("x"))
       .withColumn("len", length(col("text")))
