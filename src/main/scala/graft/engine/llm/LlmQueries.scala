@@ -281,14 +281,15 @@ object LlmQueries {
     "x46_neardup_cluster_dedup",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
+      // pairs are tiny — checkpoint once so the clustering iterations and
+      // the three summary counts don't re-run the MinHash pipeline
       val pairs = Dedup.minHashNearDups(docs, "text", "doc_id",
-        jaccardThreshold = 0.3)
+        jaccardThreshold = 0.3).localCheckpoint()
       val clusters = Dedup.connectedComponents(pairs)
-      val survivors = Dedup.dedupNearDuplicates(docs, "text", "doc_id",
-        jaccardThreshold = 0.3)
+      val nLosers = clusters.filter(col("id") =!= col("comp")).count()
       import spark.implicits._
       Seq((docs.count(), pairs.count(),
-        clusters.select("comp").distinct().count(), survivors.count()))
+        clusters.select("comp").distinct().count(), docs.count() - nLosers))
         .toDF("n_docs", "n_pairs", "n_clusters", "n_survivors")
     },
     None,
