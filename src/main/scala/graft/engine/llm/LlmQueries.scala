@@ -214,6 +214,51 @@ object LlmQueries {
       ORDER BY tfidf DESC, doc_id, term LIMIT 20"""),
     doc = "explode-based TF-IDF with smoothed idf")
 
+  /** q55 — context-window chunking (size 40, overlap 8). */
+  val q55 = GraftQuery(
+    "q55_chunking",
+    (spark, sfDir) =>
+      TextAnalysis.chunkTokens(Tables.documents(spark, sfDir), "doc_id", "text",
+          chunkSize = 40, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk_tok")).cast(LongType).as("n_chunk_tokens"),
+          element_at(col("chunk_tok"), 1).as("first_token"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .limit(2000),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+          list_slice(tok, i * 32 + 1, i * 32 + 40) AS chunk_tok
+        FROM t, UNNEST(generate_series(0,
+          CAST(ceil(CAST(len(tok) AS DOUBLE) / 32) AS INT) - 1)) AS u(i))
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        CAST(len(chunk_tok) AS BIGINT) AS n_chunk_tokens,
+        chunk_tok[1] AS first_token
+      FROM chunks WHERE len(chunk_tok) > 0
+      ORDER BY doc_id, chunk_idx LIMIT 2000"""),
+    doc = "context-window chunking: 40-token windows, 8-token overlap")
+
+  /** q56 — text normalization (lowercase, strip symbols, collapse space). */
+  val q56 = GraftQuery(
+    "q56_normalize",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm"),
+          length(TextAnalysis.normalizeText(col("text"))).cast(LongType)
+            .as("norm_len"))
+        .orderBy(col("doc_id"))
+        .limit(1000),
+    Some("""SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+          '\s+', ' ', 'g')) AS norm,
+        CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+          '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+      FROM documents ORDER BY doc_id LIMIT 1000"""),
+    doc = "normalization: lowercase, symbol strip, whitespace collapse")
+
   // ---- rows-only summaries (hash-family ops; planted-dup tests in ScalaTest) ----
 
   /** X2a — MinHash+LSH near-dup summary. */
@@ -311,5 +356,6 @@ object LlmQueries {
     doc = "rolling-hash fingerprints: distinct count per source")
 
   def queries: Seq[GraftQuery] =
-    Seq(q40, q41, q44, q46, q47, q48, q49, q50, x42, x43, x44, x45, x46, x51)
+    Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56,
+      x42, x43, x44, x45, x46, x51)
 }

@@ -93,6 +93,36 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
       .cast(LongType)
 
+  /** Context-window chunking: fixed-size token windows with overlap —
+    * the standard pre-training sequence-prep operator. Chunk starts are
+    * 0, stride, 2·stride, … while start < n (stride = size − overlap;
+    * the last chunk may be short). Narrow: one transform + one explode,
+    * no shuffle.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val tok = words(col(textCol))
+    df.select(col(idCol).cast(LongType).as("doc_id"), tok.as("tok"))
+      .withColumn("n_tok", size(col("tok")))
+      .withColumn("chunk", explode(transform(
+        sequence(lit(0), ceil((col("n_tok").cast("double")) / stride).cast("int") - 1),
+        i => struct(
+          i.cast(LongType).as("chunk_idx"),
+          slice(col("tok"), i * stride + 1, lit(chunkSize)).as("chunk_tok")))))
+      .select(col("doc_id"), col("chunk.chunk_idx").as("chunk_idx"),
+        col("chunk.chunk_tok").as("chunk_tok"))
+      .filter(size(col("chunk_tok")) > 0)
+  }
+
+  /** Text normalization for dedup/quality pipelines: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace runs, trim. Pure
+    * narrow projection. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   /** TF-IDF via explode → per-(doc,term) tf → per-term df → idf join.
     * Smoothed idf = ln((N+1)/(df+1)) + 1. Two shuffles (term stats, join
     * back) — at 100 TB the term dimension is Zipf-skewed, so the doc-freq
