@@ -321,6 +321,27 @@ object LlmQueries {
     None,
     doc = "LSH(4-bit) ANN vs brute force: recall measurement")
 
+  /** X3 — IVF approximate top-k with recall vs the exact answer. */
+  val x47 = GraftQuery(
+    "x47_ann_ivf_recall",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, 5)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = exact.intersect(approx).size.toLong
+      import spark.implicits._
+      Seq((exact.size.toLong, approx.size.toLong, hit,
+        hit.toDouble / math.max(exact.size, 1)))
+        .toDF("n_exact", "n_approx", "n_hits", "recall")
+    },
+    None,
+    doc = "IVF(nlist=16, nprobe=4) ANN vs brute force: recall measurement")
+
   /** X2 end-to-end — MinHash pairs → transitive clusters → survivors. */
   val x46 = GraftQuery(
     "x46_neardup_cluster_dedup",
@@ -357,5 +378,5 @@ object LlmQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56,
-      x42, x43, x44, x45, x46, x51)
+      x42, x43, x44, x45, x46, x47, x51)
 }

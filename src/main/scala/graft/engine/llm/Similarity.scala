@@ -97,6 +97,56 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** IVF coarse centroids: the `nlist` corpus vectors with the smallest
+    * `xxhash64(vec_id)` — a deterministic uniform sample (TakeOrdered, so
+    * partial top-k per partition, no full sort) standing in for a trained
+    * k-means codebook. Centroids are driver-side (nlist ≪ corpus; at 100 TB
+    * nlist ~ 10⁴ × dim doubles is still a few MB, broadcast to every task
+    * as expression literals). */
+  def ivfCentroids(corpus: DataFrame, nlist: Int): Array[(Int, Array[Double])] =
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+
+  /** Per-centroid (cosine, cid) score structs for a vector column. */
+  private def ivfScores(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
+    array(centroids.map { case (cid, cv) =>
+      struct(F.cosineSimilarity(vec, lit(cv)).as("cos"), lit(cid).as("cid"))
+    }: _*)
+
+  /** IVF cell id = argmax-cosine centroid (struct array_max: max cos, ties
+    * to max cid — deterministic). */
+  def ivfCell(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
+    array_max(ivfScores(vec, centroids)).getField("cid")
+
+  /** Approximate top-k, IVF-style: corpus rows are assigned to their
+    * nearest coarse centroid's cell once (at scale: partition/cluster the
+    * stored table by `cell`); each query probes only its `nprobe` nearest
+    * cells, so a probe scans nprobe/nlist of the corpus instead of all of
+    * it. nprobe = nlist degrades gracefully to the exact answer. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val cents = ivfCentroids(corpus, nlist)
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      ivfCell(col("embedding"), cents).as("cell"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("cell", explode(transform(
+        slice(reverse(array_sort(ivfScores(col("qe"), cents))), 1, nprobe),
+        s => s.getField("cid"))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", F.cosineSimilarity(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** X2e — embedding-cosine near-dup pairs via LSH blocking: only pairs
     * sharing a bucket are scored; cosine >= threshold survives. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9,

@@ -86,6 +86,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK with nprobe = nlist equals brute force exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val exact = key(Similarity.bruteForceTopK(emb, queries, 5))
+    val ivf = key(Similarity.ivfTopK(emb, queries, 5, nlist = 8, nprobe = 8))
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK: planted duplicate shares its twin's cell, found at nprobe=1") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val top = Similarity.ivfTopK(corpus,
+        corpus.filter(col("vec_id") === 10003), k = 1,
+        nlist = 16, nprobe = 1).collect()(0)
+    assert(top.getAs[Long]("nid") == 3L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
+    val ranks = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+      nlist = 16, nprobe = 2).collect()
+    ranks.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to rs.length))
+    }
+  }
+
   test("embeddingNearDups finds planted duplicate pair") {
     val emb = Tables.embeddings(spark, sfDir)
     val planted = emb.filter(col("vec_id") === 7)

@@ -1,0 +1,65 @@
+package graft.engine.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.SparkTestSession.spark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def chunksOf(text: String, size: Int, overlap: Int): Seq[(Long, Seq[String])] = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    TextAnalysis.chunkTokens(df, "doc_id", "text", size, overlap)
+      .orderBy(col("chunk_idx"))
+      .select(col("chunk_idx"), col("chunk_tok"))
+      .as[(Long, Seq[String])].collect().toSeq
+  }
+
+  test("chunking: starts advance by stride, last chunk may be short") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val chunks = chunksOf(text, size = 4, overlap = 1)  // stride 3
+    assert(chunks.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_._2.length) == Seq(4, 4, 4, 1))
+    assert(chunks(1)._2.head == "t4") // starts at 1*stride = 3 (0-based)
+    assert(chunks(3)._2 == Seq("t10"))
+  }
+
+  test("chunking with zero overlap partitions the token sequence exactly") {
+    val tokens = (1 to 11).map(i => s"w$i")
+    val chunks = chunksOf(tokens.mkString(" "), size = 4, overlap = 0)
+    assert(chunks.flatMap(_._2) == tokens)
+  }
+
+  test("chunking with overlap: dropping the first `overlap` tokens of each later chunk reconstructs the doc") {
+    val tokens = (1 to 23).map(i => s"w$i")
+    val o = 3
+    val chunks = chunksOf(tokens.mkString(" "), size = 8, overlap = o)
+    val rebuilt = chunks.head._2 ++ chunks.tail.flatMap(_._2.drop(o))
+    assert(rebuilt == tokens)
+  }
+
+  test("chunking: doc shorter than chunkSize yields one full-doc chunk; no empty chunks") {
+    val chunks = chunksOf("only three tokens", size = 40, overlap = 8)
+    assert(chunks == Seq((0L, Seq("only", "three", "tokens"))))
+    assert(chunksOf("a b c d e", size = 2, overlap = 1).forall(_._2.nonEmpty))
+  }
+
+  test("chunking rejects overlap >= chunkSize") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 4, overlap = 4)
+    }
+  }
+
+  test("normalizeText lowercases, strips symbols, collapses whitespace; idempotent") {
+    val out = Seq("  Hello,  WORLD!! 42\t(ok) ", "", "a-b_c")
+      .toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .as[String].collect().toSeq
+    assert(out == Seq("hello world 42 ok", "", "a b c"))
+    val twice = Seq("Hello,  WORLD!!").toDF("t")
+      .select(TextAnalysis.normalizeText(TextAnalysis.normalizeText(col("t"))).as("n"))
+      .as[String].head()
+    assert(twice == "hello world")
+  }
+}
