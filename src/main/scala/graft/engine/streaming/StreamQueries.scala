@@ -72,6 +72,34 @@ object StreamQueries {
     None,
     doc = "flatMapGroupsWithState sessionizer over 2 micro-batches")
 
+  /** X5 — stream–static broadcast enrichment join + windowed rollup. */
+  val x54 = GraftQuery(
+    "x54_stream_enrich",
+    (spark, sfDir) => {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val events = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id")).limit(20000)
+        .as[Streaming.Event].collect()
+      val customers = Tables.customer(spark, sfDir)
+      val stream = MemoryStream[Streaming.Event]
+      stream.addData(events.toSeq)
+      val name = s"x54_out_${System.nanoTime()}"
+      val q = Streaming.enrichedTumblingByNation(stream.toDF(), customers)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name)
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          col("c_nationkey"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("win_start"), col("c_nationkey"))
+    },
+    None,
+    doc = "stream-static broadcast enrichment join + tumbling rollup per nation")
+
   /** Multimodal pipeline summary (binary columns + mapPartitions decode). */
   val x60 = GraftQuery(
     "x60_multimodal",
@@ -80,5 +108,5 @@ object StreamQueries {
     None,
     doc = "binary media columns → stubbed decode → feature aggregation")
 
-  def queries: Seq[GraftQuery] = Seq(x52, x53, x60)
+  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x60)
 }

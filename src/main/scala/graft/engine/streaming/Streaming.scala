@@ -66,6 +66,31 @@ object Streaming {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream–static enrichment join (X5): each streaming event picks up its
+    * user's dimension attributes. The static side is broadcast, so the
+    * unbounded side never shuffles and no join state accumulates (unlike
+    * stream–stream joins); the dim is re-resolved per micro-batch, which is
+    * exactly the slowly-changing-dimension behavior a 100 TB/day pipeline
+    * wants. Left join: events with no dim row pass through with nulls
+    * rather than silently dropping. */
+  def enrichWithUserDim(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey").as("user_id"),
+        col("c_name"), col("c_nationkey"))),
+      Seq("user_id"), "left")
+
+  /** Enriched windowed rollup: tumbling counts per nation — the typical
+    * "join then aggregate" streaming shape (twin of running the same plan
+    * on the bounded table). */
+  def enrichedTumblingByNation(events: DataFrame, customers: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    enrichWithUserDim(events, customers)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("c_nationkey"),
+        col("n_events"), col("sum_value"))
+
   /** Custom stateful sessionization: flatMapGroupsWithState keyed by user.
     * A session CLOSES (and is emitted) when a later event arrives more than
     * `gapMinutes` after the session's last event; the open session stays in

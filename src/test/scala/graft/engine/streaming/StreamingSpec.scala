@@ -36,6 +36,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join + rollup == the same plan run as batch") {
+    val stream = MemoryStream[Streaming.Event]
+    stream.addData(eventsData.toSeq)
+    val customers = Tables.customer(spark, sfDir)
+    val q = Streaming.enrichedTumblingByNation(stream.toDF(), customers)
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.get(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSet
+    val streamed = key(spark.table("t_enrich")
+      .select(unix_timestamp(col("win_start")).as("w"), col("c_nationkey"),
+        col("n_events"), col("sum_value")).collect())
+    val batch = key(Streaming.enrichedTumblingByNation(
+        Tables.events(spark, sfDir), customers)
+      .select(unix_timestamp(col("win_start")).as("w"), col("c_nationkey"),
+        col("n_events"), col("sum_value")).collect())
+    assert(streamed == batch)
+    // every event matched a customer row (left join produced no null nation)
+    assert(!streamed.exists(_._2 == null))
+  }
+
   test("stateful sessionizer closed sessions match batch session_window") {
     // Split into two micro-batches by time so state crosses a batch border.
     val evs = eventsData.sortBy(e => (e.ts.getTime, e.event_id))
