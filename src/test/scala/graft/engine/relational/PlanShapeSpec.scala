@@ -51,4 +51,32 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planString(RelationalQueries.q25)
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
+
+  test("ivfTopK: cell join broadcasts the probe side; corpus never sort-merges") {
+    import org.apache.spark.sql.functions.col
+    import graft.engine.{Tables => T}
+    val emb = T.embeddings(spark, sfDir)
+    val df = graft.engine.llm.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 4), k = 3, nlist = 8, nprobe = 2)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("stream-static enrichment: dim side is broadcast in the batch twin plan") {
+    import graft.engine.{Tables => T}
+    val df = graft.engine.streaming.Streaming.enrichedTumblingByNation(
+      T.events(spark, sfDir), T.customer(spark, sfDir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
