@@ -175,6 +175,25 @@ object MlQueries {
     None,
     doc = "randomSplit invariants: n_train+n_test=n_total, overlap=0")
 
+  /** T10 (scale variant) — deterministic hash split: 80/10/10 by
+    * xxhash64(doc_id); fold membership is repartition- and rerun-stable. */
+  val mlHashSplit = GraftQuery(
+    "ml_hash_split_check",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      val splits = TrainTestSplit.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+      val counts = splits.map(_.count())
+      val again = TrainTestSplit
+        .hashSplit(docs.repartition(7), "doc_id", Seq(0.8, 0.1, 0.1))
+        .map(_.count())
+      import spark.implicits._
+      Seq((counts(0), counts(1), counts(2), docs.count(),
+        counts == again))
+        .toDF("n_train", "n_val", "n_test", "n_total", "stable_after_repartition")
+    },
+    None,
+    doc = "hash split 80/10/10: sizes sum to total, stable under repartition")
+
   /** T4/T5/T8 — full RandomForest pipeline on the iris fixture. */
   val mlRf = GraftQuery(
     "ml_rf_pipeline",
@@ -218,5 +237,5 @@ object MlQueries {
     doc = "OneVsRest(GBTClassifier) multiclass pipeline on iris fixture")
 
   def queries: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, mlSplit, mlRf, mlCv, mlGbt)
+    Seq(q30, q31, q32, q33, q34, q35, q36, mlSplit, mlHashSplit, mlRf, mlCv, mlGbt)
 }

@@ -19,6 +19,29 @@ object TrainTestSplit {
     (train, test)
   }
 
+  /** Deterministic hash split: each row's fold is a pure function of its
+    * key — `xxhash64(key, seed) mod buckets` against cumulative fraction
+    * cut points. Unlike `randomSplit` (which samples per-partition, so the
+    * assignment changes whenever the table is repartitioned, compacted, or
+    * the cluster size changes), the same key lands in the same split on
+    * every run at any scale — the property a 100 TB training-data pipeline
+    * needs for train/val/test hygiene across re-ingests. Narrow (one filter
+    * per split, no shuffle); splits are disjoint and exhaustive by
+    * construction. */
+  def hashSplit(df: DataFrame, keyCol: String, fractions: Seq[Double],
+      seed: Long = 42L): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    require(fractions.nonEmpty && fractions.forall(_ > 0.0) &&
+      math.abs(fractions.sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1, got $fractions")
+    val buckets = 1000000L
+    val h = pmod(xxhash64(col(keyCol), lit(seed)), lit(buckets))
+    val cuts = fractions.scanLeft(0.0)(_ + _).map(f => math.round(f * buckets))
+    cuts.init.zip(cuts.tail).map { case (lo, hi) =>
+      df.filter(h >= lo && h < hi)
+    }
+  }
+
   /** CSV (headerless, explicit iris schema — never inferred) → two parquet
     * dirs. Mirrors the reference CLI surface: distinct paths required
     * (reference TrainTestSplit.scala:58), overwrite policy via SaveMode

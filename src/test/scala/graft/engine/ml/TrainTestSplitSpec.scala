@@ -18,6 +18,29 @@ class TrainTestSplitSpec extends AnyFunSuite {
     assert(tr1.count() == tr2.count() && te1.count() == te2.count())
   }
 
+  test("hashSplit: disjoint, exhaustive, ~fractions, and repartition-stable membership") {
+    import spark.implicits._
+    val data = (0L until 5000L).toDF("id")
+    val splits = TrainTestSplit.hashSplit(data, "id", Seq(0.8, 0.1, 0.1))
+    assert(splits.map(_.count()).sum == 5000L)
+    assert(splits(0).join(splits(1), "id").count() == 0)
+    assert(splits(1).join(splits(2), "id").count() == 0)
+    val f = splits(0).count().toDouble / 5000
+    assert(f > 0.75 && f < 0.85, s"train fraction $f too far from 0.8")
+    // membership (not just counts) must survive a repartition
+    val ids1 = splits(1).as[Long].collect().toSet
+    val ids2 = TrainTestSplit.hashSplit(data.repartition(13), "id",
+      Seq(0.8, 0.1, 0.1))(1).as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
+  test("hashSplit rejects fractions that don't sum to 1") {
+    val data = IrisData.generate(spark)
+    intercept[IllegalArgumentException] {
+      TrainTestSplit.hashSplit(data, "species", Seq(0.5, 0.4))
+    }
+  }
+
   test("run() completes the reference's documented CSV→parquet job (T10)") {
     val dir = Files.createTempDirectory("graft-split").toString
     IrisData.generate(spark).write.option("header", "false").csv(s"$dir/iris_csv")
