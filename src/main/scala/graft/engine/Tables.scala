@@ -26,10 +26,30 @@ object Tables {
     * vectorized reader rejects outright. Read nanos as LONG and convert to a
     * microsecond timestamp with integer arithmetic (`div 1000` — exact; a
     * double division would lose precision above 2^53 ns).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * construction by every entry point ([[graft.engine.jobs.GraftSession]],
+    * Verify, Bench, SparkTestSession) — not mutated here, so a table load
+    * never changes session-wide read behavior as a side effect.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Unbounded twin of [[events]]: a Structured Streaming file source over
+    * the same parquet directory — executors read the files directly (no
+    * driver-side buffering), new files appearing in the directory become new
+    * micro-batches, exactly the production file-drop ingest shape. The
+    * schema comes from a footer-only batch read (file sources require an
+    * explicit schema); the nanos→micros ts conversion matches the batch
+    * loader so batch and stream plans agree. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    // The testdata tables are single parquet files; FileStreamSource needs a
+    // directory basePath, so address the file through a glob (parent dir
+    // becomes the base, only events.* matches).
+    spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .parquet(s"$sfDir/events.*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

@@ -232,9 +232,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /** Rolling polynomial fingerprint of a string (X4 document fingerprinting):
-  * h = Σ c_i · B^(n-1-i) mod 2^64, B = 131. Shift-invariant enough for
-  * chunk fingerprints, exact for equality grouping; cheaper than md5 (no
-  * allocation, no digest object).
+  * h = Σ cp_i · B^(n-1-i) mod M over Unicode code points, B = 131,
+  * M = 1e9+7. Shift-invariant enough for chunk fingerprints, exact for
+  * equality grouping; cheaper than md5 (no allocation, no digest object).
+  * The modulus keeps every intermediate < 2^63 in plain integer SQL, so an
+  * oracle engine can replay the exact values with a fold over code points
+  * (see x51_fingerprint's DuckDB twin) — a 2^64-wraparound hash can't be
+  * expressed in overflow-checked SQL.
   */
 case class RollingHash(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -242,12 +246,13 @@ case class RollingHash(child: Expression)
   override def prettyName: String = "graft_rolling_hash"
 
   override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val s = v.asInstanceOf[UTF8String].toString
     var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h = h * 131L + (bytes(i) & 0xffL)
-      i += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % 1000000007L
+      i += Character.charCount(cp)
     }
     h
   }

@@ -306,21 +306,26 @@ object LlmQueries {
   val x44 = GraftQuery(
     "x44_ann_lsh_recall",
     (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-      val queries = emb.filter(col("vec_id") < 10)
-      // Both result sets are tiny (≤ 5·|queries| rows): collect once and
-      // compare driver-side instead of re-running each plan for every count.
-      val exact = Similarity.bruteForceTopK(emb, queries, 5)
-        .select(col("qid"), col("nid")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val approx = Similarity.lshTopK(emb, queries, 5, bits = 4)
-        .select(col("qid"), col("nid")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val hit = exact.intersect(approx).size.toLong
-      import spark.implicits._
-      Seq((exact.size.toLong, approx.size.toLong, hit,
-        hit.toDouble / math.max(exact.size, 1)))
-        .toDF("n_exact", "n_approx", "n_hits", "recall")
+      // One materialized scan shared by the exact and approximate paths
+      // (the harness reads the corpus 2×; without the cache each path
+      // re-scans parquet).
+      val emb = Tables.embeddings(spark, sfDir).persist()
+      try {
+        val queries = emb.filter(col("vec_id") < 10)
+        // Both result sets are tiny (≤ 5·|queries| rows): collect once and
+        // compare driver-side instead of re-running each plan for every count.
+        val exact = Similarity.bruteForceTopK(emb, queries, 5)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val approx = Similarity.lshTopK(emb, queries, 5, bits = 4)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hit = exact.intersect(approx).size.toLong
+        import spark.implicits._
+        Seq((exact.size.toLong, approx.size.toLong, hit,
+          hit.toDouble / math.max(exact.size, 1)))
+          .toDF("n_exact", "n_approx", "n_hits", "recall")
+      } finally emb.unpersist()
     },
     None,
     doc = "LSH(4-bit) ANN vs brute force: recall measurement")
@@ -329,22 +334,26 @@ object LlmQueries {
   val x47 = GraftQuery(
     "x47_ann_ivf_recall",
     (spark, sfDir) => {
-      val emb = Tables.embeddings(spark, sfDir)
-      val queries = emb.filter(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(emb, queries, 5)
-        .select(col("qid"), col("nid")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val approx = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
-        .select(col("qid"), col("nid")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val hit = exact.intersect(approx).size.toLong
-      import spark.implicits._
-      Seq((exact.size.toLong, approx.size.toLong, hit,
-        hit.toDouble / math.max(exact.size, 1)))
-        .toDF("n_exact", "n_approx", "n_hits", "recall")
+      // Cached: the exact path, the Lloyd centroid-training iterations, and
+      // the IVF probe all share one materialized corpus scan.
+      val emb = Tables.embeddings(spark, sfDir).persist()
+      try {
+        val queries = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(emb, queries, 5)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val approx = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hit = exact.intersect(approx).size.toLong
+        import spark.implicits._
+        Seq((exact.size.toLong, approx.size.toLong, hit,
+          hit.toDouble / math.max(exact.size, 1)))
+          .toDF("n_exact", "n_approx", "n_hits", "recall")
+      } finally emb.unpersist()
     },
     None,
-    doc = "IVF(nlist=16, nprobe=4) ANN vs brute force: recall measurement")
+    doc = "IVF(nlist=16, nprobe=4, 2 Lloyd iters) ANN vs brute force: recall measurement")
 
   /** X2 end-to-end — MinHash pairs → transitive clusters → survivors. */
   val x46 = GraftQuery(
@@ -371,20 +380,29 @@ object LlmQueries {
     None,
     doc = "near-dup pipeline: pairs → connected components → representatives")
 
-  /** X4 — rolling-hash fingerprint dup groups (custom Catalyst expr). */
+  /** x51 — rolling-hash fingerprints (custom Catalyst expr), ORACLE-checked
+    * at the VALUE level: the modular polynomial hash is replayed in DuckDB
+    * as a list_reduce fold over code points, so every emitted fingerprint is
+    * compared exactly (a distinct-count-only check would pass for any two
+    * collision-free hash functions). */
   val x51 = GraftQuery(
     "x51_fingerprint",
     (spark, sfDir) => {
       import graft.engine.functions.F
       Tables.documents(spark, sfDir)
-        .withColumn("fp", F.rollingHash(lower(trim(col("text")))))
-        .groupBy(col("source"))
-        .agg(lcount().as("n_docs"),
-          countDistinct(col("fp")).cast(LongType).as("n_distinct_fp"))
-        .orderBy(col("source"))
+        .select(col("doc_id"),
+          F.rollingHash(lower(trim(col("text")))).as("fp"))
+        .orderBy(col("doc_id"))
+        .limit(1000)
     },
-    None,
-    doc = "rolling-hash fingerprints: distinct count per source")
+    Some("""SELECT doc_id,
+      CASE WHEN length(lower(trim(text))) = 0 THEN 0
+      ELSE list_reduce(
+        list_transform(range(1, length(lower(trim(text))) + 1),
+          i -> CAST(ord(array_extract(lower(trim(text)), i)) AS BIGINT)),
+        (acc, x) -> (acc * 131 + x) % 1000000007) END AS fp
+      FROM documents ORDER BY doc_id LIMIT 1000"""),
+    doc = "rolling-hash fingerprints, value-level DuckDB oracle via list_reduce")
 
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56,

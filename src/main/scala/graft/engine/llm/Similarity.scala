@@ -32,6 +32,12 @@ object Similarity {
     Array.fill(bits, dim)(next())
   }
 
+  /** Embedding width, read from the data (one CollectLimit-1 job — a single
+    * row of a single file). Hardcoding a default dim would silently compute
+    * wrong cosines if the embedding table changed width. */
+  def embeddingDim(corpus: DataFrame, embCol: String = "embedding"): Int =
+    corpus.select(size(col(embCol))).head().getInt(0)
+
   private def dotWithLiteral(vec: Column, plane: Array[Double]): Column =
     plane.zipWithIndex.map { case (wgt, i) =>
       element_at(vec, i + 1).cast("double") * lit(wgt)
@@ -81,8 +87,8 @@ object Similarity {
     * same schema as bruteForceTopK (fewer than k rows when the bucket is
     * small — that's the recall trade). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(bits, dim)
+      bits: Int = 8, dim: Int = 0): DataFrame = {
+    val planes = hyperplanes(bits, if (dim > 0) dim else embeddingDim(corpus))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -97,19 +103,51 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** IVF coarse centroids: the `nlist` corpus vectors with the smallest
-    * `xxhash64(vec_id)` — a deterministic uniform sample (TakeOrdered, so
-    * partial top-k per partition, no full sort) standing in for a trained
-    * k-means codebook. Centroids are driver-side (nlist ≪ corpus; at 100 TB
-    * nlist ~ 10⁴ × dim doubles is still a few MB, broadcast to every task
-    * as expression literals). */
-  def ivfCentroids(corpus: DataFrame, nlist: Int): Array[(Int, Array[Double])] =
-    corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+  /** IVF coarse centroids: seeded from the `nlist` corpus vectors with the
+    * smallest `xxhash64(vec_id)` — a deterministic uniform sample
+    * (TakeOrdered, so partial top-k per partition, no full sort) — then
+    * refined with `iters` Lloyd iterations, each a pure DataFrame job:
+    * assign every vector to its nearest centroid ([[ivfCell]], codegen'd
+    * expression literals, no shuffle of the corpus) → per-(cell, position)
+    * mean via posexplode + groupBy (shuffle carries nlist·dim grouped rows,
+    * map-side partial aggregation does the heavy lifting). An empty cell
+    * keeps its seed centroid. Centroids are driver-side (nlist ≪ corpus; at
+    * 100 TB nlist ~ 10⁴ × dim doubles is still a few MB, broadcast to every
+    * task as expression literals), and at that scale you'd train on a
+    * deterministic hash-sample of the corpus rather than every row — the
+    * codebook quality saturates long before the full pass. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+      iters: Int = 2): Array[(Int, Array[Double])] = {
+    val base = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    var cents = base
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
       .collect()
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+    var it = 0
+    while (it < iters) {
+      val means = base
+        .select(ivfCell(col("e"), cents).as("cell"),
+          posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.map { case (cid, seed) =>
+        means.get(cid) match {
+          case Some(rows) =>
+            val arr = seed.clone()
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            cid -> arr
+          case None => cid -> seed
+        }
+      }
+      it += 1
+    }
+    cents
+  }
 
   /** Per-centroid (cosine, cid) score structs for a vector column. */
   private def ivfScores(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
@@ -150,8 +188,8 @@ object Similarity {
   /** X2e — embedding-cosine near-dup pairs via LSH blocking: only pairs
     * sharing a bucket are scored; cosine >= threshold survives. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9,
-      bits: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(bits, dim)
+      bits: Int = 8, dim: Int = 0): DataFrame = {
+    val planes = hyperplanes(bits, if (dim > 0) dim else embeddingDim(corpus))
     val base = corpus.select(col("vec_id").as("id"), col("embedding").as("e"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val a = base.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"))

@@ -112,7 +112,10 @@ object Fit {
   }
 
   /** Boosted-classifier pipeline (T6 capability slot). Spark GBT is binary,
-    * so OneVsRest lifts it to multiclass. */
+    * so OneVsRest lifts it to multiclass; [[SoftmaxProbability]] turns the
+    * per-class raw margins into a `probability` vector so the output schema
+    * matches the RF path (and the reference scorer's, which always emits
+    * probability — no_pipeline/Predict.scala:92). */
   def gbtOneVsRest(train: DataFrame, maxIter: Int = 10, maxDepth: Int = 3,
       seed: Long = 42L): PipelineModel = {
     val indexer = Stages.stringIndexer(target, label).fit(train)
@@ -127,6 +130,7 @@ object Fit {
       indexer,
       Stages.vectorAssembler(predictors, features),
       ovr,
+      new SoftmaxProbability(),
       Stages.indexToString(prediction, predictedTarget, indexer)))
       .fit(train)
   }

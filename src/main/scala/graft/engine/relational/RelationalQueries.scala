@@ -547,6 +547,37 @@ object RelationalQueries {
       FROM events GROUP BY event_type ORDER BY event_type"""),
     doc = "get_json_object over JSON string props")
 
+  /** q57 — MapType column functions: `from_json` to a real `map<string,
+    * bigint>` column, then map_keys / element_at / size / map_filter /
+    * map_concat + map_values over it. All codegen'd built-ins; the DuckDB
+    * twin works the same JSON through json_keys/json_extract_string. */
+  val q57 = GraftQuery(
+    "q57_map_fns",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.types.{MapType, StringType}
+      Tables.events(spark, sfDir)
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, LongType)).as("m"))
+        .select(col("event_id"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+          element_at(col("m"), "k").as("k_val"),
+          size(col("m")).cast(LongType).as("n_entries"),
+          size(map_filter(col("m"), (_, v) => v > 50)).cast(LongType).as("n_big"),
+          aggregate(map_values(map_concat(col("m"), map(lit("bias"), lit(7L)))),
+            lit(0L), (acc, v) => acc + v).as("sum_vals"))
+        .orderBy(col("event_id"))
+        .limit(2000)
+    },
+    Some("""SELECT event_id,
+      array_to_string(list_sort(json_keys(props)), ',') AS keys,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
+      CAST(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        THEN 1 ELSE 0 END AS BIGINT) AS n_big,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) + 7 AS sum_vals
+      FROM events ORDER BY event_id LIMIT 2000"""),
+    doc = "MapType functions: from_json map, keys/element_at/filter/concat/values")
+
   /** q24 — array functions over the 64-dim embedding column. In-order
     * left-fold sum on both engines → deterministic doubles. */
   val q24 = GraftQuery(
@@ -642,5 +673,5 @@ object RelationalQueries {
 
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57)
 }

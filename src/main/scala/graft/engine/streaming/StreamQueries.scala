@@ -100,6 +100,30 @@ object StreamQueries {
     None,
     doc = "stream-static broadcast enrichment join + tumbling rollup per nation")
 
+  /** X5 — the same tumbling aggregation fed by a REAL distributed source:
+    * `readStream` directly over the events parquet directory. No driver-side
+    * collect/replay anywhere — executors scan the files, the micro-batch
+    * engine drives the same logical plan as x52, and the result must match
+    * the batch twin q25 row-for-row (asserted in StreamingSpec). This is the
+    * ingest shape a 100 TB/day file-drop pipeline runs. */
+  val x55 = GraftQuery(
+    "x55_stream_file_tumbling",
+    (spark, sfDir) => {
+      val name = s"x55_out_${System.nanoTime()}"
+      val q = Streaming.tumblingCounts(Tables.eventsStream(spark, sfDir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name)
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    // The streaming answer must equal the batch q25 answer exactly (decimal
+    // sum → order-independent), so it shares q25's DuckDB oracle verbatim.
+    graft.engine.relational.RelationalQueries.q25.oracle,
+    doc = "file-source readStream over events parquet → tumbling agg (no driver replay)")
+
   /** Multimodal pipeline summary (binary columns + mapPartitions decode). */
   val x60 = GraftQuery(
     "x60_multimodal",
@@ -108,5 +132,5 @@ object StreamQueries {
     None,
     doc = "binary media columns → stubbed decode → feature aggregation")
 
-  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x60)
+  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, x60)
 }

@@ -31,12 +31,16 @@ object Streaming {
   final case class SessionAcc(sessStart: Timestamp, sessLast: Timestamp,
       cnt: Long, total: Double)
 
-  /** Tumbling 1-hour counts per event type (streaming twin of q25). */
+  /** Tumbling 1-hour counts per event type (streaming twin of q25). The
+    * value sum goes through [[graft.engine.relational.Exact.dsum]] (decimal
+    * accumulate, double emit) so the answer is bit-identical to the batch
+    * twin and its DuckDB oracle regardless of partial-aggregation order. */
   def tumblingCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
       windowLength: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(graft.engine.relational.Exact.lcount().as("n_events"),
+        graft.engine.relational.Exact.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -13,6 +13,7 @@ object TimeQueries {
     val names = args.drop(1).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try spark.read.parquet(s"$sfDir/region.parquet").count()

@@ -78,12 +78,14 @@ object ExpressionProperties extends Properties("graft.expressions") {
         (toks.length < k || widths.forall(_ == k))
     }
 
-  property("rolling hash: h(a ++ b) is a deterministic function of h(a), h(b), |b|") =
+  property("rolling hash: h(a ++ b) is a deterministic function of h(a), h(b), cp(b)") =
     Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
       def h(s: String): Long =
         RollingHash(Literal(UTF8String.fromString(s), StringType))
           .eval(null).asInstanceOf[Long]
-      val pow = b.getBytes("UTF-8").foldLeft(1L)((acc, _) => acc * 131L)
-      h(a + b) == h(a) * pow + h(b)
+      val M = 1000000007L
+      val pow = (1 to b.codePointCount(0, b.length))
+        .foldLeft(1L)((acc, _) => acc * 131L % M)
+      h(a + b) == (h(a) * pow + h(b)) % M
     }
 }

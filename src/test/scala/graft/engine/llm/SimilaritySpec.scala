@@ -114,6 +114,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dim is derived from the data: 8-dim corpus works with default args") {
+    // Non-64-dim fixture: if a hardcoded dim=64 were still in play, the
+    // hyperplane dot products would read past the array and cosine would be
+    // computed against garbage — the planted twin would not rank first.
+    val rnd = new scala.util.Random(11)
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val corpus = (base :+ (999L, base(3)._2)).toDF("vec_id", "embedding")
+    assert(Similarity.embeddingDim(corpus) == 8)
+    val top = Similarity.lshTopK(corpus,
+      corpus.filter(col("vec_id") === 999), k = 1, bits = 4).collect()(0)
+    assert(top.getAs[Long]("nid") == 3L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-6)
+    val dups = Similarity.embeddingNearDups(corpus, threshold = 0.999, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((3L, 999L)))
+  }
+
+  test("ivfCentroids: Lloyd iterations keep nlist centroids of data dim, " +
+      "every vector gets a valid cell") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = Similarity.embeddingDim(emb)
+    val seeds = Similarity.ivfCentroids(emb, nlist = 8, iters = 0)
+    val trained = Similarity.ivfCentroids(emb, nlist = 8, iters = 2)
+    assert(seeds.length == 8 && trained.length == 8)
+    assert(trained.forall(_._2.length == dim))
+    // training moved at least one centroid off its seed vector
+    assert(seeds.zip(trained).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
+    val cells = emb.select(Similarity.ivfCell(
+        col("embedding").cast("array<double>"), trained).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 8).toSet) && cells.nonEmpty)
+  }
+
   test("embeddingNearDups finds planted duplicate pair") {
     val emb = Tables.embeddings(spark, sfDir)
     val planted = emb.filter(col("vec_id") === 7)

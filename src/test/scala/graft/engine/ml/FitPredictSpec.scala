@@ -43,11 +43,19 @@ class FitPredictSpec extends AnyFunSuite {
     assert(cv.avgMetrics.nonEmpty && cv.avgMetrics.forall(m => m >= 0.0 && m <= 1.0))
   }
 
-  test("GBT OneVsRest pipeline reaches accuracy >= 0.9") {
+  test("GBT OneVsRest pipeline reaches accuracy >= 0.9 and emits probability") {
     val model = Fit.gbtOneVsRest(trainDf)
     val scored = model.transform(testDf)
     assert(accuracy(scored) >= 0.9)
     assert(scored.columns.contains(predictedTarget))
+    // T5 output-schema parity: both classifier paths emit a probability
+    // vector; softmax rows sum to 1 and the argmax agrees with prediction
+    assert(scored.columns.contains("probability"))
+    scored.select(col("probability"), col(prediction)).collect().foreach { r =>
+      val p = r.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+      assert(math.abs(p.sum - 1.0) < 1e-9)
+      assert(p.indexOf(p.max).toDouble == r.getDouble(1))
+    }
   }
 
   test("pipeline model save/load round-trip scores identically (S4/S5)") {

@@ -36,6 +36,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("x55 file-source readStream (no driver replay) == batch q25") {
+    val streamed = StreamQueries.x55.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = RelationalQueries.q25.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("stream-static enrichment join + rollup == the same plan run as batch") {
     val stream = MemoryStream[Streaming.Event]
     stream.addData(eventsData.toSeq)
