@@ -4,11 +4,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.engine.{GraftQuery, Tables}
 
-/** Rows-only driver queries that run the streaming plans end-to-end inside
-  * a query call: batch events are replayed through a MemoryStream, the
-  * streaming aggregation executes via the micro-batch engine, and the
-  * in-memory sink table is returned. Batch/stream equivalence is asserted
-  * in StreamingSpec against q25/q27.
+/** Driver queries that run the streaming plans end-to-end inside a query
+  * call: events enter either through a MemoryStream replay (x52–x54) or a
+  * real file-source readStream (x55), the streaming aggregation executes
+  * via the micro-batch engine, and the in-memory sink table is returned.
+  * Each windowed aggregation is DuckDB-oracle-checked against its batch
+  * twin SQL (exact decimal sums make the answers order-independent);
+  * batch/stream equivalence is additionally asserted in StreamingSpec.
   */
 object StreamQueries {
 
@@ -34,11 +36,17 @@ object StreamQueries {
       try { q.processAllAvailable() } finally q.stop()
       spark.table(name)
         .select(unix_timestamp(col("win_start")).as("win_start"),
-          col("event_type"), col("n_events"),
-          round(col("sum_value"), 4).as("sum_value"))
+          col("event_type"), col("n_events"), col("sum_value"))
         .orderBy(col("win_start"), col("event_type"))
     },
-    None,
+    // The replayed subset is the 20k lowest event_ids (the whole table at
+    // the verify SF); the decimal-exact sum makes the streaming answer
+    // bit-identical to this batch SQL regardless of micro-batch boundaries.
+    Some(s"""WITH ev AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+      SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+        event_type, COUNT(*) AS n_events,
+        ${graft.engine.relational.Exact.sqlDsum("value")} AS sum_value
+      FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type"""),
     doc = "streaming tumbling agg via MemoryStream micro-batches")
 
   /** X5 — custom stateful sessionization (flatMapGroupsWithState), fed in
@@ -65,11 +73,36 @@ object StreamQueries {
       } finally q.stop()
       spark.table(name)
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_closed_sessions"),
-          sum(col("n_events")).as("n_events"))
+        .agg(count(lit(1)).cast("long").as("n_closed_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
         .orderBy(col("user_id")).limit(1000)
     },
-    None,
+    // Batch twin of "closed sessions only": sessionize the same 10k-event
+    // subset with lag + cumulative-sum session ids, then drop each user's
+    // LAST session — exactly the one flatMapGroupsWithState leaves open in
+    // state when the stream ends (a session only closes when a later event
+    // arrives past the gap). Gap break matches the state logic: a session
+    // continues iff ts - last < 30 min.
+    Some("""WITH ev AS (
+        SELECT user_id, ts, event_id FROM events
+        ORDER BY ts, event_id LIMIT 10000),
+      marked AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        FROM marked),
+      agg AS (SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY 1, 2),
+      mx AS (SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY 1)
+      SELECT a.user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_closed_sessions,
+        CAST(SUM(a.n) AS BIGINT) AS n_events
+      FROM agg a JOIN mx m ON a.user_id = m.user_id AND a.sid < m.max_sid
+      GROUP BY 1 ORDER BY user_id LIMIT 1000"""),
     doc = "flatMapGroupsWithState sessionizer over 2 micro-batches")
 
   /** X5 — stream–static broadcast enrichment join + windowed rollup. */
@@ -93,11 +126,18 @@ object StreamQueries {
       try { q.processAllAvailable() } finally q.stop()
       spark.table(name)
         .select(unix_timestamp(col("win_start")).as("win_start"),
-          col("c_nationkey"), col("n_events"),
-          round(col("sum_value"), 4).as("sum_value"))
+          col("c_nationkey"), col("n_events"), col("sum_value"))
+        // Spark sorts nulls first by default; the left join can emit a null
+        // nationkey, so the DuckDB twin says NULLS FIRST explicitly (its
+        // ASC default is nulls last).
         .orderBy(col("win_start"), col("c_nationkey"))
     },
-    None,
+    Some(s"""WITH ev AS (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+      SELECT CAST(FLOOR(epoch(e.ts) / 3600) * 3600 AS BIGINT) AS win_start,
+        c.c_nationkey, COUNT(*) AS n_events,
+        ${graft.engine.relational.Exact.sqlDsum("e.value")} AS sum_value
+      FROM ev e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2 ORDER BY win_start, c_nationkey NULLS FIRST"""),
     doc = "stream-static broadcast enrichment join + tumbling rollup per nation")
 
   /** X5 — the same tumbling aggregation fed by a REAL distributed source:

@@ -91,7 +91,8 @@ object Streaming {
     enrichWithUserDim(events, customers)
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(graft.engine.relational.Exact.lcount().as("n_events"),
+        graft.engine.relational.Exact.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("c_nationkey"),
         col("n_events"), col("sum_value"))
 
