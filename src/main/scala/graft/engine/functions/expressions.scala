@@ -233,12 +233,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 /** Rolling polynomial fingerprint of a string (X4 document fingerprinting):
   * h = Σ cp_i · B^(n-1-i) mod M over Unicode code points, B = 131,
-  * M = 1e9+7. Shift-invariant enough for chunk fingerprints, exact for
-  * equality grouping; cheaper than md5 (no allocation, no digest object).
+  * M = 1e9+7. Shift-invariant enough for chunk fingerprints; cheaper than
+  * md5 (no allocation, no digest object).
   * The modulus keeps every intermediate < 2^63 in plain integer SQL, so an
   * oracle engine can replay the exact values with a fold over code points
   * (see x51_fingerprint's DuckDB twin) — a 2^64-wraparound hash can't be
   * expressed in overflow-checked SQL.
+  *
+  * NOT collision-free: the ~2^30 range makes birthday collisions expected
+  * around ~50k distinct strings, so do not use it alone for
+  * equality-grouping at scale (distinct documents would silently merge) —
+  * group on `(graft_rolling_hash(s), md5(s))` or the content key itself;
+  * this expression is a cheap per-value fingerprint, not an identity.
   */
 case class RollingHash(child: Expression)
     extends UnaryExpression with CodegenFallback {

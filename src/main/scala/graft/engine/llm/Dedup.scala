@@ -117,24 +117,15 @@ object Dedup {
     * bucket goes quadratic; capped, its members still pair transitively
     * through the survivors). Fingerprints ride along in the bucket struct,
     * so verification needs no join back to the corpus.
+    *
+    * The cap means recall is only guaranteed while every bucket fits in
+    * `maxBucketSize`; use [[simHashCapOverflow]] to check whether any
+    * bucket overflowed (and pair truncation is possible) on a given corpus.
     */
   def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    require(maxHamming >= 0, "maxHamming must be >= 0")
-    val bands = math.min(maxHamming + 1, 16)
-    val bounds = (0 to bands).map(b => b * 64 / bands)
-    val base = df.select(col(idCol).cast(LongType).as("id"),
-      F.simHash64(tokens(col(textCol))).as("sim"))
-    val banded = base.select(col("id"), col("sim"),
-      explode(array((0 until bands).map { b =>
-        val width = bounds(b + 1) - bounds(b)
-        struct(lit(b).as("band_id"),
-          shiftrightunsigned(col("sim"), bounds(b))
-            .bitwiseAND(lit((1L << width) - 1)).as("band_val"))
-      }: _*)).as("band"))
-      .select(col("id"), col("sim"),
-        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
-    val buckets = banded.groupBy(col("band_id"), col("band_val"))
+    val buckets = simHashBanded(df, textCol, idCol, maxHamming)
+      .groupBy(col("band_id"), col("band_val"))
       .agg(slice(sort_array(collect_list(struct(col("id"), col("sim")))),
         1, maxBucketSize).as("rows"))
       .filter(size(col("rows")) > 1)
@@ -148,6 +139,45 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Banded (id, sim, band_id, band_val) rows backing SimHash LSH: the
+    * 64-bit fingerprint split into `min(maxHamming + 1, 16)` contiguous
+    * bands (pigeonhole: a pair within the radius shares a band). */
+  private[llm] def simHashBanded(df: DataFrame, textCol: String,
+      idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    val bands = math.min(maxHamming + 1, 16)
+    val bounds = (0 to bands).map(b => b * 64 / bands)
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      F.simHash64(tokens(col(textCol))).as("sim"))
+    base.select(col("id"), col("sim"),
+      explode(array((0 until bands).map { b =>
+        val width = bounds(b + 1) - bounds(b)
+        // 1L << 64 == 1L (JVM masks the shift count), so a full-width band
+        // needs the all-ones mask spelled out or every band_val collapses
+        // to 0 — one giant bucket that the size cap then truncates.
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        struct(lit(b).as("band_id"),
+          shiftrightunsigned(col("sim"), bounds(b))
+            .bitwiseAND(lit(mask)).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("id"), col("sim"),
+        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+  }
+
+  /** Truncation telemetry for [[simHashNearDups]]: one row
+    * (n_overflow_buckets, max_bucket_size). n_overflow_buckets > 0 means
+    * some (band, value) bucket exceeded `maxBucketSize`, so the pair list
+    * MAY undercount — the guaranteed-recall claim only holds when this
+    * reports 0. Cheap: reuses the banding plan, aggregates to one row. */
+  def simHashCapOverflow(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simHashBanded(df, textCol, idCol, maxHamming)
+      .groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
+             .cast(LongType).as("n_overflow_buckets"),
+           max(col("n")).cast(LongType).as("max_bucket_size"))
 
   /** Connected components over near-dup pairs: min-label propagation with
     * pointer-doubling shortcutting. Each round every vertex adopts the

@@ -284,11 +284,18 @@ object LlmQueries {
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
       val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+      // Truncation telemetry: the maxBucketSize cap silently drops pairs
+      // when a (band, value) bucket overflows, so the summary row carries
+      // the overflow count — recall is only guaranteed when it is 0.
+      val overflow = Dedup.simHashCapOverflow(docs, "text", "doc_id",
+        maxHamming = 3).head
       import spark.implicits._
-      Seq((docs.count(), pairs.count())).toDF("n_docs", "n_neardup_pairs")
+      Seq((docs.count(), pairs.count(), overflow.getLong(0)))
+        .toDF("n_docs", "n_neardup_pairs", "n_capped_buckets")
     },
     None,
-    doc = "SimHash64 banding (guaranteed recall at hamming<=3) + Hamming verify")
+    doc = "SimHash64 banding + Hamming verify; recall guaranteed at " +
+      "hamming<=3 iff n_capped_buckets=0 (bucket cap may drop pairs)")
 
   /** X2e/X3 — embedding-cosine near-dup via LSH blocking, summary. */
   val x45 = GraftQuery(

@@ -572,9 +572,12 @@ object RelationalQueries {
       array_to_string(list_sort(json_keys(props)), ',') AS keys,
       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
       CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
-      CAST(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-        THEN 1 ELSE 0 END AS BIGINT) AS n_big,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) + 7 AS sum_vals
+      CAST(len(list_filter(json_keys(props),
+        kk -> CAST(json_extract_string(props, '$."' || kk || '"') AS BIGINT) > 50))
+        AS BIGINT) AS n_big,
+      CAST(list_sum(list_transform(json_keys(props),
+        kk -> CAST(json_extract_string(props, '$."' || kk || '"') AS BIGINT))) + 7
+        AS BIGINT) AS sum_vals
       FROM events ORDER BY event_id LIMIT 2000"""),
     doc = "MapType functions: from_json map, keys/element_at/filter/concat/values")
 

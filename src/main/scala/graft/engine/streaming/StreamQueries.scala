@@ -102,7 +102,7 @@ object StreamQueries {
         CAST(COUNT(*) AS BIGINT) AS n_closed_sessions,
         CAST(SUM(a.n) AS BIGINT) AS n_events
       FROM agg a JOIN mx m ON a.user_id = m.user_id AND a.sid < m.max_sid
-      GROUP BY 1 ORDER BY user_id LIMIT 1000"""),
+      GROUP BY 1 ORDER BY 1 LIMIT 1000"""),
     doc = "flatMapGroupsWithState sessionizer over 2 micro-batches")
 
   /** X5 — stream–static broadcast enrichment join + windowed rollup. */

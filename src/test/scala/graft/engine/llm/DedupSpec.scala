@@ -55,6 +55,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
   }
 
+  test("simHash maxHamming=0 (one 64-bit band) still pairs exact dups") {
+    // Regression: bands=1 ⇒ width=64, and 1L << 64 == 1L on the JVM, so an
+    // unguarded (1L << width) - 1 mask is 0 — every fingerprint lands in
+    // one bucket and the size cap drops pairs. The full-width mask must be
+    // the fingerprint itself.
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)),
+      "exactly the planted exact-dup pair at hamming 0")
+  }
+
+  test("simHashCapOverflow reports overflowed buckets, 0 when none") {
+    val clean = Dedup.simHashCapOverflow(docs, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 1000).head
+    assert(clean.getLong(0) == 0L, "5 small docs never overflow a 1000-cap")
+    assert(clean.getLong(1) >= 2L, "exact dups share every band bucket")
+    // 40 identical docs with cap 10: every one of the 4 bands overflows.
+    val many = (0L until 40L).map(i => (i, base)).toDF("doc_id", "text")
+    val hot = Dedup.simHashCapOverflow(many, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 10).head
+    assert(hot.getLong(0) == 4L && hot.getLong(1) == 40L)
+  }
+
   test("custom MinHash agrees with MLlib MinHashLSH on planted near-dups") {
     // cross-check the hand-rolled LSH path against ml.feature.MinHashLSH:
     // both must surface the planted (0,1)/(0,2) near-dup pairs.
