@@ -106,4 +106,26 @@ object Multimodal {
         round(avg(element_at(col("features"), 8)), 6).as("avg_bin7"))
       .orderBy(col("modality"))
   }
+
+  /** SQL-checkable twin of the decode path. The stub decoder is pure byte
+    * arithmetic, so its bin-7 mass can be recovered integer-exactly from
+    * the normalized float histogram: for count c of high-nibble-7 bytes in
+    * an n-byte blob, `float(c/n) * n` is within c·2⁻²⁴ < 0.5 of c whenever
+    * n < 2²³, so rounding recovers c exactly for any document under 8 MB.
+    * Every emitted aggregate is then BIGINT — no float reduction order to
+    * flake the oracle hash — and the driver's DuckDB compare genuinely
+    * exercises the mapPartitions decode plumbing, not just rows > 0.
+    * (Bytes 0x70–0x7F only arise from ASCII U+0070–U+007F under UTF-8, so
+    * the oracle can count them with a character-class regexp.) */
+  def oracleSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val features = extractFeatures(fromDocuments(docs).repartition(col("media_id")))
+    features.toDF()
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).cast(LongType).as("total_bytes"),
+        sum(round(element_at(col("features"), 8).cast("double") * col("n_bytes")))
+          .cast(LongType).as("n_bin7_bytes"))
+      .orderBy(col("modality"))
+  }
 }

@@ -674,7 +674,39 @@ object RelationalQueries {
       ORDER BY user_id, sess_start"""),
     doc = "session_window(30m) per user; oracle via lag+cumsum sessionization")
 
+  /** q59 — partitioned sink + partition-pruned source, end to end: write
+    * lineitem partitioned by l_returnflag (the 100 TB layout move: partition
+    * on the dominant filter key so reads touch only matching directories),
+    * read it back with a partition filter, and aggregate the pruned scan.
+    * The pruning itself is asserted in SourcesSpec/PlanShapeSpec
+    * (PartitionFilters on the scan node); the oracle checks that the
+    * round-trip through the partitioned layout loses nothing. */
+  val q59 = GraftQuery(
+    "q59_partition_prune",
+    (spark, sfDir) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q59_part").toString
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      spark.read.parquet(dir)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_returnflag"))
+        .agg(lcount().as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+      ${sqlDsum("l_quantity")} AS sum_qty,
+      ${sqlDsum("l_extendedprice")} AS sum_price
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "partitioned parquet sink → partition-pruned scan → aggregate")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
+    q59)
 }

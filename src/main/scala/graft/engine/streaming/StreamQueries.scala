@@ -172,5 +172,23 @@ object StreamQueries {
     None,
     doc = "binary media columns → stubbed decode → feature aggregation")
 
-  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, x60)
+  /** Oracle-checked multimodal decode: the stub decoder's bin-7 byte mass
+    * is integer-recoverable (see Multimodal.oracleSummary), so DuckDB can
+    * replay the whole binary-column → mapPartitions-decode → aggregate
+    * pipeline from the raw text with a byte-class regexp. */
+  val q58 = GraftQuery(
+    "q58_multimodal_decode",
+    (spark, sfDir) =>
+      graft.engine.llm.Multimodal.oracleSummary(spark, Tables.documents(spark, sfDir)),
+    Some("""SELECT
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+          WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        COUNT(*) AS n_media,
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        CAST(SUM(length(regexp_replace(text, '[^\x70-\x7f]', '', 'g')))
+          AS BIGINT) AS n_bin7_bytes
+      FROM documents GROUP BY 1 ORDER BY 1"""),
+    doc = "binary media decode (stub histogram) with integer-exact DuckDB twin")
+
+  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, q58, x60)
 }

@@ -50,4 +50,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(s.map(_.getAs[Long]("n_media")).sum == media.count())
   }
+
+  test("oracleSummary recovers bin-7 byte counts integer-exactly (incl. non-ASCII)") {
+    import spark.implicits._
+    // Mixed content: ASCII in/out of the 0x70–0x7F bin, multi-byte UTF-8
+    // (é → 0xC3 0xA9, 你 → 3 bytes ≥ 0x80 — none land in bin 7), and a
+    // pipe/tilde row that is pure bin 7.
+    val docs = Seq(
+      (0L, "pqrstuvwxyz{|}~"),           // 15 chars, all bin 7
+      (1L, "ABC def ghi"),               // bin 7: d,e,f? no — 0x64,0x65 are bin 6. none
+      (2L, "café 你好 pp"), // bin 7: p,p = 2
+      (3L, "")                           // empty
+    ).toDF("doc_id", "text")
+    val out = Multimodal.oracleSummary(spark, docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("total_bytes"),
+        r.getAs[Long]("n_bin7_bytes"))).toMap
+    // doc 0 → image, doc 1 → audio, doc 2 → video, doc 3 → image
+    val utf8 = (s: String) => s.getBytes("UTF-8")
+    val bin7 = (s: String) => utf8(s).count(b => (b & 0xff) >= 0x70 && (b & 0xff) <= 0x7f)
+    assert(out("image") ==
+      (utf8("pqrstuvwxyz{|}~").length.toLong + 0L, bin7("pqrstuvwxyz{|}~").toLong))
+    assert(out("audio") == (utf8("ABC def ghi").length.toLong,
+      bin7("ABC def ghi").toLong))
+    assert(out("video") == (utf8("café 你好 pp").length.toLong,
+      bin7("café 你好 pp").toLong))
+  }
 }
