@@ -1,0 +1,92 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-curation operators for LLM training-data pipelines (X4 adjunct):
+  * reproducible sampling, composite quality gating, and sequence packing —
+  * the three moves between "raw crawl" and "tokenizer-ready shards".
+  *
+  * Scale posture: hash sampling and packing-id assignment are narrow
+  * (per-row hash / prefix-sum window on a high-cardinality order key);
+  * the corpus filter is a composition of already-bucketed operators
+  * (exact dedup's single content-key shuffle + narrow scoring projections).
+  */
+object Curation {
+
+  /** Deterministic hash sample: keep a row iff the first 4 hex digits of
+    * md5(key) fall below `fraction` of the 16^4 space. Granularity 1/65536;
+    * the comparison is lexicographic on fixed-width lowercase hex, which is
+    * monotone with the value, so any SQL engine with md5() replays the
+    * exact membership — unlike `df.sample`, whose RNG stream is
+    * partitioning-dependent and engine-private.
+    *
+    * 100 TB posture: narrow (no shuffle, no state), stable under
+    * repartitioning, and composable — sampling the union of two days equals
+    * the union of their samples, which seeded `sample()` cannot promise.
+    */
+  /** 4-hex-digit exclusive upper bound for `fraction` of the 16^4 space.
+    * fraction = 1.0 rounds to 0x10000 — five digits, which would compare
+    * lexicographically BELOW most 4-digit prefixes — so saturate to "g",
+    * one past every hex digit. */
+  private def hexThreshold(fraction: Double): String = {
+    val t = math.round(fraction * 65536).toInt
+    if (t >= 65536) "g" else f"$t%04x"
+  }
+
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(substring(md5(keyCol.cast("string").cast("binary")), 1, 4)
+      < lit(hexThreshold(fraction)))
+  }
+
+  /** SQL twin of [[hashSample]]'s predicate for oracle assembly. */
+  def sqlHashSamplePredicate(keyExpr: String, fraction: Double): String =
+    s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < '${hexThreshold(fraction)}'"
+
+  /** C4-style corpus filter: exact dedup → quality gate → language gate →
+    * token-length gate, in that order (dedup first so near-identical spam
+    * doesn't vote in corpus statistics; cheap narrow gates after the one
+    * shuffle). Returns the surviving rows with their curation evidence. */
+  def corpusFilter(docs: DataFrame, lang: String = "en",
+      minTokens: Long = 20L, maxTokens: Long = 5000L): DataFrame = {
+    val deduped = Dedup.exactDedup(docs, "text", "doc_id")
+    val scored = TextAnalysis.languageId(
+      TextAnalysis.qualityScore(deduped, "text"), "text")
+    scored
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .filter(col("keep") === 1L && col("lang_pred") === lang &&
+        col("n_tokens").between(minTokens, maxTokens))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("quality"))
+  }
+
+  /** Sequence packing (concatenate-and-split pretraining prep): documents
+    * are laid out in `orderCol` order and cut every `budgetTokens` tokens;
+    * a document's pack is the window its first token lands in. One
+    * prefix-sum window over the order key, then a hash-agg per pack —
+    * no data movement beyond the window's range partition.
+    *
+    * At 100 TB the single total-order window is the scale hazard; the
+    * deterministic fix is to pack within independent shards (e.g. per
+    * (source, date) partition) — pass `shardCols` to scope the window, at
+    * the cost of one partial pack per shard. */
+  def packSequences(docs: DataFrame, orderCol: String, textCol: String,
+      budgetTokens: Long, shardCols: Seq[String] = Nil): DataFrame = {
+    val w = (if (shardCols.isEmpty) Window.orderBy(col(orderCol))
+             else Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shard = shardCols.map(col)
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+          / budgetTokens).cast(LongType))
+      .groupBy(shard :+ col("pack_id"): _*)
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
+        min(col(orderCol)).cast(LongType).as("first_doc"))
+  }
+}

@@ -411,7 +411,109 @@ object LlmQueries {
       FROM documents ORDER BY doc_id LIMIT 1000"""),
     doc = "rolling-hash fingerprints, value-level DuckDB oracle via list_reduce")
 
+  /** q60 — deterministic md5-bucket sampling (reproducible 10% subcorpus).
+    * Unlike seeded `sample()`, membership is a pure function of the key, so
+    * it is partitioning-stable, engine-replayable, and composable across
+    * ingestion batches — the only sampling that audits cleanly at 100 TB. */
+  val q60 = GraftQuery(
+    "q60_hash_sample",
+    (spark, sfDir) =>
+      Curation.hashSample(Tables.documents(spark, sfDir), col("doc_id"), 0.1)
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+            .as("bucket"),
+          col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket, lang, source
+      FROM documents
+      WHERE ${Curation.sqlHashSamplePredicate("doc_id", 0.1)}
+      ORDER BY doc_id"""),
+    doc = "deterministic md5-bucket 10% sample; membership replayable by any engine")
+
+  /** q61 — C4-style corpus filter: exact dedup → quality gate → language
+    * gate → token-length gate, the end-to-end curation pipeline assembled
+    * from the verified q40/q47/q49/q48 pieces. */
+  val q61 = GraftQuery(
+    "q61_corpus_filter",
+    (spark, sfDir) =>
+      Curation.corpusFilter(Tables.documents(spark, sfDir))
+        .orderBy(col("doc_id")),
+    Some({
+      val allMarkers = TextAnalysis.markers.values.flatten.toSeq.distinct
+        .sorted.mkString("['", "','", "']")
+      def score(lang: String) = {
+        val lst = TextAnalysis.markers(lang).mkString("['", "','", "']")
+        s"len(list_filter(ws, w -> list_contains($lst, w)))"
+      }
+      s"""WITH dedup AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1),
+      base AS (
+        SELECT doc_id, text,
+          string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM dedup),
+      scored AS (
+        SELECT doc_id, text, ws,
+          CAST(len(list_filter(ws, w -> list_contains($allMarkers, w)))
+            AS DOUBLE) / len(ws) AS sw_raw,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS DOUBLE) / length(text) AS dg_raw,
+          CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0
+               WHEN len(ws) BETWEEN 5 AND 5000 THEN 0.5
+               ELSE 0.0 END AS length_score,
+          ${score("en")} AS s_en, ${score("de")} AS s_de,
+          ${score("fr")} AS s_fr, ${score("es")} AS s_es,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))
+            AS n_tokens
+        FROM base),
+      gated AS (
+        SELECT doc_id,
+          CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS lang_pred,
+          CAST(n_tokens AS BIGINT) AS n_tokens,
+          ROUND(0.5 * length_score + 0.3 * least(sw_raw * 5.0, 1.0)
+            + 0.2 * (1.0 - least(dg_raw * 10.0, 1.0)), 6) AS quality
+        FROM scored)
+      SELECT doc_id, lang_pred, n_tokens, quality FROM gated
+      WHERE quality >= 0.5 AND lang_pred = 'en'
+        AND n_tokens BETWEEN 20 AND 5000
+      ORDER BY doc_id"""
+    }),
+    doc = "C4-style curation: dedup + quality + language + length gates, end to end")
+
+  /** q62 — sequence packing for pretraining: documents concatenated in
+    * doc_id order within each source shard and cut every 2048 tokens; a
+    * doc's pack is where its first token lands. Sharding keeps the
+    * prefix-sum window off a single partition (the 100 TB posture — see
+    * Curation.packSequences). */
+  val q62 = GraftQuery(
+    "q62_sequence_pack",
+    (spark, sfDir) =>
+      Curation.packSequences(Tables.documents(spark, sfDir), "doc_id", "text",
+          budgetTokens = 2048L, shardCols = Seq("source"))
+        .orderBy(col("source"), col("pack_id")),
+    Some("""WITH t AS (SELECT source, doc_id,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))
+          AS n_tokens
+      FROM documents),
+      p AS (SELECT source, doc_id, n_tokens,
+        CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          / 2048.0) AS BIGINT) AS pack_id
+      FROM t)
+      SELECT source, pack_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "token-budget sequence packing (2048/window) sharded by source")
+
   def queries: Seq[GraftQuery] =
-    Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56,
+    Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       x42, x43, x44, x45, x46, x47, x51)
 }

@@ -1,0 +1,86 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sfDir, spark}
+import graft.engine.Tables
+
+class CurationSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("hashSample: fraction bounds, determinism, and ~10% mass") {
+    assert(Curation.hashSample(docs, col("doc_id"), 1.0).count() == docs.count())
+    assert(Curation.hashSample(docs, col("doc_id"), 0.0).count() == 0L)
+    val s1 = Curation.hashSample(docs, col("doc_id"), 0.1).count()
+    val s2 = Curation.hashSample(docs, col("doc_id"), 0.1).count()
+    assert(s1 == s2, "identical membership on re-run")
+    // mass check on a key set large enough that 3σ ≈ 0.64%
+    val keys = spark.range(20000).toDF("doc_id")
+    val frac = Curation.hashSample(keys, col("doc_id"), 0.1).count() / 20000.0
+    assert(math.abs(frac - 0.1) < 0.01, s"expected ~10%, got $frac")
+  }
+
+  test("hashSample composes: sample(a ∪ b) == sample(a) ∪ sample(b)") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val whole = Curation.hashSample(docs, col("doc_id"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val parts = (Curation.hashSample(a, col("doc_id"), 0.2)
+        .select("doc_id").collect() ++
+      Curation.hashSample(b, col("doc_id"), 0.2)
+        .select("doc_id").collect()).map(_.getLong(0)).toSet
+    assert(whole == parts)
+  }
+
+  test("corpusFilter: survivors are deduped, english-predicted, in token bounds") {
+    val out = Curation.corpusFilter(docs).cache()
+    try {
+      assert(out.count() > 0, "sf fixture must keep some docs")
+      assert(out.filter(col("lang_pred") =!= "en").count() == 0)
+      assert(out.filter(!col("n_tokens").between(20, 5000)).count() == 0)
+      assert(out.filter(col("quality") < 0.5).count() == 0)
+      // survivors' ids are a subset of exact-dedup survivors
+      val dedupIds = Dedup.exactDedup(docs, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val kept = out.select("doc_id").collect().map(_.getLong(0))
+      assert(kept.forall(dedupIds.contains))
+    } finally out.unpersist()
+  }
+
+  test("packSequences partitions the corpus: every doc in exactly one pack") {
+    val packs = Curation.packSequences(docs, "doc_id", "text", 2048L,
+      shardCols = Seq("source")).cache()
+    try {
+      assert(packs.agg(sum("n_docs")).head.getLong(0) == docs.count())
+      val totalTok = docs
+        .select(TextAnalysis.tokenCount(col("text")).as("t"))
+        .agg(sum("t")).head.getLong(0)
+      assert(packs.agg(sum("sum_tokens")).head.getLong(0) == totalTok)
+      // packs within a shard are contiguous: first_doc strictly increases
+      // with pack_id
+      val bySource = packs.select("source", "pack_id", "first_doc").collect()
+        .groupBy(_.getString(0))
+      bySource.values.foreach { rows =>
+        val sorted = rows.sortBy(_.getLong(1))
+        assert(sorted.map(_.getLong(2)).sliding(2).forall {
+          case Array(x, y) => x < y
+          case _ => true
+        })
+      }
+    } finally packs.unpersist()
+  }
+
+  test("packSequences: no pack starts beyond the running token budget") {
+    // tiny synthetic corpus with known token counts: 10 docs × 5 tokens,
+    // budget 12 ⇒ starting offsets 0,5,10,15,… ⇒ packs 0,0,0,1,1,2,2,2,3,3
+    val tiny = (0L until 10L).map(i => (i, "a b c d e", "s"))
+      .toDF("doc_id", "text", "source")
+    val packs = Curation.packSequences(tiny, "doc_id", "text", 12L,
+        shardCols = Seq("source"))
+      .orderBy("pack_id").collect()
+    assert(packs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 3L, 15L), (1L, 2L, 10L), (2L, 3L, 15L), (3L, 2L, 10L)))
+  }
+}
