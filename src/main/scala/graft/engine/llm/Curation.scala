@@ -46,6 +46,62 @@ object Curation {
   def sqlHashSamplePredicate(keyExpr: String, fraction: Double): String =
     s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < '${hexThreshold(fraction)}'"
 
+  /** Data-mixture sampling: per-source target rates applied with the same
+    * deterministic md5-bucket membership as [[hashSample]] — the "mixture
+    * weights" move of a pretraining pipeline (upsample wiki, downsample
+    * crawl) as one narrow filter. A row's fate depends only on (key,
+    * source-rate), so a weight change re-derives exactly the affected
+    * sources and nothing else. */
+  def mixtureSample(df: DataFrame, keyCol: Column, sourceCol: Column,
+      weights: Map[String, Double], defaultFraction: Double): DataFrame = {
+    (weights.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, "fractions must be in [0,1]"))
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultFraction))) { case (acc, (s, f)) =>
+        when(sourceCol === s, lit(hexThreshold(f))).otherwise(acc)
+      }
+    df.filter(substring(md5(keyCol.cast("string").cast("binary")), 1, 4)
+      < threshold)
+  }
+
+  /** SQL twin of [[mixtureSample]]'s predicate. */
+  def sqlMixturePredicate(keyExpr: String, sourceExpr: String,
+      weights: Map[String, Double], defaultFraction: Double): String = {
+    val cases = weights.toSeq.sortBy(_._1)
+      .map { case (s, f) => s"WHEN '$s' THEN '${hexThreshold(f)}'" }
+      .mkString(" ")
+    s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < " +
+      s"CASE $sourceExpr $cases ELSE '${hexThreshold(defaultFraction)}' END"
+  }
+
+  /** Benchmark decontamination: for every corpus document, how many of its
+    * distinct word n-grams appear anywhere in the benchmark set. The
+    * standard eval-leakage check (n = 13 is the usual contamination
+    * window). Returns (doc_id, n_ngrams, n_contaminated, contamination).
+    *
+    * Scale posture: the benchmark side (eval sets — thousands of docs, not
+    * billions) collapses to a distinct n-gram set and is BROADCAST, so the
+    * corpus scan stays shuffle-free: explode n-grams, hash-join against the
+    * broadcast set, re-aggregate per doc on the same partitioning the
+    * explode preserved. Nothing corpus-sized ever shuffles on n-gram keys.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    def ngrams(df: DataFrame) =
+      array_distinct(graft.engine.functions.F.shingles(
+        Dedup.tokens(col(textCol)), n))
+    val docNg = corpus.select(col(idCol).cast(LongType).as("doc_id"),
+      explode(ngrams(corpus)).as("ng"))
+    val benchNg = benchmark.select(explode(ngrams(benchmark)).as("ng"))
+      .distinct().withColumn("hit", lit(1L))
+    docNg.join(broadcast(benchNg), Seq("ng"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_ngrams"), 6))
+  }
+
   /** C4-style corpus filter: exact dedup → quality gate → language gate →
     * token-length gate, in that order (dedup first so near-identical spam
     * doesn't vote in corpus statistics; cheap narrow gates after the one

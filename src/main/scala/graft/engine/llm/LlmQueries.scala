@@ -513,7 +513,54 @@ object LlmQueries {
       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
     doc = "token-budget sequence packing (2048/window) sharded by source")
 
+  /** q63 — data-mixture sampling: per-source target rates (upsample some
+    * sources, downsample the rest) via the same deterministic md5 buckets
+    * as q60, emitted as a per-source census. */
+  val q63 = {
+    val weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+    GraftQuery(
+      "q63_data_mixture",
+      (spark, sfDir) =>
+        Curation.mixtureSample(Tables.documents(spark, sfDir),
+            col("doc_id"), col("source"), weights, defaultFraction = 0.1)
+          .groupBy(col("source"))
+          .agg(lcount().as("n_kept"))
+          .orderBy(col("source")),
+      Some(s"""SELECT source, COUNT(*) AS n_kept FROM documents
+        WHERE ${Curation.sqlMixturePredicate("doc_id", "source", weights, 0.1)}
+        GROUP BY 1 ORDER BY 1"""),
+      doc = "mixture weights: src0@100%, src1@50%, src2@25%, rest@10%, deterministic buckets")
+  }
+
+  /** q64 — benchmark decontamination: distinct 13-gram overlap of every
+    * corpus doc (doc_id >= 25) against a benchmark slice (doc_id < 25),
+    * benchmark side broadcast. Per-doc counts verify the zeros too. */
+  val q64 = GraftQuery(
+    "q64_decontamination",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      Curation.contamination(
+          docs.filter(col("doc_id") >= 25),
+          docs.filter(col("doc_id") < 25), "text", "doc_id", n = 13)
+        .orderBy(col("doc_id"))
+        .limit(2000)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      ng AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+          ELSE list_transform(generate_series(1, len(ws) - 12),
+            i -> array_to_string(ws[i:i+12], ' ')) END)) AS ng
+        FROM t),
+      b AS (SELECT DISTINCT ng FROM ng WHERE doc_id < 25)
+      SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        CAST(COUNT(b.ng) AS BIGINT) AS n_contaminated,
+        ROUND(CAST(COUNT(b.ng) AS DOUBLE) / COUNT(*), 6) AS contamination
+      FROM ng LEFT JOIN b USING (ng) WHERE ng.doc_id >= 25
+      GROUP BY 1 ORDER BY 1 LIMIT 2000"""),
+    doc = "13-gram eval-leakage check; benchmark n-gram set broadcast, corpus shuffle-free")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
-      x42, x43, x44, x45, x46, x47, x51)
+      q63, q64, x42, x43, x44, x45, x46, x47, x51)
 }

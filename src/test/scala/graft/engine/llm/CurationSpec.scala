@@ -72,6 +72,41 @@ class CurationSpec extends AnyFunSuite {
     } finally packs.unpersist()
   }
 
+  test("mixtureSample: weight-1 sources keep everything, weight-0 nothing, rest by hash") {
+    val out = Curation.mixtureSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultFraction = 0.1).cache()
+    try {
+      val src0Total = docs.filter(col("source") === "src0").count()
+      assert(out.filter(col("source") === "src0").count() == src0Total)
+      assert(out.filter(col("source") === "src1").count() == 0L)
+      // the default-rate sources agree with plain hashSample membership
+      val rest = out.filter(col("source") =!= "src0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expected = Curation.hashSample(
+          docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+          col("doc_id"), 0.1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(rest == expected)
+    } finally out.unpersist()
+  }
+
+  test("contamination: planted benchmark doc is fully contaminated, others untouched") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (11L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen")
+    ).toDF("doc_id", "text")
+    // benchmark shares doc 10's text verbatim (plus an unrelated doc)
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (1L, "totally different words entirely here nothing shared with anyone at all today ok fine")
+    ).toDF("doc_id", "text")
+    val out = Curation.contamination(corpus, bench, "text", "doc_id", n = 13)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(10L) == ((2L, 2L, 1.0)), "14 tokens -> two 13-grams, both leaked")
+    assert(out(11L)._2 == 0L && out(11L)._3 == 0.0)
+  }
+
   test("packSequences: no pack starts beyond the running token budget") {
     // tiny synthetic corpus with known token counts: 10 docs × 5 tokens,
     // budget 12 ⇒ starting offsets 0,5,10,15,… ⇒ packs 0,0,0,1,1,2,2,2,3,3
