@@ -65,4 +65,19 @@ class SparkPropertySpec extends AnyFunSuite {
       assert(once.count() == distinctNorm, s"for $texts")
     }
   }
+
+  test("property: hashSample membership is monotone in the fraction") {
+    // sample(f1) ⊆ sample(f2) whenever f1 <= f2 — the property that makes a
+    // sampled subcorpus extensible without re-deriving it from scratch.
+    val keys = spark.range(2000).toDF("doc_id")
+    val fracGen = Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0))
+    samples(fracGen, 5).foreach { case (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val small = graft.engine.llm.Curation.hashSample(keys, col("doc_id"), lo)
+        .collect().map(_.getLong(0)).toSet
+      val big = graft.engine.llm.Curation.hashSample(keys, col("doc_id"), hi)
+        .collect().map(_.getLong(0)).toSet
+      assert(small.subsetOf(big), s"fraction $lo not nested in $hi")
+    }
+  }
 }

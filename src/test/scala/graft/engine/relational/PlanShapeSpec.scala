@@ -79,4 +79,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("contamination: benchmark n-gram set is broadcast; corpus never shuffles on n-grams") {
+    import org.apache.spark.sql.functions.col
+    import graft.engine.{Tables => T}
+    val docs = T.documents(spark, sfDir)
+    val df = graft.engine.llm.Curation.contamination(
+      docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+      "text", "doc_id", n = 13)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q59: partitioned read prunes to the filtered partition") {
+    val plan = explainFormatted(RelationalQueries.q59)
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("l_returnflag"), s"expected partition filter, plan:\n${plan.take(3000)}")
+  }
 }
