@@ -82,6 +82,52 @@ object FitJob {
   }
 }
 
+/** Corpus-curation CLI: the X4/curation operators as a runnable pipeline
+  * over a documents-shaped parquet (doc_id, text, source, ...).
+  *
+  *   --mode filter        dedup + quality + language + length gates
+  *   --mode sample        deterministic md5-bucket sample (--fraction)
+  *   --mode pack          token-budget sequence packing (--budget, sharded
+  *                        by source)
+  *   --mode decontaminate 13-gram overlap vs --benchmark parquet
+  */
+object CurateJob {
+  def run(spark: org.apache.spark.sql.SparkSession,
+      o: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    import graft.engine.llm.Curation
+    val docs = spark.read.parquet(Args.required(o, "input"))
+    o.getOrElse("mode", "filter") match {
+      case "filter" =>
+        Curation.corpusFilter(docs,
+          lang = o.getOrElse("lang", "en"),
+          minTokens = o.getOrElse("min-tokens", "20").toLong,
+          maxTokens = o.getOrElse("max-tokens", "5000").toLong)
+      case "sample" =>
+        Curation.hashSample(docs, col("doc_id"),
+          o.getOrElse("fraction", "0.1").toDouble)
+      case "pack" =>
+        Curation.packSequences(docs, "doc_id", "text",
+          o.getOrElse("budget", "2048").toLong, shardCols = Seq("source"))
+      case "decontaminate" =>
+        Curation.contamination(docs,
+          spark.read.parquet(Args.required(o, "benchmark")),
+          "text", "doc_id", n = o.getOrElse("ngram", "13").toInt)
+      case m => throw new IllegalArgumentException(s"unknown --mode $m")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val o = Args.parse(args)
+    val spark = GraftSession.create("graft-curate")
+    try run(spark, o).write
+      .mode(if (o.getOrElse("overwrite", "false").toBoolean)
+              org.apache.spark.sql.SaveMode.Overwrite
+            else org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(Args.required(o, "output"))
+    finally spark.stop()
+  }
+}
+
 object PredictJob {
   def main(args: Array[String]): Unit = {
     val o = Args.parse(args)

@@ -1,0 +1,54 @@
+package graft.engine.jobs
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sfDir, spark}
+
+/** Drives CurateJob.run (the main minus session lifecycle) over the
+  * documents fixture — every mode must produce the same result as calling
+  * the underlying operator directly. */
+class CurateJobSpec extends AnyFunSuite {
+
+  private val input = s"$sfDir/documents.parquet"
+
+  test("filter mode applies the corpus gates") {
+    val out = CurateJob.run(spark, Map("input" -> input, "mode" -> "filter"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang_pred", "n_tokens", "quality"))
+    assert(out.count() > 0)
+  }
+
+  test("sample mode honors --fraction") {
+    val all = CurateJob.run(spark,
+      Map("input" -> input, "mode" -> "sample", "fraction" -> "1.0")).count()
+    val none = CurateJob.run(spark,
+      Map("input" -> input, "mode" -> "sample", "fraction" -> "0.0")).count()
+    assert(none == 0 && all == spark.read.parquet(input).count())
+  }
+
+  test("pack mode rolls up every document") {
+    import org.apache.spark.sql.functions.sum
+    val packs = CurateJob.run(spark,
+      Map("input" -> input, "mode" -> "pack", "budget" -> "1024"))
+    assert(packs.agg(sum("n_docs")).head.getLong(0) ==
+      spark.read.parquet(input).count())
+  }
+
+  test("decontaminate mode needs --benchmark and emits per-doc ratios") {
+    val bench = Files.createTempDirectory("graft-bench").toString + "/b"
+    spark.read.parquet(input).limit(25).write.parquet(bench)
+    val out = CurateJob.run(spark, Map("input" -> input,
+      "mode" -> "decontaminate", "benchmark" -> bench))
+    assert(out.columns.contains("contamination"))
+    assert(out.count() == spark.read.parquet(input).count())
+    intercept[IllegalArgumentException] {
+      CurateJob.run(spark, Map("input" -> input, "mode" -> "decontaminate"))
+    }
+  }
+
+  test("unknown mode is rejected") {
+    intercept[IllegalArgumentException] {
+      CurateJob.run(spark, Map("input" -> input, "mode" -> "nope"))
+    }
+  }
+}
