@@ -513,6 +513,52 @@ object LlmQueries {
       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
     doc = "token-budget sequence packing (2048/window) sharded by source")
 
+  /** q65 — curriculum bucketing: per-language quality quartiles via ntile
+    * (the "order by difficulty, split into tiers" prep move). The window
+    * partitions on lang so no single-partition global sort; ties broken by
+    * doc_id for cross-engine determinism. */
+  val q65 = GraftQuery(
+    "q65_quality_tiers",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis
+        .qualityScore(Tables.documents(spark, sfDir), "text")
+        .select(col("doc_id"), col("lang"), col("quality"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      scored.withColumn("tier", ntile(4).over(w).cast(LongType))
+        .groupBy(col("lang"), col("tier"))
+        .agg(lcount().as("n_docs"),
+          min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
+        .orderBy(col("lang"), col("tier"))
+    },
+    Some({
+      val allMarkers = TextAnalysis.markers.values.flatten.toSeq.distinct
+        .sorted.mkString("['", "','", "']")
+      s"""WITH base AS (
+        SELECT doc_id, lang, text,
+          string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang,
+          ROUND(0.5 * (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0
+                 WHEN len(ws) BETWEEN 5 AND 5000 THEN 0.5 ELSE 0.0 END)
+            + 0.3 * least(CAST(len(list_filter(ws, w -> list_contains(
+                $allMarkers, w))) AS DOUBLE) / len(ws) * 5.0, 1.0)
+            + 0.2 * (1.0 - least(CAST(length(text) - length(
+                regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                / length(text) * 10.0, 1.0)), 6) AS quality
+        FROM base),
+      tiered AS (
+        SELECT lang, quality, CAST(NTILE(4) OVER (
+          PARTITION BY lang ORDER BY quality, doc_id) AS BIGINT) AS tier
+        FROM scored)
+      SELECT lang, tier, COUNT(*) AS n_docs,
+        MIN(quality) AS q_min, MAX(quality) AS q_max
+      FROM tiered GROUP BY 1, 2 ORDER BY 1, 2"""
+    }),
+    doc = "per-language quality quartiles (ntile window, lang-partitioned)")
+
   /** q63 — data-mixture sampling: per-source target rates (upsample some
     * sources, downsample the rest) via the same deterministic md5 buckets
     * as q60, emitted as a per-source census. */
@@ -562,5 +608,5 @@ object LlmQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
-      q63, q64, x42, x43, x44, x45, x46, x47, x51)
+      q63, q64, q65, x42, x43, x44, x45, x46, x47, x51)
 }

@@ -142,6 +142,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/chk").exists, "checkpoint dir must be written")
   }
 
+  test("file sink: watermarked windows append to parquet exactly once, values = batch") {
+    // the fully-distributed path: parquet file source → watermarked tumbling
+    // agg → parquet file SINK (append mode emits only watermark-finalized
+    // windows; the sink's transaction log gives exactly-once files)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsink").toString
+    val all = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // disjoint event-time chunks on an hour-aligned boundary: no event may
+    // arrive after its window was finalized, or append mode drops it as
+    // late (an overlapping split re-delivers events into closed windows)
+    val split = "2024-01-20 00:00:00"
+    all.filter(col("ts") < split).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(all.schema).parquet(s"$dir/in")
+    val q = Streaming.tumblingCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // later events advance the watermark, finalizing earlier windows
+      all.filter(col("ts") >= split).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.read.parquet(s"$dir/out")
+    assert(emitted.count() > 0, "watermark advance must finalize windows")
+    assert(emitted.count() ==
+      emitted.select("win_start", "event_type").distinct().count(),
+      "append mode must emit each finalized window exactly once")
+    // every emitted window's values equal the batch aggregate over the same
+    // staged data (finalized windows saw all their events)
+    val staged = spark.read.parquet(s"$dir/in")
+    val batch = staged
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.engine.relational.Exact.dsum(col("value")).as("s"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("s"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    emitted.collect().foreach { r =>
+      val k = (r.getTimestamp(0), r.getString(1))
+      assert(batch(k) == ((r.getLong(2), r.getDouble(3))),
+        s"finalized window $k must match the batch aggregate")
+    }
+  }
+
   test("streaming dedup within watermark drops re-sent events") {
     val evs = eventsData.sortBy(e => (e.ts.getTime, e.event_id)).take(2000)
     val stream = MemoryStream[Streaming.Event]
