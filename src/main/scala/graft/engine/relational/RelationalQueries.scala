@@ -705,8 +705,23 @@ object RelationalQueries {
       GROUP BY 1 ORDER BY 1"""),
     doc = "partitioned parquet sink → partition-pruned scan → aggregate")
 
+  /** q66 — skew-safe two-phase aggregation: event_type has only a handful
+    * of distinct values (every key is hot at 100 TB), so the count runs
+    * through Salting.saltedCount — partial agg on (key, salt-of-event_id)
+    * spreads each hot key over 16 reducers, final agg folds the partials.
+    * The oracle is a plain GROUP BY: salting must be result-invariant. */
+  val q66 = GraftQuery(
+    "q66_salted_agg",
+    (spark, sfDir) =>
+      Salting.saltedCount(Tables.events(spark, sfDir), "event_type",
+          col("event_id"), buckets = 16)
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n FROM events
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "salted two-phase count over hot keys == plain GROUP BY (skew posture)")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59)
+    q59, q66)
 }
