@@ -32,6 +32,24 @@ object Dedup {
       .drop("_rn")
   }
 
+  /** X1 — incremental (ingestion-time) dedup: dedup the incoming batch
+    * within itself, then anti-join its content keys against the existing
+    * corpus — the append-only ingestion move (a new crawl lands against
+    * yesterday's 100 TB). The existing side reduces to DISTINCT content
+    * keys before the anti-join, so what shuffles for the big side is one
+    * 128-bit key per unique document, not the documents; in steady state
+    * the key set lives as its own bucketed table and the anti-join is
+    * co-located. */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val existingKeys = existing
+      .select(contentKey(col(textCol)).as("_ck")).distinct()
+    exactDedup(incoming, textCol, idCol)
+      .withColumn("_ck", contentKey(col(textCol)))
+      .join(existingKeys, Seq("_ck"), "left_anti")
+      .drop("_ck")
+  }
+
   /** k-token shingles (k-grams of the token stream) as strings; documents
     * shorter than k tokens collapse to a single whole-text shingle.
     * Native expression — single pass over the token array (the HOF

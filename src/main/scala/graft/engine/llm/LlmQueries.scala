@@ -513,6 +513,33 @@ object LlmQueries {
       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
     doc = "token-budget sequence packing (2048/window) sharded by source")
 
+  /** q68 — incremental ingestion dedup: the "new batch" (doc_id >= 250)
+    * deduped within itself AND against the already-ingested corpus
+    * (doc_id < 250) by content key. The 100 TB append-only move: only
+    * distinct 128-bit keys of the existing side shuffle. */
+  val q68 = GraftQuery(
+    "q68_incremental_dedup",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .limit(2000)
+    },
+    Some("""WITH incoming AS (
+        SELECT doc_id, lang, source, text FROM (
+          SELECT doc_id, lang, source, text, ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+          FROM documents WHERE doc_id >= 250) WHERE rn = 1)
+      SELECT doc_id, lang, source FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM documents d
+        WHERE d.doc_id < 250
+          AND md5(lower(trim(d.text))) = md5(lower(trim(i.text))))
+      ORDER BY doc_id LIMIT 2000"""),
+    doc = "batch-vs-corpus anti-join dedup on 128-bit content keys (ingestion path)")
+
   /** q65 — curriculum bucketing: per-language quality quartiles via ntile
     * (the "order by difficulty, split into tiers" prep move). The window
     * partitions on lang so no single-partition global sort; ties broken by
@@ -608,5 +635,5 @@ object LlmQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
-      q63, q64, q65, x42, x43, x44, x45, x46, x47, x51)
+      q63, q64, q65, q68, x42, x43, x44, x45, x46, x47, x51)
 }

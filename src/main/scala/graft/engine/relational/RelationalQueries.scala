@@ -720,8 +720,30 @@ object RelationalQueries {
       GROUP BY 1 ORDER BY 1"""),
     doc = "salted two-phase count over hot keys == plain GROUP BY (skew posture)")
 
+  /** q67 — skew-safe equi-join: events joined to a small per-user dim
+    * through Salting.saltedJoin (large side salted by event_id, small side
+    * replicated 8×) then rolled up. The oracle is the plain join + GROUP
+    * BY: salting must preserve row multiplicity exactly. */
+  val q67 = GraftQuery(
+    "q67_salted_join",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id").as("c_custkey"), col("value"))
+      val c = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      Salting.saltedJoin(e, c, "c_custkey", col("value"), buckets = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some(s"""SELECT c.c_nationkey, COUNT(*) AS n_events,
+      ${sqlDsum("e.value")} AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "salted equi-join (8x dim replication) == plain join (multiplicity preserved)")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59, q66)
+    q59, q66, q67)
 }

@@ -55,6 +55,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
   }
 
+  test("incrementalDedup drops within-batch dups AND docs already in the corpus") {
+    val existing = Seq((0L, base), (1L, "old corpus doc about warehouses"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                       // already ingested → dropped
+      (11L, "fresh doc one"),            // new → kept
+      (12L, "fresh doc one"),            // within-batch dup → dropped
+      (13L, "fresh doc two")             // new → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(incoming, existing, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("simHash maxHamming=0 (one 64-bit band) still pairs exact dups") {
     // Regression: bands=1 ⇒ width=64, and 1L << 64 == 1L on the JVM, so an
     // unguarded (1L << width) - 1 mask is 0 — every fingerprint lands in
