@@ -87,7 +87,7 @@ object Fit {
       maxDepths: Seq[Int] = Seq(3, 5),
       numTreesChoices: Seq[Int] = Seq(8, 16),
       numFolds: Int = 3,
-      parallelism: Int = 4,
+      parallelism: Int = 8,
       seed: Long = 42L): CrossValidatorModel = {
     val indexer = Stages.stringIndexer(target, label).fit(train)
     val rf = randomForest(RfParams(seed = seed))
@@ -124,6 +124,7 @@ object Fit {
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
     val ovr = new OneVsRest()
       .setClassifier(gbt)
+      .setParallelism(3) // one slot per class: all 3 binary fits in flight
       .setLabelCol(label).setFeaturesCol(features)
       .setPredictionCol(prediction)
     new Pipeline().setStages(Array(

@@ -219,7 +219,7 @@ object MlQueries {
       Metrics.multiclassMetrics(cv.transform(test), "label", "prediction")
     },
     None,
-    doc = "CrossValidator(4-point grid, 3 folds, parallelism 4) + metrics")
+    doc = "CrossValidator(4-point grid, 3 folds, parallelism 8) + metrics")
 
   /** T6 — boosted classifier slot: OneVsRest(GBT). */
   val mlGbt = GraftQuery(
