@@ -214,6 +214,37 @@ object LlmQueries {
       ORDER BY tfidf DESC, doc_id, term LIMIT 20"""),
     doc = "explode-based TF-IDF with smoothed idf")
 
+  /** q69 — BM25 relevance scores for a fixed 3-term query (k1=1.2,
+    * b=0.75): only query-term hits shuffle; df stats broadcast; per-term
+    * partials re-aggregate with the decimal sum so the double is
+    * engine-replayable. */
+  val q69 = GraftQuery(
+    "q69_bm25",
+    (spark, sfDir) =>
+      TextAnalysis.bm25(Tables.documents(spark, sfDir), "doc_id", "text",
+          queryTerms = Seq("join", "vector", "stream"))
+        .orderBy(col("doc_id"))
+        .limit(2000),
+    Some("""WITH docs AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl FROM docs),
+      hits AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS doclen,
+          unnest(ws) AS term FROM docs),
+      tf AS (SELECT doc_id, doclen, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM hits WHERE term IN ('join', 'vector', 'stream') GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      parts AS (SELECT tf.doc_id,
+          ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * tf.tf * (1.2 + 1.0)
+            / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.doclen / s.avgdl)) AS part
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats s)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+        ROUND(CAST(SUM(CAST(part AS DECIMAL(27,6))) AS DOUBLE), 6) AS bm25
+      FROM parts GROUP BY 1 ORDER BY 1 LIMIT 2000"""),
+    doc = "BM25(k1=1.2, b=0.75) for query {join, vector, stream}; hits-only shuffle")
+
   /** q55 — context-window chunking (size 40, overlap 8). */
   val q55 = GraftQuery(
     "q55_chunking",
@@ -635,5 +666,5 @@ object LlmQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
-      q63, q64, q65, q68, x42, x43, x44, x45, x46, x47, x51)
+      q63, q64, q65, q68, q69, x42, x43, x44, x45, x46, x47, x51)
 }

@@ -143,4 +143,47 @@ object TextAnalysis {
       .withColumn("tfidf", round(col("tf") * col("idf"), 6))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** BM25 retrieval scoring of every document against a fixed query-term
+    * set (Robertson/Sparck-Jones idf, k1/b standard defaults) — the
+    * relevance-filtering move of a retrieval-augmented data pipeline.
+    *
+    * score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale posture: the term explode is filtered to the query terms BEFORE
+    * the (doc,term) aggregation, so the shuffle carries query-term hits
+    * only; corpus stats (N, avgdl) and per-term df are single-row /
+    * |terms|-row aggregates broadcast via cross-join. Per-term partial
+    * scores re-aggregate with a decimal sum (order-independent — the
+    * DuckDB twin replays the exact value). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val n = df.count()
+    val docs = df.select(col(idCol).cast(LongType).as("doc_id"),
+      words(col(textCol)).as("ws"))
+      .withColumn("doclen", size(col("ws")).cast(LongType))
+    val avgdl = docs.agg(sum(col("doclen")).cast("double") / count(lit(1)))
+      .head().getDouble(0)
+    val hits = docs.select(col("doc_id"), col("doclen"),
+        explode(col("ws")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+    val tf = hits.groupBy(col("doc_id"), col("doclen"), col("term"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("doclen") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(graft.engine.relational.Exact.dsum(col("part")).as("score_raw"),
+        count(lit(1)).cast(LongType).as("n_matched_terms"))
+      .withColumn("bm25", round(col("score_raw"), 6))
+      .drop("score_raw")
+  }
 }

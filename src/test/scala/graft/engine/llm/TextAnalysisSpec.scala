@@ -62,4 +62,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[String].head()
     assert(twice == "hello world")
   }
+
+  test("bm25: hand-computed score on a 2-doc fixture; tf monotonicity") {
+    // doc 1: "join join x y"  doc 2: "join a b c d e f g h i"
+    // N=2, avgdl=7, df(join)=2 -> idf = ln(1 + 0.5/2.5) = ln(1.2)
+    val docs = Seq((1L, "join join x y"), (2L, "join a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def score(tf: Double, dl: Double) = {
+      val idf = math.log(1.0 + 0.5 / 2.5)
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 7.0))
+    }
+    assert(math.abs(out(1L) - score(2, 4)) < 1e-5, s"doc1 got ${out(1L)}")
+    assert(math.abs(out(2L) - score(1, 10)) < 1e-5, s"doc2 got ${out(2L)}")
+    assert(out(1L) > out(2L),
+      "higher tf in a shorter doc must outrank one hit in a longer doc")
+  }
 }
