@@ -245,6 +245,96 @@ object LlmQueries {
       FROM parts GROUP BY 1 ORDER BY 1 LIMIT 2000"""),
     doc = "BM25(k1=1.2, b=0.75) for query {join, vector, stream}; hits-only shuffle")
 
+  /** q70 — PII redaction with deterministically planted PII: every 5th doc
+    * gets an email + phone derived from doc_id appended (the synthetic
+    * corpus has none), then the scrubber must find and replace exactly
+    * those. Counts and redacted length are integer-hashable. */
+  val q70 = GraftQuery(
+    "q70_pii_redact",
+    (spark, sfDir) => {
+      val planted = Tables.documents(spark, sfDir)
+        .withColumn("text2",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(col("text")))
+      TextAnalysis.redactPii(planted, "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).cast(LongType).as("redacted_len"),
+          size(regexp_extract_all(col("redacted"),
+            lit(TextAnalysis.EmailRe), lit(0))).cast(LongType)
+            .as("residual_matches"))
+        .orderBy(col("doc_id"))
+        .limit(2000)
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id
+            || '@example.com or call 555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE text END AS text2
+        FROM documents),
+      red AS (SELECT doc_id, text2,
+          regexp_replace(regexp_replace(text2,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        FROM planted)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text2,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text2, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        CAST(length(redacted) AS BIGINT) AS redacted_len,
+        CAST(len(regexp_extract_all(redacted,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS residual_matches
+      FROM red ORDER BY doc_id LIMIT 2000"""),
+    doc = "email/phone scrub over planted PII; residual-match column proves full redaction")
+
+  /** q71 — within-doc repetition score: 1 − distinct/total word 3-grams. */
+  val q71 = GraftQuery(
+    "q71_repetition",
+    (spark, sfDir) =>
+      TextAnalysis.repetitionScore(Tables.documents(spark, sfDir),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+        .limit(2000),
+    Some("""WITH t AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      sh AS (SELECT doc_id,
+          CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+          ELSE list_transform(generate_series(1, len(ws) - 2),
+            i -> array_to_string(ws[i:i+2], ' ')) END AS grams
+        FROM t)
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_3grams,
+        CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_3grams,
+        ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+          AS repetition
+      FROM sh ORDER BY doc_id LIMIT 2000"""),
+    doc = "RefinedWeb-style repetition signal: duplicate 3-gram mass per doc")
+
+  /** q72 — unigram-LM surprisal (KenLM-filter analog, corpus as LM). */
+  val q72 = GraftQuery(
+    "q72_surprisal",
+    (spark, sfDir) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(spark, sfDir),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+        .limit(2000),
+    Some("""WITH terms AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      t AS (SELECT doc_id, term FROM terms WHERE length(term) > 0),
+      total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+      probs AS (SELECT term,
+          -ln(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM total)) AS neg_ln_p
+        FROM t GROUP BY 1)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        ROUND(CAST(SUM(CAST(neg_ln_p AS DECIMAL(27,6))) AS DOUBLE)
+          / COUNT(*), 6) AS surprisal
+      FROM t JOIN probs USING (term)
+      GROUP BY 1 ORDER BY 1 LIMIT 2000"""),
+    doc = "mean -ln p(token) under corpus unigram LM; Zipf join via AQE skew handling")
+
   /** q55 — context-window chunking (size 40, overlap 8). */
   val q55 = GraftQuery(
     "q55_chunking",
@@ -666,5 +756,6 @@ object LlmQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
-      q63, q64, q65, q68, q69, x42, x43, x44, x45, x46, x47, x51)
+      q63, q64, q65, q68, q69, q70, q71, q72,
+      x42, x43, x44, x45, x46, x47, x51)
 }

@@ -144,6 +144,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** PII redaction (the C4/RefinedWeb scrubbing move): count and replace
+    * email addresses and simple phone patterns with placeholder tokens.
+    * Pure narrow regexp projections — both patterns stay in the common
+    * Java-regex/RE2 subset so an oracle engine replays them exactly. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast(LongType))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast(LongType))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+
+  /** Within-document repetition score (RefinedWeb repetition-removal
+    * signal): 1 − distinct/total over word 3-grams; 0 = no repeated
+    * 3-gram, →1 = the document is one phrase repeated. Narrow. */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = graft.engine.functions.F.shingles(words(col(textCol)), 3)
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+        size(sh).cast(LongType).as("n_3grams"),
+        size(array_distinct(sh)).cast(LongType).as("n_distinct_3grams"))
+      .withColumn("repetition",
+        round(lit(1.0) - col("n_distinct_3grams").cast("double")
+          / col("n_3grams"), 6))
+  }
+
+  /** Unigram-LM surprisal per document (the KenLM-perplexity-filter
+    * analog with the corpus itself as the LM): mean −ln p(token) under
+    * corpus unigram frequencies. Low = typical text, high = outlier —
+    * the standard "weird text" quality gate.
+    *
+    * Scale posture: term probabilities are one Zipf-skewed aggregation
+    * (map-side partials absorb the hot terms) joined back to the token
+    * stream — AQE skew handling applies; per-doc re-aggregation uses the
+    * decimal sum so the mean is engine-replayable. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol).cast(LongType).as("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val total = terms.count()
+    val probs = terms.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("neg_ln_p", -log(col("cnt") / lit(total.toDouble)))
+      .drop("cnt")
+    terms.join(probs, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        graft.engine.relational.Exact.dsum(col("neg_ln_p")).as("sum_s"))
+      .withColumn("surprisal", round(col("sum_s") / col("n_tokens"), 6))
+      .drop("sum_s")
+  }
+
   /** BM25 retrieval scoring of every document against a fixed query-term
     * set (Robertson/Sparck-Jones idf, k1/b standard defaults) — the
     * relevance-filtering move of a retrieval-augmented data pipeline.

@@ -79,4 +79,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) > out(2L),
       "higher tf in a shorter doc must outrank one hit in a longer doc")
   }
+
+  test("redactPii scrubs planted emails/phones; clean text untouched") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org today"),
+      (2L, "call 555-0199 twice"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((1L, 0L, "mail me at <EMAIL> today")))
+    assert(out(2L) == ((0L, 1L, "call <PHONE> twice")))
+    assert(out(3L) == ((0L, 0L, "no pii here at all")))
+  }
+
+  test("repetitionScore: fully repeated phrase scores near 1, varied text near 0") {
+    val df = Seq(
+      (1L, Seq.fill(20)("spam spam spam").mkString(" ")),
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) > 0.9, s"repeated doc got ${out(1L)}")
+    assert(out(2L) == 0.0, s"all-distinct doc got ${out(2L)}")
+  }
+
+  test("unigramSurprisal: a doc of rare tokens scores above a doc of common tokens") {
+    val common = Seq.fill(30)("the").mkString(" ")
+    val df = Seq((1L, common), (2L, common), (3L, common),
+      (4L, "zyx wvu tsr qpo nml kji")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(4L) > out(1L), s"rare ${out(4L)} vs common ${out(1L)}")
+  }
 }
