@@ -245,6 +245,24 @@ object LlmQueries {
       FROM parts GROUP BY 1 ORDER BY 1 LIMIT 2000"""),
     doc = "BM25(k1=1.2, b=0.75) for query {join, vector, stream}; hits-only shuffle")
 
+  /** q73 — per-label embedding centroids (first 8 positions): distributed
+    * position-wise mean via posexplode + hash-agg; the shuffle carries
+    * labels × positions partials, never vectors. */
+  val q73 = GraftQuery(
+    "q73_embedding_centroids",
+    (spark, sfDir) =>
+      Similarity.groupCentroids(Tables.embeddings(spark, sfDir),
+          "label", maxPos = 8)
+        .select(col("label").cast(LongType).as("label"), col("pos"),
+          col("n_vectors"), col("centroid_v")),
+    Some(s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
+        COUNT(*) AS n_vectors,
+        ${graft.engine.relational.Exact.sqlDavg("CAST(embedding[i] AS DOUBLE)")}
+          AS centroid_v
+      FROM embeddings, generate_series(1, 8) t(i)
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "position-wise centroid means per label; groups x dim partials shuffle")
+
   /** q70 — PII redaction with deterministically planted PII: every 5th doc
     * gets an email + phone derived from doc_id appended (the synthetic
     * corpus has none), then the scrubber must find and replace exactly
@@ -756,6 +774,6 @@ object LlmQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
-      q63, q64, q65, q68, q69, q70, q71, q72,
+      q63, q64, q65, q68, q69, q70, q71, q72, q73,
       x42, x43, x44, x45, x46, x47, x51)
 }

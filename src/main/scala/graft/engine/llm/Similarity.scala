@@ -201,4 +201,25 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Per-group embedding centroids via posexplode → (group, position)
+    * hash-agg — the distributed position-wise mean (cluster summaries,
+    * per-source drift monitoring, IVF codebook seeding). The shuffle
+    * carries (group, pos, partial-sum) — groups × dim rows after map-side
+    * partials, never the vectors; means use the decimal sum so every
+    * element is engine-replayable. `maxPos` bounds the output width for
+    * summary queries (0 = all positions). */
+  def groupCentroids(corpus: DataFrame, groupCol: String,
+      embCol: String = "embedding", maxPos: Int = 0): DataFrame = {
+    val exploded = corpus.select(col(groupCol),
+        posexplode(col(embCol)).as(Seq("pos", "v")))
+      .withColumn("pos", (col("pos") + 1).cast(LongType)) // 1-based like SQL
+    val bounded = if (maxPos > 0) exploded.filter(col("pos") <= maxPos)
+                  else exploded
+    bounded
+      .groupBy(col(groupCol), col("pos"))
+      .agg(graft.engine.relational.Exact.lcount().as("n_vectors"),
+        graft.engine.relational.Exact.davg(col("v").cast("double")).as("centroid_v"))
+      .orderBy(col(groupCol), col("pos"))
+  }
 }
