@@ -1,0 +1,64 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+
+/** Degenerate-input behavior: empty batches, no-hit queries, singleton
+  * corpora. At 100 TB these are not edge cases — a partition, a source, or
+  * an ingestion day IS empty somewhere every run; operators must return
+  * empty results, never throw. */
+class EdgeCasesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val one = Seq((1L, "just one document here")).toDF("doc_id", "text")
+
+  test("exactDedup / incrementalDedup on empty inputs") {
+    assert(Dedup.exactDedup(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.incrementalDedup(empty, one, "text", "doc_id").count() == 0)
+    assert(Dedup.incrementalDedup(one, empty, "text", "doc_id").count() == 1)
+  }
+
+  test("near-dup operators on empty and singleton corpora emit no pairs") {
+    assert(Dedup.minHashNearDups(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.minHashNearDups(one, "text", "doc_id").count() == 0)
+    assert(Dedup.simHashNearDups(empty, "text", "doc_id").count() == 0)
+    assert(Dedup.simHashNearDups(one, "text", "doc_id").count() == 0)
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0)
+  }
+
+  test("hashSample / mixtureSample of an empty frame") {
+    assert(Curation.hashSample(empty, col("doc_id"), 0.5).count() == 0)
+    assert(Curation.mixtureSample(empty, col("doc_id"), lit("s"),
+      Map("s" -> 0.5), 0.1).count() == 0)
+  }
+
+  test("contamination with an empty benchmark reports zero everywhere") {
+    val out = Curation.contamination(one, empty, "text", "doc_id")
+      .collect()
+    assert(out.length == 1 && out(0).getLong(2) == 0L)
+  }
+
+  test("bm25 with query terms absent from the corpus returns empty, not NaN") {
+    val out = TextAnalysis.bm25(one, "doc_id", "text", Seq("zzzqqq"))
+    assert(out.count() == 0)
+  }
+
+  test("packSequences of an empty corpus yields no packs") {
+    val emptyS = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Curation.packSequences(emptyS, "doc_id", "text", 100L,
+      Seq("source")).count() == 0)
+  }
+
+  test("repetitionScore on a single-token doc is 0 (whole-text fallback gram)") {
+    val tiny = Seq((1L, "word")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScore(tiny, "doc_id", "text").head()
+    assert(r.getLong(1) == 1L && r.getDouble(3) == 0.0)
+  }
+}
