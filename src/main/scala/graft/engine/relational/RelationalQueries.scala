@@ -742,8 +742,34 @@ object RelationalQueries {
       GROUP BY 1 ORDER BY 1"""),
     doc = "salted equi-join (8x dim replication) == plain join (multiplicity preserved)")
 
+  /** q74 — snapshot publish/read round-trip with time travel: nation is
+    * published twice (v1 filtered, v2 full) through the atomic-pointer
+    * SnapshotStore; the current read must see all of v2, the pinned read
+    * all of v1, values intact. Oracle recomputes both from the raw table. */
+  val q74 = GraftQuery(
+    "q74_snapshot_roundtrip",
+    (spark, sfDir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q74_snap").toString + "/tbl"
+      val nat = Tables.nation(spark, sfDir)
+      graft.engine.sources.SnapshotStore.publish(
+        nat.filter(col("n_regionkey") === 0), root)
+      graft.engine.sources.SnapshotStore.publish(nat, root)
+      val cur = graft.engine.sources.SnapshotStore.read(spark, root)
+      val v1 = graft.engine.sources.SnapshotStore.read(spark, root, version = 1L)
+      cur.agg(lcount().as("n_current"),
+          sum(col("n_nationkey")).cast(LongType).as("sum_key"))
+        .crossJoin(v1.agg(lcount().as("n_v1")))
+        .select(col("n_current"), col("n_v1"), col("sum_key"))
+    },
+    Some("""SELECT
+        CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_current,
+        CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS n_v1,
+        CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT) AS sum_key"""),
+    doc = "atomic-pointer snapshot store: publish x2, read current + pinned v1")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59, q66, q67)
+    q59, q66, q67, q74)
 }

@@ -1,0 +1,100 @@
+package graft.engine.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned snapshot publishing over plain parquet — the minimal atomic
+  * table pattern a 100 TB pipeline needs without a table format dependency:
+  *
+  *  - every publish writes a COMPLETE new version directory `v{N}`;
+  *  - `CURRENT` (a one-line pointer file) is flipped by write-temp +
+  *    atomic-rename, so a reader resolving the pointer sees either the old
+  *    or the new version, never a partial write;
+  *  - old versions stay on disk until vacuumed → time travel
+  *    (`read(root, version = n)`) and instant rollback (`rollback`)
+  *    are pointer operations, no data movement.
+  *
+  * On a real deployment the pointer rename maps to an atomic object-store
+  * or HDFS rename (both give single-object atomicity); the data writes are
+  * the same `DataFrameWriter` output-committer paths Spark already uses.
+  * Citing the reference's save-mode policy surface
+  * (`no_pipeline/Predict.scala:96`, `package.scala:31-36`) — this is the
+  * same sink capability hardened for concurrent readers.
+  */
+object SnapshotStore {
+
+  private def pointerPath(root: String) = Paths.get(root, "CURRENT")
+
+  /** Highest version present, whether or not CURRENT points at it. */
+  private def maxVersion(root: String): Long = {
+    val d = Paths.get(root)
+    if (!Files.exists(d)) 0L
+    else {
+      val vs = Files.list(d).iterator()
+      var m = 0L
+      while (vs.hasNext) {
+        val name = vs.next().getFileName.toString
+        if (name.startsWith("v")) name.drop(1).toLongOption.foreach(v => m = math.max(m, v))
+      }
+      m
+    }
+  }
+
+  /** Version CURRENT resolves to, 0 if never published. */
+  def currentVersion(root: String): Long = {
+    val p = pointerPath(root)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** Write df as the next version and atomically flip CURRENT to it.
+    * Returns the published version number. */
+  def publish(df: DataFrame, root: String): Long = {
+    val next = maxVersion(root) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v$next")
+    setPointer(root, next)
+    next
+  }
+
+  /** Point CURRENT at an existing version (rollback / roll-forward). */
+  def rollback(root: String, version: Long): Unit = {
+    require(Files.exists(Paths.get(root, s"v$version")),
+      s"version $version does not exist under $root")
+    setPointer(root, version)
+  }
+
+  private def setPointer(root: String, version: Long): Unit = {
+    val tmp = Paths.get(root, s".CURRENT.tmp.${System.nanoTime()}")
+    Files.createDirectories(Paths.get(root))
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    // ATOMIC_MOVE: a concurrent reader of CURRENT sees old or new, never
+    // a torn write
+    Files.move(tmp, pointerPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the current (or a pinned) snapshot. */
+  def read(spark: SparkSession, root: String, version: Long = 0L): DataFrame = {
+    val v = if (version > 0) version else currentVersion(root)
+    require(v > 0, s"no published version under $root")
+    spark.read.parquet(s"$root/v$v")
+  }
+
+  /** Drop version dirs older than the newest `keep` versions behind the
+    * current pointer (current itself always survives). Returns the dropped
+    * version numbers. */
+  def vacuum(root: String, keep: Int = 1): Seq[Long] = {
+    val cur = currentVersion(root)
+    (1L until cur - keep).filter { v =>
+      val dir = Paths.get(root, s"v$v")
+      if (Files.exists(dir) && v != cur) {
+        // delete children then dir (parquet dirs are flat + _SUCCESS)
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+        true
+      } else false
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.engine.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+
+class SnapshotStoreSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def root(): String =
+    Files.createTempDirectory("graft-snap").toString + "/tbl"
+
+  test("publish bumps the version; read resolves the pointer") {
+    val r = root()
+    assert(SnapshotStore.publish(Seq((1L, "a")).toDF("id", "v"), r) == 1L)
+    assert(SnapshotStore.publish(Seq((1L, "b"), (2L, "b")).toDF("id", "v"), r) == 2L)
+    assert(SnapshotStore.currentVersion(r) == 2L)
+    assert(SnapshotStore.read(spark, r).count() == 2L)
+    // time travel: pinned read of v1 still sees the old snapshot
+    val v1 = SnapshotStore.read(spark, r, version = 1L).collect()
+    assert(v1.length == 1 && v1(0).getString(1) == "a")
+  }
+
+  test("a reader resolved before a publish keeps its consistent snapshot") {
+    val r = root()
+    SnapshotStore.publish(spark.range(10).toDF("id"), r)
+    val pinned = SnapshotStore.currentVersion(r)
+    val reader = SnapshotStore.read(spark, r, pinned)
+    SnapshotStore.publish(spark.range(99).toDF("id"), r)
+    assert(reader.count() == 10L, "pinned reader must not see the new version")
+    assert(SnapshotStore.read(spark, r).count() == 99L)
+  }
+
+  test("rollback is a pointer flip; vacuum keeps the current + keep window") {
+    val r = root()
+    (1 to 4).foreach(i => SnapshotStore.publish(
+      spark.range(i * 10).toDF("id"), r))
+    SnapshotStore.rollback(r, 3L)
+    assert(SnapshotStore.read(spark, r).count() == 30L)
+    intercept[IllegalArgumentException] { SnapshotStore.rollback(r, 99L) }
+    val dropped = SnapshotStore.vacuum(r, keep = 1)
+    assert(dropped == Seq(1L), s"got $dropped")
+    assert(SnapshotStore.read(spark, r).count() == 30L, "current survives vacuum")
+    assert(SnapshotStore.read(spark, r, 2L).count() == 20L, "kept window survives")
+  }
+
+  test("failed publish leaves the pointer on the last good version; next publish recovers") {
+    val r = root()
+    SnapshotStore.publish(spark.range(5).toDF("id"), r)
+    // a write that fails mid-job (assert_true raises on execution)
+    intercept[Exception] {
+      SnapshotStore.publish(
+        spark.range(7).select(assert_true(col("id") < 0).as("x")), r)
+    }
+    assert(SnapshotStore.currentVersion(r) == 1L,
+      "pointer must still reference the last good version")
+    assert(SnapshotStore.read(spark, r).count() == 5L)
+    // recovery: the next publish takes a FRESH version number past any
+    // partial dir the failed job left, and flips the pointer to it
+    val v = SnapshotStore.publish(spark.range(7).toDF("id"), r)
+    assert(v > 1L && SnapshotStore.currentVersion(r) == v)
+    assert(SnapshotStore.read(spark, r).count() == 7L)
+  }
+}
