@@ -26,6 +26,12 @@ object Curation {
     * 100 TB posture: narrow (no shuffle, no state), stable under
     * repartitioning, and composable — sampling the union of two days equals
     * the union of their samples, which seeded `sample()` cannot promise.
+    *
+    * KEY TYPE CONTRACT: the key must be integral or string. The predicate
+    * hashes the key's STRING RENDERING, and engines render doubles,
+    * decimals, and timestamps differently (1.0E7 vs 10000000.0), which
+    * would silently select different rows — integers and strings render
+    * identically everywhere, so membership replays exactly.
     */
   /** 4-hex-digit exclusive upper bound for `fraction` of the 16^4 space.
     * fraction = 1.0 rounds to 0x10000 — five digits, which would compare
@@ -105,7 +111,9 @@ object Curation {
   /** C4-style corpus filter: exact dedup → quality gate → language gate →
     * token-length gate, in that order (dedup first so near-identical spam
     * doesn't vote in corpus statistics; cheap narrow gates after the one
-    * shuffle). Returns the surviving rows with their curation evidence. */
+    * shuffle). Returns the surviving documents — text included, so the
+    * output parquet IS the curated corpus a downstream tokenizer consumes —
+    * with their curation evidence columns. */
   def corpusFilter(docs: DataFrame, lang: String = "en",
       minTokens: Long = 20L, maxTokens: Long = 5000L): DataFrame = {
     val deduped = Dedup.exactDedup(docs, "text", "doc_id")
@@ -115,7 +123,7 @@ object Curation {
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
       .filter(col("keep") === 1L && col("lang_pred") === lang &&
         col("n_tokens").between(minTokens, maxTokens))
-      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+      .select(col("doc_id"), col("text"), col("lang_pred"), col("n_tokens"),
         col("quality"))
   }
 
@@ -128,7 +136,12 @@ object Curation {
     * At 100 TB the single total-order window is the scale hazard; the
     * deterministic fix is to pack within independent shards (e.g. per
     * (source, date) partition) — pass `shardCols` to scope the window, at
-    * the cost of one partial pack per shard. */
+    * the cost of one partial pack per shard.
+    *
+    * `orderCol` must be UNIQUE within a shard (doc_id, not a date): the
+    * running sum's ROWS frame sums ties in an engine-chosen order, so a
+    * non-unique key makes pack boundaries land on different documents
+    * run-to-run. */
   def packSequences(docs: DataFrame, orderCol: String, textCol: String,
       budgetTokens: Long, shardCols: Seq[String] = Nil): DataFrame = {
     val w = (if (shardCols.isEmpty) Window.orderBy(col(orderCol))

@@ -141,13 +141,28 @@ object Dedup {
     * bucket overflowed (and pair truncation is possible) on a given corpus.
     */
   def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val buckets = simHashBanded(df, textCol, idCol, maxHamming)
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simHashPairsFromBuckets(
+      simHashBuckets(df, textCol, idCol, maxHamming, maxBucketSize), maxHamming)
+
+  /** Bucket aggregation shared by pair expansion and overflow telemetry:
+    * per (band, value) the size-capped member list PLUS the uncapped
+    * member count (`n_full`) — so a caller can persist this one result and
+    * derive both the near-dup pairs and the truncation stats without a
+    * second scan of the corpus (see x43). */
+  private[llm] def simHashBuckets(df: DataFrame, textCol: String,
+      idCol: String, maxHamming: Int, maxBucketSize: Int): DataFrame =
+    simHashBanded(df, textCol, idCol, maxHamming)
       .groupBy(col("band_id"), col("band_val"))
       .agg(slice(sort_array(collect_list(struct(col("id"), col("sim")))),
-        1, maxBucketSize).as("rows"))
-      .filter(size(col("rows")) > 1)
+          1, maxBucketSize).as("rows"),
+        count(lit(1)).cast(LongType).as("n_full"))
+
+  /** Expand capped buckets into verified (id_a, id_b, hamming) pairs. */
+  private[llm] def simHashPairsFromBuckets(buckets: DataFrame,
+      maxHamming: Int): DataFrame =
     buckets
+      .filter(size(col("rows")) > 1)
       .select(explode(flatten(transform(col("rows"), (x, i) =>
         transform(slice(col("rows"), i + 2, size(col("rows"))),
           y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
@@ -156,7 +171,6 @@ object Dedup {
         bit_count(col("p.sim_a").bitwiseXOR(col("p.sim_b"))).cast(LongType).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
-  }
 
   /** Banded (id, sim, band_id, band_val) rows backing SimHash LSH: the
     * 64-bit fingerprint split into `min(maxHamming + 1, 16)` contiguous

@@ -422,15 +422,21 @@ object LlmQueries {
     "x43_simhash_neardup",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
-      // Truncation telemetry: the maxBucketSize cap silently drops pairs
-      // when a (band, value) bucket overflows, so the summary row carries
-      // the overflow count — recall is only guaranteed when it is 0.
-      val overflow = Dedup.simHashCapOverflow(docs, "text", "doc_id",
-        maxHamming = 3).head
-      import spark.implicits._
-      Seq((docs.count(), pairs.count(), overflow.getLong(0)))
-        .toDF("n_docs", "n_neardup_pairs", "n_capped_buckets")
+      // ONE banding+bucketing pass, persisted: pair expansion and the
+      // truncation telemetry both read it (recomputing the telemetry from
+      // scratch would re-scan and re-shuffle the whole corpus).
+      val buckets = Dedup.simHashBuckets(docs, "text", "doc_id",
+        maxHamming = 3, maxBucketSize = 1000).persist()
+      try {
+        val nPairs =
+          Dedup.simHashPairsFromBuckets(buckets, maxHamming = 3).count()
+        // Truncation telemetry: the cap silently drops pairs when a bucket
+        // overflows — recall is only guaranteed when this is 0.
+        val nCapped = buckets.filter(col("n_full") > 1000).count()
+        import spark.implicits._
+        Seq((docs.count(), nPairs, nCapped))
+          .toDF("n_docs", "n_neardup_pairs", "n_capped_buckets")
+      } finally buckets.unpersist()
     },
     None,
     doc = "SimHash64 banding + Hamming verify; recall guaranteed at " +
@@ -609,7 +615,7 @@ object LlmQueries {
             AS n_tokens
         FROM base),
       gated AS (
-        SELECT doc_id,
+        SELECT doc_id, text,
           CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
@@ -619,7 +625,7 @@ object LlmQueries {
           ROUND(0.5 * length_score + 0.3 * least(sw_raw * 5.0, 1.0)
             + 0.2 * (1.0 - least(dg_raw * 10.0, 1.0)), 6) AS quality
         FROM scored)
-      SELECT doc_id, lang_pred, n_tokens, quality FROM gated
+      SELECT doc_id, text, lang_pred, n_tokens, quality FROM gated
       WHERE quality >= 0.5 AND lang_pred = 'en'
         AND n_tokens BETWEEN 20 AND 5000
       ORDER BY doc_id"""

@@ -219,8 +219,16 @@ object TextAnalysis {
     val docs = df.select(col(idCol).cast(LongType).as("doc_id"),
       words(col(textCol)).as("ws"))
       .withColumn("doclen", size(col("ws")).cast(LongType))
-    val avgdl = docs.agg(sum(col("doclen")).cast("double") / count(lit(1)))
-      .head().getDouble(0)
+    // sum over zero rows is NULL — an empty corpus must yield an empty
+    // result (see EdgeCasesSpec), not an NPE reading the aggregate
+    val avgdlRow = docs.agg(sum(col("doclen")).cast("double") / count(lit(1)))
+      .head()
+    if (avgdlRow.isNullAt(0)) {
+      import df.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("doc_id", "n_matched_terms", "bm25")
+    }
+    val avgdl = avgdlRow.getDouble(0)
     val hits = docs.select(col("doc_id"), col("doclen"),
         explode(col("ws")).as("term"))
       .filter(col("term").isInCollection(queryTerms))

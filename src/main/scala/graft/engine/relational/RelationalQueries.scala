@@ -684,8 +684,9 @@ object RelationalQueries {
   val q59 = GraftQuery(
     "q59_partition_prune",
     (spark, sfDir) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_q59_part").toString
+      // fixed per-process dir + overwrite mode: repeated bench/verify runs
+      // replace the copy instead of accumulating orphaned temp trees
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q59_part"
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
           col("l_extendedprice"))
@@ -749,8 +750,16 @@ object RelationalQueries {
   val q74 = GraftQuery(
     "q74_snapshot_roundtrip",
     (spark, sfDir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q74_snap").toString + "/tbl"
+      // fixed root, wiped up front: repeated runs would otherwise
+      // accumulate version dirs forever (publish never overwrites)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q74_snap/tbl"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
       val nat = Tables.nation(spark, sfDir)
       graft.engine.sources.SnapshotStore.publish(
         nat.filter(col("n_regionkey") === 0), root)

@@ -31,13 +31,18 @@ object SnapshotStore {
     val d = Paths.get(root)
     if (!Files.exists(d)) 0L
     else {
-      val vs = Files.list(d).iterator()
-      var m = 0L
-      while (vs.hasNext) {
-        val name = vs.next().getFileName.toString
-        if (name.startsWith("v")) name.drop(1).toLongOption.foreach(v => m = math.max(m, v))
-      }
-      m
+      // Files.list holds a directory fd until closed — a long-lived driver
+      // publishing in a loop would otherwise leak one per publish
+      val stream = Files.list(d)
+      try {
+        val vs = stream.iterator()
+        var m = 0L
+        while (vs.hasNext) {
+          val name = vs.next().getFileName.toString
+          if (name.startsWith("v")) name.drop(1).toLongOption.foreach(v => m = math.max(m, v))
+        }
+        m
+      } finally stream.close()
     }
   }
 
@@ -90,9 +95,12 @@ object SnapshotStore {
     (1L until cur - keep).filter { v =>
       val dir = Paths.get(root, s"v$v")
       if (Files.exists(dir) && v != cur) {
-        // delete children then dir (parquet dirs are flat + _SUCCESS)
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        // delete children then dir (parquet dirs are flat + _SUCCESS);
+        // close the walk stream or its directory fds leak
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
+        finally walk.close()
         true
       } else false
     }

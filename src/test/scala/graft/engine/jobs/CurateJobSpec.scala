@@ -1,6 +1,7 @@
 package graft.engine.jobs
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{col, length}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession.{sfDir, spark}
 
@@ -11,11 +12,13 @@ class CurateJobSpec extends AnyFunSuite {
 
   private val input = s"$sfDir/documents.parquet"
 
-  test("filter mode applies the corpus gates") {
+  test("filter mode applies the corpus gates and keeps the document text") {
     val out = CurateJob.run(spark, Map("input" -> input, "mode" -> "filter"))
     assert(out.columns.toSeq ==
-      Seq("doc_id", "lang_pred", "n_tokens", "quality"))
+      Seq("doc_id", "text", "lang_pred", "n_tokens", "quality"))
     assert(out.count() > 0)
+    assert(out.filter(length(col("text")) === 0).count() == 0,
+      "the curated output must be a consumable corpus, not evidence only")
   }
 
   test("sample mode honors --fraction") {

@@ -49,6 +49,12 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("bm25 on an EMPTY corpus returns empty (avgdl aggregate is NULL)") {
+    val out = TextAnalysis.bm25(empty, "doc_id", "text", Seq("join"))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "n_matched_terms", "bm25"))
+  }
+
   test("packSequences of an empty corpus yields no packs") {
     val emptyS = Seq.empty[(Long, String, String)]
       .toDF("doc_id", "text", "source")
