@@ -464,7 +464,7 @@ object LlmQueries {
       val emb = Tables.embeddings(spark, sfDir).persist()
       try {
         val queries = emb.filter(col("vec_id") < 10)
-        // Both result sets are tiny (≤ 5·|queries| rows): collect once and
+        // All result sets are tiny (≤ 5·|queries| rows): collect once and
         // compare driver-side instead of re-running each plan for every count.
         val exact = Similarity.bruteForceTopK(emb, queries, 5)
           .select(col("qid"), col("nid")).collect()
@@ -472,15 +472,20 @@ object LlmQueries {
         val approx = Similarity.lshTopK(emb, queries, 5, bits = 4)
           .select(col("qid"), col("nid")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val mp = Similarity.lshTopK(emb, queries, 5, bits = 4, multiProbe = true)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
         val hit = exact.intersect(approx).size.toLong
+        val hitMp = exact.intersect(mp).size.toLong
         import spark.implicits._
         Seq((exact.size.toLong, approx.size.toLong, hit,
-          hit.toDouble / math.max(exact.size, 1)))
-          .toDF("n_exact", "n_approx", "n_hits", "recall")
+          hit.toDouble / math.max(exact.size, 1),
+          hitMp.toDouble / math.max(exact.size, 1)))
+          .toDF("n_exact", "n_approx", "n_hits", "recall", "recall_multiprobe")
       } finally emb.unpersist()
     },
     None,
-    doc = "LSH(4-bit) ANN vs brute force: recall measurement")
+    doc = "LSH(4-bit) ANN vs brute force: single-bucket and Hamming-1 multi-probe recall")
 
   /** X3 — IVF approximate top-k with recall vs the exact answer. */
   val x47 = GraftQuery(

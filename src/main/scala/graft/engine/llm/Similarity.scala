@@ -83,16 +83,27 @@ object Similarity {
         col("s.nid").as("nid"), round(col("s.cos"), 6).as("cosine"))
   }
 
-  /** Approximate top-k: probe only the query's own LSH bucket. Returns the
-    * same schema as bruteForceTopK (fewer than k rows when the bucket is
-    * small — that's the recall trade). */
+  /** Approximate top-k: probe the query's own LSH bucket, plus (with
+    * `multiProbe`) its `bits` Hamming-1 neighbor buckets — the standard
+    * recall/cost dial: a near-neighbor that lands one sign-flip away is
+    * found at (bits+1)× the probe fan-out while the corpus is still hashed
+    * and partitioned ONCE (only the tiny broadcast query side expands).
+    * Returns the same schema as bruteForceTopK (fewer than k rows when the
+    * probed buckets are sparse — that's the residual recall trade). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 8, dim: Int = 0): DataFrame = {
+      bits: Int = 8, dim: Int = 0, multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(bits, if (dim > 0) dim else embeddingDim(corpus))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       lshBucket(col("embedding"), planes).as("bucket"))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+    val q0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       lshBucket(col("embedding"), planes).as("bucket"))
+    // each corpus vector lives in exactly one bucket and the probe set per
+    // query is distinct buckets, so no (qid, nid) pair can repeat
+    val q = if (multiProbe)
+      q0.withColumn("bucket", explode(array(
+        col("bucket") +: (0 until bits).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)))
+    else q0
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     c.join(broadcast(q), Seq("bucket"))

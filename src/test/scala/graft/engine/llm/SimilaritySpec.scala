@@ -86,6 +86,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe lshTopK recall >= single-bucket recall (superset pool)") {
+    // the Hamming-1 probe set strictly contains the exact-bucket probe, so
+    // the candidate pool grows; top-k over a superset pool can only gain
+    // true-top-k members (a displacing candidate ranks above the displaced
+    // one, hence is itself a true-top-k member when the displaced was)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.lshTopK(emb, queries, 4, bits = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopK(emb, queries, 4, bits = 4, multiProbe = true)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.intersect(multi).size >= exact.intersect(single).size)
+    assert(multi.size >= single.size, "multi-probe must not shrink the result")
+  }
+
   test("ivfTopK with nprobe = nlist equals brute force exactly") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 8)
