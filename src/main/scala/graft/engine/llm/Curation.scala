@@ -127,6 +127,70 @@ object Curation {
         col("quality"))
   }
 
+  /** Exact NTILE(t) OVER (PARTITION BY group ORDER BY order, tie) without a
+    * per-group global sort — the 100 TB formulation of tier bucketing.
+    *
+    * A plain ntile window partitioned by a LOW-cardinality key (language,
+    * source) routes an entire partition's rows through ONE task's sort:
+    * correct at sf0.1, dead at scale (English is most of a crawl). This
+    * operator computes the identical answer from order statistics:
+    *
+    *  1. histogram: count rows per (group, orderVal) — a hash-agg whose
+    *     map-side partials absorb the heavy values; output size is bounded
+    *     by DISTINCT order values per group, not corpus rows.
+    *  2. cumulative rank range [lo, hi] per histogram cell, via a window
+    *     over the HISTOGRAM (bounded), not the corpus.
+    *  3. closed-form NTILE tile-of-rank (first n%t tiles get one extra row)
+    *     applied to lo and hi: a cell whose whole rank range lands in one
+    *     tile labels all its rows narrowly after a hash join back on
+    *     (group, orderVal).
+    *  4. only cells STRADDLING a tile boundary (at most t−1 per group) need
+    *     the tie-break order: their rows get row_number over
+    *     (group, orderVal) — a window whose partition is a single tie
+    *     class, never a whole group. The residual sort is bounded by the
+    *     largest tie class, the irreducible cost of tie-broken NTILE.
+    *
+    * `tieCol` must be unique within (group, orderVal) for a deterministic
+    * answer (same contract as the window formulation).
+    */
+  def groupNtile(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, numTiles: Int, tierCol: String = "tier"): DataFrame = {
+    require(numTiles >= 1, "numTiles must be >= 1")
+    val t = lit(numTiles.toLong)
+    // tile of rank r among n rows, NTILE semantics: q = n / t rows per tile,
+    // the first n % t tiles take one extra.
+    def tileOf(r: Column, n: Column): Column = {
+      val q = (n / t).cast(LongType)   // integral division on longs
+      val rem = n % t
+      when(q === 0L, r) // fewer rows than tiles: row r sits alone in tile r
+        .otherwise(
+          when(r <= (q + 1L) * rem, floor((r - 1L) / (q + 1L)) + 1L)
+            .otherwise(rem + floor((r - 1L - rem * (q + 1L)) / q) + 1L))
+        .cast(LongType)
+    }
+    val g = col(groupCol); val o = col(orderCol)
+    val hist = df.groupBy(g, o).agg(count(lit(1)).cast(LongType).as("_cnt"))
+    val wCum = Window.partitionBy(g).orderBy(o) // over the histogram only
+    val totals = hist.groupBy(g).agg(sum(col("_cnt")).cast(LongType).as("_n"))
+    val ranged = hist
+      .withColumn("_hi", sum(col("_cnt")).over(wCum).cast(LongType))
+      .withColumn("_lo", col("_hi") - col("_cnt") + 1L)
+      .join(broadcast(totals), Seq(groupCol)) // one tiny row per group
+      .withColumn("_tlo", tileOf(col("_lo"), col("_n")))
+      .withColumn("_thi", tileOf(col("_hi"), col("_n")))
+      .select(g, o, col("_lo"), col("_n"), col("_tlo"), col("_thi"))
+    val joined = df.join(ranged, Seq(groupCol, orderCol))
+    val whole = joined.filter(col("_tlo") === col("_thi"))
+      .withColumn(tierCol, col("_tlo"))
+    val wTie = Window.partitionBy(g, o).orderBy(col(tieCol)) // one tie class
+    val straddling = joined.filter(col("_tlo") =!= col("_thi"))
+      .withColumn("_r", col("_lo") + row_number().over(wTie) - 1L)
+      .withColumn(tierCol, tileOf(col("_r"), col("_n")))
+      .drop("_r")
+    whole.unionByName(straddling)
+      .drop("_lo", "_n", "_tlo", "_thi")
+  }
+
   /** Sequence packing (concatenate-and-split pretraining prep): documents
     * are laid out in `orderCol` order and cut every `budgetTokens` tokens;
     * a document's pack is the window its first token lands in. One

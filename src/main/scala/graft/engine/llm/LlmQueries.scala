@@ -690,20 +690,22 @@ object LlmQueries {
       ORDER BY doc_id LIMIT 2000"""),
     doc = "batch-vs-corpus anti-join dedup on 128-bit content keys (ingestion path)")
 
-  /** q65 — curriculum bucketing: per-language quality quartiles via ntile
-    * (the "order by difficulty, split into tiers" prep move). The window
-    * partitions on lang so no single-partition global sort; ties broken by
-    * doc_id for cross-engine determinism. */
+  /** q65 — curriculum bucketing: per-language quality quartiles (the
+    * "order by difficulty, split into tiers" prep move). NOT an ntile
+    * window: language is a LOW-cardinality skewed key (English ≈ most of a
+    * crawl), so `ntile over (partition by lang)` funnels nearly the whole
+    * corpus through one task's sort. [[Curation.groupNtile]] computes the
+    * identical answer (ties by doc_id) from a (lang, quality) histogram +
+    * closed-form tile-of-rank; only tie classes straddling a quartile
+    * boundary ever sort. The DuckDB oracle keeps the NTILE formulation —
+    * same answer, so the rewrite is value-verified, not just plan-shaped. */
   val q65 = GraftQuery(
     "q65_quality_tiers",
     (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
       val scored = TextAnalysis
         .qualityScore(Tables.documents(spark, sfDir), "text")
         .select(col("doc_id"), col("lang"), col("quality"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("quality"), col("doc_id"))
-      scored.withColumn("tier", ntile(4).over(w).cast(LongType))
+      Curation.groupNtile(scored, "lang", "quality", "doc_id", 4)
         .groupBy(col("lang"), col("tier"))
         .agg(lcount().as("n_docs"),
           min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
@@ -734,7 +736,8 @@ object LlmQueries {
         MIN(quality) AS q_min, MAX(quality) AS q_max
       FROM tiered GROUP BY 1, 2 ORDER BY 1, 2"""
     }),
-    doc = "per-language quality quartiles (ntile window, lang-partitioned)")
+    doc = "per-language quality quartiles via histogram order statistics " +
+      "(no low-cardinality ntile window; DuckDB NTILE oracle verifies values)")
 
   /** q63 — data-mixture sampling: per-source target rates (upsample some
     * sources, downsample the rest) via the same deterministic md5 buckets

@@ -107,6 +107,34 @@ class CurationSpec extends AnyFunSuite {
     assert(out(11L)._2 == 0L && out(11L)._3 == 0.0)
   }
 
+  test("groupNtile == ntile window on a tie-heavy skewed fixture") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed groups (g0 has 83 rows, g1 has 11, g2 has 2 — fewer rows than
+    // tiles) and heavy ties (values drawn from just 5 levels)
+    val rows = (0L until 96L).map { i =>
+      val g = if (i < 83) "g0" else if (i < 94) "g1" else "g2"
+      (i, g, (i % 5).toDouble / 10.0)
+    }
+    val df = rows.toDF("id", "g", "v")
+    for (t <- Seq(2, 4, 7)) {
+      val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      val expected = df.withColumn("tier", ntile(t).over(w).cast("long"))
+        .select("id", "tier").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Curation.groupNtile(df, "g", "v", "id", t)
+        .select("id", "tier").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"numTiles=$t")
+    }
+  }
+
+  test("groupNtile covers every row exactly once") {
+    val out = Curation.groupNtile(
+      docs.select(col("doc_id"), col("lang"),
+        (col("doc_id") % 3).cast("double").as("v")),
+      "lang", "v", "doc_id", 4)
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("packSequences: no pack starts beyond the running token budget") {
     // tiny synthetic corpus with known token counts: 10 docs × 5 tokens,
     // budget 12 ⇒ starting offsets 0,5,10,15,… ⇒ packs 0,0,0,1,1,2,2,2,3,3

@@ -96,6 +96,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("q65: no window sorts corpus rows on lang alone (histogram ntile)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.engine.llm.LlmQueries.q65.run(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the histogram/tie-class windows")
+    windows.foreach { w =>
+      val spec = w.partitionSpec.map(_.sql.toLowerCase)
+      // a window partitioned on the low-cardinality key alone is only
+      // admissible over an already-aggregated (histogram-sized) input,
+      // never over raw corpus rows
+      val overAggregate =
+        w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined
+      assert(spec.size >= 2 || overAggregate,
+        s"corpus-sized window partitioned on $spec")
+    }
+  }
+
   test("q59: partitioned read prunes to the filtered partition") {
     val plan = explainFormatted(RelationalQueries.q59)
     val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
