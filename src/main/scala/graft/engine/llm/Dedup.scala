@@ -201,15 +201,18 @@ object Dedup {
     * (n_overflow_buckets, max_bucket_size). n_overflow_buckets > 0 means
     * some (band, value) bucket exceeded `maxBucketSize`, so the pair list
     * MAY undercount — the guaranteed-recall claim only holds when this
-    * reports 0. Cheap: reuses the banding plan, aggregates to one row. */
+    * reports 0. Cheap: reuses the banding plan, aggregates to one row.
+    * Coalesced so an empty corpus reads (0, 0) — the documented
+    * "recall guaranteed iff 0" check must never see NULL. */
   def simHashCapOverflow(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
     simHashBanded(df, textCol, idCol, maxHamming)
       .groupBy(col("band_id"), col("band_val"))
       .agg(count(lit(1)).as("n"))
-      .agg(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
-             .cast(LongType).as("n_overflow_buckets"),
-           max(col("n")).cast(LongType).as("max_bucket_size"))
+      .agg(coalesce(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)),
+             lit(0L)).cast(LongType).as("n_overflow_buckets"),
+           coalesce(max(col("n")), lit(0L)).cast(LongType)
+             .as("max_bucket_size"))
 
   /** Connected components over near-dup pairs: min-label propagation with
     * pointer-doubling shortcutting. Each round every vertex adopts the

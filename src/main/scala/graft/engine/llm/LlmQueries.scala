@@ -422,17 +422,18 @@ object LlmQueries {
     "x43_simhash_neardup",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
+      val cap = 1000 // ONE binding for the bucket cap and its telemetry
       // ONE banding+bucketing pass, persisted: pair expansion and the
       // truncation telemetry both read it (recomputing the telemetry from
       // scratch would re-scan and re-shuffle the whole corpus).
       val buckets = Dedup.simHashBuckets(docs, "text", "doc_id",
-        maxHamming = 3, maxBucketSize = 1000).persist()
+        maxHamming = 3, maxBucketSize = cap).persist()
       try {
         val nPairs =
           Dedup.simHashPairsFromBuckets(buckets, maxHamming = 3).count()
         // Truncation telemetry: the cap silently drops pairs when a bucket
         // overflows — recall is only guaranteed when this is 0.
-        val nCapped = buckets.filter(col("n_full") > 1000).count()
+        val nCapped = buckets.filter(col("n_full") > cap).count()
         import spark.implicits._
         Seq((docs.count(), nPairs, nCapped))
           .toDF("n_docs", "n_neardup_pairs", "n_capped_buckets")
@@ -442,17 +443,32 @@ object LlmQueries {
     doc = "SimHash64 banding + Hamming verify; recall guaranteed at " +
       "hamming<=3 iff n_capped_buckets=0 (bucket cap may drop pairs)")
 
-  /** X2e/X3 — embedding-cosine near-dup via LSH blocking, summary. */
+  /** X2e/X3 — embedding-cosine near-dup via LSH blocking, summary.
+    * bits=8 pinned for round-over-round comparability of the pair count
+    * (production default is auto-sized bits); the capped bucket expansion
+    * plus n_capped_buckets telemetry is the 100 TB posture — a hot bucket
+    * can truncate pairs, and this row says whether one did. */
   val x45 = GraftQuery(
     "x45_embedding_neardup",
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
-      val pairs = Similarity.embeddingNearDups(emb, threshold = 0.8)
-      import spark.implicits._
-      Seq((emb.count(), pairs.count())).toDF("n_vectors", "n_neardup_pairs")
+      val cap = 1000
+      // ONE bucketing pass, persisted: pair expansion and the truncation
+      // telemetry both read it (mirrors x43's discipline).
+      val buckets = Similarity.embeddingBuckets(emb, bits = 8,
+        maxBucketSize = cap).persist()
+      try {
+        val nPairs = Similarity
+          .embeddingPairsFromBuckets(buckets, emb, threshold = 0.8).count()
+        val nCapped = buckets.filter(col("n_full") > cap).count()
+        import spark.implicits._
+        Seq((emb.count(), nPairs, nCapped))
+          .toDF("n_vectors", "n_neardup_pairs", "n_capped_buckets")
+      } finally buckets.unpersist()
     },
     None,
-    doc = "sign-LSH bucket join + cosine>=0.8 verify, summary row")
+    doc = "sign-LSH capped-bucket expansion + cosine>=0.8 verify; " +
+      "recall guaranteed iff n_capped_buckets=0")
 
   /** X3 — LSH approximate top-k with recall vs the exact answer. */
   val x44 = GraftQuery(

@@ -35,8 +35,10 @@ object Similarity {
   /** Embedding width, read from the data (one CollectLimit-1 job — a single
     * row of a single file). Hardcoding a default dim would silently compute
     * wrong cosines if the embedding table changed width. */
-  def embeddingDim(corpus: DataFrame, embCol: String = "embedding"): Int =
-    corpus.select(size(col(embCol))).head().getInt(0)
+  def embeddingDim(corpus: DataFrame, embCol: String = "embedding"): Int = {
+    val h = corpus.select(size(col(embCol))).head(1)
+    if (h.isEmpty) 1 else h(0).getInt(0) // empty corpus: no rows to hash
+  }
 
   private def dotWithLiteral(vec: Column, plane: Array[Double]): Column =
     plane.zipWithIndex.map { case (wgt, i) =>
@@ -196,22 +198,79 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** X2e — embedding-cosine near-dup pairs via LSH blocking: only pairs
-    * sharing a bucket are scored; cosine >= threshold survives. */
-  def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9,
-      bits: Int = 8, dim: Int = 0): DataFrame = {
-    val planes = hyperplanes(bits, if (dim > 0) dim else embeddingDim(corpus))
-    val base = corpus.select(col("vec_id").as("id"), col("embedding").as("e"),
-      lshBucket(col("embedding"), planes).as("bucket"))
-    val a = base.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"))
-    val b = base.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+  /** Hash width for [[embeddingNearDups]] sized to the corpus: enough
+    * bits that the MEAN bucket holds ~`targetBucket` vectors (hot buckets
+    * get the hard `maxBucketSize` cap on top). Fixed bits would be the
+    * 100 TB failure: 256 buckets over 10^12 vectors is 4·10^9 per bucket
+    * and a quadratic within-bucket join. */
+  def autoBits(corpusSize: Long, targetBucket: Int = 256): Int =
+    math.max(4, math.min(24,
+      math.ceil(math.log(math.max(corpusSize, 1).toDouble / targetBucket)
+        / math.log(2.0)).toInt))
+
+  /** Bucket aggregation behind [[embeddingNearDups]]: per sign-LSH bucket
+    * the size-capped sorted member-id list PLUS the uncapped count
+    * (`n_full`) — persist this one result to derive both the pairs and the
+    * truncation telemetry without a second corpus scan (see x45).
+    * `bits <= 0` sizes the hash to the corpus via [[autoBits]]. */
+  def embeddingBuckets(corpus: DataFrame, bits: Int = 0, dim: Int = 0,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val b = if (bits > 0) bits else autoBits(corpus.count())
+    val planes = hyperplanes(b, if (dim > 0) dim else embeddingDim(corpus))
+    corpus.select(col("vec_id").as("id"),
+        lshBucket(col("embedding"), planes).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucketSize).as("ids"),
+        count(lit(1)).cast(LongType).as("n_full"))
+  }
+
+  /** Expand capped buckets into candidate pairs and verify exact cosine
+    * against the corpus embeddings (only the candidate set — bounded by
+    * buckets·maxBucketSize² — ever carries vectors through a shuffle). */
+  def embeddingPairsFromBuckets(buckets: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val candidates = buckets
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val emb = corpus.select(col("vec_id").as("id"), col("embedding").as("e"))
+    candidates
+      .join(emb.select(col("id").as("id_a"), col("e").as("e_a")), Seq("id_a"))
+      .join(emb.select(col("id").as("id_b"), col("e").as("e_b")), Seq("id_b"))
       .withColumn("cosine", F.cosineSimilarity(col("e_a"), col("e_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-      .dropDuplicates("id_a", "id_b")
   }
+
+  /** X2e — embedding-cosine near-dup pairs via LSH blocking: only pairs
+    * sharing a bucket are scored; cosine >= threshold survives.
+    *
+    * Same bounded-bucket posture as the MinHash/SimHash paths
+    * (Dedup.minHashNearDups): candidate pairs come from grouping ids per
+    * bucket and expanding in-bucket combinations with `maxBucketSize`
+    * capping the quadratic blow-up of a hot bucket (capped members still
+    * pair transitively through the survivors). Recall is only guaranteed
+    * while every bucket fits the cap — [[embeddingCapOverflow]] (or the
+    * persisted [[embeddingBuckets]] `n_full` column) reports truncation. */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9,
+      bits: Int = 0, dim: Int = 0, maxBucketSize: Int = 1000): DataFrame =
+    embeddingPairsFromBuckets(
+      embeddingBuckets(corpus, bits, dim, maxBucketSize), corpus, threshold)
+
+  /** Truncation telemetry for [[embeddingNearDups]], mirroring
+    * [[Dedup.simHashCapOverflow]]: one row (n_overflow_buckets,
+    * max_bucket_size); pair recall is only guaranteed when the first is 0.
+    * Coalesced so an empty corpus reads (0, 0), not NULLs. */
+  def embeddingCapOverflow(corpus: DataFrame, bits: Int = 0, dim: Int = 0,
+      maxBucketSize: Int = 1000): DataFrame =
+    embeddingBuckets(corpus, bits, dim, maxBucketSize)
+      .agg(coalesce(sum(when(col("n_full") > maxBucketSize, 1L).otherwise(0L)),
+             lit(0L)).cast(LongType).as("n_overflow_buckets"),
+           coalesce(max(col("n_full")), lit(0L)).cast(LongType)
+             .as("max_bucket_size"))
 
   /** Per-group embedding centroids via posexplode → (group, position)
     * hash-agg — the distributed position-wise mean (cluster summaries,

@@ -165,6 +165,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cells.subsetOf((0 until 8).toSet) && cells.nonEmpty)
   }
 
+  test("embeddingNearDups: degenerate corpus (1k identical vectors) stays " +
+      "bounded by the bucket cap and reports overflow") {
+    // all-identical vectors collapse to ONE bucket: uncapped this is
+    // C(1000,2) ≈ 5·10^5 pairs (and quadratic at scale); capped at 100 the
+    // expansion is C(100,2) and the telemetry says truncation happened
+    val vec = Array.fill(8)(0.5f)
+    val corpus = (0L until 1000L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(corpus, threshold = 0.9,
+      bits = 4, maxBucketSize = 100)
+    assert(pairs.count() == 100L * 99L / 2)
+    val tel = Similarity.embeddingCapOverflow(corpus, bits = 4,
+      maxBucketSize = 100).collect()(0)
+    assert(tel.getAs[Long]("n_overflow_buckets") >= 1L)
+    assert(tel.getAs[Long]("max_bucket_size") == 1000L)
+    // empty corpus: telemetry must read (0, 0), never NULL
+    val empty = Similarity.embeddingCapOverflow(
+      corpus.filter(col("vec_id") < 0), bits = 4).collect()(0)
+    assert(empty.getAs[Long]("n_overflow_buckets") == 0L)
+    assert(empty.getAs[Long]("max_bucket_size") == 0L)
+  }
+
+  test("autoBits sizes the hash to the corpus") {
+    assert(Similarity.autoBits(0) == 4)
+    assert(Similarity.autoBits(256) == 4)          // floor
+    assert(Similarity.autoBits(1L << 20) == 12)    // 2^20 / 256 = 2^12
+    assert(Similarity.autoBits(Long.MaxValue) == 24) // ceiling
+    // auto path end-to-end: bits <= 0 derives from the corpus
+    val rnd = new scala.util.Random(5)
+    val base = Seq.tabulate(30)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val corpus = (base :+ (999L, base(3)._2)).toDF("vec_id", "embedding")
+    val dups = Similarity.embeddingNearDups(corpus, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((3L, 999L)))
+  }
+
   test("embeddingNearDups finds planted duplicate pair") {
     val emb = Tables.embeddings(spark, sfDir)
     val planted = emb.filter(col("vec_id") === 7)
