@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * task, no driver materialization).
   *
   * The actual media DECODE IS STUBBED — this container has no image/audio
-  * codecs. `decodeStub` is a deterministic fake (byte histogram) with the
-  * real seam marked; swapping in a JNI/javacv decoder changes only that
-  * function. Everything around it — schema, partitioning, batch iteration,
-  * feature schema — is real and tested.
+  * codecs. The seam is the injectable [[Multimodal.MediaDecoder]] trait:
+  * the default [[Multimodal.ByteHistogramDecoder]] is a deterministic fake
+  * (byte histogram); a JNI/javacv decoder swaps in as an argument to
+  * [[Multimodal.extractFeatures]] with zero other changes. Everything
+  * around the seam — schema, partitioning, batch iteration, feature
+  * schema — is real and tested.
   *
   * Scale posture: content bytes never shuffle except for the initial
   * repartition-by-id (even distribution of large blobs); features (small,
@@ -50,31 +52,45 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** ??? — REAL DECODER GOES HERE. Stub: 16-bin byte histogram, L1
-    * normalized. Deterministic, shape-compatible with an embedding model's
-    * pooled output. */
-  private[llm] def decodeStub(modality: String, content: Array[Byte],
-      meta: MediaMeta): Array[Float] = {
-    val hist = new Array[Float](16)
-    var i = 0
-    while (i < content.length) {
-      hist((content(i) & 0xff) >> 4) += 1f
-      i += 1
+  /** The real-codec seam: implementations turn raw media bytes into a
+    * fixed-width feature vector. Must be Serializable — instances ship to
+    * executors inside the mapPartitions closure. A production deployment
+    * passes a JNI/javacv-backed implementation to [[extractFeatures]];
+    * nothing else in the pipeline changes. */
+  trait MediaDecoder extends Serializable {
+    def decode(modality: String, content: Array[Byte], meta: MediaMeta): Array[Float]
+  }
+
+  /** ??? — REAL DECODER GOES HERE (default stand-in). 16-bin byte
+    * histogram, L1 normalized: deterministic, codec-free,
+    * shape-compatible with an embedding model's pooled output. */
+  object ByteHistogramDecoder extends MediaDecoder {
+    def decode(modality: String, content: Array[Byte],
+        meta: MediaMeta): Array[Float] = {
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < content.length) {
+        hist((content(i) & 0xff) >> 4) += 1f
+        i += 1
+      }
+      val n = math.max(content.length, 1).toFloat
+      var b = 0
+      while (b < 16) { hist(b) /= n; b += 1 }
+      hist
     }
-    val n = math.max(content.length, 1).toFloat
-    var b = 0
-    while (b < 16) { hist(b) /= n; b += 1 }
-    hist
   }
 
   /** Batch feature extraction: one pass per partition, iterator→iterator —
-    * constant memory per task regardless of partition size. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * constant memory per task regardless of partition size. The decoder is
+    * a constructor-style argument, so swapping the stub for a real codec
+    * is a call-site change, not a file edit. */
+  def extractFeatures(media: Dataset[MediaRow],
+      decoder: MediaDecoder = ByteHistogramDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
         MediaFeatures(m.media_id, m.modality, m.content.length.toLong,
-          decodeStub(m.modality, m.content, m.meta))
+          decoder.decode(m.modality, m.content, m.meta))
       }
     }
   }

@@ -85,31 +85,67 @@ object Similarity {
         col("s.nid").as("nid"), round(col("s.cos"), 6).as("cosine"))
   }
 
-  /** Approximate top-k: probe the query's own LSH bucket, plus (with
-    * `multiProbe`) its `bits` Hamming-1 neighbor buckets — the standard
-    * recall/cost dial: a near-neighbor that lands one sign-flip away is
-    * found at (bits+1)× the probe fan-out while the corpus is still hashed
-    * and partitioned ONCE (only the tiny broadcast query side expands).
-    * Returns the same schema as bruteForceTopK (fewer than k rows when the
-    * probed buckets are sparse — that's the residual recall trade). */
+  /** XOR masks for every bucket within Hamming distance <= radius of the
+    * origin (radius <= 2 supported — fan-out 1 + b + b(b−1)/2). */
+  def probeMasks(bits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2, "probeRadius in {0, 1, 2}")
+    val r0 = Seq(0L)
+    val r1 = if (radius >= 1) (0 until bits).map(b => 1L << b) else Nil
+    val r2 = if (radius >= 2)
+      for (a <- 0 until bits; b <- a + 1 until bits)
+        yield (1L << a) | (1L << b)
+    else Nil
+    r0 ++ r1 ++ r2
+  }
+
+  /** Approximate top-k with the two standard recall dials:
+    *
+    *  - `probeRadius`: each query also probes every bucket within that
+    *    Hamming distance of its own (0 = exact bucket; 1 adds `bits`
+    *    sign-flip neighbors; 2 adds the C(bits,2) two-flip buckets). Only
+    *    the tiny broadcast query side expands; the corpus is hashed and
+    *    partitioned once per table.
+    *  - `tables`: independent hash tables (distinct seeded hyperplane
+    *    sets). The corpus is stored `tables`× (the classic LSH
+    *    space-for-recall trade: at scale, table id + bucket becomes the
+    *    partition key); a neighbor is found if ANY table co-buckets it.
+    *
+    * Candidates are distinct (qid, nid) pairs before ranking, so the
+    * returned top-k is unaffected by how many probes found a neighbor.
+    * Returns the bruteForceTopK schema (fewer than k rows when the probed
+    * buckets are sparse — the residual recall trade). The recall/cost
+    * curve for the testdata corpus is recorded in BASELINE.md; x44 runs
+    * the chosen operating point. `multiProbe` is the legacy radius-1
+    * switch. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 8, dim: Int = 0, multiProbe: Boolean = false): DataFrame = {
-    val planes = hyperplanes(bits, if (dim > 0) dim else embeddingDim(corpus))
+      bits: Int = 8, dim: Int = 0, multiProbe: Boolean = false,
+      probeRadius: Int = -1, tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    val radius = if (probeRadius >= 0) probeRadius else if (multiProbe) 1 else 0
+    val d = if (dim > 0) dim else embeddingDim(corpus)
+    val planesByTable = (0 until tables)
+      .map(t => hyperplanes(bits, d, seed = 7L + 9973L * t))
+    def tableBuckets(vec: Column): Column = array(
+      planesByTable.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("tbl"), lshBucket(vec, p).as("bucket"))
+      }: _*)
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-      lshBucket(col("embedding"), planes).as("bucket"))
-    val q0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      lshBucket(col("embedding"), planes).as("bucket"))
-    // each corpus vector lives in exactly one bucket and the probe set per
-    // query is distinct buckets, so no (qid, nid) pair can repeat
-    val q = if (multiProbe)
-      q0.withColumn("bucket", explode(array(
-        col("bucket") +: (0 until bits).map(b =>
-          col("bucket").bitwiseXOR(lit(1L << b))): _*)))
-    else q0
+        explode(tableBuckets(col("embedding"))).as("tb"))
+      .select(col("nid"), col("ne"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val masks = probeMasks(bits, radius)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(tableBuckets(col("embedding"))).as("tb"))
+      .select(col("qid"), col("qe"), col("tb.tbl").as("tbl"),
+        explode(array(masks.map(m =>
+          col("tb.bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
+      // distinct candidates: with tables > 1 the same pair can co-bucket in
+      // several tables; rank each neighbor once
+      .dropDuplicates("qid", "nid")
       .withColumn("cos", F.cosineSimilarity(col("qe"), col("ne")))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)

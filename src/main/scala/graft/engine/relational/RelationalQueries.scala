@@ -684,9 +684,12 @@ object RelationalQueries {
   val q59 = GraftQuery(
     "q59_partition_prune",
     (spark, sfDir) => {
-      // fixed per-process dir + overwrite mode: repeated bench/verify runs
-      // replace the copy instead of accumulating orphaned temp trees
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q59_part"
+      // pid-suffixed dir + overwrite mode: repeated runs in one process
+      // replace the copy instead of accumulating orphaned temp trees, and
+      // two concurrent suite/bench processes on the same host cannot wipe
+      // each other's scratch tree mid-read
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q59_part_${ProcessHandle.current().pid()}"
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
           col("l_extendedprice"))
@@ -750,9 +753,11 @@ object RelationalQueries {
   val q74 = GraftQuery(
     "q74_snapshot_roundtrip",
     (spark, sfDir) => {
-      // fixed root, wiped up front: repeated runs would otherwise
-      // accumulate version dirs forever (publish never overwrites)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q74_snap/tbl"
+      // pid-suffixed root, wiped up front: repeated runs in one process
+      // would otherwise accumulate version dirs forever (publish never
+      // overwrites), and concurrent processes cannot race on one store
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q74_snap_${ProcessHandle.current().pid()}/tbl"
       val rootPath = java.nio.file.Paths.get(root)
       if (java.nio.file.Files.exists(rootPath)) {
         val walk = java.nio.file.Files.walk(rootPath)

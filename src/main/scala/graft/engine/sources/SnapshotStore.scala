@@ -55,19 +55,84 @@ object SnapshotStore {
   }
 
   /** Write df as the next version and atomically flip CURRENT to it.
-    * Returns the published version number. */
+    * Returns the published version number.
+    *
+    * Concurrent-writer safe: the (heavy, unserialized) data write goes to
+    * a unique staging dir; the version number is only CLAIMED inside the
+    * flip-lock critical section — rename staging → `v{max+1}` and advance
+    * the pointer as one locked step, a few milliseconds regardless of data
+    * size. Two racing publishers therefore land DISTINCT versions (no
+    * interleaved part-files — Spark's ErrorIfExists existence check is not
+    * atomic and cannot give this), and the pointer can never regress onto
+    * an older version (the lost-update the naive scan→write→flip allows).
+    * A publisher that dies mid-write leaves only an ignored `.staging-*`
+    * dir — CURRENT still resolves to the last good version. */
   def publish(df: DataFrame, root: String): Long = {
-    val next = maxVersion(root) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v$next")
-    setPointer(root, next)
-    next
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    withFlipLock(root) {
+      val next = maxVersion(root) + 1
+      Files.move(staging, Paths.get(root, s"v$next"),
+        StandardCopyOption.ATOMIC_MOVE)
+      advancePointerLocked(root, next)
+      next
+    }
   }
 
-  /** Point CURRENT at an existing version (rollback / roll-forward). */
+  /** Point CURRENT at an existing version (rollback / roll-forward).
+    * Unlike [[publish]], moving BACKWARD is the point here, so the flip is
+    * unconditional — but still serialized by the flip lock so it cannot
+    * interleave with a concurrent publish's read-check-flip. */
   def rollback(root: String, version: Long): Unit = {
     require(Files.exists(Paths.get(root, s"v$version")),
       s"version $version does not exist under $root")
+    withFlipLock(root)(setPointer(root, version))
+  }
+
+  /** Forward-only CURRENT flip: read-check-move as one critical section.
+    * Package-private so the spec can drive the stale-publisher path
+    * directly. */
+  private[sources] def advancePointer(root: String, version: Long): Unit =
+    withFlipLock(root)(advancePointerLocked(root, version))
+
+  /** Forward-only flip body — caller must hold the flip lock (the lock
+    * file create is not reentrant). */
+  private def advancePointerLocked(root: String, version: Long): Unit = {
+    val cur = currentVersion(root)
+    if (cur >= version)
+      throw new IllegalStateException(
+        s"stale publish: CURRENT is already v$cur >= v$version under $root " +
+          "(a concurrent publisher advanced the pointer); the written " +
+          s"version dir v$version remains for time travel or vacuum")
     setPointer(root, version)
+  }
+
+  /** Mutual exclusion for pointer flips via atomic lock-file create (maps
+    * to an atomic PUT-if-absent / create-no-overwrite on HDFS and object
+    * stores that support it). A lock older than `staleMs` is treated as
+    * abandoned by a crashed writer and broken. */
+  private def withFlipLock[A](root: String, staleMs: Long = 60000L)(body: => A): A = {
+    Files.createDirectories(Paths.get(root))
+    val lock = Paths.get(root, ".CURRENT.lock")
+    var held = false
+    var waitedMs = 0L
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.nio.file.NoSuchFileException => 0L }
+          if (age > staleMs) { try Files.deleteIfExists(lock) catch { case _: Exception => () } }
+          else {
+            Thread.sleep(10)
+            waitedMs += 10
+            require(waitedMs < staleMs * 2, s"could not acquire flip lock $lock")
+          }
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
   }
 
   private def setPointer(root: String, version: Long): Unit = {

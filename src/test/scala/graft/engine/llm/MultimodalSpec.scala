@@ -32,6 +32,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("injected MediaDecoder flows end-to-end (real-codec swap is an argument)") {
+    // A fake "real" decoder: constant-width vector keyed off meta — proves
+    // the decoder argument (not the default stub) is what executes on the
+    // executors, and that meta reaches it.
+    object FakeCodec extends Multimodal.MediaDecoder {
+      def decode(modality: String, content: Array[Byte],
+          meta: Multimodal.MediaMeta): Array[Float] =
+        Array(modality.length.toFloat, meta.width.toFloat,
+          content.length.toFloat, 42f)
+    }
+    val feats = Multimodal.extractFeatures(media, FakeCodec).collect()
+    assert(feats.nonEmpty)
+    feats.take(50).foreach { f =>
+      assert(f.features.length == 4, "injected decoder's shape, not the stub's 16")
+      assert(f.features(3) == 42f)
+      assert(f.features(2) == f.n_bytes.toFloat)
+    }
+    // and the default path still produces the stub's 16-bin histogram
+    assert(Multimodal.extractFeatures(media).head().features.length == 16)
+  }
+
   test("frame sampling keeps every k-th frame of video rows only") {
     val frames = Multimodal.frameSample(media, everyK = 2).collect()
     assert(frames.nonEmpty)

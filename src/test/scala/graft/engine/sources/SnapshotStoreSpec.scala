@@ -45,6 +45,47 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, r, 2L).count() == 20L, "kept window survives")
   }
 
+  test("stale publisher cannot regress the pointer (forward-only flip)") {
+    val r = root()
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "v"), r)
+    SnapshotStore.publish(Seq((2L, "b")).toDF("id", "v"), r)
+    // a slow publisher that computed its version before the fast one
+    // finished now tries to flip CURRENT back — it must fail, not regress
+    intercept[IllegalStateException] { SnapshotStore.advancePointer(r, 1L) }
+    intercept[IllegalStateException] { SnapshotStore.advancePointer(r, 2L) }
+    assert(SnapshotStore.currentVersion(r) == 2L,
+      "CURRENT must still point at the newest publish")
+    // rollback remains an intentional backward flip, and publish-after-
+    // rollback moves forward from the max version, not the pointer
+    SnapshotStore.rollback(r, 1L)
+    assert(SnapshotStore.currentVersion(r) == 1L)
+    val v = SnapshotStore.publish(Seq((3L, "c")).toDF("id", "v"), r)
+    assert(v == 3L && SnapshotStore.currentVersion(r) == 3L)
+  }
+
+  test("concurrent publishers: every completed publish lands a distinct version and CURRENT ends at the max") {
+    val r = root()
+    SnapshotStore.publish(Seq((0L, "seed")).toDF("id", "v"), r)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.traverse((1 to 4).toList) { i =>
+        Future {
+          // staging-write + locked claim/flip: every publisher should land
+          // its own version; a failure here would mean corrupted state
+          try Right(SnapshotStore.publish(Seq((i.toLong, s"w$i")).toDF("id", "v"), r))
+          catch { case e: Exception => Left(e.toString) }
+        }
+      }, 60.seconds)
+    val winners = results.collect { case Right(v) => v }
+    assert(winners.size == 4, s"every concurrent publish must land: $results")
+    assert(winners.distinct.size == winners.size, s"duplicate versions: $winners")
+    assert(SnapshotStore.currentVersion(r) == winners.max,
+      "CURRENT must resolve to the newest successfully-published version")
+    assert(SnapshotStore.read(spark, r).count() == 1L)
+  }
+
   test("failed publish leaves the pointer on the last good version; next publish recovers") {
     val r = root()
     SnapshotStore.publish(spark.range(5).toDF("id"), r)
