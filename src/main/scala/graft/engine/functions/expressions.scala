@@ -231,6 +231,62 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Sign-random-projection LSH buckets for every hash table in ONE pass
+  * (X3 ANN / X2e embedding near-dup).
+  *
+  * `planes(t)(b)` is hyperplane b of table t; output element t is table
+  * t's bucket id (bit b set iff vec · planes(t)(b) >= 0). The Column-DSL
+  * formulation (`element_at` chains reduced with `+`) builds a
+  * bits × dim × tables expression tree — ~12k nodes at the published
+  * operating point (6 bits × 64 dims × 8 tables), which overflows janino's
+  * 64 KB method limit, falls back to interpreted eval, and turned x44 into
+  * a 40 s query. This kernel is one expression node: the tree stays
+  * codegen-friendly and the dot products run as tight JVM loops
+  * (measured back under the legacy single-table cost).
+  */
+case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(planes.nonEmpty && planes.forall(_.length == planes(0).length),
+    "every table needs the same number of hyperplanes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_lsh"
+
+  @inline private def elem(arr: ArrayData, dt: DataType, i: Int): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case _ => throw new IllegalArgumentException(s"unsupported element type $dt")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var bucket = 0L
+      var b = 0
+      while (b < table.length) {
+        val p = table(b)
+        val n = math.min(arr.numElements(), p.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += elem(arr, et, i) * p(i); i += 1 }
+        if (dot >= 0.0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial fingerprint of a string (X4 document fingerprinting):
   * h = Σ cp_i · B^(n-1-i) mod M over Unicode code points, B = 131,
   * M = 1e9+7. Shift-invariant enough for chunk fingerprints; cheaper than
@@ -283,6 +339,10 @@ object F {
 
   def rollingHash(s: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(s)))
+
+  /** Per-table sign-LSH bucket ids as ARRAY<BIGINT> (index = table). */
+  def signLshBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
+    Bridge.column(SignLshBuckets(Bridge.expression(vec), planes))
 
   /** Register for SQL use: graft_cosine, graft_simhash64, graft_rolling_hash. */
   def register(spark: SparkSession): Unit = {

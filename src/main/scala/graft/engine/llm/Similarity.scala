@@ -40,16 +40,12 @@ object Similarity {
     if (h.isEmpty) 1 else h(0).getInt(0) // empty corpus: no rows to hash
   }
 
-  private def dotWithLiteral(vec: Column, plane: Array[Double]): Column =
-    plane.zipWithIndex.map { case (wgt, i) =>
-      element_at(vec, i + 1).cast("double") * lit(wgt)
-    }.reduce(_ + _)
-
-  /** Sign-LSH bucket id (LongType, `bits` bits) for an embedding column. */
+  /** Sign-LSH bucket id (LongType, `bits` bits) for an embedding column.
+    * One native-expression node ([[graft.engine.functions.SignLshBuckets]])
+    * — the Column-DSL element_at/when formulation built a bits × dim
+    * expression tree that overflowed codegen at realistic widths. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, b) =>
-      when(dotWithLiteral(vec, p) >= 0.0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(F.signLshBuckets(vec, Array(planes)), 1)
 
   /** Exact cosine top-k: each query (broadcast) against every corpus row,
     * ranked with a window partitioned by query id. Self-matches excluded. */
@@ -123,22 +119,19 @@ object Similarity {
     require(tables >= 1, "tables must be >= 1")
     val radius = if (probeRadius >= 0) probeRadius else if (multiProbe) 1 else 0
     val d = if (dim > 0) dim else embeddingDim(corpus)
-    val planesByTable = (0 until tables)
-      .map(t => hyperplanes(bits, d, seed = 7L + 9973L * t))
-    def tableBuckets(vec: Column): Column = array(
-      planesByTable.zipWithIndex.map { case (p, t) =>
-        struct(lit(t).as("tbl"), lshBucket(vec, p).as("bucket"))
-      }: _*)
+    val planesByTable: Array[Array[Array[Double]]] = (0 until tables)
+      .map(t => hyperplanes(bits, d, seed = 7L + 9973L * t)).toArray
+    // all tables' buckets from ONE expression node; posexplode index = table
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        explode(tableBuckets(col("embedding"))).as("tb"))
-      .select(col("nid"), col("ne"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        posexplode(F.signLshBuckets(col("embedding"), planesByTable))
+          .as(Seq("tbl", "bucket")))
     val masks = probeMasks(bits, radius)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(tableBuckets(col("embedding"))).as("tb"))
-      .select(col("qid"), col("qe"), col("tb.tbl").as("tbl"),
+        posexplode(F.signLshBuckets(col("embedding"), planesByTable))
+          .as(Seq("tbl", "bucket")))
+      .select(col("qid"), col("qe"), col("tbl"),
         explode(array(masks.map(m =>
-          col("tb.bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     c.join(broadcast(q), Seq("tbl", "bucket"))

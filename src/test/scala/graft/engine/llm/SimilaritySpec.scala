@@ -103,6 +103,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi.size >= single.size, "multi-probe must not shrink the result")
   }
 
+  test("multi-table lshTopK: more tables never lose candidates, pairs stay distinct") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // table t=0 uses the same seed as tables=1, so the 8-table candidate
+    // pool strictly contains the 1-table pool → recall is monotone
+    val one = Similarity.lshTopK(emb, queries, 4, bits = 6, probeRadius = 1)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eight = Similarity.lshTopK(emb, queries, 4, bits = 6, probeRadius = 1,
+        tables = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(eight.distinct.length == eight.length,
+      "co-bucketing in several tables must not duplicate a (qid, nid) pair")
+    assert(exact.intersect(eight.toSet).size >= exact.intersect(one.toSet).size)
+    // the published operating point holds its documented recall on testdata
+    val recall = exact.intersect(eight.toSet).size.toDouble /
+      math.max(exact.size, 1)
+    assert(recall >= 0.75, f"operating-point recall $recall%.2f collapsed")
+  }
+
   test("ivfTopK with nprobe = nlist equals brute force exactly") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 8)
