@@ -37,7 +37,7 @@ object Curation {
     * fraction = 1.0 rounds to 0x10000 — five digits, which would compare
     * lexicographically BELOW most 4-digit prefixes — so saturate to "g",
     * one past every hex digit. */
-  private def hexThreshold(fraction: Double): String = {
+  def hexThreshold(fraction: Double): String = {
     val t = math.round(fraction * 65536).toInt
     if (t >= 65536) "g" else f"$t%04x"
   }

@@ -815,8 +815,117 @@ object LlmQueries {
       GROUP BY 1 ORDER BY 1 LIMIT 2000"""),
     doc = "13-gram eval-leakage check; benchmark n-gram set broadcast, corpus shuffle-free")
 
+  /** q75 — the FULL MinHash+LSH pipeline (shingle → signature → banding →
+    * capped buckets → pair expansion → exact-Jaccard verify), ORACLE-checked
+    * by running it at jaccardThreshold = 1.0 over a corpus with planted
+    * exact duplicates. At J = 1.0 the approximation is exact BY CONSTRUCTION:
+    * identical shingle sets give identical signatures, hence collide in
+    * every band (candidate recall 1), and the verify stage keeps only
+    * J = 1 — so the output is precisely the identical-shingle-set pairs,
+    * which DuckDB derives independently by grouping on the sorted distinct
+    * shingle list. x42 still measures the J >= 0.3 approximate regime; this
+    * query pins the machinery's values. */
+  val q75 = GraftQuery(
+    "q75_minhash_exact_pairs",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.minHashNearDups(corpus, "text", "doc_id", jaccardThreshold = 1.0)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0),
+      tok AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS t FROM corpus),
+      sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
+        FROM tok),
+      k AS (SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(s)), chr(31))) AS k
+        FROM sh)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(1.0 AS DOUBLE) AS jaccard
+      FROM k a JOIN k b ON a.k = b.k AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""),
+    doc = "MinHash+LSH pipeline at J=1.0 == identical-shingle-set pairs (planted dups)")
+
+  /** q76 — distributed connected components, ORACLE-checked over a
+    * deterministic chain graph: edges (d, d−7) within blocks of 50 doc_ids
+    * give chains of length ~7, so the pointer-doubling min-label propagation
+    * must do real multi-round work (⌈log₂ 7⌉+ rounds); DuckDB recomputes the
+    * components independently with a recursive CTE walking the down-edges.
+    * x46 still runs CC over the organic MinHash pair graph; this query pins
+    * the label VALUES on a graph whose answer is engine-independent. */
+  val q76 = GraftQuery(
+    "q76_cc_chain_oracle",
+    (spark, sfDir) => {
+      val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+      val edges = ids.select(col("doc_id").as("id_a"))
+        .filter(col("id_a") % 50 >= 7)
+        .join(ids.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") - 7)
+      Dedup.connectedComponents(edges)
+        .select(col("id"), col("comp").as("component"))
+        .orderBy(col("id"))
+    },
+    Some("""WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 7
+        WHERE a.doc_id % 50 >= 7),
+      nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      walk(id, cur) AS (
+        SELECT id, id FROM nodes
+        UNION ALL
+        SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.cur)
+      SELECT id, MIN(cur) AS component FROM walk GROUP BY id ORDER BY id"""),
+    doc = "pointer-doubling CC over chain graph == recursive-CTE closure (value-level)")
+
+  /** q78 — embedding near-dup (X2e) pipeline ORACLE-checked in its exact
+    * regime: planted duplicate vectors, threshold 0.999999. Identical
+    * vectors provably co-bucket (same input → same sign-LSH hash), so the
+    * blocked pipeline's output equals the ALL-PAIRS answer DuckDB computes
+    * by brute force (verified: zero natural pairs reach cos 0.999 in the
+    * testdata, so nothing depends on a near-identical pair co-bucketing).
+    * The cosine predicate replays bit-for-bit — same double accumulation
+    * order as q44's proven twin. x45 still measures the 0.8-threshold
+    * approximate regime. */
+  val q78 = GraftQuery(
+    "q78_embedding_exact_pairs",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(
+        emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.embeddingNearDups(corpus, threshold = 0.999999, bits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id % 25 = 0),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_dot_product(a.e, b.e) AS dot,
+          sqrt(list_dot_product(a.e, a.e))
+            * sqrt(list_dot_product(b.e, b.e)) AS nrm
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b,
+        ROUND(CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END, 6) AS cosine
+      FROM pairs
+      WHERE (CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END) >= 0.999999
+      ORDER BY id_a, id_b"""),
+    doc = "LSH-blocked embedding near-dup at exact threshold == all-pairs brute force")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
-      q63, q64, q65, q68, q69, q70, q71, q72, q73,
+      q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78,
       x42, x43, x44, x45, x46, x47, x51)
 }

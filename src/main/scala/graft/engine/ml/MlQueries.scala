@@ -194,6 +194,26 @@ object MlQueries {
     None,
     doc = "hash split 80/10/10: sizes sum to total, stable under repartition")
 
+  /** T10 (portable variant) — md5-bucket 80/10/10 split, ORACLE-checked at
+    * the ASSIGNMENT level: every (doc_id, fold) row is value-compared
+    * against DuckDB replaying the same md5-prefix cut points
+    * (ml_hash_split_check's xxhash64 variant stays rows-only — that hash is
+    * Spark-private; this one is the engine-portable formulation a shared
+    * lakehouse needs). */
+  val q77 = GraftQuery(
+    "q77_portable_split",
+    (spark, sfDir) => {
+      val fractions = Seq(0.8, 0.1, 0.1)
+      TrainTestSplit.portableHashSplit(
+          Tables.documents(spark, sfDir).select(col("doc_id")),
+          "doc_id", fractions)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+        ${TrainTestSplit.sqlPortableFold("doc_id", Seq(0.8, 0.1, 0.1))} AS fold
+      FROM documents ORDER BY doc_id"""),
+    doc = "engine-portable md5-prefix hash split; fold assignment value-checked")
+
   /** T4/T5/T8 — full RandomForest pipeline on the iris fixture. */
   val mlRf = GraftQuery(
     "ml_rf_pipeline",
@@ -237,5 +257,6 @@ object MlQueries {
     doc = "OneVsRest(GBTClassifier) multiclass pipeline on iris fixture")
 
   def queries: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, mlSplit, mlHashSplit, mlRf, mlCv, mlGbt)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q77, mlSplit, mlHashSplit, mlRf,
+      mlCv, mlGbt)
 }

@@ -42,6 +42,41 @@ object TrainTestSplit {
     }
   }
 
+  /** Engine-portable deterministic split: fold = first cumulative-fraction
+    * cut point the row's 4-hex-digit md5 prefix falls under (same
+    * md5-bucket membership as `Curation.hashSample`, so any engine that has
+    * md5 — DuckDB, Trino, Spark — replays the assignment bit-for-bit;
+    * [[hashSplit]]'s xxhash64 is Spark-only). Same scale posture: narrow,
+    * no shuffle, stable under repartition/re-ingest. Returns (row, fold)
+    * rather than one DataFrame per fold so a single pass can write a
+    * fold-partitioned table. */
+  def portableHashSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.engine.llm.Curation.hexThreshold
+    require(fractions.nonEmpty && fractions.forall(_ > 0.0) &&
+      math.abs(fractions.sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1, got $fractions")
+    val h = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 4)
+    val cuts = fractions.scanLeft(0.0)(_ + _).tail.init.map(hexThreshold)
+    val fold = cuts.zipWithIndex.foldRight(
+      lit(fractions.size - 1).cast("bigint")) { case ((cut, i), rest) =>
+        when(h < lit(cut), i.toLong).otherwise(rest)
+      }
+    df.withColumn("fold", fold)
+  }
+
+  /** DuckDB/ANSI twin of [[portableHashSplit]]'s fold expression. */
+  def sqlPortableFold(keyExpr: String, fractions: Seq[Double]): String = {
+    import graft.engine.llm.Curation.hexThreshold
+    val h = s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"
+    val cuts = fractions.scanLeft(0.0)(_ + _).tail.init.map(hexThreshold)
+    val whens = cuts.zipWithIndex
+      .map { case (cut, i) => s"WHEN $h < '$cut' THEN CAST($i AS BIGINT)" }
+      .mkString(" ")
+    s"CASE $whens ELSE CAST(${fractions.size - 1} AS BIGINT) END"
+  }
+
   /** CSV (headerless, explicit iris schema — never inferred) → two parquet
     * dirs. Mirrors the reference CLI surface: distinct paths required
     * (reference TrainTestSplit.scala:58), overwrite policy via SaveMode

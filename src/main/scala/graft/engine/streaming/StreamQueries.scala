@@ -164,13 +164,34 @@ object StreamQueries {
     graft.engine.relational.RelationalQueries.q25.oracle,
     doc = "file-source readStream over events parquet → tumbling agg (no driver replay)")
 
-  /** Multimodal pipeline summary (binary columns + mapPartitions decode). */
-  val x60 = GraftQuery(
-    "x60_multimodal",
-    (spark, sfDir) =>
-      graft.engine.llm.Multimodal.summary(spark, Tables.documents(spark, sfDir)),
-    None,
-    doc = "binary media columns → stubbed decode → feature aggregation")
+  /** q80 — video frame sampling (every-2nd-frame over byte-chunk frames),
+    * ORACLE-checked at the VALUE level: the chunk arithmetic is pure
+    * integer math over the UTF-8 byte length, so DuckDB replays every
+    * media's emitted-frame count and total frame bytes exactly. Replaces
+    * the former rows-only x60 summary — together with q58 (decode path)
+    * the whole multimodal pipeline is now value-verified. */
+  val q80 = GraftQuery(
+    "q80_frame_sample",
+    (spark, sfDir) => {
+      val media = graft.engine.llm.Multimodal.fromDocuments(
+        Tables.documents(spark, sfDir))
+      graft.engine.llm.Multimodal.frameSample(media, everyK = 2).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_frames_emitted"),
+          sum(length(col("frame_bytes"))).cast("bigint").as("total_frame_bytes"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH v AS (SELECT doc_id AS media_id,
+          octet_length(encode(text)) AS len,
+          CAST(doc_id % 30 + 1 AS INT) AS n
+        FROM documents WHERE doc_id % 3 = 2),
+      c AS (SELECT media_id, len, n, greatest(len // n, 1) AS c FROM v),
+      f AS (SELECT media_id, list_transform(range(0, n, 2),
+          f -> greatest(least(f * c + c, len) - f * c, 0)) AS fb FROM c)
+      SELECT media_id, CAST(len(fb) AS BIGINT) AS n_frames_emitted,
+        CAST(list_aggregate(fb, 'sum') AS BIGINT) AS total_frame_bytes
+      FROM f ORDER BY media_id"""),
+    doc = "frame sampling byte-chunk arithmetic, value-level DuckDB twin")
 
   /** Oracle-checked multimodal decode: the stub decoder's bin-7 byte mass
     * is integer-recoverable (see Multimodal.oracleSummary), so DuckDB can
@@ -190,5 +211,5 @@ object StreamQueries {
       FROM documents GROUP BY 1 ORDER BY 1"""),
     doc = "binary media decode (stub histogram) with integer-exact DuckDB twin")
 
-  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, q58, x60)
+  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, q58, q80)
 }

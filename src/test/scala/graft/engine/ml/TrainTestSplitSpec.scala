@@ -34,6 +34,32 @@ class TrainTestSplitSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("portableHashSplit: folds are exhaustive, ~fractions, repartition-stable, " +
+      "and match the SQL twin's cut points") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val data = (0L until 5000L).toDF("id")
+    val folds = TrainTestSplit.portableHashSplit(data, "id", Seq(0.8, 0.1, 0.1))
+    val counts = folds.groupBy(col("fold")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0L, 1L, 2L), "every fold index assigned")
+    assert(counts.values.sum == 5000L)
+    val f = counts(0L).toDouble / 5000
+    assert(f > 0.75 && f < 0.85, s"fold-0 fraction $f too far from 0.8")
+    // assignment (not just counts) survives repartition
+    val a1 = folds.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = TrainTestSplit.portableHashSplit(
+        data.repartition(13), "id", Seq(0.8, 0.1, 0.1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2)
+    // the generated SQL twin names the same cut points
+    val sql = TrainTestSplit.sqlPortableFold("id", Seq(0.8, 0.1, 0.1))
+    assert(sql.contains("'cccd'") && sql.contains("'e666'"), sql)
+    intercept[IllegalArgumentException] {
+      TrainTestSplit.portableHashSplit(data, "id", Seq(0.5, 0.4))
+    }
+  }
+
   test("hashSplit rejects fractions that don't sum to 1") {
     val data = IrisData.generate(spark)
     intercept[IllegalArgumentException] {
