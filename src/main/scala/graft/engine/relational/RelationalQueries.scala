@@ -773,7 +773,9 @@ object RelationalQueries {
       val v1 = graft.engine.sources.SnapshotStore.read(spark, root, version = 1L)
       cur.agg(lcount().as("n_current"),
           sum(col("n_nationkey")).cast(LongType).as("sum_key"))
-        .crossJoin(v1.agg(lcount().as("n_v1")))
+        // both sides are 1-row global aggregates; hint the join so the plan
+        // is a broadcast nested loop, never a CartesianProduct (PlanAudit)
+        .crossJoin(broadcast(v1.agg(lcount().as("n_v1"))))
         .select(col("n_current"), col("n_v1"), col("sum_key"))
     },
     Some("""SELECT

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+/** Static scale-audit of a query's plan: flags the shapes that are correct
+  * on testdata but die at 100 TB. Used by PlanAuditSpec over every
+  * registered query (the suite fails if a scale-killer lands in the
+  * registry) and runnable ad hoc from a REPL/main.
+  *
+  * Rules:
+  *  1. `CartesianProduct` — an unbroadcast cross join is quadratic I/O at
+  *     any scale. (`BroadcastNestedLoopJoin` is NOT flagged: a hinted cross
+  *     join against a provably-small side is the brute-force-scoring
+  *     pattern, e.g. q44.)
+  *  2. Window with an EMPTY partition spec over an unbounded input — the
+  *     whole dataset flows through one task's sort. Detected on the
+  *     OPTIMIZED logical plan (before AQE rewrites); windows whose input is
+  *     already a global aggregate (bounded by construction) are allowed.
+  *  3. `SortMergeJoin` against a fixed-size dimension (nation / region — 25
+  *     and 5 rows at EVERY scale factor): these must be broadcast
+  *     explicitly; relying on the size-estimate threshold breaks once
+  *     planner stats drift at scale. Run the audit with
+  *     `spark.sql.autoBroadcastJoinThreshold = -1` so only EXPLICIT
+  *     broadcast hints survive the check.
+  */
+object PlanAudit {
+
+  /** Tables whose size is constant at every scale factor — joining them
+    * any way other than broadcast is never right. */
+  private val FixedSizeDims = Seq("nation", "region")
+
+  def violations(df: DataFrame): Seq[String] = {
+    val physical = df.queryExecution.executedPlan
+    val logical = df.queryExecution.optimizedPlan
+    cartesian(physical) ++ globalWindows(logical) ++ smjOverFixedDim(physical)
+  }
+
+  private def cartesian(plan: SparkPlan): Seq[String] =
+    if (plan.toString.contains("CartesianProduct"))
+      Seq("CartesianProduct: unbroadcast cross join (quadratic at scale)")
+    else Nil
+
+  /** A window is bounded-input (allowed without partitioning) when its
+    * child subtree contains a grouping aggregate with a LOW-cardinality
+    * group key or is itself globally aggregated; statically we approximate:
+    * any Aggregate below the window means the per-task sort is over
+    * aggregated rows, not raw corpus rows. */
+  private def globalWindows(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case w: Window if w.partitionSpec.isEmpty && !hasAggregateBelow(w.child) =>
+        "Window with no PARTITION BY over un-aggregated input " +
+          "(single-task global sort of the corpus)"
+    }
+
+  private def hasAggregateBelow(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined
+
+  private def smjOverFixedDim(plan: SparkPlan): Seq[String] =
+    plan.collect { case smj: SortMergeJoinExec =>
+      FixedSizeDims.filter { dim =>
+        smj.left.toString.contains(s"$dim.parquet") ||
+          smj.right.toString.contains(s"$dim.parquet")
+      }.map(dim =>
+        s"SortMergeJoin against fixed-size dim '$dim' (25/5 rows at every " +
+          "SF) — must be an explicit broadcast")
+    }.flatten
+}

@@ -95,6 +95,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size - closed.size >= users.size)
   }
 
+  test("stateful sessionizer is state-store-portable: identical closed sessions on RocksDB") {
+    // Same two-micro-batch flow as the HDFS-backed test above, but with the
+    // RocksDB state store provider — proving the flatMapGroupsWithState
+    // operator's state round-trips through the store a production cluster
+    // would actually run (off-heap, incremental-checkpoint capable).
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = eventsData.sortBy(e => (e.ts.getTime, e.event_id))
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      val stream = MemoryStream[Streaming.Event]
+      val dir = java.nio.file.Files.createTempDirectory("graft-rocks").toString
+      val q = Streaming.sessionizeWithState(stream.toDS())
+        .writeStream.format("memory").queryName("t_sessions_rocks")
+        .option("checkpointLocation", s"$dir/chk")
+        .outputMode("append").start()
+      try {
+        stream.addData(b1.toSeq); q.processAllAvailable()
+        stream.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val closed = spark.table("t_sessions_rocks")
+        .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = RelationalQueries.q27.run(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(closed.nonEmpty)
+      closed.foreach { case (k, n) =>
+        assert(batch.get(k).contains(n),
+          s"RocksDB session $k: stream=$n batch=${batch.get(k)}")
+      }
+      // the state really lived in RocksDB: its working dir was materialized
+      assert(new java.io.File(s"$dir/chk/state").exists,
+        "state checkpoint dir must exist")
+    } finally spark.conf.set(provider, prev)
+  }
+
   test("session_window streaming (append + watermark) emits finalized sessions") {
     val evs = eventsData.sortBy(e => (e.ts.getTime, e.event_id))
     val (b1, b2) = evs.splitAt(evs.length / 2)
