@@ -287,6 +287,41 @@ case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Double]]]
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe against a pre-built filter (X1 ingestion
+  * dedup's pre-filter phase).
+  *
+  * The filter is built once (driver-side `DataFrameStatFunctions
+  * .bloomFilter` over the existing corpus's distinct keys) and travels to
+  * executors INSIDE this expression as its serialized bytes — one
+  * deserialization per task via the transient lazy val, then each probe is
+  * a few hash ops. No false negatives (a definitely-absent answer is
+  * exact); false positives only send extra rows to the exact verify join.
+  * Spark's own BloomFilterAggregate/BloomFilterMightContain pair is
+  * internal (runtime-filter machinery, not in the public FunctionRegistry),
+  * hence this thin public equivalent.
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => filter.mightContainString(s.toString)
+    case b: Array[Byte] => filter.mightContainBinary(b)
+    case l: Long => filter.mightContainLong(l)
+    case i: Int => filter.mightContainLong(i.toLong)
+    case other => throw new IllegalArgumentException(
+      s"unsupported bloom probe type ${other.getClass}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial fingerprint of a string (X4 document fingerprinting):
   * h = Σ cp_i · B^(n-1-i) mod M over Unicode code points, B = 131,
   * M = 1e9+7. Shift-invariant enough for chunk fingerprints; cheaper than
@@ -343,6 +378,17 @@ object F {
   /** Per-table sign-LSH bucket ids as ARRAY<BIGINT> (index = table). */
   def signLshBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     Bridge.column(SignLshBuckets(Bridge.expression(vec), planes))
+
+  /** Membership probe against a serialized `util.sketch.BloomFilter`. */
+  def bloomMightContain(key: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      filter.writeTo(out)
+      out.toByteArray
+    }
+    Bridge.column(BloomMightContain(Bridge.expression(key), bytes))
+  }
 
   /** Register for SQL use: graft_cosine, graft_simhash64, graft_rolling_hash. */
   def register(spark: SparkSession): Unit = {

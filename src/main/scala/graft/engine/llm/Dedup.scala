@@ -50,6 +50,38 @@ object Dedup {
       .drop("_ck")
   }
 
+  /** X1 ingestion dedup with a Bloom pre-filter — the steady-state 100 TB
+    * formulation of [[incrementalDedup]]. Same EXACT result, different
+    * cost shape: the existing corpus's distinct keys are summarized once
+    * into a Bloom filter (bits ≈ 9.6·n at 1% fpp — a 10⁹-key corpus is a
+    * ~1.2 GB filter; beyond that, shard by key range), which ships to
+    * executors inside a native expression. Rows whose key is
+    * DEFINITELY-absent (no false negatives) pass straight through with no
+    * shuffle; only the might-contain minority — true re-ingests plus the
+    * fpp·batch false positives — pays the exact anti-join. For a daily
+    * batch that is mostly-new content (the common crawl-append case), the
+    * anti-join shrinks from |batch| probes to ~|dupes| probes.
+    *
+    * Exactness: false positives are re-checked by the anti-join, false
+    * negatives don't exist, so output ≡ [[incrementalDedup]] — q81 verifies
+    * this against q68's oracle SQL; DedupSpec asserts set-equality. */
+  def bloomPrefilterDedup(incoming: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val existingKeys = existing
+      .select(contentKey(col(textCol)).as("_ck")).distinct()
+    // one count job sizes the filter; one agg job builds it driver-side
+    val n = math.max(existingKeys.count(), 1L)
+    val bloom = existingKeys.stat.bloomFilter("_ck", n, fpp)
+    val dedupedIn = exactDedup(incoming, textCol, idCol)
+      .withColumn("_ck", contentKey(col(textCol)))
+      .withColumn("_hit", F.bloomMightContain(col("_ck"), bloom))
+    val definitelyNew = dedupedIn.filter(!col("_hit"))
+    val verifiedNew = dedupedIn.filter(col("_hit"))
+      .join(existingKeys, Seq("_ck"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).drop("_ck", "_hit")
+  }
+
   /** k-token shingles (k-grams of the token stream) as strings; documents
     * shorter than k tokens collapse to a single whole-text shingle.
     * Native expression — single pass over the token array (the HOF

@@ -531,15 +531,26 @@ object LlmQueries {
         val approx = Similarity.ivfTopK(emb, queries, 5, nlist = 16, nprobe = 4)
           .select(col("qid"), col("nid")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // IVF operating point from the AnnSweep curve (BASELINE.md):
+        // nlist=32, nprobe=16 — the best observed recall at a half-corpus
+        // scan on this isotropic corpus (recall ≈ scanned fraction is the
+        // information-theoretic ceiling here; the LSH path owns the ≥0.9
+        // dial, this row documents IVF's best half-scan point).
+        val op = Similarity.ivfTopK(emb, queries, 5, nlist = 32, nprobe = 16)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
         val hit = exact.intersect(approx).size.toLong
+        val hitOp = exact.intersect(op).size.toLong
         import spark.implicits._
         Seq((exact.size.toLong, approx.size.toLong, hit,
-          hit.toDouble / math.max(exact.size, 1)))
-          .toDF("n_exact", "n_approx", "n_hits", "recall")
+          hit.toDouble / math.max(exact.size, 1),
+          hitOp.toDouble / math.max(exact.size, 1)))
+          .toDF("n_exact", "n_approx", "n_hits", "recall", "recall_operating")
       } finally emb.unpersist()
     },
     None,
-    doc = "IVF(nlist=16, nprobe=4, 2 Lloyd iters) ANN vs brute force: recall measurement")
+    doc = "IVF ANN vs brute force: nlist=16/nprobe=4 baseline plus the " +
+      "nlist=32/nprobe=16 half-scan operating point")
 
   /** X2 end-to-end — MinHash pairs → transitive clusters → survivors. */
   val x46 = GraftQuery(
@@ -924,8 +935,37 @@ object LlmQueries {
       ORDER BY id_a, id_b"""),
     doc = "LSH-blocked embedding near-dup at exact threshold == all-pairs brute force")
 
+  /** q81 — Bloom-prefiltered ingestion dedup: SAME answer as q68 (the
+    * bloom layer is performance-only — no false negatives, false positives
+    * re-verified by the exact anti-join), so the oracle is q68's SQL
+    * verbatim. What it buys at 100 TB: definitely-new rows skip the
+    * anti-join shuffle entirely; only ~|dupes| + fpp·|batch| rows probe
+    * the exact key set. */
+  val q81 = GraftQuery(
+    "q81_bloom_incremental_dedup",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      Dedup.bloomPrefilterDedup(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .limit(2000)
+    },
+    Some("""WITH incoming AS (
+        SELECT doc_id, lang, source, text FROM (
+          SELECT doc_id, lang, source, text, ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+          FROM documents WHERE doc_id >= 250) WHERE rn = 1)
+      SELECT doc_id, lang, source FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM documents d
+        WHERE d.doc_id < 250
+          AND md5(lower(trim(d.text))) = md5(lower(trim(i.text))))
+      ORDER BY doc_id LIMIT 2000"""),
+    doc = "bloom-prefiltered ingestion dedup == exact anti-join dedup (q68 oracle)")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
-      q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78,
+      q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81,
       x42, x43, x44, x45, x46, x47, x51)
 }

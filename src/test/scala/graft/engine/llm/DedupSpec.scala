@@ -69,6 +69,31 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  test("bloomPrefilterDedup == incrementalDedup exactly (bloom is performance-only)") {
+    val existing = Seq((0L, base), (1L, "old corpus doc about warehouses"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                       // already ingested → dropped
+      (11L, "fresh doc one"),            // new → kept
+      (12L, "fresh doc one"),            // within-batch dup → dropped
+      (13L, "fresh doc two")             // new → kept
+    ).toDF("doc_id", "text")
+    val viaBloom = Dedup.bloomPrefilterDedup(incoming, existing, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == Set(11L, 13L))
+    // and on a larger organic slice: identical output to the exact path,
+    // even at a high fpp where false positives definitely occur — they are
+    // verified away, never surfacing in the result
+    val docs = graft.engine.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val in = docs.filter(col("doc_id") >= 100)
+    val ex = docs.filter(col("doc_id") < 100)
+    val exact = Dedup.incrementalDedup(in, ex, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomy = Dedup.bloomPrefilterDedup(in, ex, "text", "doc_id", fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomy == exact)
+  }
+
   test("simHash maxHamming=0 (one 64-bit band) still pairs exact dups") {
     // Regression: bands=1 ⇒ width=64, and 1L << 64 == 1L on the JVM, so an
     // unguarded (1L << width) - 1 mask is 0 — every fingerprint lands in
