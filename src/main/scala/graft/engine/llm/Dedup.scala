@@ -82,6 +82,32 @@ object Dedup {
     definitelyNew.unionByName(verifiedNew).drop("_ck", "_hit")
   }
 
+  /** X1/X2 — cross-document repeated chunks: the chunk-granular form of
+    * exact substring dedup (the "dedup repeated spans, not just whole
+    * documents" signal of Lee et al., Deduplicating Training Data Makes
+    * Language Models Better, arXiv:2107.06499 — full suffix arrays don't
+    * distribute; fixed token windows do). Documents are cut into
+    * non-overlapping `windowTokens`-token chunks; a chunk whose 128-bit key
+    * appears in ≥ 2 distinct documents is reported with its spread.
+    *
+    * Scale posture: only (md5 key, doc_id) pairs shuffle — the chunk text
+    * dies at the map side; the distinct-doc count is a two-level aggregation
+    * ((key, doc) partial, then per-key) rather than COUNT(DISTINCT), so no
+    * Expand plan doubles the shuffle (BASELINE.md round-3 rule). */
+  def repeatedChunks(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 20): DataFrame = {
+    val perDoc = TextAnalysis.chunkTokens(df, idCol, textCol, windowTokens, 0)
+      .select(md5(concat_ws(" ", col("chunk_tok"))).as("chunk_key"),
+        col("doc_id"))
+      .groupBy(col("chunk_key"), col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("occ"))
+    perDoc.groupBy(col("chunk_key"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("occ")).cast(LongType).as("n_occurrences"),
+        min(col("doc_id")).cast(LongType).as("min_doc_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** k-token shingles (k-grams of the token stream) as strings; documents
     * shorter than k tokens collapse to a single whole-text shingle.
     * Native expression — single pass over the token array (the HOF

@@ -964,8 +964,40 @@ object LlmQueries {
       ORDER BY doc_id LIMIT 2000"""),
     doc = "bloom-prefiltered ingestion dedup == exact anti-join dedup (q68 oracle)")
 
+  /** q82 — cross-document repeated chunks over a corpus with planted
+    * whole-document duplicates (plus whatever chunks repeat organically);
+    * DuckDB recomputes the chunk keys and spreads independently. */
+  val q82 = GraftQuery(
+    "q82_repeated_chunks",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.repeatedChunks(corpus, "text", "doc_id", windowTokens = 20)
+        .orderBy(col("chunk_key"))
+        .limit(2000)
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0),
+      t AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS tok FROM corpus),
+      chunks AS (SELECT doc_id,
+          md5(array_to_string(list_slice(tok, i*20+1, i*20+20), ' ')) AS chunk_key
+        FROM t, UNNEST(generate_series(0,
+          CAST(ceil(CAST(len(tok) AS DOUBLE)/20) AS INT) - 1)) AS u(i)
+        WHERE len(list_slice(tok, i*20+1, i*20+20)) > 0)
+      SELECT chunk_key, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+      FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY chunk_key LIMIT 2000"""),
+    doc = "chunk-granular exact substring dedup signal (20-token windows, md5 keys)")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
-      q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81,
+      q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       x42, x43, x44, x45, x46, x47, x51)
 }

@@ -78,6 +78,41 @@ object ExpressionProperties extends Properties("graft.expressions") {
         (toks.length < k || widths.forall(_ == k))
     }
 
+  property("sign-LSH buckets match a slow per-plane reference, every table, bits set only below width") =
+    Prop.forAll(vecGen, Gen.choose(1, 8), Gen.choose(1, 4)) { (v, bits, tables) =>
+      val planes = Array.tabulate(tables)(t =>
+        graft.engine.llm.Similarity.hyperplanes(bits, v.length, seed = 7L + 9973L * t))
+      val out = SignLshBuckets(floatArr(v), planes).eval(null).asInstanceOf[ArrayData]
+      val slow = planes.map { table =>
+        table.zipWithIndex.map { case (p, b) =>
+          val dot = v.zip(p).map { case (x, w) => x.toDouble * w }.sum
+          if (dot >= 0.0) 1L << b else 0L
+        }.sum
+      }
+      out.numElements() == tables &&
+        (0 until tables).forall { t =>
+          out.getLong(t) == slow(t) && (out.getLong(t) >>> bits) == 0L
+        }
+    }
+
+  property("bloom probe: no false negatives; disjoint keys mostly absent at low fpp") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { keys =>
+      val distinct = keys.distinct
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(distinct.size.toLong, 1L), 0.01)
+      distinct.foreach(bf.putString)
+      val bytes = { val o = new java.io.ByteArrayOutputStream(); bf.writeTo(o); o.toByteArray }
+      def probe(s: String): Boolean =
+        BloomMightContain(Literal(UTF8String.fromString(s), StringType), bytes)
+          .eval(null).asInstanceOf[Boolean]
+      val inserted = distinct.forall(probe) // NO false negatives, ever
+      val absent = (0 until 50).map(i => s"definitely-absent-key-$i")
+        .filterNot(distinct.contains)
+      // fpp 0.01: allow a generous margin, but 50 absent probes must not
+      // all collide — that would mean the filter bytes didn't round-trip
+      inserted && absent.count(probe) < absent.size
+    }
+
   property("rolling hash: h(a ++ b) is a deterministic function of h(a), h(b), cp(b)") =
     Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
       def h(s: String): Long =

@@ -94,6 +94,26 @@ class DedupSpec extends AnyFunSuite {
     assert(bloomy == exact)
   }
 
+  test("repeatedChunks reports only cross-doc repeats, with per-chunk spread") {
+    // docs 1/2 share their first 3-token window; doc 2 also repeats it
+    // internally (within-doc repeat alone must NOT qualify — n_docs >= 2
+    // is about cross-document contamination); doc 3 is unique
+    val docs = Seq(
+      (1L, "alpha beta gamma tail one"),
+      (2L, "alpha beta gamma alpha beta gamma"),
+      (3L, "delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedChunks(docs, "text", "doc_id", windowTokens = 3)
+      .collect().map(r => (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("min_doc_id")))
+    assert(out.length == 1, s"exactly the shared chunk: ${out.toSeq}")
+    assert(out(0) == ((2L, 3L, 1L)),
+      "2 docs, 3 occurrences (doc 2 holds it twice), min doc 1")
+    // a purely within-doc repeat never appears
+    val solo = Seq((9L, "x y z x y z")).toDF("doc_id", "text")
+    assert(Dedup.repeatedChunks(solo, "text", "doc_id", 3).count() == 0L)
+  }
+
   test("simHash maxHamming=0 (one 64-bit band) still pairs exact dups") {
     // Regression: bands=1 ⇒ width=64, and 1L << 64 == 1L on the JVM, so an
     // unguarded (1L << width) - 1 mask is 0 — every fingerprint lands in
