@@ -80,6 +80,35 @@ object Curation {
       s"CASE $sourceExpr $cases ELSE '${hexThreshold(defaultFraction)}' END"
   }
 
+  /** Per-domain frequency cap: keep at most `cap` documents per domain
+    * (source/host) — the crawl-curation move against template spam and
+    * over-represented hosts. Survivors are the `cap` smallest by
+    * (md5(id), id) per domain: a deterministic unbiased sample, stable
+    * across runs and re-ingests, NOT "first N by ingestion order" (which
+    * would bias toward old content).
+    *
+    * Scale posture: domains are LOW-cardinality hot keys, so a rank window
+    * (one reducer per domain sorting that domain's full row set) dies at
+    * 100 TB. This uses the [[TopK.MinKAggregator]] instead — map-side
+    * partials cap every partition at `cap` rows per domain before the
+    * shuffle, so the exchange carries ≤ partitions·domains·cap tiny rows;
+    * survivors (≤ domains·cap ids) broadcast back for a semi-join that
+    * never shuffles the corpus. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val survivors = df
+      .select(col(domainCol).as("_dom"),
+        md5(col(idCol).cast("string").cast("binary")).as("sortKey"),
+        col(idCol).cast(LongType).as("id"))
+      .groupBy(col("_dom"))
+      .agg(TopK.minK(cap).as("keep"))
+      .select(explode(col("keep")).as("k"))
+      .select(col("k.id").as("_keep_id"))
+    df.join(broadcast(survivors),
+      df(idCol).cast(LongType) === col("_keep_id"), "left_semi")
+  }
+
   /** Benchmark decontamination: for every corpus document, how many of its
     * distinct word n-grams appear anywhere in the benchmark set. The
     * standard eval-leakage check (n = 13 is the usual contamination

@@ -996,8 +996,29 @@ object LlmQueries {
       ORDER BY chunk_key LIMIT 2000"""),
     doc = "chunk-granular exact substring dedup signal (20-token windows, md5 keys)")
 
+  /** q83 — per-domain frequency cap at 30 docs/source: survivors are the
+    * 30 smallest (md5(doc_id), doc_id) per source, so the oracle is a
+    * plain rank-window in DuckDB while the Spark side proves the
+    * aggregator formulation (partial-agg min-k + broadcast semi-join — a
+    * window over the low-cardinality source key would be the q65-style
+    * scale killer). */
+  val q83 = GraftQuery(
+    "q83_domain_cap",
+    (spark, sfDir) =>
+      Curation.domainCap(Tables.documents(spark, sfDir),
+          "doc_id", "source", cap = 30)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source FROM (
+        SELECT doc_id, source, ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) WHERE rn <= 30 ORDER BY doc_id"""),
+    doc = "per-domain cap: deterministic 30-doc unbiased sample per source " +
+      "via partial-agg min-k (no hot-key window)")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
-      x42, x43, x44, x45, x46, x47, x51)
+      q83, x42, x43, x44, x45, x46, x47, x51)
 }

@@ -48,4 +48,40 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
       .apply(org.apache.spark.sql.functions.col("cos"),
         org.apache.spark.sql.functions.col("nid"))
+
+  final case class Keyed(sortKey: String, id: Long)
+
+  private def earlier(a: Keyed, b: Keyed): Boolean =
+    a.sortKey < b.sortKey || (a.sortKey == b.sortKey && a.id < b.id)
+
+  /** Smallest-k rows by (string sortKey, id) — the ascending sibling of
+    * [[TopKAggregator]], with the same scale rationale: map-side partials
+    * bound every partition's contribution to k rows per group BEFORE the
+    * shuffle, where a rank-window would route each group's full row set
+    * through one reducer (fatal when the group key is low-cardinality —
+    * see Curation.domainCap). */
+  final class MinKAggregator(k: Int) extends Aggregator[Keyed, Seq[Keyed], Seq[Keyed]] {
+    override def zero: Seq[Keyed] = Vector.empty
+
+    override def reduce(buf: Seq[Keyed], a: Keyed): Seq[Keyed] =
+      if (buf.size >= k && earlier(buf.last, a)) buf
+      else ((buf :+ a).sortWith(earlier)).take(k)
+
+    override def merge(b1: Seq[Keyed], b2: Seq[Keyed]): Seq[Keyed] =
+      (b1 ++ b2).sortWith(earlier).take(k)
+
+    override def finish(r: Seq[Keyed]): Seq[Keyed] = r
+
+    override def bufferEncoder: Encoder[Seq[Keyed]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Keyed]]()
+    override def outputEncoder: Encoder[Seq[Keyed]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Keyed]]()
+  }
+
+  /** Column form: aggregates (sortKey, id) columns to the k earliest. */
+  def minK(k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new MinKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Keyed]())
+      .apply(org.apache.spark.sql.functions.col("sortKey"),
+        org.apache.spark.sql.functions.col("id"))
 }

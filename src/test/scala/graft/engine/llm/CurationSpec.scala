@@ -107,6 +107,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out(11L)._2 == 0L && out(11L)._3 == 0.0)
   }
 
+  test("domainCap: never more than cap per domain, small domains intact, " +
+      "survivor set repartition-stable") {
+    val docs = graft.engine.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val capped = Curation.domainCap(docs, "doc_id", "source", cap = 10)
+    val perDomain = capped.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDomain.values.forall(_ <= 10L), s"cap violated: $perDomain")
+    // a domain under the cap keeps every document
+    val sizes = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.filter(_._2 <= 10L).foreach { case (s, n) =>
+      assert(perDomain.getOrElse(s, 0L) == n, s"small domain $s lost docs")
+    }
+    // survivors are a pure function of (id, domain): repartition-stable
+    val ids1 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.domainCap(docs.repartition(13), "doc_id", "source", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    intercept[IllegalArgumentException] {
+      Curation.domainCap(docs, "doc_id", "source", 0)
+    }
+  }
+
   test("groupNtile == ntile window on a tie-heavy skewed fixture") {
     import org.apache.spark.sql.expressions.Window
     // skewed groups (g0 has 83 rows, g1 has 11, g2 has 2 — fewer rows than
