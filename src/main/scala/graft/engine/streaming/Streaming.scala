@@ -96,6 +96,61 @@ object Streaming {
       .select(col("window.start").as("win_start"), col("c_nationkey"),
         col("n_events"), col("sum_value"))
 
+  /** Stream–stream interval join (X5): attribute each click to the views
+    * by the same user within the preceding `joinWindow` of event time.
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so the join state store retains only rows inside
+    * roughly [watermark − joinWindow, now] on each side — bounded state on
+    * unbounded streams, the precondition for running this against a
+    * 100 TB/day event feed. Inner join: pairs are emitted as soon as both
+    * rows have arrived (the watermark governs state EVICTION, not match
+    * emission), so the streamed answer equals the batch twin exactly
+    * regardless of micro-batch boundaries.
+    */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+      joinWindow: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermarkDelay)
+    val c = clicks
+      .select(col("user_id").as("click_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermarkDelay)
+    v.join(c,
+        col("user_id") === col("click_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"interval $joinWindow"))
+      .drop("click_user_id")
+  }
+
+  /** Left-outer variant: views with no click in the window are still
+    * emitted (null click columns) — but only once the watermark has passed
+    * `view_ts + joinWindow`, because only then can the engine prove no
+    * match is coming. Unlike the inner join, output therefore depends on
+    * how far the watermark advanced when the stream pauses; the spec
+    * drives it with a controlled fixture.
+    */
+  def intervalJoinLeftOuter(views: DataFrame, clicks: DataFrame,
+      joinWindow: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermarkDelay)
+    val c = clicks
+      .select(col("user_id").as("click_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      .withWatermark("click_ts", watermarkDelay)
+    v.join(c,
+        col("user_id") === col("click_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"interval $joinWindow"),
+        "left_outer")
+      .drop("click_user_id")
+  }
+
   /** Custom stateful sessionization: flatMapGroupsWithState keyed by user.
     * A session CLOSES (and is emitted) when a later event arrives more than
     * `gapMinutes` after the session's last event; the open session stays in
