@@ -164,6 +164,55 @@ object StreamQueries {
     graft.engine.relational.RelationalQueries.q25.oracle,
     doc = "file-source readStream over events parquet → tumbling agg (no driver replay)")
 
+  /** X5 — stream–stream interval join through the real micro-batch engine:
+    * views and clicks arrive on two MemoryStreams in two event-time-ordered
+    * micro-batches (so cross-batch matches really flow through the join
+    * state store), each click attributed to same-user views within the
+    * preceding 6 h. Inner join emission is watermark-independent, so the
+    * streamed pairs equal the batch interval join exactly and the per-user
+    * rollup is DuckDB-oracle-checked (decimal-exact sum). */
+  val x56 = GraftQuery(
+    "x56_stream_interval_join",
+    (spark, sfDir) => {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val events = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id")).limit(20000)
+        .as[Streaming.Event].collect()
+      val splitTs = events(events.length / 2).ts.getTime
+      def halves(a: Array[Streaming.Event]) = a.partition(_.ts.getTime < splitTs)
+      val (v1, v2) = halves(events.filter(_.event_type == "view"))
+      val (c1, c2) = halves(events.filter(_.event_type == "click"))
+      val views = MemoryStream[Streaming.Event]
+      val clicks = MemoryStream[Streaming.Event]
+      val name = s"x56_out_${System.nanoTime()}"
+      val q = Streaming.intervalJoin(views.toDF(), clicks.toDF(), "6 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        views.addData(v1.toSeq); clicks.addData(c1.toSeq); q.processAllAvailable()
+        views.addData(v2.toSeq); clicks.addData(c2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          graft.engine.relational.Exact.dsum(col("click_value")).as("sum_click_value"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH ev AS (SELECT * FROM events ORDER BY ts, event_id LIMIT 20000),
+      v AS (SELECT user_id, ts AS view_ts FROM ev WHERE event_type = 'view'),
+      c AS (SELECT user_id, ts AS click_ts, value AS click_value
+            FROM ev WHERE event_type = 'click')
+      SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        ${graft.engine.relational.Exact.sqlDsum("c.click_value")} AS sum_click_value
+      FROM v JOIN c ON v.user_id = c.user_id
+        AND c.click_ts >= v.view_ts
+        AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "stream-stream interval join over two MemoryStreams, per-user rollup oracle")
+
   /** q80 — video frame sampling (every-2nd-frame over byte-chunk frames),
     * ORACLE-checked at the VALUE level: the chunk arithmetic is pure
     * integer math over the UTF-8 byte length, so DuckDB replays every
@@ -211,5 +260,5 @@ object StreamQueries {
       FROM documents GROUP BY 1 ORDER BY 1"""),
     doc = "binary media decode (stub histogram) with integer-exact DuckDB twin")
 
-  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, q58, q80)
+  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, x56, q58, q80)
 }

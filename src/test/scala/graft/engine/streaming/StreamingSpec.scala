@@ -271,6 +271,88 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join (inner) == batch interval join across micro-batches") {
+    // Two event-time-ordered micro-batches split at the median ts: every
+    // cross-batch matchable row is still in the join state (a view is only
+    // evicted once watermark > view_ts + joinWindow, by which point all its
+    // clicks are already processed), so stream must equal batch EXACTLY.
+    val evs = eventsData.sortBy(e => (e.ts.getTime, e.event_id))
+    // batch twin first: the same plan over bounded frames (watermarks no-op);
+    // also pick the split point INSIDE a matched pair's [view_ts, click_ts]
+    // interval so the stream run provably matches across the batch border.
+    val ve = Tables.events(spark, sfDir).filter(col("event_type") === "view")
+    val ce = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+    val batchRows = Streaming.intervalJoin(ve, ce, "6 hours")
+      .select(col("view_id"), col("click_id"), col("view_ts"), col("click_ts"))
+      .collect()
+    val spanning = batchRows
+      .filter(r => r.getTimestamp(3).getTime > r.getTimestamp(2).getTime)
+      .maxBy(r => r.getTimestamp(3).getTime - r.getTimestamp(2).getTime)
+    val splitTs = spanning.getTimestamp(3).getTime // view lands in b1, click in b2
+    def halves(a: Array[Streaming.Event]) = a.partition(_.ts.getTime < splitTs)
+    val (v1, v2) = halves(evs.filter(_.event_type == "view"))
+    val (c1, c2) = halves(evs.filter(_.event_type == "click"))
+    val views = MemoryStream[Streaming.Event]
+    val clicks = MemoryStream[Streaming.Event]
+    val q = Streaming.intervalJoin(views.toDF(), clicks.toDF(), "6 hours")
+      .writeStream.format("memory").queryName("t_ijoin")
+      .outputMode("append").start()
+    try {
+      views.addData(v1.toSeq); clicks.addData(c1.toSeq); q.processAllAvailable()
+      views.addData(v2.toSeq); clicks.addData(c2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_ijoin")
+      .select(col("view_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = batchRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "inner interval join must equal its batch twin")
+    assert(batch.nonEmpty, "fixture must produce matches")
+    // the split genuinely crossed batches: some pair has view in b1, click in b2
+    val b1ViewIds = v1.map(_.event_id).toSet
+    val b2ClickIds = c2.map(_.event_id).toSet
+    assert(streamed.exists(p => b1ViewIds(p._1) && b2ClickIds(p._2)),
+      "at least one match must span the micro-batch boundary (state kept the view)")
+  }
+
+  test("left-outer interval join: null-padded views appear only after watermark passes view_ts + joinWindow") {
+    val base = Timestamp.valueOf("2024-06-01 10:00:00")
+    def ev(id: Long, offsetMin: Long, user: Long, typ: String): Streaming.Event =
+      Streaming.Event(id, new Timestamp(base.getTime + offsetMin * 60000L),
+        user, typ, 1.0)
+    val views = MemoryStream[Streaming.Event]
+    val clicks = MemoryStream[Streaming.Event]
+    // joinWindow 30 min, watermark delay 10 min
+    val q = Streaming.intervalJoinLeftOuter(views.toDF(), clicks.toDF(),
+        "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("t_ijoin_outer")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 view+click (match), user 2 view with no click ever
+      views.addData(Seq(ev(1, 0, 1, "view"), ev(3, 0, 2, "view")))
+      clicks.addData(Seq(ev(2, 10, 1, "click")))
+      q.processAllAvailable()
+      val after1 = spark.table("t_ijoin_outer").collect()
+      // watermark is only ~09:50–10:00 < 10:30 = view_ts + joinWindow: the
+      // engine cannot yet prove view 3 is unmatched, so NO null row may exist
+      assert(after1.map(_.getLong(2)).toSet == Set(1L),
+        s"only the matched view may be out (got ${after1.mkString(";")})")
+      assert(!after1.exists(_.isNullAt(3)), "no null-padded row before the watermark")
+      // batch 2: far-future events on BOTH sides (global watermark = min of
+      // the two stream watermarks) advance the watermark to ~11:50 > 10:30
+      views.addData(Seq(ev(90, 120, 90, "view")))
+      clicks.addData(Seq(ev(91, 120, 91, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_ijoin_outer")
+      .select(col("view_id"), col("user_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // view 3 is now provably unmatched -> emitted null-padded; view 90 is
+    // still inside its window (watermark 11:50 < 12:30) -> NOT emitted
+    assert(rows == Set((1L, 1L, 2L), (3L, 2L, -1L)),
+      s"expected matched view 1 + null-padded view 3 only, got $rows")
+  }
+
   test("streaming dedup within watermark drops re-sent events") {
     val evs = eventsData.sortBy(e => (e.ts.getTime, e.event_id)).take(2000)
     val stream = MemoryStream[Streaming.Event]
