@@ -180,7 +180,18 @@ object Curation {
     *     largest tie class, the irreducible cost of tie-broken NTILE.
     *
     * `tieCol` must be unique within (group, orderVal) for a deterministic
-    * answer (same contract as the window formulation).
+    * answer (same contract as the window formulation). NULL group/order
+    * values are first-class: the joins back onto the histogram are
+    * null-safe (`<=>`), so null cells are counted, ranked (Spark windows
+    * sort nulls FIRST ascending, same as the ntile window would), and
+    * labeled — not silently dropped.
+    *
+    * HISTOGRAM BOUND CONTRACT: step 1's output is bounded by DISTINCT
+    * (group, orderVal) pairs. A near-continuous order key (a raw double
+    * score) degrades that bound to ~corpus rows, and the per-group
+    * cumulative window approaches a one-task group sort. Quantize such
+    * keys first (e.g. `round(score, 3)` — see q65): tier boundaries move
+    * within a rounding ulp and the histogram stays ~10^3·groups rows.
     */
   def groupNtile(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, numTiles: Int, tierCol: String = "tier"): DataFrame = {
@@ -201,14 +212,16 @@ object Curation {
     val hist = df.groupBy(g, o).agg(count(lit(1)).cast(LongType).as("_cnt"))
     val wCum = Window.partitionBy(g).orderBy(o) // over the histogram only
     val totals = hist.groupBy(g).agg(sum(col("_cnt")).cast(LongType).as("_n"))
+      .select(g.as("_tg"), col("_n"))
     val ranged = hist
       .withColumn("_hi", sum(col("_cnt")).over(wCum).cast(LongType))
       .withColumn("_lo", col("_hi") - col("_cnt") + 1L)
-      .join(broadcast(totals), Seq(groupCol)) // one tiny row per group
+      .join(broadcast(totals), g <=> col("_tg")) // one tiny row per group
       .withColumn("_tlo", tileOf(col("_lo"), col("_n")))
       .withColumn("_thi", tileOf(col("_hi"), col("_n")))
-      .select(g, o, col("_lo"), col("_n"), col("_tlo"), col("_thi"))
-    val joined = df.join(ranged, Seq(groupCol, orderCol))
+      .select(g.as("_rg"), o.as("_ro"),
+        col("_lo"), col("_n"), col("_tlo"), col("_thi"))
+    val joined = df.join(ranged, g <=> col("_rg") && o <=> col("_ro"))
     val whole = joined.filter(col("_tlo") === col("_thi"))
       .withColumn(tierCol, col("_tlo"))
     val wTie = Window.partitionBy(g, o).orderBy(col(tieCol)) // one tie class
@@ -217,7 +230,7 @@ object Curation {
       .withColumn(tierCol, tileOf(col("_r"), col("_n")))
       .drop("_r")
     whole.unionByName(straddling)
-      .drop("_lo", "_n", "_tlo", "_thi")
+      .drop("_lo", "_n", "_tlo", "_thi", "_rg", "_ro")
   }
 
   /** Sequence packing (concatenate-and-split pretraining prep): documents

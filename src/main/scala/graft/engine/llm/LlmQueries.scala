@@ -737,15 +737,20 @@ object LlmQueries {
     * corpus through one task's sort. [[Curation.groupNtile]] computes the
     * identical answer (ties by doc_id) from a (lang, quality) histogram +
     * closed-form tile-of-rank; only tie classes straddling a quartile
-    * boundary ever sort. The DuckDB oracle keeps the NTILE formulation —
-    * same answer, so the rewrite is value-verified, not just plan-shaped. */
+    * boundary ever sort. The order key is the quality QUANTIZED to 3 dp:
+    * a raw continuous double would degrade the histogram bound to ~corpus
+    * rows (groupNtile's documented contract), while 3 dp caps it at
+    * ~10^3·langs cells and moves tier boundaries at most a rounding ulp.
+    * The DuckDB oracle keeps the NTILE formulation over the same quantized
+    * key — same answer, so the rewrite is value-verified, not plan-shaped. */
   val q65 = GraftQuery(
     "q65_quality_tiers",
     (spark, sfDir) => {
       val scored = TextAnalysis
         .qualityScore(Tables.documents(spark, sfDir), "text")
         .select(col("doc_id"), col("lang"), col("quality"))
-      Curation.groupNtile(scored, "lang", "quality", "doc_id", 4)
+        .withColumn("q_bin", round(col("quality"), 3))
+      Curation.groupNtile(scored, "lang", "q_bin", "doc_id", 4)
         .groupBy(col("lang"), col("tier"))
         .agg(lcount().as("n_docs"),
           min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
@@ -770,14 +775,15 @@ object LlmQueries {
         FROM base),
       tiered AS (
         SELECT lang, quality, CAST(NTILE(4) OVER (
-          PARTITION BY lang ORDER BY quality, doc_id) AS BIGINT) AS tier
+          PARTITION BY lang ORDER BY ROUND(quality, 3), doc_id) AS BIGINT) AS tier
         FROM scored)
       SELECT lang, tier, COUNT(*) AS n_docs,
         MIN(quality) AS q_min, MAX(quality) AS q_max
       FROM tiered GROUP BY 1, 2 ORDER BY 1, 2"""
     }),
     doc = "per-language quality quartiles via histogram order statistics " +
-      "(no low-cardinality ntile window; DuckDB NTILE oracle verifies values)")
+      "over a 3dp-quantized key (bounded histogram, no low-cardinality " +
+      "ntile window; DuckDB NTILE oracle verifies values)")
 
   /** q63 — data-mixture sampling: per-source target rates (upsample some
     * sources, downsample the rest) via the same deterministic md5 buckets

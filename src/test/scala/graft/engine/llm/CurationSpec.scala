@@ -149,6 +149,51 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("groupNtile on a 3dp-quantized continuous score: histogram bounded, " +
+      "answer == ntile window") {
+    import org.apache.spark.sql.expressions.Window
+    // continuous scores (every row distinct before quantization) across 3
+    // skewed groups — the q65 shape. Quantizing to 3dp must (a) bound the
+    // histogram at <= groups * 1001 cells on a [0,1] score and (b) leave
+    // the answer identical to the ntile window over the SAME quantized key.
+    val rows = (0L until 20000L).map { i =>
+      val g = if (i < 16000) "en" else if (i < 19000) "de" else "fr"
+      (i, g, (i.toDouble * 0.9301 + 0.137) % 1.0) // continuous, all-distinct
+    }
+    val df = rows.toDF("id", "g", "score")
+      .withColumn("q_bin", round(col("score"), 3))
+    val histRows = df.select("g", "q_bin").distinct().count()
+    assert(histRows <= 3L * 1001L,
+      s"quantized histogram must stay bounded, got $histRows cells")
+    // sanity: unquantized the histogram would be ~corpus-sized
+    assert(df.select("g", "score").distinct().count() > 19000L)
+    val w = Window.partitionBy(col("g")).orderBy(col("q_bin"), col("id"))
+    val expected = df.withColumn("tier", ntile(4).over(w).cast("long"))
+      .select("id", "tier").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Curation.groupNtile(df, "g", "q_bin", "id", 4)
+      .select("id", "tier").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("groupNtile keeps NULL group and order values (null-safe joins), " +
+      "matching the ntile window") {
+    import org.apache.spark.sql.expressions.Window
+    val rows: Seq[(Long, Option[String], Option[Double])] =
+      (0L until 40L).map { i =>
+        val g = if (i % 7 == 0) None else Some(s"g${i % 2}")
+        val v = if (i % 5 == 0) None else Some((i % 4).toDouble)
+        (i, g, v)
+      }
+    val df = rows.toDF("id", "g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val expected = df.withColumn("tier", ntile(3).over(w).cast("long"))
+      .select("id", "tier").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Curation.groupNtile(df, "g", "v", "id", 3)
+      .select("id", "tier").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40, "no row may vanish through the null-safe joins")
+    assert(got == expected)
+  }
+
   test("groupNtile covers every row exactly once") {
     val out = Curation.groupNtile(
       docs.select(col("doc_id"), col("lang"),
