@@ -111,28 +111,88 @@ object SnapshotStore {
   /** Mutual exclusion for pointer flips via atomic lock-file create (maps
     * to an atomic PUT-if-absent / create-no-overwrite on HDFS and object
     * stores that support it). A lock older than `staleMs` is treated as
-    * abandoned by a crashed writer and broken. */
-  private def withFlipLock[A](root: String, staleMs: Long = 60000L)(body: => A): A = {
+    * abandoned by a crashed writer and broken.
+    *
+    * Ownership is tracked by a unique token (pid + thread + nonce) written
+    * into the lock file, because stale-breaking makes "I created the file"
+    * insufficient: a holder paused past `staleMs` (GC / FS stall) can have
+    * its lock broken and re-acquired by another writer. The token lets a
+    * revived holder DETECT the loss — it re-enters the acquire loop instead
+    * of flipping, and its release never deletes a lock it no longer owns.
+    * `staleMs` must exceed the worst-case critical-section pause; the
+    * section itself is a dir rename + pointer write (milliseconds), and
+    * [[advancePointerLocked]]'s forward-only check backstops publish even
+    * if a pathological pause defeats the lease. Package-private so the spec
+    * can drive the ownership-loss path directly. */
+  private[sources] def withFlipLock[A](root: String, staleMs: Long = 60000L)(body: => A): A = {
     Files.createDirectories(Paths.get(root))
     val lock = Paths.get(root, ".CURRENT.lock")
-    var held = false
+    val token = s"${ProcessHandle.current().pid()}-" +
+      s"${Thread.currentThread().getId}-${System.nanoTime()}"
     var waitedMs = 0L
-    while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age = try System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis
-          catch { case _: java.nio.file.NoSuchFileException => 0L }
-          if (age > staleMs) { try Files.deleteIfExists(lock) catch { case _: Exception => () } }
-          else {
-            Thread.sleep(10)
-            waitedMs += 10
-            require(waitedMs < staleMs * 2, s"could not acquire flip lock $lock")
-          }
+    while (true) {
+      var acquired = false
+      while (!acquired) {
+        try {
+          Files.createFile(lock) // atomic create-no-overwrite
+          Files.write(lock, token.getBytes(StandardCharsets.UTF_8))
+          // confirm the stamp stuck (a breaker could have renamed the
+          // not-yet-stamped file away between create and write)
+          acquired = readLockToken(lock).contains(token)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val observed = readLockToken(lock)
+            val age = try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.nio.file.NoSuchFileException => 0L }
+            if (age > staleMs) breakStaleLock(lock, observed)
+            else {
+              Thread.sleep(10)
+              waitedMs += 10
+              require(waitedMs < staleMs * 2, s"could not acquire flip lock $lock")
+            }
+        }
+      }
+      // last-moment ownership check: if we paused long enough to be broken
+      // between stamping and here, another writer may hold the lock now —
+      // re-enter the acquire loop rather than flip under a lock we lost
+      if (readLockToken(lock).contains(token)) {
+        try return body
+        finally {
+          // release only what we still own; deleting a successor's fresh
+          // lock would let a third writer in alongside them
+          if (readLockToken(lock).contains(token)) Files.deleteIfExists(lock)
+        }
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readLockToken(lock: java.nio.file.Path): Option[String] =
+    try Some(new String(Files.readAllBytes(lock), StandardCharsets.UTF_8))
+    catch { case _: Exception => None }
+
+  /** Break an abandoned lock via atomic rename, so (a) two breakers cannot
+    * both think they broke it — only one rename succeeds — and (b) a FRESH
+    * lock re-created between our age check and the rename is not silently
+    * destroyed: the renamed file's token is compared with what the age
+    * check observed, and on mismatch the live lock is moved back (or, if a
+    * third writer already re-created the lock path, dropped — the wronged
+    * owner detects the token mismatch at its next ownership check and
+    * re-acquires). */
+  private def breakStaleLock(
+      lock: java.nio.file.Path, observed: Option[String]): Unit = {
+    val grave = lock.resolveSibling(
+      s"${lock.getFileName}.broken-${System.nanoTime()}")
+    try {
+      Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
+      val stolen = readLockToken(grave)
+      if (stolen == observed) Files.deleteIfExists(grave)
+      else {
+        try Files.move(grave, lock, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: Exception => Files.deleteIfExists(grave) }
+      }
+    } catch { case _: Exception => () } // lost the break race, or released
   }
 
   private def setPointer(root: String, version: Long): Unit = {

@@ -86,6 +86,41 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, r).count() == 1L)
   }
 
+  test("an abandoned flip lock is broken and the next publish proceeds") {
+    val r = root()
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "v"), r)
+    // a crashed writer left its lock behind, 2 minutes stale
+    val lock = java.nio.file.Paths.get(r, ".CURRENT.lock")
+    Files.write(lock, "dead-writer-token".getBytes)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    val v = SnapshotStore.publish(Seq((2L, "b")).toDF("id", "v"), r)
+    assert(v == 2L && SnapshotStore.currentVersion(r) == 2L,
+      "publish must break the stale lock instead of waiting forever")
+    assert(!Files.exists(lock), "released lock must not linger")
+  }
+
+  test("a holder that lost lock ownership never deletes the new owner's lock") {
+    val r = root()
+    Files.createDirectories(java.nio.file.Paths.get(r))
+    val lock = java.nio.file.Paths.get(r, ".CURRENT.lock")
+    val out = SnapshotStore.withFlipLock(r) {
+      // simulate: this holder stalled past staleMs, another writer broke
+      // the lock and re-acquired with its own token
+      Files.write(lock, "new-owner-token".getBytes)
+      42
+    }
+    assert(out == 42)
+    assert(Files.exists(lock) &&
+      new String(Files.readAllBytes(lock)) == "new-owner-token",
+      "release must skip the delete when the token no longer matches")
+    Files.delete(lock)
+    // and with ownership intact, release must clean up normally
+    SnapshotStore.withFlipLock(r) { 1 }
+    assert(!Files.exists(lock), "owned lock must be released")
+  }
+
   test("failed publish leaves the pointer on the last good version; next publish recovers") {
     val r = root()
     SnapshotStore.publish(spark.range(5).toDF("id"), r)
