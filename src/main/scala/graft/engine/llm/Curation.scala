@@ -94,19 +94,27 @@ object Curation {
     * shuffle, so the exchange carries ≤ partitions·domains·cap tiny rows;
     * survivors (≤ domains·cap ids) broadcast back for a semi-join that
     * never shuffles the corpus. */
+  /** ID TYPE CONTRACT: same as [[hashSample]] — `idCol` must be integral or
+    * string. The id travels through the aggregator and the join back as its
+    * string rendering (integers and strings render identically everywhere;
+    * doubles/timestamps do not), so non-numeric string ids are first-class,
+    * not silently nulled by a numeric cast. */
   def domainCap(df: DataFrame, idCol: String, domainCol: String,
       cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val survivors = df
       .select(col(domainCol).as("_dom"),
         md5(col(idCol).cast("string").cast("binary")).as("sortKey"),
-        col(idCol).cast(LongType).as("id"))
+        col(idCol).cast("string").as("id"))
       .groupBy(col("_dom"))
       .agg(TopK.minK(cap).as("keep"))
-      .select(explode(col("keep")).as("k"))
-      .select(col("k.id").as("_keep_id"))
+      .select(col("_dom").as("_keep_dom"), explode(col("keep")).as("k"))
+      .select(col("_keep_dom"), col("k.id").as("_keep_id"))
+    // (domain, id) keyed semi-join: ids only need to be unique WITHIN a
+    // domain, and a null domain matches its own survivor row via <=>
     df.join(broadcast(survivors),
-      df(idCol).cast(LongType) === col("_keep_id"), "left_semi")
+      df(domainCol) <=> col("_keep_dom") &&
+        df(idCol).cast("string") === col("_keep_id"), "left_semi")
   }
 
   /** Benchmark decontamination: for every corpus document, how many of its

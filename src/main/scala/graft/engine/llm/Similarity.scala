@@ -136,10 +136,16 @@ object Similarity {
       .orderBy(col("cos").desc, col("nid").asc)
     c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      // distinct candidates: with tables > 1 the same pair can co-bucket in
-      // several tables; rank each neighbor once
+      // score BEFORE the candidate dedup: with tables > 1 the same pair
+      // co-buckets in several tables, and the duplicated candidate volume
+      // is exactly what the dedup exchange carries — scoring first means it
+      // shuffles bare (qid, nid, cos) rows instead of both embedding
+      // vectors (cos is identical across duplicates, so this is
+      // value-neutral; the extra per-duplicate cosine is map-side, cheap,
+      // and buys a vector-free exchange)
+      .select(col("qid"), col("nid"),
+        F.cosineSimilarity(col("qe"), col("ne")).as("cos"))
       .dropDuplicates("qid", "nid")
-      .withColumn("cos", F.cosineSimilarity(col("qe"), col("ne")))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cosine"))
@@ -159,15 +165,27 @@ object Similarity {
     * deterministic hash-sample of the corpus rather than every row — the
     * codebook quality saturates long before the full pass. */
   def ivfCentroids(corpus: DataFrame, nlist: Int,
-      iters: Int = 2): Array[(Int, Array[Double])] = {
-    val base = corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("e"))
-    var cents = base
+      iters: Int = 2): Array[(Int, Array[Double])] =
+    ivfRefine(corpus, ivfSeeds(corpus, nlist), iters)
+
+  /** Seed centroids alone (one TakeOrdered job). Because the sample is the
+    * `nlist` smallest by (xxhash64(vec_id), vec_id), the first m seeds of
+    * an nlist-seed sample ARE the m-seed sample — a harness training
+    * several codebook sizes (x47) runs this once at the largest nlist and
+    * `take(m)`s the rest, saving a corpus job per extra codebook. */
+  def ivfSeeds(corpus: DataFrame, nlist: Int): Array[(Int, Array[Double])] =
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist)
       .collect()
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+
+  /** Lloyd refinement of given seeds (one corpus job per iteration). */
+  def ivfRefine(corpus: DataFrame, seeds: Array[(Int, Array[Double])],
+      iters: Int): Array[(Int, Array[Double])] = {
+    val base = corpus.select(col("embedding").cast("array<double>").as("e"))
+    var cents = seeds
     var it = 0
     while (it < iters) {
       val means = base
@@ -191,6 +209,48 @@ object Similarity {
     cents
   }
 
+  /** Refine SEVERAL codebooks in lock-step with ONE corpus job per Lloyd
+    * iteration (vs one per codebook per iteration): every row's cell in
+    * every codebook is computed in the same pass, (sum, count) partials are
+    * aggregated per JOINT cell key — output bounded by Π nlist_i · dim, still
+    * driver-small for harness-scale codebook counts — and each codebook's
+    * per-cell means are recovered by marginalizing driver-side. Up to FP
+    * addition order, each codebook converges exactly as if refined alone;
+    * empty cells keep their seed (no joint row carries their cid). */
+  def ivfRefineAll(corpus: DataFrame, seedSets: Seq[Array[(Int, Array[Double])]],
+      iters: Int): Seq[Array[(Int, Array[Double])]] = {
+    val base = corpus.select(col("embedding").cast("array<double>").as("e"))
+    var books = seedSets.toArray
+    val nb = books.length
+    var it = 0
+    while (it < iters) {
+      val cellCols = books.zipWithIndex.map { case (b, i) =>
+        ivfCell(col("e"), b).as(s"_c$i") }
+      val rows = base
+        .select(cellCols :+ posexplode(col("e")).as(Seq("pos", "x")): _*)
+        .groupBy(books.indices.map(i => col(s"_c$i")) :+ col("pos"): _*)
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      books = books.zipWithIndex.map { case (book, bi) =>
+        val acc = scala.collection.mutable.Map.empty[(Int, Int), (Double, Long)]
+        rows.foreach { r =>
+          val key = (r.getInt(bi), r.getInt(nb))
+          val (s0, n0) = acc.getOrElse(key, (0.0, 0L))
+          acc(key) = (s0 + r.getDouble(nb + 1), n0 + r.getLong(nb + 2))
+        }
+        book.map { case (cid, seed) =>
+          val arr = seed.clone()
+          arr.indices.foreach { pos =>
+            acc.get((cid, pos)).foreach { case (s, n) => arr(pos) = s / n }
+          }
+          cid -> arr
+        }
+      }
+      it += 1
+    }
+    books.toSeq
+  }
+
   /** Per-centroid (cosine, cid) score structs for a vector column. */
   private def ivfScores(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
     array(centroids.map { case (cid, cv) =>
@@ -208,9 +268,12 @@ object Similarity {
     * cells, so a probe scans nprobe/nlist of the corpus instead of all of
     * it. nprobe = nlist degrades gracefully to the exact answer. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    val cents = ivfCentroids(corpus, nlist)
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nlist))
+    require(cents.length == nlist,
+      s"centroids.length ${cents.length} != nlist $nlist")
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
       ivfCell(col("embedding"), cents).as("cell"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -249,7 +312,13 @@ object Similarity {
     corpus.select(col("vec_id").as("id"),
         lshBucket(col("embedding"), planes).as("bucket"))
       .groupBy(col("bucket"))
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucketSize).as("ids"),
+      // partial-aggregating capped collector: a collect_list-then-slice
+      // would materialize the FULL hot bucket in one aggregation buffer
+      // before capping — the degenerate bucket the cap exists for could
+      // OOM the aggregating task. CappedIdsAggregator keeps every partial
+      // and merge buffer at <= maxBucketSize ids; n_full still counts the
+      // uncapped membership for the truncation telemetry.
+      .agg(TopK.cappedIds(maxBucketSize, col("id")).as("ids"),
         count(lit(1)).cast(LongType).as("n_full"))
   }
 

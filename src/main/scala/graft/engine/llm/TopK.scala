@@ -49,7 +49,10 @@ object TopK {
       .apply(org.apache.spark.sql.functions.col("cos"),
         org.apache.spark.sql.functions.col("nid"))
 
-  final case class Keyed(sortKey: String, id: Long)
+  /** `id` is carried as its STRING RENDERING (same engine-portable contract
+    * as Curation.hashSample: integral and string ids render identically
+    * everywhere; callers keep their native column for the join back). */
+  final case class Keyed(sortKey: String, id: String)
 
   private def earlier(a: Keyed, b: Keyed): Boolean =
     a.sortKey < b.sortKey || (a.sortKey == b.sortKey && a.id < b.id)
@@ -84,4 +87,34 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Keyed]())
       .apply(org.apache.spark.sql.functions.col("sortKey"),
         org.apache.spark.sql.functions.col("id"))
+
+  /** Size-capped ascending id collector — the partial-aggregating
+    * replacement for `slice(sort_array(collect_list(id)), 1, k)`, which
+    * materializes the FULL hot group's list in one aggregation buffer
+    * before slicing (the very group a cap exists for can OOM the
+    * aggregating task). Here no buffer — map-side partial or final merge —
+    * ever holds more than k ids. Same answer: the k smallest, ascending,
+    * duplicates retained. */
+  final class CappedIdsAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(buf: Seq[Long], a: Long): Seq[Long] =
+      if (buf.size >= k && buf.last <= a) buf
+      else ((buf :+ a).sorted).take(k)
+
+    override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+      (b1 ++ b2).sorted.take(k)
+
+    override def finish(r: Seq[Long]): Seq[Long] = r
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form: the k smallest values of `id` per group, ascending. */
+  def cappedIds(k: Int, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new CappedIdsAggregator(k),
+      Encoders.scalaLong).apply(id)
 }
