@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import graft.engine.Registry
 
 /** Time individual registry queries (dev loop for perf work; Bench is the
@@ -11,10 +10,9 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSet
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // the driver session recipe (UTC timezone included): timings AND row
+    // counts from this tool must match driver Verify/Bench runs
+    val spark = graft.engine.GraftSession.build("32")
     spark.sparkContext.setLogLevel("ERROR")
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
