@@ -1,0 +1,188 @@
+package graft.engine
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.graft.TestBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.spark
+import graft.engine.llm.Curation
+import graft.engine.relational.Salting
+
+/** Planted-skew RUNTIME stress for the hot-key operators.
+  *
+  * PlanShapeSpec/PlanAudit check plan SHAPES; this suite checks the runtime
+  * claim those shapes exist to serve: with a ~10^6-row hot key, no single
+  * task of the bounded formulations ever ingests the hot key's full row set
+  * through a shuffle, while the naive window/SMJ formulations demonstrably
+  * do (each naive case is asserted to FAIL the bound — proving the detector
+  * would catch a regression to the naive plan).
+  *
+  * Measurement: a SparkListener records the MAX per-task
+  * `shuffleReadMetrics.recordsRead` across every stage of the measured
+  * action — exactly the "one reducer eats the hot key" failure mode. AQE is
+  * disabled for the suite so the naive join case can't be rescued by
+  * runtime skew-splitting (the bounded operators must not need it), and
+  * shuffle partitions are raised to 32 so "bounded" means "scales out with
+  * partitions", not "local[4] hid it".
+  */
+class HotKeyStressSpec extends AnyFunSuite {
+
+  private val hotRows = 900000L
+  private val tailRows = 100000L
+  private val nDomains = 50 // tail domains, 2 000 rows each
+
+  /** 10^6 rows: 90% in domain "hot", the rest spread over 50 domains.
+    * `score` is quantized to 2 000 distinct values (groupNtile's documented
+    * contract for near-continuous keys). Persisted so measured actions see
+    * only their own shuffles, not the fixture build. */
+  private lazy val skewed: DataFrame = {
+    val df = spark.range(hotRows + tailRows)
+      .select(col("id"),
+        when(col("id") < hotRows, lit("hot"))
+          .otherwise(concat(lit("d"), pmod(col("id"), lit(nDomains))))
+          .as("domain"),
+        (pmod(xxhash64(col("id")), lit(2000)) / lit(1000.0)).as("score"))
+      .persist()
+    df.count()
+    df
+  }
+
+  private def maxTaskShuffleRead(action: => Unit): Long = {
+    val max = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          max.accumulateAndGet(m.shuffleReadMetrics.recordsRead, Math.max(_, _))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      TestBridge.drainListenerBus(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    max.get()
+  }
+
+  private def withStressConf[T](extra: (String, String)*)(f: => T): T = {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled") ++ extra.map(_._1)
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    extra.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  // ---- detector sanity: the naive formulations MUST trip the bound ----
+
+  test("naive rank window funnels the hot domain through one task") {
+    withStressConf() {
+      val w = Window.partitionBy("domain").orderBy("id")
+      // NOTE: a `row_number <= k` FILTER is auto-rescued by Spark 4's
+      // WindowGroupLimit rewrite (partial top-k before the exchange — we
+      // measured 500 rows/task), so the top-k-per-key window is no longer
+      // naive. The UNFILTERED rank (rank column kept in the output) admits
+      // no such rewrite and still funnels the hot key — that is the shape
+      // this detector must catch.
+      val m = maxTaskShuffleRead {
+        skewed.withColumn("rn", row_number().over(w))
+          .groupBy("domain").agg(max("rn")).collect()
+      }
+      assert(m >= hotRows,
+        s"expected the naive window's hot task to read >= $hotRows rows, " +
+          s"measured $m — detector would miss a naive regression")
+    }
+  }
+
+  test("naive ntile window funnels the hot domain through one task") {
+    withStressConf() {
+      val w = Window.partitionBy("domain").orderBy("score", "id")
+      val m = maxTaskShuffleRead {
+        skewed.withColumn("tier", ntile(4).over(w))
+          .groupBy("tier").count().collect()
+      }
+      assert(m >= hotRows, s"naive ntile hot task read $m, expected >= $hotRows")
+    }
+  }
+
+  // ---- bounded formulations: correct answer AND bounded per-task reads ----
+
+  test("domainCap: per-task shuffle reads stay at partial-agg scale") {
+    withStressConf() {
+      var n = -1L
+      val m = maxTaskShuffleRead {
+        n = Curation.domainCap(skewed, "id", "domain", 100).count()
+      }
+      // hot capped at 100; each of the 50 tail domains (2 000 rows) too
+      assert(n == 100L * (nDomains + 1), s"unexpected survivor count $n")
+      // the exchange carries MinKAggregator partials (<= inputPartitions
+      // buffer rows per domain), never corpus rows; the join back is a
+      // broadcast semi-join with no shuffle at all
+      val bound = 32L * (nDomains + 1)
+      assert(m <= bound,
+        s"domainCap max per-task shuffle read $m exceeds partial-agg bound $bound")
+    }
+  }
+
+  test("groupNtile: matches the ntile window, per-task reads bounded") {
+    withStressConf() {
+      val w = Window.partitionBy("domain").orderBy("score", "id")
+      val expected = skewed
+        .withColumn("tier", ntile(4).over(w).cast("long"))
+        .groupBy("domain", "tier").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      var got: Map[(String, Long), Long] = Map.empty
+      val m = maxTaskShuffleRead {
+        got = Curation.groupNtile(skewed, "domain", "score", "id", 4)
+          .groupBy("domain", "tier").count()
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+      }
+      assert(got == expected, "groupNtile diverged from the ntile window")
+      // largest legitimate per-task ingest: the corpus join-back hashed on
+      // (group, orderVal) — ~corpus/partitions, plus a straddling tie class
+      // (~hot/2000 rows). An order of magnitude under the naive window's
+      // hot-task read; scales out with partitions where the naive can't.
+      val bound = (hotRows + tailRows) / 32 * 4
+      assert(m <= bound,
+        s"groupNtile max per-task shuffle read $m exceeds bound $bound " +
+          s"(naive window reads $hotRows in one task)")
+    }
+  }
+
+  test("plain SMJ join funnels the hot key; saltedJoin spreads it") {
+    withStressConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import spark.implicits._
+      val dim = ("hot" +: (0 until nDomains).map("d" + _))
+        .map(d => (d, s"meta_$d")).toDF("domain", "meta")
+      val mNaive = maxTaskShuffleRead {
+        assert(skewed.join(dim, Seq("domain")).count() == hotRows + tailRows)
+      }
+      assert(mNaive >= hotRows,
+        s"expected naive SMJ hot task to read >= $hotRows rows, got $mNaive " +
+          "(detector would miss a naive regression)")
+      val mSalted = maxTaskShuffleRead {
+        assert(Salting.saltedJoin(skewed, dim, "domain", col("id"), 32)
+          .count() == hotRows + tailRows)
+      }
+      // hot key spread over 32 (key, salt) buckets: per-task ingest drops
+      // from hot-key-size to ~corpus/partitions
+      val bound = (hotRows + tailRows) / 32 * 4
+      assert(mSalted <= bound,
+        s"saltedJoin max per-task shuffle read $mSalted exceeds bound $bound " +
+          s"(naive SMJ reads $mNaive)")
+    }
+  }
+}
