@@ -78,9 +78,15 @@ object StatsQueries {
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
     doc = "pivot on returnflag (oracle: CASE-filtered sums)")
 
-  /** x28 — sketch aggregates (HLL++, approximate percentile, count-min):
-    * engine-specific sketches, no cross-engine oracle; invariants
-    * (HLL relative error, CMS never underestimates) in StatsSketchSpec.
+  /** x28 — sketch aggregates (HLL++, approximate percentile, count-min),
+    * promoted from rows-only to an ORACLE-CHECKED CONTRACT ROW: the sketch
+    * values themselves are engine-specific (DuckDB cannot replay Spark's
+    * HLL/KLL/CMS internals), so the row carries the EXACT ground truths
+    * (DuckDB recomputes those) plus one boolean per sketch asserting its
+    * published error contract against that ground truth (DuckDB pins them
+    * TRUE). A sketch drifting out of contract flips its boolean and reds
+    * the row — unlike the old summary, which nothing verified. The raw
+    * estimates remain asserted (with the same bounds) in StatsSketchSpec.
     * The CMS binary sketch is decoded driver-side — the sketch itself is a
     * fixed-width mergeable aggregate (map-side partials), which is the
     * point at 100 TB: heavy-hitter counts without a per-key shuffle. */
@@ -99,23 +105,52 @@ object StatsQueries {
             .as("price_quantiles"),
           expr("count_min_sketch(l_orderkey % 7, 0.001d, 0.99d, 42)").as("cms"),
           sum(when(col("l_orderkey") % 7 === 3, 1L).otherwise(0L))
-            .cast(LongType).as("exact_bucket3"))
+            .cast(LongType).as("exact_bucket3"),
+          count(lit(1)).cast(LongType).as("n_rows"))
         .head()
+      val p50 = row.getSeq[Double](1)(0)
+      val p95 = row.getSeq[Double](1)(1)
+      // countDistinct stays ALONE in its pass (mixing it with the plain
+      // sums compiles to an Expand plan that duplicates every row); the
+      // estimates' exact ranks are a third, narrow single-column pass
       val exactParts = li.agg(countDistinct(col("l_partkey")).cast(LongType))
         .head().getLong(0)
+      val ranks = li.agg(
+          sum(when(col("l_extendedprice") <= p50, 1L).otherwise(0L))
+            .cast(LongType).as("rank_p50"),
+          sum(when(col("l_extendedprice") <= p95, 1L).otherwise(0L))
+            .cast(LongType).as("rank_p95"))
+        .head()
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
+      val n = row.getAs[Long]("n_rows")
+      val cmsB3 = cms.estimateCount(java.lang.Long.valueOf(3L))
+      val exactB3 = row.getAs[Long]("exact_bucket3")
+      // contracts: HLL++ default rsd 5% (allow 2σ); KLL rank error n/accuracy
+      // (+1 for the <=-vs-< rank convention); CMS never undercounts and
+      // overcounts <= eps·N = 0.001·n at confidence 0.99
+      val rankTol = n / 1000 + 1
       import spark.implicits._
-      Seq((row.getAs[Long]("approx_parts"), exactParts,
-        math.round(row.getSeq[Double](1)(0) * 100) / 100.0,
-        math.round(row.getSeq[Double](1)(1) * 100) / 100.0,
-        cms.estimateCount(java.lang.Long.valueOf(3L)),
-        row.getAs[Long]("exact_bucket3")))
-        .toDF("approx_parts", "exact_parts", "p50", "p95",
-          "cms_bucket3", "exact_bucket3")
+      Seq((n, exactParts, exactB3,
+        math.abs(row.getAs[Long]("approx_parts") - exactParts).toDouble
+          <= 0.10 * exactParts,
+        math.abs(ranks.getAs[Long]("rank_p50") - n / 2) <= rankTol,
+        math.abs(ranks.getAs[Long]("rank_p95") - (n * 95) / 100) <= rankTol,
+        cmsB3 >= exactB3 && cmsB3 <= exactB3 + (n / 1000 + 1)))
+        .toDF("n_rows", "exact_parts", "exact_bucket3",
+          "hll_in_contract", "p50_rank_in_contract", "p95_rank_in_contract",
+          "cms_in_contract")
     },
-    None,
-    doc = "HLL++ distinct + approx_percentile + count-min heavy-hitter (rows-only)")
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        CAST(SUM(CASE WHEN l_orderkey % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS exact_bucket3,
+        TRUE AS hll_in_contract, TRUE AS p50_rank_in_contract,
+        TRUE AS p95_rank_in_contract, TRUE AS cms_in_contract
+      FROM lineitem"""),
+    doc = "HLL++ distinct + approx_percentile + count-min heavy-hitter; " +
+      "exact ground truths DuckDB-recomputed, sketch error contracts " +
+      "oracle-pinned TRUE")
 
   /** q51 — as-of (point-in-time) join: each event picks its user's latest
     * order at-or-before the event timestamp. */

@@ -188,13 +188,36 @@ object StreamQueries {
       val views = MemoryStream[Streaming.Event]
       val clicks = MemoryStream[Streaming.Event]
       val name = s"x56_out_${System.nanoTime()}"
+      // A stream-stream join runs FOUR state stores per shuffle partition
+      // per micro-batch, and a watermark advance appends no-data batches
+      // that re-commit every store; at the session's 32 partitions this
+      // 20k-row harness stream spent ~10 s on store setup/commit I/O
+      // alone. Neither dial is a result input (inner interval-join
+      // emission is micro-batch-, partitioning-, and watermark-invariant),
+      // so run the stream at 4 partitions with no-data batches off and
+      // restore after. Production sizes partitions to throughput; the
+      // state-per-partition SHAPE is what carries to 100 TB.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = spark.conf
+        .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val q = Streaming.intervalJoin(views.toDF(), clicks.toDF(), "6 hours")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
         views.addData(v1.toSeq); clicks.addData(c1.toSeq); q.processAllAvailable()
         views.addData(v2.toSeq); clicks.addData(c2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevNoData match {
+          case Some(v) => spark.conf
+            .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+          case None => spark.conf
+            .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+        }
+      }
       spark.table(name)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).cast("long").as("n_pairs"),

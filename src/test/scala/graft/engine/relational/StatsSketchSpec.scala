@@ -1,16 +1,30 @@
 package graft.engine.relational
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession.{sfDir, spark}
 
-/** Invariants of the x28 sketch family (no DuckDB oracle — sketches are
-  * engine-specific): HLL++ stays inside its advertised relative error, the
-  * count-min estimate NEVER underestimates and stays within eps·N above
-  * the true count with high probability, and the quantile sketch brackets
-  * the true median. */
+/** Raw-estimate invariants of the x28 sketch family, computed directly
+  * from the sketch aggregates (x28's driver row now carries oracle-pinned
+  * contract BOOLEANS; the raw estimates live here): HLL++ stays inside its
+  * advertised relative error, the count-min estimate NEVER underestimates
+  * and stays within eps·N above the true count with high probability, and
+  * the quantile sketch brackets the true median. Plus the contract row
+  * itself: every boolean x28 publishes must be true. */
 class StatsSketchSpec extends AnyFunSuite {
 
-  private lazy val row = StatsQueries.x28.run(spark, sfDir).head()
+  private lazy val li = graft.engine.Tables.lineitem(spark, sfDir)
+
+  private lazy val row = li.agg(
+      approx_count_distinct(col("l_partkey")).cast(LongType).as("approx_parts"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+        .as("price_quantiles"),
+      expr("count_min_sketch(l_orderkey % 7, 0.001d, 0.99d, 42)").as("cms"),
+      sum(when(col("l_orderkey") % 7 === 3, 1L).otherwise(0L))
+        .cast(LongType).as("exact_bucket3"),
+      countDistinct(col("l_partkey")).cast(LongType).as("exact_parts"))
+    .head()
 
   test("HLL++ distinct estimate within 5% of exact") {
     val approx = row.getAs[Long]("approx_parts").toDouble
@@ -20,21 +34,30 @@ class StatsSketchSpec extends AnyFunSuite {
   }
 
   test("count-min estimate >= exact count, within eps*N slack") {
-    val est = row.getAs[Long]("cms_bucket3")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
+    val est = cms.estimateCount(java.lang.Long.valueOf(3L))
     val exact = row.getAs[Long]("exact_bucket3")
     assert(est >= exact, "CMS must never underestimate")
-    val n = graft.engine.Tables.lineitem(spark, sfDir).count()
+    val n = li.count()
     assert(est - exact <= (0.001 * n).toLong + 1,
       s"est=$est exact=$exact n=$n")
   }
 
   test("approx percentiles are ordered and within the value range") {
-    import org.apache.spark.sql.functions.{col, max, min}
-    val p50 = row.getAs[Double]("p50")
-    val p95 = row.getAs[Double]("p95")
+    val p50 = row.getSeq[Double](row.fieldIndex("price_quantiles"))(0)
+    val p95 = row.getSeq[Double](row.fieldIndex("price_quantiles"))(1)
     assert(p50 <= p95)
-    val mm = graft.engine.Tables.lineitem(spark, sfDir)
-      .agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+    val mm = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice")))
+      .head()
     assert(p50 >= mm.getDouble(0) && p95 <= mm.getDouble(1))
+  }
+
+  test("x28 contract row: every published sketch contract holds") {
+    val r = StatsQueries.x28.run(spark, sfDir).head()
+    for (c <- Seq("hll_in_contract", "p50_rank_in_contract",
+        "p95_rank_in_contract", "cms_in_contract")) {
+      assert(r.getAs[Boolean](c), s"$c is false")
+    }
   }
 }
