@@ -287,6 +287,78 @@ case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Double]]]
     copy(child = newChild)
 }
 
+/** Product-quantization encode: per-subspace argmax-cosine centroid ids as
+  * ARRAY<INT> (index = subspace) — the X3 compressed-corpus kernel.
+  *
+  * Same janino story as [[SignLshBuckets]]: the Column-DSL formulation
+  * (one struct per (subspace, centroid) through array_max) is m·k nodes —
+  * 512 at the x48 operating point (8 subspaces × 64 centroids), which
+  * overflows whole-stage codegen's 64 KB method limit and drops the encode
+  * scan to interpreted eval (measured ~2× the whole query's budget). This
+  * kernel is ONE expression node of tight JVM loops.
+  *
+  * `books(s)(c)` is subspace s's centroid c; the returned code for s is
+  * the argmax-cosine c, ties to the LARGER c and zero-norm cosines scored
+  * 0 — bit-matching the ivfCell/CosineSimilarity composition it replaces.
+  */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(books.nonEmpty && books.forall(_.nonEmpty), "need >= 1 centroid per book")
+  private val ds = books(0)(0).length
+  require(books.forall(_.forall(_.length == ds)),
+    "every centroid must have the subvector width")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  @inline private def elem(arr: ArrayData, dt: DataType, i: Int): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case _ => throw new IllegalArgumentException(s"unsupported element type $dt")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val m = books.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * ds
+      val n = math.max(math.min(ds, arr.numElements() - off), 0)
+      var nv = 0.0
+      var i = 0
+      while (i < n) { val x = elem(arr, et, off + i); nv += x * x; i += 1 }
+      val book = books(s)
+      var best = Double.NegativeInfinity
+      var bestCid = 0
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var dot = 0.0
+        var nc = 0.0
+        var j = 0
+        while (j < n) {
+          val x = elem(arr, et, off + j)
+          dot += x * cent(j); nc += cent(j) * cent(j); j += 1
+        }
+        while (j < ds) { nc += cent(j) * cent(j); j += 1 }
+        val cos = if (nv == 0.0 || nc == 0.0) 0.0
+                  else dot / (math.sqrt(nv) * math.sqrt(nc))
+        if (cos >= best) { best = cos; bestCid = c }
+        c += 1
+      }
+      out(s) = bestCid
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Bloom-filter membership probe against a pre-built filter (X1 ingestion
   * dedup's pre-filter phase).
   *
@@ -378,6 +450,10 @@ object F {
   /** Per-table sign-LSH bucket ids as ARRAY<BIGINT> (index = table). */
   def signLshBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     Bridge.column(SignLshBuckets(Bridge.expression(vec), planes))
+
+  /** Per-subspace PQ codes as ARRAY<INT> (index = subspace). */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), books))
 
   /** Membership probe against a serialized `util.sketch.BloomFilter`. */
   def bloomMightContain(key: Column,

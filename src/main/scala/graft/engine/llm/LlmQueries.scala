@@ -79,6 +79,42 @@ object LlmQueries {
       FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""),
     doc = "brute-force cosine top-k, broadcast query set")
 
+  /** q84 — product quantization (X3 compressed-corpus ANN) ORACLE-checked
+    * in its LOSSLESS regime: with every distinct subvector a centroid
+    * (`pqCodebooksExact`), encoding is an identity, so the full ADC
+    * machinery — encode, per-query LUTs, LUT-sum cosine, partial top-k —
+    * must reproduce the exact cosine top-k that DuckDB computes
+    * independently (q44's formulation on the same pinned 100-vector
+    * corpus). A wrong LUT index, code, or denominator breaks the row
+    * values. Ranks only (the ADC cosine groups FP additions by subspace,
+    * so its 6-dp rounding is not bit-stable against a linear-sum twin);
+    * x47 measures the trained-codebook approximate regime. */
+  val q84 = GraftQuery(
+    "q84_pq_exact",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+      val books = Similarity.pqCodebooksExact(emb, m = 4)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, books)
+        .select(col("qid"), col("rnk"), col("nid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings WHERE vec_id < 100),
+      q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+      pairs AS (SELECT q.qid, e.vec_id AS nid,
+          list_dot_product(q.qe, e.emb) AS dot,
+          sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+        FROM q, e WHERE e.vec_id <> q.qid),
+      ranked AS (SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END DESC,
+              nid ASC) AS rnk
+        FROM pairs)
+      SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid
+      FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""),
+    doc = "PQ ADC top-k in the lossless-codebook regime == exact cosine ranking")
+
   /** q46 — X4 per-language corpus statistics. */
   val q46 = GraftQuery(
     "q46_text_stats",
@@ -593,6 +629,58 @@ object LlmQueries {
     doc = "IVF ANN vs brute force: nlist=16/nprobe=4 baseline plus the " +
       "nlist=32/nprobe=16 half-scan operating point")
 
+  /** X3 — product-quantization ANN recall harness (q84 value-pins the ADC
+    * machinery in its lossless regime; this measures the TRAINED operating
+    * point). Codebooks m=16 × k=32 store each vector as 16 bytes — a 16×
+    * compressed corpus — and the published point re-ranks the ADC scan's
+    * top-100 candidates with exact cosine (full-vector reads stay
+    * O(queries·100), never corpus-shaped). PqSweep's grid (BASELINE.md):
+    * raw ADC plateaus near 0.5 on this isotropic corpus (no inter-dimension
+    * structure to exploit — the same worst case BASELINE.md records for
+    * sign-LSH); m=16/k=32 re-rank@100 reads 0.98 at sf0.1 where the denser
+    * 8-byte m=8/k=64 point decays to 0.82. */
+  val x48 = GraftQuery(
+    "x48_ann_pq_recall",
+    (spark, sfDir) => {
+      // One materialized scan shared by training, both PQ paths, and the
+      // exact baseline (same discipline as x44/x47).
+      val emb = Tables.embeddings(spark, sfDir).persist()
+      try {
+        val queries = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // Codebooks train on a 25% deterministic hash-sample (codebook
+        // quality saturates long before a full pass — the ivfCentroids
+        // scale note; at 100 TB nobody Lloyd-scans the corpus), and the
+        // corpus is ENCODED ONCE — both operating points share the
+        // persisted 8-byte codes, which is the whole PQ storage story.
+        val books = Similarity.pqTrain(
+          Curation.hashSample(emb, col("vec_id"), 0.25), m = 16, k = 32,
+          iters = 2)
+        // ONE ADC ranking serves both points: its rnk<=5 prefix IS the
+        // raw-ADC answer, and its full 100 candidates feed the exact
+        // re-rank stage (pqExactRerank == pqTopK(rerank=100)'s second
+        // stage) — no second code scan
+        val adc100 = Similarity.pqTopK(emb, queries, 100, books)
+          .select(col("qid"), col("rnk"), col("nid")).localCheckpoint()
+        def recallOf(pairs: Set[(Long, Long)]): Double =
+          exact.intersect(pairs).size.toDouble / math.max(exact.size, 1)
+        val adcTop5 = adc100.filter(col("rnk") <= 5)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val reranked = Similarity.pqExactRerank(emb, queries, adc100, 5)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        import spark.implicits._
+        Seq((exact.size.toLong, recallOf(adcTop5), recallOf(reranked)))
+          .toDF("n_exact", "recall_adc", "recall_rerank100")
+      } finally emb.unpersist()
+    },
+    None,
+    doc = "PQ ANN vs brute force: m=16 x k=32 byte codes (16x compression), " +
+      "raw-ADC recall plus the rerank@100 operating point")
+
   /** X2 end-to-end — MinHash pairs → transitive clusters → survivors,
     * promoted to a FULL VALUE-LEVEL ORACLE: every document's cluster label
     * and survivor flag is compared against DuckDB recomputing the pair
@@ -1093,5 +1181,5 @@ object LlmQueries {
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
-      q83, x42, x43, x44, x45, x46, x47, x51)
+      q83, q84, x42, x43, x44, x45, x46, x47, x48, x51)
 }

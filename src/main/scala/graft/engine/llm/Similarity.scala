@@ -370,6 +370,203 @@ object Similarity {
            coalesce(max(col("n_full")), lit(0L)).cast(LongType)
              .as("max_bucket_size"))
 
+  // ---- Product quantization (X3 — the compressed-corpus ANN path) ----
+  //
+  // PQ is the 100 TB complement to LSH/IVF: split each D-dim vector into m
+  // contiguous subvectors, learn a k-entry codebook per subspace, and store
+  // each vector as m small codes (m bytes at k <= 256) instead of D floats
+  // — a 64x-compressed corpus whose approximate cosines are computed from
+  // per-query lookup tables (ADC), never from the original vectors. The
+  // scan stays narrow (codes only), the LUTs are m·k doubles per query
+  // (driver-computed, shipped as expression literals), and ranking reuses
+  // the partially-aggregating TopKAggregator — the same
+  // O(partitions·q·k)-exchange posture as bruteForceTopKAgg. In production
+  // PQ composes with IVF (probe cells, then ADC-scan the cell's codes).
+
+  /** Train m per-subspace codebooks (k centroids each) with `iters` Lloyd
+    * passes — ONE corpus job per iteration for ALL subspaces: each row
+    * explodes into its m (subspace, cell, subvector) assignments and the
+    * (sub, cell, pos) means aggregate map-side; the shuffle carries
+    * <= m·k·(D/m) grouped rows, never vectors. Seeds are the same
+    * deterministic hash-sample as [[ivfSeeds]] (smallest k by
+    * (xxhash64(vec_id), vec_id)), so training is reproducible across runs.
+    * Assignment is argmax-cosine ([[ivfCell]] on the subvector slice) —
+    * spherical k-means, matching the cosine geometry the ANN ranks by. */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int,
+      iters: Int = 2): Seq[Array[(Int, Array[Double])]] = {
+    val dim = embeddingDim(corpus)
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val ds = dim / m
+    val sample = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k).collect()
+    var books: Array[Array[(Int, Array[Double])]] = Array.tabulate(m) { s =>
+      sample.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Double](1).slice(s * ds, (s + 1) * ds).toArray }
+    }
+    val base = corpus.select(col("embedding").cast("array<double>").as("e"))
+    var it = 0
+    while (it < iters) {
+      // assignment through the ONE-node native kernel (the per-centroid
+      // Column-DSL tree overflows janino at realistic m·k — see PqEncode)
+      val code = F.pqEncode(col("e"), bareBooks(books.toSeq))
+      val subs = array((0 until m).map { s =>
+        struct(lit(s).as("sub"), element_at(code, s + 1).as("cell"),
+          slice(col("e"), s * ds + 1, ds).as("sv"))
+      }: _*)
+      val rows = base.select(explode(subs).as("t"))
+        .select(col("t.sub"), col("t.cell"), posexplode(col("t.sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+      val bySub = rows.groupBy(_.getInt(0))
+      books = books.zipWithIndex.map { case (book, s) =>
+        val byCell = bySub.getOrElse(s, Array.empty).groupBy(_.getInt(1))
+        book.map { case (cid, seed) =>
+          byCell.get(cid) match {
+            case Some(rs) =>
+              val arr = seed.clone()
+              rs.foreach(r => arr(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+              cid -> arr
+            case None => cid -> seed // empty cell keeps its seed
+          }
+        }
+      }
+      it += 1
+    }
+    books.toSeq
+  }
+
+  /** LOSSLESS codebooks for the exact-regime oracle (q84): every distinct
+    * subvector of the corpus becomes a centroid, so encoding is an identity
+    * and ADC reproduces the exact cosine ranking. Collects the corpus
+    * driver-side — strictly an oracle-harness constructor for a small
+    * pinned corpus subset, never a production path (production trains with
+    * [[pqTrain]]). */
+  def pqCodebooksExact(corpus: DataFrame, m: Int): Seq[Array[(Int, Array[Double])]] = {
+    val dim = embeddingDim(corpus)
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val ds = dim / m
+    val vecs = corpus.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    (0 until m).map { s =>
+      vecs.map(_.slice(s * ds, (s + 1) * ds).toVector).distinct
+        .sortBy(_.mkString(",")) // deterministic cid assignment
+        .zipWithIndex
+        .map { case (v, i) => i -> v.toArray }.toArray
+    }
+  }
+
+  /** Codebooks as the bare centroid arrays the native kernel takes
+    * (position = cid; constructors emit contiguous 0..k-1 cids, enforced
+    * here so a code indexes its LUT correctly). */
+  private def bareBooks(books: Seq[Array[(Int, Array[Double])]]): Array[Array[Array[Double]]] =
+    books.map { b =>
+      val sorted = b.sortBy(_._1)
+      require(sorted.iterator.map(_._1).zipWithIndex.forall(p => p._1 == p._2),
+        "codebook cids must be contiguous from 0")
+      sorted.map(_._2)
+    }.toArray
+
+  /** Encode the corpus against trained codebooks: (nid, code) where code is
+    * the m-array of per-subspace centroid ids — the narrow compressed
+    * representation an ADC scan reads (at scale this is the stored table;
+    * the float vectors are cold storage). ONE native expression node
+    * ([[graft.engine.functions.PqEncode]]) — the per-(subspace, centroid)
+    * Column-DSL tree overflowed janino at the x48 operating point. */
+  def pqEncode(corpus: DataFrame, books: Seq[Array[(Int, Array[Double])]]): DataFrame =
+    corpus.select(col("vec_id").as("nid"),
+      F.pqEncode(col("embedding"), bareBooks(books)).as("code"))
+
+  /** Approximate cosine top-k by asymmetric distance computation: the
+    * corpus is scanned as codes only; each (query, subspace) contributes
+    * via two driver-computed k-entry lookup tables (query·centroid dot
+    * products and centroid squared norms) shipped as literals, and
+    * cos_adc = sum(ip LUT) / (|q| · sqrt(sum(norm LUT))). Ranking reuses
+    * [[TopK.TopKAggregator]] partial top-k. Queries are collected
+    * driver-side (they are the broadcast-small side by the same contract
+    * as bruteForceTopK).
+    *
+    * `rerank > 0` is the standard PQ fidelity recovery: the ADC scan
+    * nominates `rerank` candidates per query (codes only — the corpus scan
+    * stays narrow), then ONLY those q·rerank rows join back to their float
+    * vectors for an exact-cosine re-ranking to the final k. On isotropic
+    * data raw ADC recall plateaus near 0.6 (no inter-dimension structure
+    * for the quantizer to exploit — the PqSweep curve in BASELINE.md);
+    * re-ranking buys recall back while the full-vector reads stay
+    * O(queries·rerank), not O(corpus). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: Seq[Array[(Int, Array[Double])]], rerank: Int = 0,
+      codes: Option[DataFrame] = None): DataFrame = {
+    val m = books.length
+    val ds = books.head.head._2.length
+    // a harness evaluating several operating points passes the encoded
+    // corpus in (persisted) so the encode pass — the expensive part of an
+    // ADC scan — runs once, not per point
+    val codesDf = codes.getOrElse(pqEncode(corpus, books))
+    val qRows = queries
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val normLuts: Seq[Array[Double]] = books.map(_.sortBy(_._1)
+      .map { case (_, c) => c.map(x => x * x).sum })
+    val scoreStructs = qRows.map { case (qid, qv) =>
+      val qnorm = math.sqrt(qv.map(x => x * x).sum)
+      val ip = (0 until m).map { s =>
+        val lut = books(s).sortBy(_._1).map { case (_, c) =>
+          (0 until ds).map(i => qv(s * ds + i) * c(i)).sum }
+        element_at(lit(lut), col("code")(s) + 1)
+      }.reduce(_ + _)
+      val n2 = (0 until m).map(s =>
+        element_at(lit(normLuts(s)), col("code")(s) + 1)).reduce(_ + _)
+      val denom = sqrt(n2) * lit(qnorm)
+      struct(lit(qid).as("qid"),
+        when(denom === 0.0, lit(0.0)).otherwise(ip / denom).as("cos"))
+    }
+    val adcScored = codesDf
+      .select(col("nid"), explode(array(scoreStructs: _*)).as("t"))
+      .select(col("t.qid").as("qid"), col("nid"), col("t.cos").as("cos"))
+      .filter(col("qid") =!= col("nid"))
+    if (rerank <= 0) top(adcScored, k)
+    else pqExactRerank(corpus, queries,
+      top(adcScored, math.max(rerank, k)), k)
+  }
+
+  /** Shared ranked-top-k tail of the PQ paths: partial top-k aggregate →
+    * (qid, rnk, nid, cosine). */
+  private def top(scored: DataFrame, kk: Int): DataFrame = scored
+    .groupBy(col("qid"))
+    .agg(TopK.topK(kk).as("top"))
+    .select(col("qid"), posexplode(col("top")).as(Seq("rnk0", "s")))
+    .select(col("qid"), (col("rnk0") + 1).cast(LongType).as("rnk"),
+      col("s.nid").as("nid"), round(col("s.cos"), 6).as("cosine"))
+
+  /** Exact-cosine re-rank of an ADC candidate list — pqTopK(rerank>0)'s
+    * second stage, public so a harness evaluating several operating points
+    * (x48) reuses ONE ADC ranking for all of them instead of re-scanning
+    * the codes per point. `candidates` needs (qid, nid) columns. */
+  def pqExactRerank(corpus: DataFrame, queries: DataFrame,
+      candidates: DataFrame, k: Int): DataFrame = {
+    val session = corpus.sparkSession
+    import session.implicits._
+    val qe = queries
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.toDF("qid", "qe")
+    // candidate set (q·rerank ids) broadcasts; the corpus-vector read
+    // stays a shuffle-free probe of the big side
+    val exactScored = corpus
+      .select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("ne"))
+      .join(broadcast(candidates.select(col("qid"), col("nid"))), Seq("nid"))
+      .join(broadcast(qe), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        F.cosineSimilarity(col("qe"), col("ne")).as("cos"))
+    top(exactScored, k)
+  }
+
   /** Per-group embedding centroids via posexplode → (group, position)
     * hash-agg — the distributed position-wise mean (cluster summaries,
     * per-source drift monitoring, IVF codebook seeding). The shuffle

@@ -230,4 +230,64 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((7L, 10007L)))
   }
+
+  test("pqTopK with lossless codebooks equals brute force (ranks and ids)") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
+    val queries = emb.filter(col("vec_id") < 5)
+    val books = Similarity.pqCodebooksExact(emb, m = 4)
+    val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, queries, 5, books)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq == exact, "lossless PQ must reproduce the exact ranking")
+  }
+
+  test("pqTrain: m books of k centroids of dim/m width; training is " +
+      "deterministic and encode emits in-range codes") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val b1 = Similarity.pqTrain(emb, m = 8, k = 16, iters = 1)
+    val b2 = Similarity.pqTrain(emb, m = 8, k = 16, iters = 1)
+    assert(b1.length == 8)
+    assert(b1.forall(b => b.length == 16 && b.forall(_._2.length == 8)))
+    assert(b1.zip(b2).forall { case (x, y) =>
+      x.zip(y).forall { case ((ci, cv), (di, dv)) =>
+        ci == di && cv.sameElements(dv) } }, "training must be deterministic")
+    val codes = Similarity.pqEncode(emb, b1)
+      .select(col("code")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("pqTopK rerank >= corpus size equals brute force even with a crude codebook") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 40)
+    val queries = emb.filter(col("vec_id") < 5)
+    // deliberately lossy: 2 centroids per subspace — raw ADC is near-blind,
+    // but a full re-rank must still recover the exact answer (the re-rank
+    // stage scores candidates with exact cosine, and everyone is a candidate)
+    val books = Similarity.pqTrain(emb, m = 4, k = 2, iters = 1)
+    val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, queries, 5, books, rerank = 100)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq == exact, "full re-rank must reproduce the exact ranking")
+  }
+
+  test("pqTopK trained regime: planted duplicate vector is recovered at rank 1") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val books = Similarity.pqTrain(corpus, m = 8, k = 16, iters = 2)
+    val top = Similarity.pqTopK(corpus, emb.filter(col("vec_id") === 7), 1, books)
+      .collect()
+    assert(top.length == 1)
+    // identical vectors get identical codes, hence identical ADC cosine —
+    // the duplicate must top the list (nid tie-break can't demote it: its
+    // ADC cosine is the maximum attainable)
+    assert(top(0).getAs[Long]("nid") == 10007L,
+      s"expected planted twin at rank 1, got ${top(0)}")
+  }
 }
