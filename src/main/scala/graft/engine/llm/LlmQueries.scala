@@ -629,6 +629,38 @@ object LlmQueries {
     doc = "IVF ANN vs brute force: nlist=16/nprobe=4 baseline plus the " +
       "nlist=32/nprobe=16 half-scan operating point")
 
+  /** q85 — SemDeDup-style semantic dedup (X2e end-to-end) ORACLE-checked in
+    * its exact regime: planted duplicate CLIQUES (every 25th vector copied
+    * once, every 50th copied twice → 3-cliques) at threshold 0.999999,
+    * where identical vectors provably co-bucket (q78's argument) and no
+    * organic pair scores that high — so the survivor set is exactly "the
+    * min id of each identical-content group", which DuckDB recomputes by
+    * grouping on the rendered vector. Pins the whole pipeline: LSH-blocked
+    * pairs → pointer-doubling CC → representative anti-join. */
+  val q85 = GraftQuery(
+    "q85_semantic_dedup",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      def shifted(mod: Int, off: Int) = emb.filter(col("vec_id") % mod === 0)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"),
+          col("label"))
+      val corpus = emb.unionByName(shifted(25, 100000))
+        .unionByName(shifted(50, 200000))
+      Similarity.semanticDedup(corpus, threshold = 0.999999)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    },
+    Some("""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+          WHERE vec_id % 25 = 0
+        UNION ALL SELECT vec_id + 200000, embedding FROM embeddings
+          WHERE vec_id % 50 = 0),
+      k AS (SELECT vec_id,
+          md5(array_to_string(embedding, ',')) AS kk FROM corpus),
+      g AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY kk) AS m FROM k)
+      SELECT vec_id FROM g WHERE vec_id = m ORDER BY vec_id"""),
+    doc = "semantic dedup survivors over planted duplicate cliques == " +
+      "min id per identical-content group (value-level)")
+
   /** X3 — product-quantization ANN recall harness (q84 value-pins the ADC
     * machinery in its lossless regime; this measures the TRAINED operating
     * point). Codebooks m=16 × k=32 store each vector as 16 bytes — a 16×
@@ -1181,5 +1213,5 @@ object LlmQueries {
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
-      q83, q84, x42, x43, x44, x45, x46, x47, x48, x51)
+      q83, q84, q85, x42, x43, x44, x45, x46, x47, x48, x51)
 }

@@ -358,6 +358,25 @@ object Similarity {
     embeddingPairsFromBuckets(
       embeddingBuckets(corpus, bits, dim, maxBucketSize), corpus, threshold)
 
+  /** SemDeDup-style semantic dedup (X2e end-to-end): embedding-cosine
+    * near-dup pairs ([[embeddingNearDups]] — LSH-blocked, capped buckets)
+    * → connected components (pointer-doubling min-label) → drop every
+    * cluster member except its min-id representative. Returns the
+    * SURVIVING corpus rows, so the output is directly the semantically
+    * deduplicated corpus a downstream tokenizer consumes. The embedding
+    * twin of [[Dedup.dedupNearDuplicates]]; same recall caveat as the
+    * pair path (bucket-cap overflow telemetry via
+    * [[embeddingCapOverflow]]). */
+  def semanticDedup(corpus: DataFrame, threshold: Double = 0.9,
+      bits: Int = 0, dim: Int = 0, maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = embeddingNearDups(corpus, threshold, bits, dim, maxBucketSize)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("vec_id"))
+    // losers are a pair-graph-sized set (<= near-dup members), corpus-small
+    corpus.join(broadcast(losers), Seq("vec_id"), "left_anti")
+  }
+
   /** Truncation telemetry for [[embeddingNearDups]], mirroring
     * [[Dedup.simHashCapOverflow]]: one row (n_overflow_buckets,
     * max_bucket_size); pair recall is only guaranteed when the first is 0.

@@ -231,6 +231,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((7L, 10007L)))
   }
 
+  test("semanticDedup: min id survives each planted clique, singletons kept") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    def shifted(mod: Int, off: Int) = emb.filter(col("vec_id") % mod === 0)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(shifted(10, 100000))
+      .unionByName(shifted(20, 200000))
+    val survivors = Similarity.semanticDedup(corpus, threshold = 0.999999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every original id survives (it is its clique's min), no copy does
+    assert(emb.select("vec_id").collect().map(_.getLong(0)).forall(survivors))
+    assert(survivors.forall(_ < 100000L), s"a planted copy survived")
+    assert(survivors.size.toLong == n)
+    // idempotent: a deduped corpus has nothing left to drop
+    val again = Similarity.semanticDedup(
+      corpus.join(broadcast(survivors.toSeq.toDF("vec_id")), Seq("vec_id"),
+        "left_semi"), threshold = 0.999999)
+    assert(again.count() == n)
+  }
+
   test("pqTopK with lossless codebooks equals brute force (ranks and ids)") {
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
     val queries = emb.filter(col("vec_id") < 5)
