@@ -784,8 +784,40 @@ object RelationalQueries {
         CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT) AS sum_key"""),
     doc = "atomic-pointer snapshot store: publish x2, read current + pinned v1")
 
+  /** q86 — JSONL sink → source round-trip (the LLM-corpus exchange format,
+    * S-surface sibling of q74's parquet snapshot): documents are written as
+    * newline-delimited JSON and read back under the DECLARED schema in
+    * PERMISSIVE/quarantine mode; every surviving row's identity columns and
+    * text md5 must match the parquet original, which DuckDB reads directly.
+    * A lossy writer, a schema drift, or a line-splitting bug (a raw newline
+    * escaping the JSON encoder would shear rows) all break the row hash. */
+  val q86 = GraftQuery(
+    "q86_jsonl_roundtrip",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q86_jsonl")
+      val (clean, bad) = graft.engine.sources.Jsonl.readJsonlClean(
+        spark, {
+          graft.engine.sources.Jsonl.writeJsonl(docs, s"$dir/docs")
+          s"$dir/docs"
+        }, docs.schema)
+      clean.select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text").cast("binary")).as("text_md5"), col("n_chars"))
+        // quarantined lines fail the row-count compare (docs wrote clean
+        // JSON, so any corrupt row means the round-trip sheared a line)
+        .unionByName(bad.select(lit(-1L).as("doc_id"),
+          lit("corrupt").as("lang"), lit("corrupt").as("source"),
+          md5(col("raw").cast("binary")).as("text_md5"),
+          lit(-1L).as("n_chars")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source, md5(text) AS text_md5, n_chars
+      FROM documents ORDER BY doc_id"""),
+    doc = "JSONL write -> declared-schema PERMISSIVE read == parquet original, " +
+      "value-level (corrupt lines surface as planted mismatch rows)")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59, q66, q67, q74)
+    q59, q66, q67, q74, q86)
 }

@@ -1,0 +1,59 @@
+package graft.engine.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSONL (newline-delimited JSON) source/sink — the lingua franca of LLM
+  * training-data exchange (one document object per line; web-scale corpora
+  * ship as sharded *.jsonl[.gz]).
+  *
+  * Read contract, tuned for dirty crawl data:
+  *  - the schema is DECLARED, never inferred (inference is a full extra
+  *    pass over 100 TB and locks in whatever the first files contained);
+  *  - a malformed or type-mismatched line is QUARANTINED, not a job abort
+  *    (FAILFAST) or silent loss (DROPMALFORMED): it comes back with the
+  *    raw line in [[corruptCol]] and null data columns, and the caller
+  *    routes it ([[readJsonlClean]] does the split).
+  *
+  * Implementation note: this parses `text` lines through `from_json`
+  * rather than `spark.read.json` because Spark disallows querying a raw
+  * JSON scan by its corrupt-record column alone
+  * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the quarantine
+  * side of the split is exactly that query. A text scan has no such
+  * restriction, stays partition-parallel, and `from_json` applies the same
+  * PERMISSIVE/corrupt-record semantics per line.
+  *
+  * Spark's `DataFrameWriter.json` already emits one object per line
+  * (JSONL, not a JSON array).
+  */
+object Jsonl {
+
+  val corruptCol = "_corrupt_record"
+
+  /** All rows under the declared schema, malformed lines quarantined into
+    * [[corruptCol]] (null data columns, raw line preserved). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"declared schema must not already contain $corruptCol")
+    val full = schema.add(corruptCol, StringType)
+    spark.read.text(path)
+      .select(from_json(col("value"), full, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
+      .select(col("j.*"))
+  }
+
+  /** (clean rows in the declared schema, quarantined raw lines). */
+  def readJsonlClean(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val all = readJsonl(spark, path, schema)
+    (all.filter(all(corruptCol).isNull).drop(corruptCol),
+      all.filter(all(corruptCol).isNotNull).select(all(corruptCol).as("raw")))
+  }
+
+  /** One JSON object per line; overwrite is the snapshot-publish default
+    * (compose with [[SnapshotStore.publish]] for atomic versioned output). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}
