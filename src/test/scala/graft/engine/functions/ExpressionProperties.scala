@@ -123,4 +123,63 @@ object ExpressionProperties extends Properties("graft.expressions") {
         .foldLeft(1L)((acc, _) => acc * 131L % M)
       h(a + b) == (h(a) * pow + h(b)) % M
     }
+
+  // PqEncode: fixed-geometry generators (m subspaces of width ds)
+  private val pqGen = for {
+    m <- Gen.choose(1, 4)
+    ds <- Gen.choose(1, 4)
+    k <- Gen.choose(1, 6)
+    books <- Gen.listOfN(m, Gen.listOfN(k,
+      Gen.listOfN(ds, Gen.chooseNum(-10.0, 10.0).map(x => x: Double))))
+    vec <- Gen.listOfN(m * ds, Gen.chooseNum(-10f, 10f))
+  } yield (books.map(_.map(_.toArray).toArray).toArray, vec)
+
+  property("pq encode: codes match the argmax-cosine reference, in range") =
+    Prop.forAll(pqGen) { case (books, vec) =>
+      val out = PqEncode(floatArr(vec), books).eval(null)
+        .asInstanceOf[ArrayData]
+      val ds = books(0)(0).length
+      def slowCell(s: Int): Int = {
+        val sub = vec.slice(s * ds, (s + 1) * ds).map(_.toDouble)
+        val nv = math.sqrt(sub.map(x => x * x).sum)
+        var best = Double.NegativeInfinity; var bid = 0
+        books(s).zipWithIndex.foreach { case (c, i) =>
+          val nc = math.sqrt(c.map(x => x * x).sum)
+          val cos = if (nv == 0.0 || nc == 0.0) 0.0
+                    else sub.zip(c).map { case (x, y) => x * y }.sum / (nv * nc)
+          if (cos >= best) { best = cos; bid = i } // ties to larger cid
+        }
+        bid
+      }
+      out.numElements() == books.length && books.indices.forall { s =>
+        val code = out.getInt(s)
+        code >= 0 && code < books(s).length && code == slowCell(s)
+      }
+    }
+
+  property("pq encode: a centroid's own subvector encodes to itself " +
+      "(no later duplicate)") =
+    Prop.forAll(pqGen.suchThat { case (books, _) =>
+      books.forall(b => b.map(_.toSeq).distinct.length == b.length &&
+        b.forall(_.exists(_ != 0.0)))
+    }) { case (books, _) =>
+      val ds = books(0)(0).length
+      // build the vector from each book's LAST centroid: with all-distinct,
+      // non-parallel-ish centroids the argmax at cosine 1 keeps the max cid
+      val vec = books.map(b => b.last).flatten.map(_.toFloat).toSeq
+      val out = PqEncode(
+        Literal.create(ArrayData.toArrayData(vec.toArray),
+          ArrayType(FloatType)), books).eval(null).asInstanceOf[ArrayData]
+      books.indices.forall { s =>
+        // its own centroid scores cosine ~1; anything scoring >= must be
+        // parallel, and ties resolve to the LARGER cid == the chosen one
+        val code = out.getInt(s)
+        val sub = vec.slice(s * ds, (s + 1) * ds).map(_.toDouble)
+        val c = books(s)(code)
+        val nv = math.sqrt(sub.map(x => x * x).sum)
+        val nc = math.sqrt(c.map(x => x * x).sum)
+        val cos = sub.zip(c).map { case (x, y) => x * y }.sum / (nv * nc)
+        cos >= 1.0 - 1e-6
+      }
+    }
 }
