@@ -67,4 +67,35 @@ class EdgeCasesSpec extends AnyFunSuite {
     val r = TextAnalysis.repetitionScore(tiny, "doc_id", "text").head()
     assert(r.getLong(1) == 1L && r.getDouble(3) == 0.0)
   }
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(1.0f, 0.0f, 0.0f, 0.0f))) // dup of 1
+    .toDF("vec_id", "embedding")
+  private val noVecs = Seq.empty[(Long, Array[Float])]
+    .toDF("vec_id", "embedding")
+
+  test("semanticDedup: empty corpus is empty; singleton survives itself") {
+    assert(Similarity.semanticDedup(noVecs, threshold = 0.9).count() == 0)
+    val single = vecs.filter(col("vec_id") === 1)
+    assert(Similarity.semanticDedup(single, threshold = 0.9)
+      .select("vec_id").head().getLong(0) == 1L)
+    // the planted dup loses, the two distinct directions survive
+    assert(Similarity.semanticDedup(vecs, threshold = 0.999999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("pqTrain with k larger than the corpus yields corpus-sized books " +
+      "that still encode/search") {
+    val books = Similarity.pqTrain(vecs, m = 2, k = 100, iters = 1)
+    assert(books.forall(_.length == 3)) // only 3 seed rows exist
+    val top = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") === 1), 2, books)
+    assert(top.count() == 2) // searches fine with the short codebooks
+  }
+
+  test("pqTopK on an empty corpus returns no rows (queries present)") {
+    val books = Similarity.pqTrain(vecs, m = 2, k = 2, iters = 1)
+    assert(Similarity.pqTopK(noVecs, vecs.limit(1), 3, books).count() == 0)
+  }
 }
