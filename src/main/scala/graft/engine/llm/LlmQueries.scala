@@ -629,6 +629,28 @@ object LlmQueries {
     doc = "IVF ANN vs brute force: nlist=16/nprobe=4 baseline plus the " +
       "nlist=32/nprobe=16 half-scan operating point")
 
+  /** q87 — IVF-PQ (the production ANN composition: coarse cells partition
+    * the storage, PQ codes are what a probe scans) ORACLE-checked by
+    * composing both operators' exact settings: nprobe = nlist probes every
+    * cell (IVF exact) and lossless codebooks make ADC exact (q84's
+    * argument), so the composed ranking must equal DuckDB's brute-force
+    * cosine ranking on the same pinned corpus — q84's oracle verbatim.
+    * A cell-assignment/probe mismatch, or any candidate lost between the
+    * two stages, breaks the rows. */
+  val q87 = GraftQuery(
+    "q87_ivfpq_exact",
+    (spark, sfDir) => {
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+      val cents = Similarity.ivfCentroids(emb, nlist = 4, iters = 1)
+      val books = Similarity.pqCodebooksExact(emb, m = 4)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          cents, books, nprobe = 4)
+        .select(col("qid"), col("rnk"), col("nid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    q84.oracle, // same pinned corpus, same exact ranking
+    doc = "IVF-PQ at nprobe=nlist + lossless codebooks == exact cosine ranking")
+
   /** q85 — SemDeDup-style semantic dedup (X2e end-to-end) ORACLE-checked in
     * its exact regime: planted duplicate CLIQUES (every 25th vector copied
     * once, every 50th copied twice → 3-cliques) at threshold 0.999999,
@@ -1213,5 +1235,5 @@ object LlmQueries {
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
-      q83, q84, q85, x42, x43, x44, x45, x46, x47, x48, x51)
+      q83, q84, q85, q87, x42, x43, x44, x45, x46, x47, x48, x51)
 }

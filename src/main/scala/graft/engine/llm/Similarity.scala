@@ -552,6 +552,85 @@ object Similarity {
       top(adcScored, math.max(rerank, k)), k)
   }
 
+  /** IVF-PQ top-k — the production composition (the Faiss IVFPQ shape):
+    * the corpus is stored ONCE as (coarse cell, m-byte PQ code); a query
+    * probes its `nprobe` nearest cells and ADC-scores only those cells'
+    * codes, so a probe reads nprobe/nlist of a 16×-compressed corpus —
+    * the two approximations multiply and so do their savings. At scale
+    * `cell` is the storage partition key and the code column is the only
+    * thing a probe scans; float vectors surface solely for `rerank`'s
+    * O(queries·rerank) candidate re-scoring.
+    *
+    * Degrades to exact by composition: nprobe = nlist (IVF exact) +
+    * lossless codebooks (PQ exact) reproduces the brute-force ranking,
+    * and rerank >= corpus recovers exactness under ANY codebooks —
+    * both asserted in SimilaritySpec. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[(Int, Array[Double])],
+      books: Seq[Array[(Int, Array[Double])]],
+      nprobe: Int, rerank: Int = 0): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents.length,
+      "need 1 <= nprobe <= nlist")
+    val m = books.length
+    val ds = books.head.head._2.length
+    // the stored table: (nid, cell, code) — one pass over the vectors
+    val stored = corpus.select(col("vec_id").as("nid"),
+      ivfCell(col("embedding"), cents).as("cell"),
+      F.pqEncode(col("embedding"), bareBooks(books)).as("code"))
+    val qRows = queries
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val normLuts: Seq[Array[Double]] = books.map(_.sortBy(_._1)
+      .map { case (_, c) => c.map(x => x * x).sum })
+    // probe side: each query explodes to its nprobe nearest cells
+    // (broadcast-small), carrying only its qid — LUTs live in the scorer
+    val session = corpus.sparkSession
+    import session.implicits._
+    val probes = qRows.flatMap { case (qid, qv) =>
+      val ranked = cents.map { case (cid, cv) =>
+        val dot = (0 until math.min(qv.length, cv.length))
+          .map(i => qv(i) * cv(i)).sum
+        val den = math.sqrt(qv.map(x => x * x).sum) *
+          math.sqrt(cv.map(x => x * x).sum)
+        (if (den == 0.0) 0.0 else dot / den, cid)
+      }.sortBy { case (cos, cid) => (-cos, -cid) }.take(nprobe)
+      ranked.map { case (_, cid) => (qid, cid) }
+    }.toSeq.toDF("qid", "cell")
+    // ADC score for a (qid, code) row: qid selects its LUT via a when-chain
+    // over the (small, broadcast) query set
+    def lutSum(luts: Map[Long, Seq[Array[Double]]]): Column =
+      qRows.map { case (qid, _) =>
+        val terms = (0 until m).map(s =>
+          element_at(lit(luts(qid)(s)), col("code")(s) + 1)).reduce(_ + _)
+        (qid, terms)
+      }.foldLeft(lit(Double.NaN)) { case (acc, (qid, terms)) =>
+        when(col("qid") === qid, terms).otherwise(acc)
+      }
+    val ipLuts: Map[Long, Seq[Array[Double]]] = qRows.map { case (qid, qv) =>
+      qid -> books.zipWithIndex.map { case (b, s) =>
+        b.sortBy(_._1).map { case (_, c) =>
+          (0 until ds).map(i => qv(s * ds + i) * c(i)).sum }
+      }
+    }.toMap
+    val nLuts: Map[Long, Seq[Array[Double]]] =
+      qRows.map { case (qid, _) => qid -> normLuts }.toMap
+    val qnorm = qRows.map { case (qid, qv) =>
+      (qid, math.sqrt(qv.map(x => x * x).sum)) }
+      .foldLeft(lit(Double.NaN)) { case (acc, (qid, n)) =>
+        when(col("qid") === qid, lit(n)).otherwise(acc)
+      }
+    val denom = sqrt(lutSum(nLuts)) * qnorm
+    val scored = stored
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        when(denom === 0.0, lit(0.0))
+          .otherwise(lutSum(ipLuts) / denom).as("cos"))
+    if (rerank <= 0) top(scored, k)
+    else pqExactRerank(corpus, queries, top(scored, math.max(rerank, k)), k)
+  }
+
   /** Shared ranked-top-k tail of the PQ paths: partial top-k aggregate →
     * (qid, rnk, nid, cosine). */
   private def top(scored: DataFrame, kk: Int): DataFrame = scored

@@ -295,6 +295,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq == exact, "full re-rank must reproduce the exact ranking")
   }
 
+  test("ivfPqTopK: nprobe=nlist + lossless codebooks equals brute force; " +
+      "partial probe returns a subset") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.ivfCentroids(emb, nlist = 4, iters = 1)
+    val books = Similarity.pqCodebooksExact(emb, m = 4)
+    val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Similarity.ivfPqTopK(emb, queries, 5, cents, books, nprobe = 4)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact, "both approximations at their exact settings " +
+      "must compose to the exact ranking")
+    // partial probe: a top-k over a cell-restricted candidate subset —
+    // valid dense ranks per query, never more than k rows, non-empty
+    // (every query's own cell is always probed)
+    val partial = Similarity.ivfPqTopK(emb, queries, 5, cents, books, nprobe = 1)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(partial.nonEmpty)
+    partial.groupBy(_._1).foreach { case (_, rows) =>
+      val rnks = rows.map(_._2).sorted.toSeq
+      assert(rnks == (1L to rnks.length).toSeq, s"ranks must be dense: $rnks")
+      assert(rows.length <= 5)
+    }
+  }
+
+  test("ivfPqTopK: full rerank recovers exactness under crude codebooks") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 40)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.ivfCentroids(emb, nlist = 2, iters = 1)
+    val books = Similarity.pqTrain(emb, m = 4, k = 2, iters = 1)
+    val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Similarity.ivfPqTopK(emb, queries, 5, cents, books,
+        nprobe = 2, rerank = 100)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact)
+  }
+
   test("pqTopK trained regime: planted duplicate vector is recovered at rank 1") {
     val emb = Tables.embeddings(spark, sfDir)
     val planted = emb.filter(col("vec_id") === 7)
