@@ -706,9 +706,11 @@ object LlmQueries {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         // Codebooks train on a 25% deterministic hash-sample (codebook
         // quality saturates long before a full pass — the ivfCentroids
-        // scale note; at 100 TB nobody Lloyd-scans the corpus), and the
-        // corpus is ENCODED ONCE — both operating points share the
-        // persisted 8-byte codes, which is the whole PQ storage story.
+        // scale note; at 100 TB nobody Lloyd-scans the corpus). The corpus
+        // is encoded once because only ONE pqTopK call runs below — its
+        // ADC ranking's rnk<=5 prefix is the raw-ADC point and its full
+        // 100 candidates feed the re-rank. A second pqTopK call would
+        // re-encode: pass pqTopK's `codes` parameter if extending this.
         val books = Similarity.pqTrain(
           Curation.hashSample(emb, col("vec_id"), 0.25), m = 16, k = 32,
           iters = 2)

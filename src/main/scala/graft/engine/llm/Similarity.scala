@@ -373,8 +373,11 @@ object Similarity {
     val losers = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("vec_id"))
-    // losers are a pair-graph-sized set (<= near-dup members), corpus-small
-    corpus.join(broadcast(losers), Seq("vec_id"), "left_anti")
+    // NO broadcast hint: a dup-heavy corpus (the case this operator exists
+    // for) can lose 30-50% of its rows, so the loser set is NOT reliably
+    // broadcast-sized — let the planner pick, same as
+    // Dedup.dedupNearDuplicates' anti-join
+    corpus.join(losers, Seq("vec_id"), "left_anti")
   }
 
   /** Truncation telemetry for [[embeddingNearDups]], mirroring
@@ -528,6 +531,14 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (qRows.isEmpty) {
+      // explode(array()) of zero score structs fails ANALYSIS (VOID element
+      // type) — an empty query set must mean an empty result, not a crash
+      val session = corpus.sparkSession
+      import session.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("qid", "rnk", "nid", "cosine")
+    }
     val normLuts: Seq[Array[Double]] = books.map(_.sortBy(_._1)
       .map { case (_, c) => c.map(x => x * x).sum })
     val scoreStructs = qRows.map { case (qid, qv) =>
@@ -613,14 +624,16 @@ object Similarity {
           (0 until ds).map(i => qv(s * ds + i) * c(i)).sum }
       }
     }.toMap
-    val nLuts: Map[Long, Seq[Array[Double]]] =
-      qRows.map { case (qid, _) => qid -> normLuts }.toMap
     val qnorm = qRows.map { case (qid, qv) =>
       (qid, math.sqrt(qv.map(x => x * x).sum)) }
       .foldLeft(lit(Double.NaN)) { case (acc, (qid, n)) =>
         when(col("qid") === qid, lit(n)).otherwise(acc)
       }
-    val denom = sqrt(lutSum(nLuts)) * qnorm
+    // the reconstruction norm depends only on the CODE, not the query —
+    // one direct LUT sum, no per-qid branch chain on the hot corpus scan
+    val codeNorm2 = (0 until m).map(s =>
+      element_at(lit(normLuts(s)), col("code")(s) + 1)).reduce(_ + _)
+    val denom = sqrt(codeNorm2) * qnorm
     val scored = stored
       .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))

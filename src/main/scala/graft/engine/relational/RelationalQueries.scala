@@ -795,7 +795,11 @@ object RelationalQueries {
     "q86_jsonl_roundtrip",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val dir = java.nio.file.Files.createTempDirectory("graft_q86_jsonl")
+      // fixed pid-suffixed dir, overwritten each run (same discipline as
+      // q74): repeated Verify/Bench invocations must not accumulate a
+      // fresh JSONL copy of the corpus in /tmp per run
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q86_jsonl_${ProcessHandle.current().pid()}"
       val (clean, bad) = graft.engine.sources.Jsonl.readJsonlClean(
         spark, {
           graft.engine.sources.Jsonl.writeJsonl(docs, s"$dir/docs")

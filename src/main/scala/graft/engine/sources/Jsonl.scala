@@ -32,16 +32,25 @@ object Jsonl {
   val corruptCol = "_corrupt_record"
 
   /** All rows under the declared schema, malformed lines quarantined into
-    * [[corruptCol]] (null data columns, raw line preserved). */
+    * [[corruptCol]] (null data columns, raw line preserved).
+    *
+    * Blank lines and bare `null` literals parse to a NULL struct (not a
+    * struct with the corrupt column set), so they are explicitly folded
+    * into the quarantine here — otherwise they'd surface as "clean"
+    * all-null rows, the silent loss this contract forbids. A valid empty
+    * object `{}` parses to a non-null struct and stays clean. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(corruptCol),
       s"declared schema must not already contain $corruptCol")
     val full = schema.add(corruptCol, StringType)
-    spark.read.text(path)
-      .select(from_json(col("value"), full, Map(
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), full, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
-      .select(col("j.*"))
+    parsed.select(
+      schema.fieldNames.map(f => col(s"j.$f").as(f)) :+
+        coalesce(col(s"j.$corruptCol"),
+          when(col("j").isNull, col("value"))).as(corruptCol): _*)
   }
 
   /** (clean rows in the declared schema, quarantined raw lines). */

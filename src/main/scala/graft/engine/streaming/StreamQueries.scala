@@ -202,14 +202,18 @@ object StreamQueries {
         .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val q = Streaming.intervalJoin(views.toDF(), clicks.toDF(), "6 hours")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      // everything from the first conf.set is guarded: a failed .start()
+      // must not leave the SHARED session at 4 partitions for every later
+      // query in the run
       try {
-        views.addData(v1.toSeq); clicks.addData(c1.toSeq); q.processAllAvailable()
-        views.addData(v2.toSeq); clicks.addData(c2.toSeq); q.processAllAvailable()
+        val q = Streaming.intervalJoin(views.toDF(), clicks.toDF(), "6 hours")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          views.addData(v1.toSeq); clicks.addData(c1.toSeq); q.processAllAvailable()
+          views.addData(v2.toSeq); clicks.addData(c2.toSeq); q.processAllAvailable()
+        } finally q.stop()
       } finally {
-        q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         prevNoData match {
           case Some(v) => spark.conf

@@ -21,13 +21,17 @@ object PqSweep {
     for (m <- Seq(8, 16, 32); k <- Seq(16, 32, 64)) {
       val t0 = System.nanoTime()
       val books = Similarity.pqTrain(emb, m, k, iters = 2)
+      // encode ONCE per grid point; all three operating points share it
+      val codes = Similarity.pqEncode(emb, books).persist()
       def recallAt(rerank: Int): Double = {
-        val pq = Similarity.pqTopK(emb, queries, 5, books, rerank)
+        val pq = Similarity.pqTopK(emb, queries, 5, books, rerank,
+            codes = Some(codes))
           .select(col("qid"), col("nid")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         exact.intersect(pq).size.toDouble / math.max(exact.size, 1)
       }
-      val (r0, r25, r100) = (recallAt(0), recallAt(25), recallAt(100))
+      val (r0, r25, r100) = try (recallAt(0), recallAt(25), recallAt(100))
+        finally codes.unpersist()
       val sec = (System.nanoTime() - t0) / 1e9
       val bytes = m * (if (k <= 256) 1 else 2)
       println(f"PQ m=$m%2d k=$k%2d code=$bytes%3dB (vs 256B float) " +

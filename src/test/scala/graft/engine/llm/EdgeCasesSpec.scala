@@ -98,4 +98,15 @@ class EdgeCasesSpec extends AnyFunSuite {
     val books = Similarity.pqTrain(vecs, m = 2, k = 2, iters = 1)
     assert(Similarity.pqTopK(noVecs, vecs.limit(1), 3, books).count() == 0)
   }
+
+  test("pqTopK / ivfPqTopK with an EMPTY query set return no rows, not a crash") {
+    val books = Similarity.pqTrain(vecs, m = 2, k = 2, iters = 1)
+    val noQueries = vecs.filter(lit(false))
+    val out = Similarity.pqTopK(vecs, noQueries, 3, books)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("qid", "rnk", "nid", "cosine"))
+    val cents = Similarity.ivfCentroids(vecs, nlist = 2, iters = 1)
+    assert(Similarity.ivfPqTopK(vecs, noQueries, 3, cents, books,
+      nprobe = 2).count() == 0)
+  }
 }

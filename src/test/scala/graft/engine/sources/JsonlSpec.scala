@@ -46,6 +46,22 @@ class JsonlSpec extends AnyFunSuite {
     assert(raw.exists(_.contains("not json at all")))
   }
 
+  test("blank lines and bare null literals are quarantined, empty object is clean") {
+    val dir = Files.createTempDirectory("jsonl_blank")
+    Files.write(dir.resolve("part-0.json"), Seq(
+      """{"id": 1, "text": "ok"}""",
+      "",                               // blank line — quarantine
+      "   ",                            // whitespace line — quarantine
+      "null",                           // bare null literal — quarantine
+      "{}"                              // valid empty object — CLEAN all-null
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val (clean, bad) = Jsonl.readJsonlClean(spark, dir.toString, schema)
+    val cleanRows = clean.collect()
+    assert(cleanRows.length == 2, s"got ${cleanRows.mkString(";")}")
+    assert(cleanRows.count(_.isNullAt(0)) == 1) // the {} row
+    assert(bad.count() == 3, "blank, whitespace, and null lines quarantined")
+  }
+
   test("type mismatch under the declared schema is quarantined, not coerced") {
     val dir = Files.createTempDirectory("jsonl_type")
     Files.write(dir.resolve("part-0.json"), Seq(
