@@ -152,9 +152,14 @@ object Dedup {
     // self-join, so the signature plan executes once. `maxBucketSize` caps
     // the quadratic expansion of a degenerate bucket (a 10^5-duplicate
     // cluster at 100 TB would otherwise emit 10^10 pairs; capped, its dups
-    // are still found transitively through the survivors).
+    // are still found transitively through the survivors). The collector is
+    // the partial-aggregating CappedIdsAggregator — a collect_list-then-
+    // slice would materialize the FULL hot bucket in one aggregation buffer
+    // before capping, OOMing the aggregating task on exactly the degenerate
+    // cluster the cap exists for; here every partial and merge buffer holds
+    // <= maxBucketSize ids (same bounded posture as embeddingBuckets).
     val buckets = banded.groupBy(col("band_id"), col("band_hash"))
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucketSize).as("ids"))
+      .agg(TopK.cappedIds(maxBucketSize, col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
     val candidates = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -210,10 +215,15 @@ object Dedup {
     * second scan of the corpus (see x43). */
   private[llm] def simHashBuckets(df: DataFrame, textCol: String,
       idCol: String, maxHamming: Int, maxBucketSize: Int): DataFrame =
+    // partial-aggregating capped collector (CappedIdSimAggregator — the
+    // struct-capable sibling of embeddingBuckets' CappedIdsAggregator):
+    // every partial and merge buffer holds <= maxBucketSize (id, sim)
+    // pairs, where a collect_list-then-slice would buffer the FULL hot
+    // bucket before capping; n_full still counts uncapped membership for
+    // the truncation telemetry.
     simHashBanded(df, textCol, idCol, maxHamming)
       .groupBy(col("band_id"), col("band_val"))
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("sim")))),
-          1, maxBucketSize).as("rows"),
+      .agg(TopK.cappedIdSims(maxBucketSize, col("id"), col("sim")).as("rows"),
         count(lit(1)).cast(LongType).as("n_full"))
 
   /** Expand capped buckets into verified (id_a, id_b, hamming) pairs. */

@@ -117,4 +117,45 @@ object TopK {
   def cappedIds(k: Int, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new CappedIdsAggregator(k),
       Encoders.scalaLong).apply(id)
+
+  /** A bucket member carrying its payload alongside the id — the struct
+    * shape the SimHash bucket collector keeps (the fingerprint rides with
+    * the id so pair verification needs no join back to the corpus). */
+  final case class IdSim(id: Long, sim: Long)
+
+  private def beforePair(a: IdSim, b: IdSim): Boolean =
+    a.id < b.id || (a.id == b.id && a.sim < b.sim)
+
+  /** Struct-capable sibling of [[CappedIdsAggregator]]: the k smallest
+    * (id, sim) pairs per group, ascending by (id, sim) — identical output
+    * to `slice(sort_array(collect_list(struct(id, sim))), 1, k)` but every
+    * partial and merge buffer is bounded by k rows, so a degenerate hot
+    * bucket (10^5 near-empty/template documents collapsing to one
+    * fingerprint at 100 TB) can never OOM the aggregating task. */
+  final class CappedIdSimAggregator(k: Int)
+      extends Aggregator[IdSim, Seq[IdSim], Seq[IdSim]] {
+    override def zero: Seq[IdSim] = Vector.empty
+
+    override def reduce(buf: Seq[IdSim], a: IdSim): Seq[IdSim] =
+      if (buf.size >= k && !beforePair(a, buf.last)) buf
+      else ((buf :+ a).sortWith(beforePair)).take(k)
+
+    override def merge(b1: Seq[IdSim], b2: Seq[IdSim]): Seq[IdSim] =
+      (b1 ++ b2).sortWith(beforePair).take(k)
+
+    override def finish(r: Seq[IdSim]): Seq[IdSim] = r
+
+    override def bufferEncoder: Encoder[Seq[IdSim]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[IdSim]]()
+    override def outputEncoder: Encoder[Seq[IdSim]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[IdSim]]()
+  }
+
+  /** Column form: the k smallest (id, sim) pairs per group, as an
+    * array<struct<id,sim>> matching the collect_list-of-struct shape. */
+  def cappedIdSims(k: Int, id: org.apache.spark.sql.Column,
+      sim: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new CappedIdSimAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[IdSim]())
+      .apply(id, sim)
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession.spark
-import graft.engine.llm.Curation
+import graft.engine.llm.{Curation, Dedup, TopK}
 import graft.engine.relational.Salting
 
 /** Planted-skew RUNTIME stress for the hot-key operators.
@@ -50,6 +50,29 @@ class HotKeyStressSpec extends AnyFunSuite {
       .persist()
     df.count()
     df
+  }
+
+  /** Max per-task shuffle-read BYTES — the aggregation-buffer detector:
+    * an uncapped collector's partial buffers carry the full hot bucket's
+    * members through the exchange, so the merging task's byte ingest scales
+    * with bucket size; a partial-aggregating capped collector's partials
+    * are <= cap rows each regardless of bucket size. */
+  private def maxTaskShuffleBytes(action: => Unit): Long = {
+    val max = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          max.accumulateAndGet(m.shuffleReadMetrics.totalBytesRead, Math.max(_, _))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      TestBridge.drainListenerBus(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    max.get()
   }
 
   private def maxTaskShuffleRead(action: => Unit): Long = {
@@ -183,6 +206,101 @@ class HotKeyStressSpec extends AnyFunSuite {
       assert(mSalted <= bound,
         s"saltedJoin max per-task shuffle read $mSalted exceeds bound $bound " +
           s"(naive SMJ reads $mNaive)")
+    }
+  }
+
+  // ---- hot-bucket collectors: capped partials vs full-list buffering ----
+
+  test("collect_list-then-slice buffers the full hot bucket; cappedIds bounds it") {
+    withStressConf() {
+      // one degenerate 2*10^5-member bucket + 50 small tail buckets, ids
+      // hashed so the shuffled partial lists don't lz4-compress away the
+      // byte signal the detector reads
+      val n = 200000L
+      val hot = spark.range(n + 50L * 100)
+        .select(when(col("id") < n, lit(0L))
+            .otherwise(pmod(col("id"), lit(50)) + 1).as("bucket"),
+          xxhash64(col("id")).as("id"))
+        .persist()
+      hot.count()
+      try {
+        val cap = 100
+        var naiveRows: Array[(Long, Seq[Long])] = Array.empty
+        val mNaive = maxTaskShuffleBytes {
+          naiveRows = hot.groupBy(col("bucket"))
+            .agg(slice(sort_array(collect_list(col("id"))), 1, cap).as("ids"))
+            .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+        }
+        // the old collector's partial lists carry every hot-bucket member
+        // to the merging task: ~200k * 8 B raw; must trip the bound or the
+        // detector would miss a regression back to it
+        assert(mNaive >= 512L * 1024,
+          s"expected the uncapped collector's hot task to read >= 512 KiB, " +
+            s"measured $mNaive — detector would miss a naive regression")
+        var cappedRows: Array[(Long, Seq[Long])] = Array.empty
+        val mCapped = maxTaskShuffleBytes {
+          cappedRows = hot.groupBy(col("bucket"))
+            .agg(TopK.cappedIds(cap, col("id")).as("ids"))
+            .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+        }
+        assert(cappedRows.toMap == naiveRows.toMap,
+          "cappedIds diverged from the collect_list-then-slice answer")
+        // partials are <= cap ids each: <= 32 partitions * 51 buckets * ~1 KiB
+        val bound = 256L * 1024
+        assert(mCapped <= bound,
+          s"cappedIds max per-task shuffle bytes $mCapped exceeds $bound " +
+            s"(uncapped collector reads $mNaive)")
+      } finally hot.unpersist()
+    }
+  }
+
+  test("minHash/simHash near-dups survive a planted 10^5-duplicate cluster") {
+    withStressConf() {
+      import spark.implicits._
+      // 10^5 identical documents (the degenerate template cluster the
+      // bucket cap exists for) + a distinct tail; every band bucket goes
+      // hot. The capped collectors must complete without funneling the
+      // full cluster through one aggregation task.
+      val nDup = 100000
+      val docs = spark.range(nDup + 1000)
+        .select(col("id"),
+          when(col("id") < nDup,
+            lit("the quick brown fox jumps over the lazy dog again and again"))
+            // tail: 8 random hex words per doc — pairwise-disjoint shingles
+            // and far-apart fingerprints, so no tail pair can leak into the
+            // planted cluster's expected counts
+            .otherwise(concat_ws(" ", (0 until 8).map(k =>
+              hex(xxhash64(col("id"), lit(k)))): _*))
+            .as("text"))
+        .persist()
+      docs.count()
+      try {
+        val cap = 100
+        val expectedPairs = cap.toLong * (cap - 1) / 2 // survivors pair fully
+        val mMin = maxTaskShuffleBytes {
+          val pairs = Dedup.minHashNearDups(docs, "text", "id",
+              maxBucketSize = cap)
+            .agg(count(lit(1)), min(col("jaccard"))).collect()
+          assert(pairs(0).getLong(0) == expectedPairs,
+            s"minHash planted-cluster pair count ${pairs(0).getLong(0)} != $expectedPairs")
+          assert(pairs(0).getDouble(1) == 1.0, "identical docs must have J=1.0")
+        }
+        val mSim = maxTaskShuffleBytes {
+          val pairs = Dedup.simHashNearDups(docs, "text", "id",
+              maxBucketSize = cap)
+            .agg(count(lit(1)), max(col("hamming"))).collect()
+          assert(pairs(0).getLong(0) == expectedPairs,
+            s"simHash planted-cluster pair count ${pairs(0).getLong(0)} != $expectedPairs")
+          assert(pairs(0).getLong(1) == 0L, "identical docs must be Hamming-0")
+        }
+        // generous envelope: the shingle-verify / fingerprint joins hash
+        // the corpus evenly (~corpus/partitions rows per task); what must
+        // NOT appear is a task ingesting the full 10^5-member bucket list
+        // (raw >= 800 KiB per band in one buffer before this fix)
+        val bound = 8L * 1024 * 1024
+        assert(mMin <= bound, s"minHash hot-cluster max task bytes $mMin > $bound")
+        assert(mSim <= bound, s"simHash hot-cluster max task bytes $mSim > $bound")
+      } finally docs.unpersist()
     }
   }
 }
