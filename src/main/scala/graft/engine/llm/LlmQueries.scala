@@ -478,35 +478,82 @@ object LlmQueries {
     doc = "MinHash(32 hashes, 8 bands) + exact-Jaccard verify, value-checked " +
       "against DuckDB's all-pairs exact-Jaccard twin (J >= 0.3 regime)")
 
-  /** X2b — SimHash near-dup summary (custom Catalyst SimHash64).
-    * maxHamming = 3 is the guaranteed-recall radius for 4×16-bit bands;
-    * larger radii are supported but pigeonhole forces proportionally more,
-    * narrower bands (11 bands of 5-6 bits for radius 10 ⇒ far bigger
-    * buckets) — the recall/cost trade is the caller's, made explicit here. */
+  /** X2b — SimHash near-dups, ORACLE-checked in the exact regime (the
+    * q75/q78 pattern). maxHamming = 3 is the guaranteed-recall radius for
+    * 4×16-bit bands; the pairs are generated by that full approximate-regime
+    * run (banding, capped buckets, Hamming verify — nothing is narrowed for
+    * the oracle), and the value pin is the regime where SimHash is provably
+    * exact: planted identical documents have identical token multisets ⇒
+    * identical fingerprints ⇒ they MUST emerge as Hamming-0 pairs (banding
+    * finds them by pigeonhole). DuckDB recomputes that pair set
+    * independently by grouping on the normalized text. The recall readout
+    * stays in the row: `exact_recall` is computed honestly in Spark
+    * (found ÷ expected from a content-key self-grouping) and pinned 1.0;
+    * `zero_capped_buckets` pins the truncation telemetry TRUE.
+    *
+    * A red row means a real regression (missed planted dup, fingerprint
+    * nondeterminism, or bucket truncation) — but like x42/x46, first
+    * re-validate the corpus premise if testdata was regenerated: an organic
+    * pair with DIFFERENT normalized text can legitimately land at
+    * Hamming 0 on new data (the key-equality verify keeps it out of this
+    * row, but re-run tools/DumpPairs before treating a red as a code bug). */
   val x43 = GraftQuery(
     "x43_simhash_neardup",
     (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      // planted exact dups: same corpus construction as q75
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
       val cap = 1000 // ONE binding for the bucket cap and its telemetry
       // ONE banding+bucketing pass, persisted: pair expansion and the
       // truncation telemetry both read it (recomputing the telemetry from
       // scratch would re-scan and re-shuffle the whole corpus).
-      val buckets = Dedup.simHashBuckets(docs, "text", "doc_id",
+      val buckets = Dedup.simHashBuckets(corpus, "text", "doc_id",
         maxHamming = 3, maxBucketSize = cap).persist()
       try {
-        val nPairs =
-          Dedup.simHashPairsFromBuckets(buckets, maxHamming = 3).count()
-        // Truncation telemetry: the cap silently drops pairs when a bucket
-        // overflows — recall is only guaranteed when this is 0.
+        val pairs = Dedup.simHashPairsFromBuckets(buckets, maxHamming = 3)
+        // exact regime: Hamming-0 pairs verified by content-key equality
+        // (the same exact-criterion verify minHashNearDups does with
+        // Jaccard — identical normalized text is what "exact" MEANS here)
+        val keyed = corpus.select(col("doc_id"),
+          Dedup.contentKey(col("text")).as("ck"))
+        val exactPairs = pairs.filter(col("hamming") === 0)
+          .join(keyed.select(col("doc_id").as("id_a"), col("ck").as("ck_a")),
+            Seq("id_a"))
+          .join(keyed.select(col("doc_id").as("id_b"), col("ck").as("ck_b")),
+            Seq("id_b"))
+          .filter(col("ck_a") === col("ck_b"))
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          // localCheckpoint: the (small) pair set feeds a count AND the
+          // total ORDER BY — without it each re-runs the banding pipeline
+          .localCheckpoint()
+        // honest recall: expected pair count from the content-key grouping,
+        // computed in Spark (DuckDB pins the quotient at exactly 1.0)
+        val nExpected = keyed.groupBy(col("ck"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)))
+          .head().getDouble(0).toLong
+        val nFound = exactPairs.count()
+        val recall = if (nExpected == 0) 1.0 else nFound.toDouble / nExpected
         val nCapped = buckets.filter(col("n_full") > cap).count()
-        import spark.implicits._
-        Seq((docs.count(), nPairs, nCapped))
-          .toDF("n_docs", "n_neardup_pairs", "n_capped_buckets")
+        exactPairs
+          .withColumn("exact_recall", lit(recall))
+          .withColumn("zero_capped_buckets", lit(nCapped == 0L))
+          .orderBy(col("id_a"), col("id_b"))
       } finally buckets.unpersist()
     },
-    None,
-    doc = "SimHash64 banding + Hamming verify; recall guaranteed at " +
-      "hamming<=3 iff n_capped_buckets=0 (bucket cap may drop pairs)")
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0),
+      k AS (SELECT doc_id, md5(lower(trim(text))) AS ck FROM corpus)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming,
+        CAST(1.0 AS DOUBLE) AS exact_recall, TRUE AS zero_capped_buckets
+      FROM k a JOIN k b ON a.ck = b.ck AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""),
+    doc = "SimHash64 banding + Hamming verify at hamming<=3; exact-regime " +
+      "oracle: planted identical docs == Hamming-0 pairs, recall pinned 1.0")
 
   /** X2e/X3 — embedding-cosine near-dup via LSH blocking, summary.
     * bits=8 pinned for round-over-round comparability of the pair count

@@ -240,6 +240,79 @@ object StreamQueries {
       GROUP BY 1 ORDER BY 1"""),
     doc = "stream-stream interval join over two MemoryStreams, per-user rollup oracle")
 
+  /** X5 — LEFT-OUTER stream–stream interval join: the emission-timing class
+    * x56 pins for the inner case, pinned for the outer case. A view with no
+    * click in [view_ts, view_ts + 6 h] is emitted null-padded only once the
+    * watermark proves no match can arrive; the harness flushes with
+    * far-future sentinel events on BOTH streams (global watermark = min of
+    * the two), advancing the watermark past every real view's window — so
+    * the streamed output equals the full batch LEFT JOIN exactly and DuckDB
+    * replays it. Sentinels use negative user ids (reals are >= 0) so they
+    * can never match, and are excluded from the rollup. Unlike x56,
+    * no-data micro-batches stay ENABLED: the null-padding batch runs on
+    * watermark advance, which is the very semantics under test. */
+  val x57 = GraftQuery(
+    "x57_stream_interval_join_outer",
+    (spark, sfDir) => {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val events = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id")).limit(20000)
+        .as[Streaming.Event].collect()
+      val splitTs = events(events.length / 2).ts.getTime
+      val maxTs = events.map(_.ts.getTime).max
+      def halves(a: Array[Streaming.Event]) = a.partition(_.ts.getTime < splitTs)
+      val (v1, v2) = halves(events.filter(_.event_type == "view"))
+      val (c1, c2) = halves(events.filter(_.event_type == "click"))
+      // watermark must clear max(view_ts) + 6 h window + 10 min delay
+      val flushTs = new java.sql.Timestamp(maxTs + 7L * 3600 * 1000)
+      val vFlush = Streaming.Event(-1L, flushTs, -1L, "view", 0.0)
+      val cFlush = Streaming.Event(-2L, flushTs, -2L, "click", 0.0)
+      val views = MemoryStream[Streaming.Event]
+      val clicks = MemoryStream[Streaming.Event]
+      val name = s"x57_out_${System.nanoTime()}"
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = Streaming.intervalJoinLeftOuter(
+            views.toDF(), clicks.toDF(), "6 hours")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          views.addData(v1.toSeq); clicks.addData(c1.toSeq); q.processAllAvailable()
+          views.addData(v2.toSeq); clicks.addData(c2.toSeq); q.processAllAvailable()
+          views.addData(Seq(vFlush)); clicks.addData(Seq(cFlush))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.table(name)
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(col("click_id")).cast("long").as("n_pairs"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_unmatched"),
+          coalesce(graft.engine.relational.Exact.dsum(col("click_value")),
+            lit(0.0)).as("sum_click_value"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH ev AS (SELECT * FROM events ORDER BY ts, event_id LIMIT 20000),
+      v AS (SELECT user_id, ts AS view_ts FROM ev WHERE event_type = 'view'),
+      c AS (SELECT user_id AS cu, ts AS click_ts, value AS click_value
+            FROM ev WHERE event_type = 'click'),
+      j AS (SELECT v.user_id, c.click_ts, c.click_value
+            FROM v LEFT JOIN c ON v.user_id = c.cu
+              AND c.click_ts >= v.view_ts
+              AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR)
+      SELECT user_id, CAST(COUNT(click_ts) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN click_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unmatched,
+        COALESCE(${graft.engine.relational.Exact.sqlDsum("j.click_value")}, 0.0)
+          AS sum_click_value
+      FROM j GROUP BY 1 ORDER BY 1"""),
+    doc = "left-outer stream-stream interval join, watermark-flushed to batch equality")
+
   /** q80 — video frame sampling (every-2nd-frame over byte-chunk frames),
     * ORACLE-checked at the VALUE level: the chunk arithmetic is pure
     * integer math over the UTF-8 byte length, so DuckDB replays every
@@ -287,5 +360,5 @@ object StreamQueries {
       FROM documents GROUP BY 1 ORDER BY 1"""),
     doc = "binary media decode (stub histogram) with integer-exact DuckDB twin")
 
-  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, x56, q58, q80)
+  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, x56, x57, q58, q80)
 }
