@@ -359,6 +359,99 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** PQ asymmetric-distance scoring of one code against EVERY query — the
+  * codegen-safe replacement for pqTopK's per-query Column-DSL fan-out
+  * (one explode(array(q structs)) of element_at chains = O(q·m) expression
+  * nodes: at 256 queries that overflows whole-stage codegen's 64 KB method
+  * limit and drops the hot corpus scan to interpreted eval). This kernel
+  * is ONE expression node regardless of query count: per row it computes
+  * the code's reconstruction norm once (O(m)) and each query's LUT sum in
+  * a tight loop (O(q·m) WORK, O(1) NODES).
+  *
+  * Layout: `ipLuts(q)(s)(c)` = query q · centroid c of subspace s
+  * (driver-computed); `normLuts(s)(c)` = |centroid|²; `qnorms(q)` = |q|.
+  * Output: ARRAY<STRUCT<qid, cos>> with cos = Σ_s ip / (√Σ_s n² · |q|)
+  * accumulated in subspace order — bit-identical to the Column-DSL
+  * formulation it replaces (q84's oracle pins this).
+  */
+case class PqAdcScores(child: Expression, qids: Array[Long],
+    ipLuts: Array[Array[Array[Double]]], qnorms: Array[Double],
+    normLuts: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(qids.length == ipLuts.length && qids.length == qnorms.length,
+    "qids, ipLuts, qnorms must align")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("qid", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_pq_adc_scores"
+
+  override def nullSafeEval(v: Any): Any = {
+    val code = v.asInstanceOf[ArrayData]
+    val m = normLuts.length
+    var n2 = 0.0
+    var s = 0
+    while (s < m) { n2 += normLuts(s)(code.getInt(s)); s += 1 }
+    val rnorm = math.sqrt(n2)
+    val out = new Array[Any](qids.length)
+    var q = 0
+    while (q < qids.length) {
+      val lut = ipLuts(q)
+      var ip = 0.0
+      s = 0
+      while (s < m) { ip += lut(s)(code.getInt(s)); s += 1 }
+      val denom = rnorm * qnorms(q)
+      val cos = if (denom == 0.0) 0.0 else ip / denom
+      out(q) = org.apache.spark.sql.catalyst.InternalRow(qids(q), cos)
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PQ ADC scoring of one (code, qid) row — ivfPqTopK's kernel, replacing
+  * the per-query `when`-chain LUT dispatch (O(q·m) expression nodes on the
+  * hot probed-cell scan; the janino-64KB pattern at production query
+  * batches). `qids` must be SORTED ascending with `ipLuts`/`qnorms`
+  * aligned: the qid resolves by binary search, so per-row cost is
+  * O(m + log q) regardless of query count. An unknown qid scores NaN —
+  * the same poison value the `when`-chain's fold seed produced. */
+case class PqAdcScore(left: Expression, right: Expression, qids: Array[Long],
+    ipLuts: Array[Array[Array[Double]]], qnorms: Array[Double],
+    normLuts: Array[Array[Double]])
+    extends BinaryExpression with CodegenFallback {
+  require(qids.length == ipLuts.length && qids.length == qnorms.length,
+    "qids, ipLuts, qnorms must align")
+  require(qids.length <= 1 ||
+    qids.sliding(2).forall(p => p(0) < p(1)), "qids must be sorted, distinct")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_score"
+
+  override def nullSafeEval(codeAny: Any, qidAny: Any): Any = {
+    val code = codeAny.asInstanceOf[ArrayData]
+    val qi = java.util.Arrays.binarySearch(qids, qidAny.asInstanceOf[Long])
+    if (qi < 0) return Double.NaN
+    val m = normLuts.length
+    var n2 = 0.0
+    var ip = 0.0
+    val lut = ipLuts(qi)
+    var s = 0
+    while (s < m) {
+      val c = code.getInt(s)
+      n2 += normLuts(s)(c)
+      ip += lut(s)(c)
+      s += 1
+    }
+    val denom = math.sqrt(n2) * qnorms(qi)
+    if (denom == 0.0) 0.0 else ip / denom
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Bloom-filter membership probe against a pre-built filter (X1 ingestion
   * dedup's pre-filter phase).
   *
@@ -454,6 +547,20 @@ object F {
   /** Per-subspace PQ codes as ARRAY<INT> (index = subspace). */
   def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqEncode(Bridge.expression(vec), books))
+
+  /** ADC scores of one code against every query: ARRAY<STRUCT<qid,cos>>. */
+  def pqAdcScores(code: Column, qids: Array[Long],
+      ipLuts: Array[Array[Array[Double]]], qnorms: Array[Double],
+      normLuts: Array[Array[Double]]): Column =
+    Bridge.column(PqAdcScores(Bridge.expression(code), qids, ipLuts,
+      qnorms, normLuts))
+
+  /** ADC score of one (code, qid) row; `qids` sorted with aligned LUTs. */
+  def pqAdcScore(code: Column, qid: Column, qids: Array[Long],
+      ipLuts: Array[Array[Array[Double]]], qnorms: Array[Double],
+      normLuts: Array[Array[Double]]): Column =
+    Bridge.column(PqAdcScore(Bridge.expression(code), Bridge.expression(qid),
+      qids, ipLuts, qnorms, normLuts))
 
   /** Membership probe against a serialized `util.sketch.BloomFilter`. */
   def bloomMightContain(key: Column,

@@ -539,23 +539,23 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("qid", "rnk", "nid", "cosine")
     }
-    val normLuts: Seq[Array[Double]] = books.map(_.sortBy(_._1)
-      .map { case (_, c) => c.map(x => x * x).sum })
-    val scoreStructs = qRows.map { case (qid, qv) =>
-      val qnorm = math.sqrt(qv.map(x => x * x).sum)
-      val ip = (0 until m).map { s =>
-        val lut = books(s).sortBy(_._1).map { case (_, c) =>
-          (0 until ds).map(i => qv(s * ds + i) * c(i)).sum }
-        element_at(lit(lut), col("code")(s) + 1)
-      }.reduce(_ + _)
-      val n2 = (0 until m).map(s =>
-        element_at(lit(normLuts(s)), col("code")(s) + 1)).reduce(_ + _)
-      val denom = sqrt(n2) * lit(qnorm)
-      struct(lit(qid).as("qid"),
-        when(denom === 0.0, lit(0.0)).otherwise(ip / denom).as("cos"))
+    // ONE native kernel node scores every query per code row (the former
+    // explode(array(per-query structs)) of element_at chains was O(q·m)
+    // expression nodes — the janino-64KB pattern at a 256+ query batch;
+    // PqAdcScores keeps the node count O(1) and the work in tight loops).
+    val normLutsArr: Array[Array[Double]] = books.map(_.sortBy(_._1)
+      .map { case (_, c) => c.map(x => x * x).sum }).toArray
+    val sortedBooks = books.map(_.sortBy(_._1).map(_._2))
+    val qids = qRows.map(_._1)
+    val ipLuts: Array[Array[Array[Double]]] = qRows.map { case (_, qv) =>
+      (0 until m).map { s =>
+        sortedBooks(s).map(c => (0 until ds).map(i => qv(s * ds + i) * c(i)).sum)
+      }.toArray
     }
+    val qnorms = qRows.map { case (_, qv) => math.sqrt(qv.map(x => x * x).sum) }
     val adcScored = codesDf
-      .select(col("nid"), explode(array(scoreStructs: _*)).as("t"))
+      .select(col("nid"), explode(F.pqAdcScores(col("code"), qids, ipLuts,
+        qnorms, normLutsArr)).as("t"))
       .select(col("t.qid").as("qid"), col("nid"), col("t.cos").as("cos"))
       .filter(col("qid") =!= col("nid"))
     if (rerank <= 0) top(adcScored, k)
@@ -608,38 +608,26 @@ object Similarity {
       }.sortBy { case (cos, cid) => (-cos, -cid) }.take(nprobe)
       ranked.map { case (_, cid) => (qid, cid) }
     }.toSeq.toDF("qid", "cell")
-    // ADC score for a (qid, code) row: qid selects its LUT via a when-chain
-    // over the (small, broadcast) query set
-    def lutSum(luts: Map[Long, Seq[Array[Double]]]): Column =
-      qRows.map { case (qid, _) =>
-        val terms = (0 until m).map(s =>
-          element_at(lit(luts(qid)(s)), col("code")(s) + 1)).reduce(_ + _)
-        (qid, terms)
-      }.foldLeft(lit(Double.NaN)) { case (acc, (qid, terms)) =>
-        when(col("qid") === qid, terms).otherwise(acc)
-      }
-    val ipLuts: Map[Long, Seq[Array[Double]]] = qRows.map { case (qid, qv) =>
-      qid -> books.zipWithIndex.map { case (b, s) =>
-        b.sortBy(_._1).map { case (_, c) =>
-          (0 until ds).map(i => qv(s * ds + i) * c(i)).sum }
-      }
-    }.toMap
-    val qnorm = qRows.map { case (qid, qv) =>
-      (qid, math.sqrt(qv.map(x => x * x).sum)) }
-      .foldLeft(lit(Double.NaN)) { case (acc, (qid, n)) =>
-        when(col("qid") === qid, lit(n)).otherwise(acc)
-      }
-    // the reconstruction norm depends only on the CODE, not the query —
-    // one direct LUT sum, no per-qid branch chain on the hot corpus scan
-    val codeNorm2 = (0 until m).map(s =>
-      element_at(lit(normLuts(s)), col("code")(s) + 1)).reduce(_ + _)
-    val denom = sqrt(codeNorm2) * qnorm
+    // ADC score for a (qid, code) row through ONE native kernel node: the
+    // qid resolves its LUT by binary search inside PqAdcScore (O(m + log q)
+    // per row), replacing the per-query `when`-chain dispatch that put
+    // O(q·m) expression nodes on the hot probed-cell scan — the
+    // janino-64KB pattern at a production query batch.
+    val sortedQ = qRows.sortBy(_._1)
+    val qidsArr = sortedQ.map(_._1)
+    val sortedBooks = books.map(_.sortBy(_._1).map(_._2))
+    val ipLutsArr: Array[Array[Array[Double]]] = sortedQ.map { case (_, qv) =>
+      (0 until m).map { s =>
+        sortedBooks(s).map(c => (0 until ds).map(i => qv(s * ds + i) * c(i)).sum)
+      }.toArray
+    }
+    val qnormsArr = sortedQ.map { case (_, qv) => math.sqrt(qv.map(x => x * x).sum) }
     val scored = stored
       .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        when(denom === 0.0, lit(0.0))
-          .otherwise(lutSum(ipLuts) / denom).as("cos"))
+        F.pqAdcScore(col("code"), col("qid"), qidsArr, ipLutsArr,
+          qnormsArr, normLuts.toArray).as("cos"))
     if (rerank <= 0) top(scored, k)
     else pqExactRerank(corpus, queries, top(scored, math.max(rerank, k)), k)
   }

@@ -157,6 +157,61 @@ object ExpressionProperties extends Properties("graft.expressions") {
       }
     }
 
+  // PqAdcScores / PqAdcScore: random codes, LUTs, norms; compare against a
+  // slow driver-side reference of the same formula (ip / (rnorm * qnorm),
+  // accumulated in subspace order, denom-0 => 0)
+  private val adcGen = for {
+    m <- Gen.choose(1, 4)
+    k <- Gen.choose(1, 6)
+    nq <- Gen.choose(0, 5)
+    code <- Gen.listOfN(m, Gen.choose(0, k - 1))
+    normLuts <- Gen.listOfN(m, Gen.listOfN(k, Gen.chooseNum(0.0, 10.0)))
+    ipLuts <- Gen.listOfN(nq, Gen.listOfN(m, Gen.listOfN(k,
+      Gen.chooseNum(-10.0, 10.0))))
+    qnorms <- Gen.listOfN(nq, Gen.chooseNum(0.0, 10.0))
+  } yield (code.toArray,
+    normLuts.map(_.toArray).toArray,
+    ipLuts.map(_.map(_.toArray).toArray).toArray,
+    qnorms.toArray)
+
+  private def adcRef(code: Array[Int], normLuts: Array[Array[Double]],
+      ipLut: Array[Array[Double]], qnorm: Double): Double = {
+    var n2 = 0.0; var ip = 0.0; var s = 0
+    while (s < code.length) {
+      n2 += normLuts(s)(code(s)); ip += ipLut(s)(code(s)); s += 1
+    }
+    val denom = math.sqrt(n2) * qnorm
+    if (denom == 0.0) 0.0 else ip / denom
+  }
+
+  property("pq adc scores: every query's cosine matches the LUT reference") =
+    Prop.forAll(adcGen) { case (code, normLuts, ipLuts, qnorms) =>
+      val qids = ipLuts.indices.map(i => (i * 7 + 3).toLong).toArray
+      val codeLit = Literal.create(ArrayData.toArrayData(code),
+        ArrayType(IntegerType))
+      val out = PqAdcScores(codeLit, qids, ipLuts, qnorms, normLuts)
+        .eval(null).asInstanceOf[ArrayData]
+      out.numElements() == qids.length && qids.indices.forall { q =>
+        val row = out.getStruct(q, 2)
+        row.getLong(0) == qids(q) &&
+          row.getDouble(1) == adcRef(code, normLuts, ipLuts(q), qnorms(q))
+      }
+    }
+
+  property("pq adc score: binary-search dispatch == per-query reference; " +
+      "unknown qid is NaN") =
+    Prop.forAll(adcGen) { case (code, normLuts, ipLuts, qnorms) =>
+      val qids = ipLuts.indices.map(i => (i * 7 + 3).toLong).toArray
+      val codeLit = Literal.create(ArrayData.toArrayData(code),
+        ArrayType(IntegerType))
+      def score(qid: Long): Double =
+        PqAdcScore(codeLit, Literal(qid, LongType), qids, ipLuts, qnorms,
+          normLuts).eval(null).asInstanceOf[Double]
+      qids.indices.forall { q =>
+        score(qids(q)) == adcRef(code, normLuts, ipLuts(q), qnorms(q))
+      } && score(-999L).isNaN
+    }
+
   property("pq encode: a centroid's own subvector encodes to itself " +
       "(no later duplicate)") =
     Prop.forAll(pqGen.suchThat { case (books, _) =>

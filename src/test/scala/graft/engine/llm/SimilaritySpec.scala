@@ -353,4 +353,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(0).getAs[Long]("nid") == 10007L,
       s"expected planted twin at rank 1, got ${top(0)}")
   }
+
+  test("ADC kernels: a 256-query batch is ONE expression node (codegen-safe)") {
+    // The former per-query Column-DSL fan-out put O(q·m) expression nodes
+    // on the hot corpus scan — at 256 queries that overflows janino's 64 KB
+    // method limit and silently drops to interpreted eval. The native
+    // kernels must keep the node count O(1) in query count (so the scan
+    // stays inside WholeStageCodegen) and still return exact top-k shapes.
+    val emb = Tables.embeddings(spark, sfDir).persist()
+    try {
+      val queries = emb.filter(col("vec_id") < 256) // 500-vector corpus: all 256 exist
+      val books = Similarity.pqTrain(emb, m = 4, k = 8, iters = 1)
+      val adc = Similarity.pqTopK(emb, queries, 3, books)
+      val plan = adc.queryExecution.executedPlan.toString
+      assert("graft_pq_adc_scores".r.findAllIn(plan).length == 1,
+        "pqTopK must score all 256 queries through ONE PqAdcScores node")
+      assert(plan.contains("*("), // star-notation WholeStageCodegen spans
+        "the codes scan must stay inside whole-stage codegen")
+      assert(adc.count() == 256L * 3, "each query gets exactly k ranked rows")
+
+      val cents = Similarity.ivfSeeds(emb, 4)
+      val ivfpq = Similarity.ivfPqTopK(emb, queries, 3, cents, books,
+        nprobe = cents.length)
+      val plan2 = ivfpq.queryExecution.executedPlan.toString
+      assert("graft_pq_adc_score\\b".r.findAllIn(plan2).length == 1,
+        "ivfPqTopK must dispatch all 256 query LUTs through ONE PqAdcScore node")
+      assert(plan2.contains("*("), // star-notation WholeStageCodegen spans
+        "the probed-cell scan must stay inside whole-stage codegen")
+      assert(ivfpq.count() == 256L * 3, "each query gets exactly k ranked rows")
+
+      // nprobe = nlist makes IVF-PQ's candidate set exhaustive, so with the
+      // SAME books both paths rank by the same ADC cosine: equal answers
+      val a = adc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = ivfpq.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a == b, "exhaustive IVF-PQ must equal the flat ADC ranking")
+    } finally emb.unpersist()
+  }
 }
