@@ -258,18 +258,29 @@ object Curation {
     * run-to-run. */
   def packSequences(docs: DataFrame, orderCol: String, textCol: String,
       budgetTokens: Long, shardCols: Seq[String] = Nil): DataFrame = {
+    val shard = shardCols.map(col)
+    packAssignments(docs, orderCol, textCol, budgetTokens, shardCols)
+      .groupBy(shard :+ col("pack_id"): _*)
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
+        min(col(orderCol)).cast(LongType).as("first_doc"))
+  }
+
+  /** Per-document grain of [[packSequences]]: every input row plus its
+    * `n_tokens` and assigned `pack_id` — what a writer materializing the
+    * packed sequences (or joining pack membership to other per-doc
+    * metadata, as the q88 curation pipeline does) actually consumes;
+    * [[packSequences]] is this aggregated to pack level. Same window, same
+    * shard scoping, same unique-`orderCol` contract. */
+  def packAssignments(docs: DataFrame, orderCol: String, textCol: String,
+      budgetTokens: Long, shardCols: Seq[String] = Nil): DataFrame = {
     val w = (if (shardCols.isEmpty) Window.orderBy(col(orderCol))
              else Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val shard = shardCols.map(col)
     docs
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("pack_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
           / budgetTokens).cast(LongType))
-      .groupBy(shard :+ col("pack_id"): _*)
-      .agg(count(lit(1)).cast(LongType).as("n_docs"),
-        sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
-        min(col(orderCol)).cast(LongType).as("first_doc"))
   }
 }

@@ -308,9 +308,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // every round joins against this; checkpointed so it computes once.
+    // NON-eager: materialization folds into the first round's label-sum
+    // job instead of paying a separate driver-sequenced job up front (the
+    // loop is fixed-cost-bound at harness scale — r6 profile: eager
+    // checkpoints put CC at ~2 s of pure job latency on a 40-edge graph).
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint() // every round joins against this; materialize once
+      .localCheckpoint(eager = false)
     // decimal(38,0) sum: exact and overflow-proof even for 10^12 ids at
     // 100 TB (ANSI mode would throw on a long overflow)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -319,8 +324,11 @@ object Dedup {
     }
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
-    var prevSum = labelSum(comp)
+      .localCheckpoint(eager = false) // materialized by round 1's labelSum
+    // No init-sum job: round 1 must run regardless (null skips the first
+    // convergence compare), so the init measurement only ever served the
+    // empty-graph case — which now just converges one (cheap) round later.
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -334,9 +342,9 @@ object Dedup {
       val updated = propagated.join(lookup, propagated("comp") === lookup("cid"), "left")
         .select(propagated("id"),
           least(propagated("comp"), coalesce(col("ccomp"), propagated("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materialized by this round's sum
       val newSum = labelSum(updated)
-      converged = newSum.compareTo(prevSum) == 0
+      converged = prevSum != null && newSum.compareTo(prevSum) == 0
       prevSum = newSum
       comp = updated
       iter += 1

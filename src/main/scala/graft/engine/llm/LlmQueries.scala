@@ -1281,8 +1281,181 @@ object LlmQueries {
     doc = "per-domain cap: deterministic 30-doc unbiased sample per source " +
       "via partial-agg min-k (no hot-key window)")
 
+  /** q88 — the END-TO-END curation pipeline a 100 TB user actually runs,
+    * composed from the individually-verified operators: JSONL exchange
+    * read with corrupt-line quarantine (q86's source) → Bloom-prefiltered
+    * ingestion dedup against the already-ingested corpus (q81) →
+    * SemDeDup-style semantic dedup over the survivors' embeddings (q85) →
+    * per-language quality quartiles (q65's groupNtile) → token-budget
+    * sequence packing at per-doc grain (q62's packAssignments) → atomic
+    * snapshot publish and read-back (q74's store). What this pins beyond
+    * the pieces: the schema handoffs between stages, quarantine routing,
+    * and that the published snapshot IS the curated per-doc result.
+    *
+    * Planted inputs make every stage observable: exact-dup copies
+    * (+100000, identical text — must die in ingestion dedup), semantic-dup
+    * copies (+200000, text perturbed so exact dedup keeps them, embedding
+    * identical so semantic dedup kills copy or original's absence promotes
+    * them), already-ingested overlap (doc_id < 50 — must anti-join away),
+    * and three corrupt JSONL lines (must surface as quarantine rows, not
+    * vanish). DuckDB replays the full composition over the parquet
+    * originals. */
+  val q88 = GraftQuery(
+    "q88_curate_e2e",
+    (spark, sfDir) => {
+      import graft.engine.sources.{Jsonl, SnapshotStore}
+      val docs = Tables.documents(spark, sfDir)
+      val emb = Tables.embeddings(spark, sfDir)
+      // pid-suffixed work root, wiped up front (q74's discipline: the
+      // snapshot store never overwrites, so repeated runs in one process
+      // would accumulate versions and break the read-back pin)
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q88_curate_${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val plantedExact = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val plantedSem = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val corpus = docs.select(cols.map(col): _*)
+        .unionByName(plantedExact).unionByName(plantedSem)
+      // Six driver-sequenced stages over a harness-scale corpus are
+      // fixed-cost-bound, not data-bound: run them at 8 shuffle partitions
+      // (x56's documented, result-neutral dial — every stage's answer is
+      // partitioning-invariant) and restore after. Production sizes
+      // partitions to data; the stage SHAPES are what carry to 100 TB.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+      // 1. JSONL exchange with three planted corrupt lines. coalesce(8):
+      // the union-of-filters corpus arrives in ~33 scan partitions; a 5k-doc
+      // exchange in 33 shards is pure task overhead (narrow coalesce, no
+      // shuffle — production sizes shards to bytes, not scan partitioning)
+      Jsonl.writeJsonl(corpus.coalesce(8), s"$root/in")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/in/planted_bad_lines.txt"),
+        java.util.Arrays.asList("{ this is not valid json", "null", ""),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val (clean, bad) = Jsonl.readJsonlClean(spark, s"$root/in",
+        docs.select(cols.map(col): _*).schema)
+      // 2. Bloom-prefiltered ingestion dedup vs the already-ingested corpus
+      val exactSurv = Dedup.bloomPrefilterDedup(clean,
+        docs.filter(col("doc_id") < 50), "text", "doc_id")
+      // 3. semantic dedup over survivor embeddings (planted copies carry
+      // their source's vector). localCheckpoint: semanticDedup's pair and
+      // anti-join stages both scan the corpus, and the JSONL-parse + dedup
+      // pipeline upstream must not run once per scan.
+      val embAll = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"), col("embedding")))
+      val withVec = exactSurv
+        .join(embAll, col("doc_id") === col("vec_id")).localCheckpoint()
+      val semSurv = Similarity.semanticDedup(withVec, threshold = 0.999999)
+        .drop("vec_id", "embedding").localCheckpoint()
+      // 4. per-language quality quartiles (3 dp-quantized key, q65 contract)
+      val scored = TextAnalysis.qualityScore(semSurv, "text")
+        .withColumn("q_bin", round(col("quality"), 3))
+      val tiers = Curation.groupNtile(scored, "lang", "q_bin", "doc_id", 4)
+        .select(col("doc_id"), col("tier"))
+      // 5. per-doc pack assignment (2048-token budget, sharded by source)
+      val packed = Curation.packAssignments(semSurv, "doc_id", "text",
+        budgetTokens = 2048L, shardCols = Seq("source"))
+      val curated = packed.join(tiers, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("tier"),
+          col("pack_id"), col("n_tokens"),
+          md5(col("text").cast("binary")).as("text_md5"))
+      // 6. atomic snapshot publish; the OUTPUT is the read-back (pins that
+      // the published version is the curated result, not the in-memory df)
+      SnapshotStore.publish(curated, s"$root/snap")
+      SnapshotStore.read(spark, s"$root/snap")
+        // 7. quarantined lines surface as planted rows, never vanish
+        .unionByName(bad.select(
+          when(col("raw") === "{ this is not valid json", -3L)
+            .when(col("raw") === "null", -2L).otherwise(-1L).as("doc_id"),
+          lit("quarantine").as("lang"), lit("quarantine").as("source"),
+          lit(-1L).as("tier"), lit(-1L).as("pack_id"), lit(-1L).as("n_tokens"),
+          md5(col("raw").cast("binary")).as("text_md5")))
+        .orderBy(col("doc_id"))
+        // the final sort + union run after the restore, but the heavy
+        // stages are all materialized by the publish above; collect-side
+        // partitioning of a 5k-row sorted result is noise either way
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some({
+      val allMarkers = TextAnalysis.markers.values.flatten.toSeq.distinct
+        .sorted.mkString("['", "','", "']")
+      s"""WITH corpus0 AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL SELECT doc_id + 100000, text, lang, source
+          FROM documents WHERE doc_id % 25 = 0
+        UNION ALL SELECT doc_id + 200000, text || ' extra', lang, source
+          FROM documents WHERE doc_id % 50 = 0),
+      exact1 AS (SELECT doc_id, text, lang, source, ROW_NUMBER() OVER (
+          PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        FROM corpus0),
+      exact_surv AS (SELECT doc_id, text, lang, source FROM exact1 e
+        WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM documents d
+          WHERE d.doc_id < 50
+            AND md5(lower(trim(d.text))) = md5(lower(trim(e.text))))),
+      emb_all AS (SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 200000, embedding FROM embeddings
+          WHERE vec_id % 50 = 0),
+      sem AS (SELECT s.doc_id, s.text, s.lang, s.source,
+          md5(array_to_string(e.embedding, ',')) AS ek
+        FROM exact_surv s JOIN emb_all e ON s.doc_id = e.vec_id),
+      sem_surv AS (SELECT doc_id, text, lang, source FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY ek) AS mm FROM sem)
+        WHERE doc_id = mm),
+      base AS (SELECT doc_id, lang, source, text,
+          string_split_regex(lower(trim(text)), '\\s+') AS ws FROM sem_surv),
+      scored AS (SELECT doc_id, lang,
+          ROUND(0.5 * (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0
+                 WHEN len(ws) BETWEEN 5 AND 5000 THEN 0.5 ELSE 0.0 END)
+            + 0.3 * least(CAST(len(list_filter(ws, w -> list_contains(
+                $allMarkers, w))) AS DOUBLE) / len(ws) * 5.0, 1.0)
+            + 0.2 * (1.0 - least(CAST(length(text) - length(
+                regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                / length(text) * 10.0, 1.0)), 6) AS quality
+        FROM base),
+      tiered AS (SELECT doc_id, CAST(NTILE(4) OVER (PARTITION BY lang
+          ORDER BY ROUND(quality, 3), doc_id) AS BIGINT) AS tier
+        FROM scored),
+      tok AS (SELECT doc_id, lang, source, text,
+          CAST(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT) AS n_tokens
+        FROM sem_surv),
+      packed AS (SELECT doc_id, lang, source, text, n_tokens,
+          CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            / 2048.0) AS BIGINT) AS pack_id
+        FROM tok)
+      SELECT p.doc_id, p.lang, p.source, t.tier, p.pack_id, p.n_tokens,
+        md5(p.text) AS text_md5
+      FROM packed p JOIN tiered t ON p.doc_id = t.doc_id
+      UNION ALL SELECT * FROM (VALUES
+        (CAST(-3 AS BIGINT), 'quarantine', 'quarantine', CAST(-1 AS BIGINT),
+          CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), md5('{ this is not valid json')),
+        (CAST(-2 AS BIGINT), 'quarantine', 'quarantine', CAST(-1 AS BIGINT),
+          CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), md5('null')),
+        (CAST(-1 AS BIGINT), 'quarantine', 'quarantine', CAST(-1 AS BIGINT),
+          CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), md5('')))
+      ORDER BY doc_id"""
+    }),
+    doc = "end-to-end curation: JSONL quarantine read -> Bloom ingestion " +
+      "dedup -> semantic dedup -> quality tiers -> sequence pack -> " +
+      "snapshot publish/read-back, per-doc DuckDB twin")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
-      q83, q84, q85, q87, x42, x43, x44, x45, x46, x47, x48, x51)
+      q83, q84, q85, q87, q88, x42, x43, x44, x45, x46, x47, x48, x51)
 }
