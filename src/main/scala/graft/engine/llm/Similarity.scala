@@ -465,7 +465,17 @@ object Similarity {
     * and ADC reproduces the exact cosine ranking. Collects the corpus
     * driver-side — strictly an oracle-harness constructor for a small
     * pinned corpus subset, never a production path (production trains with
-    * [[pqTrain]]). */
+    * [[pqTrain]]).
+    *
+    * EXACTNESS PREMISE (enforced below): "identity encoding" rests on
+    * [[graft.engine.functions.PqEncode]]'s argmax-COSINE assignment, which
+    * cannot distinguish parallel subvectors (cosine ties break to the
+    * larger cid → a subvector parallel to a later centroid encodes to the
+    * wrong one) and scores every centroid 0 for a zero subvector (encodes
+    * to the last cid). Real float embeddings never trip either case, but a
+    * synthetic corpus could — so rather than silently weakening the q84/q87
+    * oracles and the SimilaritySpec equalities built on them, refuse loudly
+    * when a subspace contains a zero or pairwise-parallel subvector. */
   def pqCodebooksExact(corpus: DataFrame, m: Int): Seq[Array[(Int, Array[Double])]] = {
     val dim = embeddingDim(corpus)
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
@@ -473,10 +483,27 @@ object Similarity {
     val vecs = corpus.select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0))
     (0 until m).map { s =>
-      vecs.map(_.slice(s * ds, (s + 1) * ds).toVector).distinct
+      val cents = vecs.map(_.slice(s * ds, (s + 1) * ds).toVector).distinct
         .sortBy(_.mkString(",")) // deterministic cid assignment
-        .zipWithIndex
-        .map { case (v, i) => i -> v.toArray }.toArray
+      // O(k²·ds) driver-side over the small oracle corpus: cheap insurance
+      // for the exactness argument (see premise above)
+      cents.foreach { c =>
+        require(c.exists(_ != 0.0),
+          s"subspace $s contains a zero subvector: identity encoding " +
+            "does not hold (argmax-cosine scores every centroid 0)")
+      }
+      for (i <- cents.indices; j <- (i + 1) until cents.length) {
+        val (a, b) = (cents(i), cents(j))
+        val dot = a.lazyZip(b).map(_ * _).sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        // anti-parallel (cos -1) is fine — it loses every argmax; only
+        // POSITIVE-parallel distinct subvectors are indistinguishable
+        require(dot / (na * nb) < 1.0 - 1e-12,
+          s"subspace $s has parallel distinct subvectors (cids $i, $j): " +
+            "argmax-cosine cannot separate them, identity encoding breaks")
+      }
+      cents.zipWithIndex.map { case (v, i) => i -> v.toArray }.toArray
     }
   }
 

@@ -89,7 +89,16 @@ object StatsQueries {
     * estimates remain asserted (with the same bounds) in StatsSketchSpec.
     * The CMS binary sketch is decoded driver-side — the sketch itself is a
     * fixed-width mergeable aggregate (map-side partials), which is the
-    * point at 100 TB: heavy-hitter counts without a per-key shuffle. */
+    * point at 100 TB: heavy-hitter counts without a per-key shuffle.
+    *
+    * OPERATOR NOTE on a red boolean: these are PROBABILISTIC contracts
+    * pinned hard-TRUE only because the datasets and sketch seeds are
+    * deterministic — the CMS bound holds at 0.99 confidence and the HLL
+    * bound is ~2σ of its 5% rsd, so REGENERATED testdata or a new SF can
+    * legitimately flip a boolean with zero code change (a ~1%-level draw,
+    * not a bug). Before bisecting a red x28 as a regression, check whether
+    * the corpus changed; if it did, re-validate the sketch against
+    * StatsSketchSpec's bounds on the new data and re-pin. */
   val x28 = GraftQuery(
     "x28_approx_sketches",
     (spark, sfDir) => {

@@ -53,7 +53,17 @@ object Jsonl {
           when(col("j").isNull, col("value"))).as(corruptCol): _*)
   }
 
-  /** (clean rows in the declared schema, quarantined raw lines). */
+  /** (clean rows in the declared schema, quarantined raw lines).
+    *
+    * COST NOTE: the two returned frames are FILTER BRANCHES of one lazy
+    * parse — an action on each scans and `from_json`-parses the input
+    * once PER BRANCH. Harmless when one branch is consumed or the input
+    * is small; at the 100 TB dirty-crawl scale this contract exists for,
+    * materialize ONE pass instead: either cache/checkpoint the combined
+    * [[readJsonl]] frame and split it yourself, or (the pipeline shape
+    * q88 uses) checkpoint the clean branch's downstream before the
+    * quarantine branch is consumed, so only the (tiny) quarantine side
+    * pays the re-parse. */
   def readJsonlClean(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
     val all = readJsonl(spark, path, schema)
