@@ -134,7 +134,7 @@ object Dedup {
   def minHashNearDups(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8,
       jaccardThreshold: Double = 0.5, shingleSize: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, overflowStars: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val base = df.select(col(idCol).cast(LongType).as("id"),
@@ -158,15 +158,35 @@ object Dedup {
     // before capping, OOMing the aggregating task on exactly the degenerate
     // cluster the cap exists for; here every partial and merge buffer holds
     // <= maxBucketSize ids (same bounded posture as embeddingBuckets).
-    val buckets = banded.groupBy(col("band_id"), col("band_hash"))
-      .agg(TopK.cappedIds(maxBucketSize, col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val candidates = buckets
+    val bucketsAll = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(TopK.cappedIds(maxBucketSize, col("id")).as("ids"),
+        count(lit(1)).cast(LongType).as("n_full"))
+    val buckets = bucketsAll.filter(size(col("ids")) > 1)
+    val capped = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // `overflowStars`: recall recovery for DEGENERATE buckets (SCALE.md
+    // "hot-bucket recall" spike). The cap truncates a hot bucket's pair
+    // list, so members beyond the cap are invisible to CC-based dedup.
+    // Extra hash bits cannot split a bucket of IDENTICAL members (the
+    // common degenerate: template/boilerplate clusters), so instead emit
+    // one STAR edge (hub = bucket min id, member) per overflow-bucket
+    // member — O(n_full) pairs instead of O(n_full²), no aggregation
+    // buffer at all (a min + a join), and the Jaccard verify still drops
+    // false edges. CC connectivity through the hub restores FULL dedup
+    // recall for homogeneous hot buckets; the reported pair LIST stays
+    // truncated by design (it would be quadratic).
+    val candidates = (if (!overflowStars) capped else {
+      val hot = bucketsAll.filter(col("n_full") > maxBucketSize)
+        .select(col("band_id"), col("band_hash"),
+          col("ids")(0).as("hub")) // cappedIds is ascending: ids(0) = min
+      val stars = banded.join(hot, Seq("band_id", "band_hash"))
+        .filter(col("id") =!= col("hub"))
+        .select(col("hub").as("id_a"), col("id").as("id_b"))
+      capped.unionByName(stars)
+    }).dropDuplicates("id_a", "id_b")
     // Verify with exact shingle Jaccard; only the (small) candidate set
     // carries arrays through a shuffle.
     val shs = df.select(col(idCol).cast(LongType).as("id"),

@@ -303,4 +303,51 @@ class HotKeyStressSpec extends AnyFunSuite {
       } finally docs.unpersist()
     }
   }
+
+  test("overflowStars: full dedup connectivity over a hot bucket at O(n) pairs") {
+    withStressConf() {
+      // 10^5 identical docs + distinct tail, cap 100: the capped pair list
+      // sees only C(100,2) pairs, so 99 900 cluster members are invisible
+      // to CC-based dedup. overflowStars adds one (hub, member) edge per
+      // overflow-bucket member — linear, bufferless — and must restore
+      // full-cluster connectivity while staying at bounded per-task bytes.
+      val nDup = 100000
+      val docs = spark.range(nDup + 1000)
+        .select(col("id"),
+          when(col("id") < nDup,
+            lit("the quick brown fox jumps over the lazy dog again and again"))
+            .otherwise(concat_ws(" ", (0 until 8).map(k =>
+              hex(xxhash64(col("id"), lit(k)))): _*))
+            .as("text"))
+        .persist()
+      docs.count()
+      try {
+        val cap = 100
+        val t0 = System.nanoTime()
+        var starPairs = 0L
+        val mStar = maxTaskShuffleBytes {
+          starPairs = Dedup.minHashNearDups(docs, "text", "id",
+            maxBucketSize = cap, overflowStars = true).count()
+        }
+        val starSec = (System.nanoTime() - t0) / 1e9
+        // C(100,2) capped pairs + one star edge per member outside the
+        // capped hub pairs: hub 0 already pairs with ids 1..99
+        val expected = cap.toLong * (cap - 1) / 2 + (nDup - cap)
+        assert(starPairs == expected,
+          s"star-augmented pair count $starPairs != $expected")
+        // connectivity: every member appears in some pair => CC dedup
+        // recall is total. Verified structurally: hub 0 pairs with all.
+        val pairs = Dedup.minHashNearDups(docs, "text", "id",
+            maxBucketSize = cap, overflowStars = true)
+        val touched = pairs.select(explode(array(col("id_a"), col("id_b"))).as("m"))
+          .agg(countDistinct(col("m"))).collect()(0).getLong(0)
+        assert(touched == nDup.toLong,
+          s"star edges must touch every cluster member ($touched != $nDup)")
+        val bound = 32L * 1024 * 1024 // verify join carries 10^5 pairs' shingles
+        assert(mStar <= bound, s"overflowStars max task bytes $mStar > $bound")
+        info(f"overflowStars on 10^5-dup cluster: $starSec%.2f s, " +
+          f"max task shuffle ${mStar / 1024 / 1024}%d MiB")
+      } finally docs.unpersist()
+    }
+  }
 }
