@@ -564,32 +564,73 @@ object LlmQueries {
     doc = "SimHash64 banding + Hamming verify at hamming<=3; exact-regime " +
       "oracle: planted identical docs == Hamming-0 pairs, recall pinned 1.0")
 
-  /** X2e/X3 — embedding-cosine near-dup via LSH blocking, summary.
-    * bits=8 pinned for round-over-round comparability of the pair count
-    * (production default is auto-sized bits); the capped bucket expansion
-    * plus n_capped_buckets telemetry is the 100 TB posture — a hot bucket
-    * can truncate pairs, and this row says whether one did. */
+  /** X2e/X3 — embedding-cosine near-dup, ORACLE-checked in the exact
+    * regime (the x43/q75 pattern). bits=8 pinned for round-over-round
+    * comparability (production default is auto-sized bits); the pairs are
+    * generated by the full APPROXIMATE 0.8-threshold run — LSH blocking,
+    * capped buckets, cosine verify, nothing narrowed for the oracle — and
+    * the value pin is the regime where sign-LSH is provably exact:
+    * planted identical vectors hash to the same bucket in every plane set,
+    * so they MUST emerge as cosine-1 pairs. The emitted subset is verified
+    * by exact embedding equality (the array-level analog of x43's
+    * content-key check), DuckDB recomputes it by grouping on the rendered
+    * vector, `exact_recall` is computed honestly in Spark and pinned 1.0,
+    * and `zero_capped_buckets` pins the truncation telemetry TRUE.
+    * q78 pins the same machinery at threshold 0.999999 over the organic
+    * corpus; this row pins the 0.8 operating regime's recall floor. */
   val x45 = GraftQuery(
     "x45_embedding_neardup",
     (spark, sfDir) => {
       val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(
+        emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       val cap = 1000
       // ONE bucketing pass, persisted: pair expansion and the truncation
-      // telemetry both read it (mirrors x43's discipline).
-      val buckets = Similarity.embeddingBuckets(emb, bits = 8,
+      // telemetry both read it (x43's discipline).
+      val buckets = Similarity.embeddingBuckets(corpus, bits = 8,
         maxBucketSize = cap).persist()
       try {
-        val nPairs = Similarity
-          .embeddingPairsFromBuckets(buckets, emb, threshold = 0.8).count()
+        val pairs = Similarity
+          .embeddingPairsFromBuckets(buckets, corpus, threshold = 0.8)
+        // exact regime: cosine-1 candidates verified by ARRAY equality
+        // (identical vectors — rounding can't promote a near-pair in)
+        val e = corpus.select(col("vec_id"), col("embedding"))
+        val exactPairs = pairs
+          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("e_a")),
+            Seq("id_a"))
+          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("e_b")),
+            Seq("id_b"))
+          .filter(col("e_a") === col("e_b"))
+          .select(col("id_a"), col("id_b"), col("cosine"))
+          .localCheckpoint() // feeds a count AND the total ORDER BY
+        val nExpected = corpus
+          .groupBy(md5(to_json(col("embedding"))).as("k"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)))
+          .head().getDouble(0).toLong
+        val nFound = exactPairs.count()
+        val recall = if (nExpected == 0) 1.0 else nFound.toDouble / nExpected
         val nCapped = buckets.filter(col("n_full") > cap).count()
-        import spark.implicits._
-        Seq((emb.count(), nPairs, nCapped))
-          .toDF("n_vectors", "n_neardup_pairs", "n_capped_buckets")
+        exactPairs
+          .withColumn("exact_recall", lit(recall))
+          .withColumn("zero_capped_buckets", lit(nCapped == 0L))
+          .orderBy(col("id_a"), col("id_b"))
       } finally buckets.unpersist()
     },
-    None,
-    doc = "sign-LSH capped-bucket expansion + cosine>=0.8 verify; " +
-      "recall guaranteed iff n_capped_buckets=0")
+    Some("""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+        WHERE vec_id % 25 = 0),
+      k AS (SELECT vec_id,
+          md5(array_to_string(embedding, ',')) AS kk FROM corpus)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        CAST(1.0 AS DOUBLE) AS cosine, CAST(1.0 AS DOUBLE) AS exact_recall,
+        TRUE AS zero_capped_buckets
+      FROM k a JOIN k b ON a.kk = b.kk AND a.vec_id < b.vec_id
+      ORDER BY id_a, id_b"""),
+    doc = "sign-LSH capped-bucket near-dup at the 0.8 regime; exact-regime " +
+      "oracle: planted identical vectors == cosine-1 pairs, recall pinned 1.0")
 
   /** X3 — LSH approximate top-k with recall vs the exact answer. */
   val x44 = GraftQuery(

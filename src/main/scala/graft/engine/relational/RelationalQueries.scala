@@ -784,6 +784,46 @@ object RelationalQueries {
         CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT) AS sum_key"""),
     doc = "atomic-pointer snapshot store: publish x2, read current + pinned v1")
 
+  /** q89 — snapshot version DIFF, the incremental-audit primitive over
+    * q74's store: publish v1 (one region's nations) then v2 (another's,
+    * plus one shared row so the intersection is non-trivial), and emit
+    * `SnapshotStore.diff(v1 → v2)` — rows only in v2 tagged `added`, rows
+    * only in v1 tagged `removed`, EXCEPT-ALL multiset semantics. DuckDB
+    * recomputes both version sets from the predicates and replays the
+    * same set algebra. */
+  val q89 = GraftQuery(
+    "q89_snapshot_diff",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q89_snap_${ProcessHandle.current().pid()}/tbl"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val nat = Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.engine.sources.SnapshotStore.publish(
+        nat.filter(col("n_regionkey") === 0 || col("n_nationkey") === 20), root)
+      graft.engine.sources.SnapshotStore.publish(
+        nat.filter(col("n_regionkey") === 1 || col("n_nationkey") === 20), root)
+      graft.engine.sources.SnapshotStore.diff(spark, root, 1L, 2L)
+        .orderBy(col("change"), col("n_nationkey"))
+    },
+    Some("""WITH v1 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey = 0 OR n_nationkey = 20),
+      v2 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey = 1 OR n_nationkey = 20)
+      SELECT n_nationkey, n_name, n_regionkey, 'added' AS change
+      FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey, 'removed' AS change
+      FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+      ORDER BY change, n_nationkey"""),
+    doc = "snapshot store version diff: added/removed rows v1 -> v2, EXCEPT ALL twin")
+
   /** q86 — JSONL sink → source round-trip (the LLM-corpus exchange format,
     * S-surface sibling of q74's parquet snapshot): documents are written as
     * newline-delimited JSON and read back under the DECLARED schema in
@@ -823,5 +863,5 @@ object RelationalQueries {
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59, q66, q67, q74, q86)
+    q59, q66, q67, q74, q86, q89)
 }

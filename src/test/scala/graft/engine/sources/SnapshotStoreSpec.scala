@@ -138,4 +138,18 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(v > 1L && SnapshotStore.currentVersion(r) == v)
     assert(SnapshotStore.read(spark, r).count() == 7L)
   }
+
+  test("diff tags added/removed rows between versions with multiset semantics") {
+    val r = Files.createTempDirectory("snap_diff").toString + "/tbl"
+    // v1: {1, 2, 2, 3}; v2: {2, 3, 4} — duplicates must count
+    SnapshotStore.publish(Seq(1L, 2L, 2L, 3L).toDF("id"), r)
+    SnapshotStore.publish(Seq(2L, 3L, 4L).toDF("id"), r)
+    val d = SnapshotStore.diff(spark, r, 1L, 2L)
+      .collect().map(row => (row.getLong(0), row.getString(1))).sorted.toSeq
+    assert(d == Seq((1L, "removed"), (2L, "removed"), (4L, "added")),
+      s"diff must be one removed 1, ONE removed 2 (multiset), one added 4; got $d")
+    // identical versions diff to empty
+    SnapshotStore.publish(Seq(2L, 3L, 4L).toDF("id"), r)
+    assert(SnapshotStore.diff(spark, r, 2L, 3L).isEmpty)
+  }
 }
