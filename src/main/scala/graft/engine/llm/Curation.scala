@@ -70,6 +70,40 @@ object Curation {
       < threshold)
   }
 
+  /** Temperature-flattened source resampling — the multi-source
+    * rebalancing move of a pretraining mixture (downsample the dominant
+    * crawl, keep the small curated sources): source s with n_s documents
+    * is kept at rate r_s = round(min(1, c / sqrt(n_s)), 4), i.e. keep
+    * probability ∝ n_s^(α−1) at temperature α = 1/2, applied with
+    * [[hashSample]]'s deterministic md5-bucket membership.
+    *
+    * α is PINNED at 1/2 on purpose: sqrt and division are correctly
+    * rounded IEEE operations, so any engine recomputes bit-identical
+    * rates from the same census — a general pow(α) is not cross-engine
+    * bit-stable and would break value-level replay (the determinism
+    * contract everything in this file keeps). The census is one tiny
+    * aggregate (source cardinality, collected driver-side); the sample
+    * itself is one narrow filter, same as every sampler here. */
+  def temperatureSample(df: DataFrame, keyCol: Column, sourceCol: Column,
+      c: Double): DataFrame = {
+    require(c > 0.0, "scale c must be positive")
+    val census = df.groupBy(sourceCol.as("_src"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => r.get(0) -> r.getLong(1)).sortBy(_._1.toString)
+    val threshold = census.foldLeft(lit(hexThreshold(0.0))) {
+      case (acc, (s, n)) =>
+        when(sourceCol === s, lit(hexThreshold(temperatureRate(c, n)))).otherwise(acc)
+    }
+    df.filter(substring(md5(keyCol.cast("string").cast("binary")), 1, 4)
+      < threshold)
+  }
+
+  /** r_s = round(min(1, c/√n), 4) — 4 dp so the hex threshold never sits
+    * a rounding ulp from an engine boundary. */
+  def temperatureRate(c: Double, n: Long): Double =
+    BigDecimal(math.min(1.0, c / math.sqrt(n.toDouble)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** SQL twin of [[mixtureSample]]'s predicate. */
   def sqlMixturePredicate(keyExpr: String, sourceExpr: String,
       weights: Map[String, Double], defaultFraction: Double): String = {

@@ -136,17 +136,9 @@ object Dedup {
       jaccardThreshold: Double = 0.5, shingleSize: Int = 3,
       maxBucketSize: Int = 1000, overflowStars: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val base = df.select(col(idCol).cast(LongType).as("id"),
-        shingles(tokens(col(textCol)), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = base.withColumn("band",
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band_id"),
-            xxhash64(concat_ws(",",
-              slice(col("sig"), b * rows + 1, lit(rows))).cast("string")).as("band_hash")))))
-      .select(col("id"),
-        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val banded = bandedFromSigs(
+      minHashSignatures(df, textCol, idCol, numHashes, shingleSize),
+      numHashes, bands)
     // Candidate pairs come from grouping ids per (band, bandHash) bucket and
     // expanding in-bucket combinations — ONE aggregation instead of a
     // self-join, so the signature plan executes once. `maxBucketSize` caps
@@ -200,6 +192,86 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** (id, sig) MinHash signature table — the per-document state an
+    * incremental near-dup pipeline PUBLISHES (e.g. via
+    * [[graft.engine.sources.SnapshotStore]]) so a daily batch never
+    * re-reads or re-signs the historical corpus. Signatures are pure
+    * functions of the text, so tables signed on different days with the
+    * same (numHashes, shingleSize) compose. */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"),
+      minhashSignature(shingles(tokens(col(textCol)), shingleSize), numHashes)
+        .as("sig"))
+
+  /** (id, band_id, band_hash) banding of a signature table — the ONE
+    * banding formula both the batch path ([[minHashNearDups]]) and the
+    * incremental path ([[incrementalMinHashNearDups]]) use, so their
+    * buckets are mutually compatible. */
+  private[llm] def bandedFromSigs(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigs.withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * rows + 1, lit(rows))).cast("string")).as("band_hash")))))
+      .select(col("id"),
+        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+  }
+
+  /** X2a incremental — near-dup detection of an incoming batch against an
+    * ALREADY-SIGNED corpus: the existing side is only its signature table
+    * (published once per ingest), so a daily batch's cost is
+    * O(batch + matching buckets), never a corpus re-scan — the steady-state
+    * 100 TB posture, the near-dup sibling of [[bloomPrefilterDedup]].
+    *
+    * Candidates come from banding BOTH signature tables with the same
+    * formula and joining incoming bands against size-capped existing
+    * buckets (the partial-aggregating collector — same bounded posture as
+    * everywhere else). Similarity is ESTIMATED from the signatures
+    * (fraction of equal components — within ±~1/√numHashes of true
+    * Jaccard), because the historical corpus's shingle sets are exactly
+    * what this operator exists to not read; identical documents estimate
+    * exactly 1.0 (equal signatures), which is the regime q91 value-pins.
+    * Returns (id_in, id_ex, est_jaccard >= threshold). */
+  def incrementalMinHashNearDups(incomingSigs: DataFrame,
+      existingSigs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val inB = bandedFromSigs(incomingSigs, numHashes, bands)
+    val exBuckets = bandedFromSigs(existingSigs, numHashes, bands)
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(TopK.cappedIds(maxBucketSize, col("id")).as("ids"))
+    val candidates = inB.join(exBuckets, Seq("band_id", "band_hash"))
+      .select(col("id").as("id_in"), explode(col("ids")).as("id_ex"))
+      .dropDuplicates("id_in", "id_ex")
+    candidates
+      .join(incomingSigs.select(col("id").as("id_in"), col("sig").as("sig_in")),
+        Seq("id_in"))
+      .join(existingSigs.select(col("id").as("id_ex"), col("sig").as("sig_ex")),
+        Seq("id_ex"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_in"), col("sig_ex"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_in"), col("id_ex"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Truncation telemetry for [[incrementalMinHashNearDups]]'s existing-
+    * side buckets (recall guaranteed iff 0 — x43's contract shape). */
+  def incrementalCapOverflow(existingSigs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, maxBucketSize: Int = 1000): DataFrame =
+    bandedFromSigs(existingSigs, numHashes, bands)
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(when(col("n") > maxBucketSize, 1L).otherwise(0L)),
+             lit(0L)).cast(LongType).as("n_overflow_buckets"),
+           coalesce(max(col("n")), lit(0L)).cast(LongType)
+             .as("max_bucket_size"))
 
   /** X2b — SimHash near-dups: 64-bit fingerprint (custom Catalyst
     * expression), candidates from band collisions, verified by exact

@@ -1504,8 +1504,115 @@ object LlmQueries {
       "dedup -> semantic dedup -> quality tiers -> sequence pack -> " +
       "snapshot publish/read-back, per-doc DuckDB twin")
 
+  /** q90 — temperature-flattened mixture resampling (α = 1/2): per-source
+    * keep rates derived FROM the corpus census (r_s = round(min(1,
+    * c/√n_s), 4)), membership by the same md5 bucket as q60. The oracle
+    * recomputes the census, the rates, the 16-bit hex threshold
+    * (printf('%04x', round(r·65536))), and the membership predicate —
+    * end-to-end engine replay of a data-dependent sampling policy, which
+    * is exactly why α is pinned to the correctly-rounded sqrt. */
+  val q90 = GraftQuery(
+    "q90_temperature_sample",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      Curation.temperatureSample(docs, col("doc_id"), col("source"), c = 3.0)
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+            .as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH census AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      rates AS (SELECT source,
+          ROUND(LEAST(1.0, 3.0 / sqrt(CAST(n AS DOUBLE))), 4) AS r
+        FROM census),
+      th AS (SELECT source,
+          CASE WHEN CAST(ROUND(r * 65536) AS BIGINT) >= 65536 THEN 'g'
+            ELSE printf('%04x', CAST(ROUND(r * 65536) AS BIGINT)) END AS thr
+        FROM rates)
+      SELECT d.doc_id, d.source,
+        substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS bucket
+      FROM documents d JOIN th ON d.source = th.source
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th.thr
+      ORDER BY d.doc_id"""),
+    doc = "temperature (alpha=1/2) source resampling; census, rates, hex " +
+      "threshold and membership all engine-replayed")
+
+  /** q91 — INCREMENTAL near-dup against a published signature store: the
+    * historical corpus (doc_id < 250) is signed ONCE and its signature
+    * table published via SnapshotStore; the incoming batch (doc_id >= 250
+    * plus planted copies of historical docs) bands against the READ-BACK
+    * signatures — no re-scan, no re-signing of history, the steady-state
+    * 100 TB ingest shape (near-dup sibling of q81's Bloom dedup).
+    *
+    * Exact-regime pin (x43's pattern): a planted copy has identical text
+    * ⇒ identical signature ⇒ est_jaccard exactly 1.0 and guaranteed band
+    * collision, so the est=1.0 pairs verified by content-key equality must
+    * EQUAL DuckDB's cross-side identical-content join; honest recall
+    * pinned 1.0, existing-side cap telemetry pinned TRUE. The approximate
+    * threshold regime still generates the candidates. */
+  val q91 = GraftQuery(
+    "q91_incremental_neardup",
+    (spark, sfDir) => {
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q91_sigs_${ProcessHandle.current().pid()}/sigs"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val existing = docs.filter(col("doc_id") < 250)
+      SnapshotStore.publish(
+        Dedup.minHashSignatures(existing, "text", "doc_id"), root)
+      val exSigs = SnapshotStore.read(spark, root)
+      val incoming = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0 && col("doc_id") < 250)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val inSigs = Dedup.minHashSignatures(incoming, "text", "doc_id")
+      val cap = 1000
+      val pairs = Dedup.incrementalMinHashNearDups(inSigs, exSigs,
+        threshold = 1.0, maxBucketSize = cap)
+      // exact-regime verify: content-key equality across the two sides
+      val ki = incoming.select(col("doc_id").as("id_in"),
+        Dedup.contentKey(col("text")).as("ck_in"))
+      val ke = existing.select(col("doc_id").as("id_ex"),
+        Dedup.contentKey(col("text")).as("ck_ex"))
+      val exactPairs = pairs.filter(col("est_jaccard") === 1.0)
+        .join(ki, Seq("id_in")).join(ke, Seq("id_ex"))
+        .filter(col("ck_in") === col("ck_ex"))
+        .select(col("id_in"), col("id_ex"), col("est_jaccard"))
+        .localCheckpoint() // feeds a count AND the total ORDER BY
+      val nExpected = ki.join(ke, col("ck_in") === col("ck_ex")).count()
+      val nFound = exactPairs.count()
+      val recall = if (nExpected == 0) 1.0 else nFound.toDouble / nExpected
+      val nCapped = Dedup.incrementalCapOverflow(exSigs, maxBucketSize = cap)
+        .head().getLong(0)
+      exactPairs
+        .withColumn("exact_recall", lit(recall))
+        .withColumn("zero_capped_buckets", lit(nCapped == 0L))
+        .orderBy(col("id_in"), col("id_ex"))
+    },
+    Some("""WITH ex AS (SELECT doc_id, md5(lower(trim(text))) AS ck
+        FROM documents WHERE doc_id < 250),
+      inc AS (SELECT doc_id, md5(lower(trim(text))) AS ck
+        FROM documents WHERE doc_id >= 250
+        UNION ALL SELECT doc_id + 100000, md5(lower(trim(text)))
+        FROM documents WHERE doc_id % 25 = 0 AND doc_id < 250)
+      SELECT i.doc_id AS id_in, e.doc_id AS id_ex,
+        CAST(1.0 AS DOUBLE) AS est_jaccard,
+        CAST(1.0 AS DOUBLE) AS exact_recall, TRUE AS zero_capped_buckets
+      FROM inc i JOIN ex e ON i.ck = e.ck
+      ORDER BY id_in, id_ex"""),
+    doc = "incremental near-dup vs published signature snapshot; exact " +
+      "regime: planted copies == est-1.0 cross-side pairs, recall pinned 1.0")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
-      q83, q84, q85, q87, q88, x42, x43, x44, x45, x46, x47, x48, x51)
+      q83, q84, q85, q87, q88, q90, q91, x42, x43, x44, x45, x46, x47, x48,
+      x51)
 }

@@ -39,11 +39,26 @@ object Jsonl {
     * into the quarantine here — otherwise they'd surface as "clean"
     * all-null rows, the silent loss this contract forbids. A valid empty
     * object `{}` parses to a non-null struct and stays clean. */
-  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    parseLines(spark.read.text(path), schema)
+
+  /** Streaming twin of [[readJsonl]] — the SAME parse pipeline over a
+    * file-source `readStream`, so an always-on ingest applies the identical
+    * declared-schema/quarantine contract micro-batch by micro-batch (x58
+    * pins stream ≡ batch on the same directory). Split clean/quarantine
+    * with a filter on [[corruptCol]], exactly as the batch reader does. */
+  def readJsonlStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    parseLines(spark.readStream.text(path), schema)
+
+  /** The one line-parse pipeline both readers share: schema-declared
+    * `from_json` in PERMISSIVE mode, blank/null-literal lines folded into
+    * the quarantine column. */
+  private def parseLines(lines: DataFrame, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(corruptCol),
       s"declared schema must not already contain $corruptCol")
     val full = schema.add(corruptCol, StringType)
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .select(col("value"), from_json(col("value"), full, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> corruptCol)).as("j"))

@@ -313,6 +313,57 @@ object StreamQueries {
       FROM j GROUP BY 1 ORDER BY 1"""),
     doc = "left-outer stream-stream interval join, watermark-flushed to batch equality")
 
+  /** X5/S — STREAMING JSONL ingest: the exchange-format reader as an
+    * always-on pipeline. `Jsonl.readJsonlStream` applies the identical
+    * declared-schema/PERMISSIVE/quarantine parse as the batch reader
+    * (shared code path) over a file-source readStream; the streamed
+    * clean rows must equal the parquet original and the three planted
+    * corrupt lines must surface as quarantine rows — no silent loss,
+    * micro-batch by micro-batch. Oracle = q86's shape plus the planted
+    * quarantine literals. */
+  val x58 = GraftQuery(
+    "x58_stream_jsonl",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x58_jsonl_${ProcessHandle.current().pid()}"
+      graft.engine.sources.Jsonl.writeJsonl(docs.coalesce(8), s"$dir/docs")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/docs/planted_bad_lines.txt"),
+        java.util.Arrays.asList("{ this is not valid json", "null", ""),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val stream = graft.engine.sources.Jsonl.readJsonlStream(
+        spark, s"$dir/docs", docs.schema)
+      val name = s"x58_out_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val all = spark.table(name)
+      val corrupt = col(graft.engine.sources.Jsonl.corruptCol)
+      all.filter(corrupt.isNull)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text").cast("binary")).as("text_md5"), col("n_chars"))
+        .unionByName(all.filter(corrupt.isNotNull)
+          .select(
+            when(corrupt === "{ this is not valid json", -3L)
+              .when(corrupt === "null", -2L).otherwise(-1L).as("doc_id"),
+            lit("quarantine").as("lang"), lit("quarantine").as("source"),
+            md5(corrupt.cast("binary")).as("text_md5"),
+            lit(-1L).as("n_chars")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source, md5(text) AS text_md5, n_chars
+      FROM documents
+      UNION ALL SELECT * FROM (VALUES
+        (CAST(-3 AS BIGINT), 'quarantine', 'quarantine',
+          md5('{ this is not valid json'), CAST(-1 AS BIGINT)),
+        (CAST(-2 AS BIGINT), 'quarantine', 'quarantine', md5('null'),
+          CAST(-1 AS BIGINT)),
+        (CAST(-1 AS BIGINT), 'quarantine', 'quarantine', md5(''),
+          CAST(-1 AS BIGINT)))
+      ORDER BY doc_id"""),
+    doc = "streaming JSONL ingest == parquet original + quarantined corrupt lines")
+
   /** q80 — video frame sampling (every-2nd-frame over byte-chunk frames),
     * ORACLE-checked at the VALUE level: the chunk arithmetic is pure
     * integer math over the UTF-8 byte length, so DuckDB replays every
@@ -360,5 +411,6 @@ object StreamQueries {
       FROM documents GROUP BY 1 ORDER BY 1"""),
     doc = "binary media decode (stub histogram) with integer-exact DuckDB twin")
 
-  def queries: Seq[GraftQuery] = Seq(x52, x53, x54, x55, x56, x57, q58, q80)
+  def queries: Seq[GraftQuery] =
+    Seq(x52, x53, x54, x55, x56, x57, x58, q58, q80)
 }

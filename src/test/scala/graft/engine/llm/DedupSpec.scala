@@ -47,6 +47,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incrementalMinHashNearDups: batch vs signed corpus, estimate tracks Jaccard") {
+    // existing corpus: docs 0 (base) and 3 (unrelated), SIGNED ONCE —
+    // the incremental path must see only their signature table
+    val existing = docs.filter(col("doc_id").isin(0L, 3L))
+    val exSigs = Dedup.minHashSignatures(existing, "text", "doc_id")
+    // incoming: 10 = exact copy of 0, 12 = near-dup of 0, 14 = unrelated
+    val incoming = Seq(
+      (10L, base),
+      (12L, (Seq.fill(9)(sentence) :+ sentence.replace("lazy", "sleepy")).mkString(" ")),
+      (14L, "entirely novel text with nothing shared across any band at all")
+    ).toDF("doc_id", "text")
+    val inSigs = Dedup.minHashSignatures(incoming, "text", "doc_id")
+    val got = Dedup.incrementalMinHashNearDups(inSigs, exSigs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.contains((10L, 0L)), "exact copy must match its signed original")
+    assert(got((10L, 0L)) == 1.0, "identical signatures estimate exactly 1.0")
+    assert(got.contains((12L, 0L)), "near-dup must match across the sides")
+    assert(got((12L, 0L)) >= 0.5 && got((12L, 0L)) < 1.0,
+      s"estimate ${got((12L, 0L))} should sit below 1 for a one-token edit")
+    assert(!got.keys.exists(p => p._1 == 14L || p._2 == 3L),
+      "unrelated docs must not pair in either direction")
+    // signatures are pure content functions: signing the SAME corpus in two
+    // "ingests" and banding them is identical to one batch signing
+    val resigned = Dedup.minHashSignatures(existing, "text", "doc_id")
+    val again = Dedup.incrementalMinHashNearDups(inSigs, resigned, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(again == got, "re-signing must not change any estimate")
+  }
+
   test("simHash: identical docs at hamming 0, near-dups within a few bits") {
     val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
