@@ -90,6 +90,34 @@ class CurationSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("temperatureSample: monotone in c, flattens toward small sources, " +
+      "membership is hashSample's at the derived rate") {
+    val census = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val low = Curation.temperatureSample(docs, col("doc_id"), col("source"), 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val high = Curation.temperatureSample(docs, col("doc_id"), col("source"), 4.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high),
+      "a larger scale must only ADD members (threshold monotone in rate)")
+    // per-source membership == plain hashSample at round(min(1, c/sqrt(n)), 4)
+    census.foreach { case (s, n) =>
+      val expected = Curation.hashSample(docs.filter(col("source") === s),
+          col("doc_id"), Curation.temperatureRate(2.0, n))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = low.intersect(
+        docs.filter(col("source") === s)
+          .select("doc_id").collect().map(_.getLong(0)).toSet)
+      assert(got == expected, s"source $s membership must be hashSample's")
+    }
+    // flattening: the keep RATE of the largest source never exceeds that of
+    // the smallest (alpha < 1 downsamples dominance)
+    val (smallest, largest) =
+      (census.minBy(_._2), census.maxBy(_._2))
+    assert(Curation.temperatureRate(2.0, largest._2) <=
+      Curation.temperatureRate(2.0, smallest._2))
+  }
+
   test("contamination: planted benchmark doc is fully contaminated, others untouched") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
