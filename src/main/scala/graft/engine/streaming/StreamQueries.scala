@@ -274,6 +274,11 @@ object StreamQueries {
       val clicks = MemoryStream[Streaming.Event]
       val name = s"x57_out_${System.nanoTime()}"
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      // x56's state-store dial; unlike x56, no-data micro-batches stay
+      // ENABLED (null emission rides the watermark-advance batch — the
+      // very semantics under test). 2 partitions measured WORSE than 4
+      // (the batch stages lose parallelism faster than store-commit I/O
+      // shrinks), so 4 it is.
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = Streaming.intervalJoinLeftOuter(
