@@ -239,14 +239,29 @@ object Dedup {
     * Returns (id_in, id_ex, est_jaccard >= threshold). */
   def incrementalMinHashNearDups(incomingSigs: DataFrame,
       existingSigs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    val inB = bandedFromSigs(incomingSigs, numHashes, bands)
-    val exBuckets = bandedFromSigs(existingSigs, numHashes, bands)
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame =
+    incrementalEstimate(
+      incrementalCandidates(bandedFromSigs(incomingSigs, numHashes, bands),
+        bandedFromSigs(existingSigs, numHashes, bands), maxBucketSize),
+      incomingSigs, existingSigs, numHashes, threshold)
+
+  /** Candidate stage shared by the on-the-fly and bucketed-table paths:
+    * incoming bands join size-capped existing buckets. */
+  private[llm] def incrementalCandidates(inBanded: DataFrame,
+      exBanded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val exBuckets = exBanded
       .groupBy(col("band_id"), col("band_hash"))
       .agg(TopK.cappedIds(maxBucketSize, col("id")).as("ids"))
-    val candidates = inB.join(exBuckets, Seq("band_id", "band_hash"))
+    inBanded.join(exBuckets, Seq("band_id", "band_hash"))
       .select(col("id").as("id_in"), explode(col("ids")).as("id_ex"))
       .dropDuplicates("id_in", "id_ex")
+  }
+
+  /** Estimate stage shared by the incremental paths: signature agreement
+    * fraction over the (small) candidate set. */
+  private[llm] def incrementalEstimate(candidates: DataFrame,
+      incomingSigs: DataFrame, existingSigs: DataFrame, numHashes: Int,
+      threshold: Double): DataFrame =
     candidates
       .join(incomingSigs.select(col("id").as("id_in"), col("sig").as("sig_in")),
         Seq("id_in"))
@@ -259,7 +274,36 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_in"), col("id_ex"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
-  }
+
+  /** Publish the history side's BANDED signatures as a bucketed table on
+    * the band key, so every later ingest's candidate join reads history
+    * with NO shuffle: the bucket aggregation and the band join both reuse
+    * the table's bucketing. The recurring cost of a daily ingest against
+    * a 100 TB history is that join — bucketing moves the history shuffle
+    * into the one-time write (shuffle-freedom plan-asserted in DedupSpec,
+    * the same contract SourcesSpec pins for bucketed fact joins). */
+  def publishBandedSignatures(sigs: DataFrame, table: String,
+      numHashes: Int = 32, bands: Int = 8, numBuckets: Int = 32): Unit =
+    bandedFromSigs(sigs, numHashes, bands)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(numBuckets, "band_id", "band_hash")
+      .sortBy("band_id", "band_hash")
+      .saveAsTable(table)
+
+  /** [[incrementalMinHashNearDups]] against a bucketed band table written
+    * by [[publishBandedSignatures]] (pass `spark.table(name)`): identical
+    * answer, but the history side contributes ZERO exchanges to the
+    * candidate join — only the (small) incoming batch shuffles.
+    * `existingSigs` is still needed for the estimate stage, which touches
+    * only the candidate ids, never history-shaped data. */
+  def incrementalMinHashNearDupsBanded(incomingSigs: DataFrame,
+      existingBanded: DataFrame, existingSigs: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame =
+    incrementalEstimate(
+      incrementalCandidates(bandedFromSigs(incomingSigs, numHashes, bands),
+        existingBanded, maxBucketSize),
+      incomingSigs, existingSigs, numHashes, threshold)
 
   /** Truncation telemetry for [[incrementalMinHashNearDups]]'s existing-
     * side buckets (recall guaranteed iff 0 — x43's contract shape). */

@@ -76,6 +76,55 @@ class DedupSpec extends AnyFunSuite {
     assert(again == got, "re-signing must not change any estimate")
   }
 
+  test("bucketed band table: the history side of the incremental join never shuffles") {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast so the plan-shape claim is about PARTITIONING, not
+    // about the test fixture being broadcast-small
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val table = s"banded_sigs_${System.nanoTime()}"
+    try {
+      val existing = docs.filter(col("doc_id").isin(0L, 1L, 3L))
+      val exSigs = Dedup.minHashSignatures(existing, "text", "doc_id")
+      Dedup.publishBandedSignatures(exSigs, table, numBuckets = 8)
+      val incoming = Seq((10L, base)).toDF("doc_id", "text")
+      val inSigs = Dedup.minHashSignatures(incoming, "text", "doc_id")
+      def candidates(exBanded: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalCandidates(
+          Dedup.bandedFromSigs(inSigs, 32, 8), exBanded, 1000)
+      val bucketed = candidates(spark.table(table))
+      val onTheFly = candidates(Dedup.bandedFromSigs(exSigs, 32, 8))
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect() // AQE finalizes the executed plan on execution
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan // the final adaptive plan is a field, not a child
+          case p => p
+        }
+        // count exchanges in the RENDERED plan: AQE nests re-optimized
+        // subtrees behind non-child fields, which .collect cannot reach
+        "ShuffleExchange|Exchange hashpartitioning".r
+          .findAllIn(plan.toString).length
+      }
+      // on-the-fly: existing banding shuffles for its bucket agg, plus the
+      // incoming-side exchange and the dropDuplicates exchange
+      val nFly = shuffles(onTheFly)
+      // bucketed: the history scan's bucketing serves BOTH the bucket agg
+      // and the join — only the incoming side and dropDuplicates exchange
+      val nBucketed = shuffles(bucketed)
+      assert(nBucketed < nFly,
+        s"bucketed path must drop the history shuffle ($nBucketed vs $nFly)")
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        "the history side must be read as a bucketed scan")
+      // identical answers
+      assert(bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        onTheFly.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("simHash: identical docs at hamming 0, near-dups within a few bits") {
     val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
