@@ -191,6 +191,32 @@ object StatsQueries {
       WHERE rn = 1 ORDER BY event_id LIMIT 1000"""),
     doc = "as-of join composed from equi-join + range filter + window")
 
+  /** q92 — the SAME as-of semantics through the merge-scan refinement
+    * ([[graft.engine.relational.AsOf.asofJoinMerge]]): key-partitioned,
+    * time-sorted walk instead of join-then-window, so the exchange carries
+    * each row once instead of left×fan-in intermediates. Shares q51's
+    * oracle SQL verbatim — the refinement is value-verified equivalent,
+    * not just spec-asserted. */
+  val q92 = GraftQuery(
+    "q92_asof_merge",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      AsOf.asofJoinMerge(e, o,
+          leftKeyCol = "user_id", rightKeyCol = "o_custkey",
+          leftTimeCol = "ts", rightTimeCol = "o_orderdate",
+          tieBreakCol = "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("last_order_epoch"))
+        .orderBy(col("event_id"))
+        .limit(1000)
+    },
+    q51.oracle, // the merge-scan must reproduce the composed plan's answer
+    doc = "as-of join via merge-scan over key-partitioned time-sorted streams")
+
   /** q52 — posexplode / lateral unnest: per-position embedding statistics. */
   val q52 = GraftQuery(
     "q52_posexplode",
@@ -269,5 +295,5 @@ object StatsQueries {
       ) t GROUP BY o_custkey ORDER BY o_custkey LIMIT 1000"""),
     doc = "multiset UNION ALL / EXCEPT ALL / INTERSECT ALL")
 
-  def queries: Seq[GraftQuery] = Seq(q28, q29, q51, q52, q53, q54, x28)
+  def queries: Seq[GraftQuery] = Seq(q28, q29, q51, q92, q52, q53, q54, x28)
 }

@@ -75,6 +75,25 @@ class HotKeyStressSpec extends AnyFunSuite {
     max.get()
   }
 
+  /** TOTAL shuffle records read across all tasks — the exchange-volume
+    * detector: a plan that materializes a multiplied intermediate (e.g.
+    * join fan-out) and shuffles it again reads it back here. */
+  private def totalShuffleRead(action: => Unit): Long = {
+    val total = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) total.addAndGet(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      TestBridge.drainListenerBus(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    total.get()
+  }
+
   private def maxTaskShuffleRead(action: => Unit): Long = {
     val max = new AtomicLong(0L)
     val listener = new SparkListener {
@@ -348,6 +367,68 @@ class HotKeyStressSpec extends AnyFunSuite {
         info(f"overflowStars on 10^5-dup cluster: $starSec%.2f s, " +
           f"max task shuffle ${mStar / 1024 / 1024}%d MiB")
       } finally docs.unpersist()
+    }
+  }
+
+  test("as-of at large fan-in: composed plan computes LxR intermediates, merge-scan doesn't") {
+    withStressConf() {
+      import graft.engine.relational.AsOf
+      // ONE hot key: 5 000 right rows, 500 left rows. Spark 4's
+      // WindowGroupLimit saves the composed plan's SHUFFLE (the rank
+      // filter prunes map-side — measured: only ~1.2k records cross the
+      // window exchange), but the equi-join still COMPUTES every
+      // left×matching-right intermediate (~1.25M rows through the join
+      // operator) before the limit discards them. The merge walk never
+      // forms them: its one exchange carries each input row exactly once.
+      val nRight = 5000L
+      val nLeft = 500L
+      val left = spark.range(nLeft)
+        .select(col("id").as("event_id"), lit(1L).as("k"),
+          (col("id") * 20 + 10).as("t"))
+        .persist()
+      val right = spark.range(nRight)
+        .select(col("id").as("order_id"), lit(1L).as("k2"),
+          (col("id") * 2).as("t2"))
+        .persist()
+      left.count(); right.count()
+      try {
+        def finalPlan(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+        val composed = AsOf.asofJoin(left, right,
+            leftKey = col("k"), rightKey = col("k2"),
+            leftTime = col("t"), rightTime = col("t2"),
+            leftRowId = col("event_id"), tieBreak = col("order_id"))
+          .select(col("event_id"), col("order_id"))
+        val composedRows = composed.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // the quadratic intermediate, read off the join's own metric
+        val joinOut = finalPlan(composed).collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.map(_.metrics("numOutputRows").value).sum
+        var mergeRows: Set[(Long, Long)] = Set.empty
+        val nMergeShuffle = totalShuffleRead {
+          mergeRows = AsOf.asofJoinMerge(left, right,
+              "k", "k2", "t", "t2", "order_id")
+            .select(col("event_id"), col("order_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        assert(mergeRows == composedRows, "merge-scan must equal the composed as-of")
+        assert(composedRows.size == nLeft,
+          "every left row has a match in this fixture")
+        // detector sanity: the composed join really forms ~LxR/2 rows
+        assert(joinOut >= nLeft * nRight / 10,
+          s"expected the composed join to output ~LxR intermediates, got $joinOut")
+        // merge: one exchange of L + R tagged rows (plus the tiny result)
+        val mergeBound = (nLeft + nRight) * 4
+        assert(nMergeShuffle <= mergeBound,
+          s"merge-scan shuffle volume $nMergeShuffle exceeds $mergeBound")
+        info(s"as-of fan-in 5000: composed join computed $joinOut intermediate " +
+          s"rows; merge-scan shuffled $nMergeShuffle records total")
+      } finally { left.unpersist(); right.unpersist() }
     }
   }
 }
