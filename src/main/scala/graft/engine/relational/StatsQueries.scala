@@ -161,6 +161,51 @@ object StatsQueries {
       "exact ground truths DuckDB-recomputed, sketch error contracts " +
       "oracle-pinned TRUE")
 
+  /** q93 — MERGEABLE HLL sketches (Datasketches `hll_sketch_agg` family):
+    * the incremental-statistics move. Each ingest batch aggregates its own
+    * per-source sketch INDEPENDENTLY (what a snapshot store publishes per
+    * batch — fixed-width binary columns); a later reader `hll_union`s the
+    * stored sketches and estimates distinct counts over the combined
+    * corpus WITHOUT re-scanning either batch. The oracle pins the exact
+    * ground truth (DuckDB recomputes it) plus an honest merge-accuracy
+    * contract boolean (x28's pattern — the union estimate must sit within
+    * 5% of exact; at this cardinality the sketch is in sparse mode and
+    * the estimate is exact, but the CONTRACT is what the row pins).
+    * Dataset-conditional like x28: regenerated data at much larger
+    * per-source cardinality could legitimately stress the bound. */
+  val q93 = GraftQuery(
+    "q93_hll_mergeable_sketches",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val s1 = docs.filter(col("doc_id") < 250).groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk1"))
+      val s2 = docs.filter(col("doc_id") >= 250).groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk2"))
+      // full outer + null-safe union: a source seen by only ONE batch must
+      // still estimate (its other-side sketch simply doesn't exist yet —
+      // the normal state of an incremental store mid-history)
+      val est = s1.join(s2, Seq("source"), "full_outer")
+        .select(col("source"),
+          when(col("sk1").isNull, hll_sketch_estimate(col("sk2")))
+            .when(col("sk2").isNull, hll_sketch_estimate(col("sk1")))
+            .otherwise(hll_sketch_estimate(hll_union(col("sk1"), col("sk2"))))
+            .as("est"))
+      // exact twin in its own aggregation (multi-distinct + sketch in one
+      // agg is the Expand-plan pathology x28 documents)
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).cast(LongType).as("exact_distinct"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("merge_in_contract"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+        TRUE AS merge_in_contract
+      FROM documents GROUP BY 1 ORDER BY 1"""),
+    doc = "per-batch HLL sketches unioned WITHOUT re-scanning either batch; " +
+      "exact ground truth + merge-accuracy contract oracle-pinned")
+
   /** q51 — as-of (point-in-time) join: each event picks its user's latest
     * order at-or-before the event timestamp. */
   val q51 = GraftQuery(
@@ -295,5 +340,6 @@ object StatsQueries {
       ) t GROUP BY o_custkey ORDER BY o_custkey LIMIT 1000"""),
     doc = "multiset UNION ALL / EXCEPT ALL / INTERSECT ALL")
 
-  def queries: Seq[GraftQuery] = Seq(q28, q29, q51, q92, q52, q53, q54, x28)
+  def queries: Seq[GraftQuery] =
+    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93)
 }
