@@ -83,11 +83,18 @@ object Curation {
     * bit-stable and would break value-level replay (the determinism
     * contract everything in this file keeps). The census is one tiny
     * aggregate (source cardinality, collected driver-side); the sample
-    * itself is one narrow filter, same as every sampler here. */
+    * itself is one narrow filter, same as every sampler here.
+    *
+    * NULL-source rows are EXCLUDED: they are dropped from the census
+    * (a null key has no meaningful cardinality-based rate) and the
+    * `when(sourceCol === s)` dispatch resolves null to the fold base
+    * "0000" threshold, which admits nothing — matching the inner-join
+    * semantics of the q90 oracle's census CTE. */
   def temperatureSample(df: DataFrame, keyCol: Column, sourceCol: Column,
       c: Double): DataFrame = {
     require(c > 0.0, "scale c must be positive")
-    val census = df.groupBy(sourceCol.as("_src"))
+    val census = df.filter(sourceCol.isNotNull)
+      .groupBy(sourceCol.as("_src"))
       .agg(count(lit(1)).as("_n")).collect()
       .map(r => r.get(0) -> r.getLong(1)).sortBy(_._1.toString)
     val threshold = census.foldLeft(lit(hexThreshold(0.0))) {

@@ -437,13 +437,17 @@ object Dedup {
     *
     * Throws `IllegalStateException` if `maxIter` rounds pass without
     * convergence (silently returning partial labels would make the caller
-    * keep extra duplicates); with shortcutting, 20 rounds covers diameters
-    * up to ~2^20.
+    * keep extra duplicates). Convergence detection itself consumes one
+    * round — it needs two consecutive equal sums and the first round has
+    * no predecessor to compare against — so the effective diameter
+    * headroom is 2^(maxIter−1); the default 21 keeps the advertised
+    * ~2^20 after that discount, and a graph that historically converged
+    * in exactly 20 rounds still fits.
     *
     * Returns (id, component) where component = min id in the cluster.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 21): DataFrame = {
     // every round joins against this; checkpointed so it computes once.
     // NON-eager: materialization folds into the first round's label-sum
     // job instead of paying a separate driver-sequenced job up front (the

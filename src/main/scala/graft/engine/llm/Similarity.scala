@@ -619,6 +619,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // caller-facing guard: the ADC kernel resolves each qid to exactly one
+    // LUT by binary search over a sorted-distinct qid array, so a repeated
+    // vec_id (which the old when-chain dispatch silently tolerated) would
+    // otherwise surface as an opaque kernel-construction failure
+    require(qRows.iterator.map(_._1).toSet.size == qRows.length,
+      "ivfPqTopK queries must have distinct vec_id values " +
+        "(each qid maps to one ADC lookup table); deduplicate the query frame")
     val normLuts: Seq[Array[Double]] = books.map(_.sortBy(_._1)
       .map { case (_, c) => c.map(x => x * x).sum })
     // probe side: each query explodes to its nprobe nearest cells

@@ -52,13 +52,33 @@ object AsOf {
     *
     * Column-NAME parameters (values must be extracted from raw rows);
     * the right time column is cast to the left's type up front — the same
-    * coercion the composed join's `rightTime <= leftTime` applies. */
+    * coercion the composed join's `rightTime <= leftTime` applies.
+    *
+    * Key columns must have VALUE equality on their JVM representation —
+    * the partition walk detects key changes with `!=` on `Row.get`
+    * values. Atomic types, structs, arrays and maps all satisfy this
+    * (Catalyst surfaces them as case-class-equal Scala values), but
+    * BinaryType surfaces as `Array[Byte]` whose `!=` is REFERENCE
+    * equality: every row would look like a new key and silently reset
+    * the merge state, dropping matches. Rejected up front. */
   def asofJoinMerge(left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
       leftTimeCol: String, rightTimeCol: String,
       tieBreakCol: String): DataFrame = {
     val lSchema = left.schema
     val rSchema = right.schema
+    def hasBinary(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.BinaryType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasBinary(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasBinary(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasBinary(m.keyType) || hasBinary(m.valueType)
+      case _ => false
+    }
+    require(!hasBinary(lSchema(leftKeyCol).dataType) &&
+        !hasBinary(rSchema(rightKeyCol).dataType),
+      s"asofJoinMerge key columns ($leftKeyCol, $rightKeyCol) must not contain " +
+        "BinaryType: Array[Byte] has reference equality in the merge walk's key " +
+        "comparison; pre-encode binary keys (e.g. hex(col)) or use asofJoin")
     val outSchema = org.apache.spark.sql.types.StructType(
       lSchema.fields ++ rSchema.fields)
     val tType = lSchema(leftTimeCol).dataType

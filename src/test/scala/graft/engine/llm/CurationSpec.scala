@@ -118,6 +118,15 @@ class CurationSpec extends AnyFunSuite {
       Curation.temperatureRate(2.0, smallest._2))
   }
 
+  test("temperatureSample: null-source rows are excluded, not NPE'd") {
+    val mixed = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]),
+      (4L, "b")).toDF("doc_id", "source")
+    val out = Curation.temperatureSample(mixed, col("doc_id"), col("source"), 10.0)
+    // c=10 >> sqrt(n) for every census source → rate 1.0: every NON-null
+    // source row survives; the null-source row is excluded by contract
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
   test("contamination: planted benchmark doc is fully contaminated, others untouched") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),

@@ -321,6 +321,13 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rnks == (1L to rnks.length).toSeq, s"ranks must be dense: $rnks")
       assert(rows.length <= 5)
     }
+    // repeated vec_id in the query frame fails with a caller-facing message
+    // (the ADC kernel maps each qid to exactly one LUT)
+    val dupQ = queries.union(queries.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, dupQ, 5, cents, books, nprobe = 4)
+    }
+    assert(e.getMessage.contains("distinct vec_id"))
   }
 
   test("ivfPqTopK: full rerank recovers exactness under crude codebooks") {

@@ -6,6 +6,19 @@ import graft.engine.Registry
 
 class RelationalQueriesSpec extends AnyFunSuite {
 
+  test("asofJoinMerge rejects BinaryType keys (reference-equality hazard)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("event_id", "t")
+      .withColumn("k", unhex(lit("0a")))
+    val r = Seq((1L, 5L, 7L)).toDF("order_id", "t2", "tie")
+      .withColumn("k2", unhex(lit("0a")))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoinMerge(l, r, "k", "k2", "t", "t2", "tie")
+    }
+    assert(e.getMessage.contains("BinaryType"))
+  }
+
   test("every registered query runs at sf0.001 and is non-empty") {
     Registry.all.foreach { q =>
       val df = q.run(spark, sfDir)
