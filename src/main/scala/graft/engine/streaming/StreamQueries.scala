@@ -416,6 +416,43 @@ object StreamQueries {
       FROM documents GROUP BY 1 ORDER BY 1"""),
     doc = "binary media decode (stub histogram) with integer-exact DuckDB twin")
 
+  /** q94 — REAL image decode (JDK ImageIO), value-pinned: planted
+    * checkerboard PNGs are encoded on the executors, decoded by the real
+    * `javax.imageio` reader, and every decoded statistic (width, height,
+    * per-channel byte sums, 16-bin luminance histogram counts) is emitted
+    * as BIGINT. The DuckDB twin recomputes all of them from doc_id
+    * arithmetic alone — a hash match proves the PNG encode → decode round
+    * trip reproduced the planted pixels exactly. Closes the multimodal
+    * decoder-stub gap: the decode step is now a real codec, not a
+    * byte-histogram stand-in. */
+  val q94 = GraftQuery(
+    "q94_image_decode",
+    (spark, sfDir) =>
+      graft.engine.llm.Multimodal.imageDecodeAudit(
+        Tables.documents(spark, sfDir)),
+    Some("""WITH g AS (SELECT doc_id,
+          doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h,
+          doc_id % 256 AS ra, doc_id * 7 % 256 AS ga, doc_id * 13 % 256 AS ba,
+          doc_id * 3 % 256 AS rb, doc_id * 11 % 256 AS gb, doc_id * 17 % 256 AS bb
+        FROM documents),
+      c AS (SELECT *, w * h AS n,
+          (w * h + (w % 2) * (h % 2)) // 2 AS na,
+          w * h - (w * h + (w % 2) * (h % 2)) // 2 AS nb,
+          ((299 * ra + 587 * ga + 114 * ba) // 1000) // 16 AS bin_a,
+          ((299 * rb + 587 * gb + 114 * bb) // 1000) // 16 AS bin_b
+        FROM g)
+      SELECT c.doc_id AS media_id,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(na * ra + nb * rb AS BIGINT) AS sum_r,
+        CAST(na * ga + nb * gb AS BIGINT) AS sum_g,
+        CAST(na * ba + nb * bb AS BIGINT) AS sum_b,
+        CAST(t.bin AS BIGINT) AS bin,
+        CAST(CASE WHEN bin_a = t.bin THEN na ELSE 0 END
+           + CASE WHEN bin_b = t.bin THEN nb ELSE 0 END AS BIGINT) AS cnt
+      FROM c CROSS JOIN range(16) t(bin)
+      ORDER BY media_id, bin"""),
+    doc = "real JDK-ImageIO decode pinned to a DuckDB arithmetic twin")
+
   def queries: Seq[GraftQuery] =
-    Seq(x52, x53, x54, x55, x56, x57, x58, q58, q80)
+    Seq(x52, x53, x54, x55, x56, x57, x58, q58, q80, q94)
 }

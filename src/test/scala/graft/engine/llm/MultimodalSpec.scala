@@ -96,4 +96,93 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("video") == (utf8("café 你好 pp").length.toLong,
       bin7("café 你好 pp").toLong))
   }
+
+  // ---- real JDK-ImageIO decode ------------------------------------------
+
+  private def pngBytes(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("ImageIoDecoder: planted 3x2 PNG decodes to exact dims, means, histogram") {
+    // colors: (200,100,50) and (10,20,30); checkerboard on (x+y) parity
+    val a = (200 << 16) | (100 << 8) | 50
+    val b = (10 << 16) | (20 << 8) | 30
+    val bytes = pngBytes(3, 2, (x, y) => if (((x + y) & 1) == 0) a else b)
+    val f = Multimodal.ImageIoDecoder.decode("image", bytes,
+      Multimodal.MediaMeta(3, 2, 0, 1))
+    assert(f.length == 21)
+    assert(f(0) == 3f && f(1) == 2f)
+    // 3 of each color in a 3x2 checkerboard
+    val n = 6.0
+    assert(math.round(f(2) * 255 * n) == 3 * 200 + 3 * 10)
+    assert(math.round(f(3) * 255 * n) == 3 * 100 + 3 * 20)
+    assert(math.round(f(4) * 255 * n) == 3 * 50 + 3 * 30)
+    val binA = ((299 * 200 + 587 * 100 + 114 * 50) / 1000) >> 4
+    val binB = ((299 * 10 + 587 * 20 + 114 * 30) / 1000) >> 4
+    (0 until 16).foreach { bin =>
+      val expected = (if (bin == binA) 3 else 0) + (if (bin == binB) 3 else 0)
+      assert(math.round(f(5 + bin) * n) == expected, s"bin $bin")
+    }
+  }
+
+  test("ImageIoDecoder: JPEG decodes with correct dims and near-planted means") {
+    // JPEG is lossy — pin dims exactly and channel means within codec error
+    // on a uniform image (DC-only, so the error is small)
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val col = (120 << 16) | (180 << 8) | 60
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, col)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos),
+      "JDK must ship a JPEG writer")
+    val f = Multimodal.ImageIoDecoder.decode("image", baos.toByteArray,
+      Multimodal.MediaMeta(16, 8, 0, 1))
+    assert(f(0) == 16f && f(1) == 8f)
+    assert(math.abs(f(2) * 255 - 120) < 8, s"mean R ${f(2) * 255}")
+    assert(math.abs(f(3) * 255 - 180) < 8, s"mean G ${f(3) * 255}")
+    assert(math.abs(f(4) * 255 - 60) < 8, s"mean B ${f(4) * 255}")
+  }
+
+  test("ImageIoDecoder: undecodable bytes throw; non-image delegates to stub") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode("image", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(1, 1, 0, 1))
+    }
+    assert(e.getMessage.contains("undecodable"))
+    val audio = Multimodal.ImageIoDecoder.decode("audio",
+      "hello".getBytes("UTF-8"), Multimodal.MediaMeta(0, 0, 16000, 1))
+    assert(audio.toSeq == Multimodal.ByteHistogramDecoder.decode("audio",
+      "hello".getBytes("UTF-8"), Multimodal.MediaMeta(0, 0, 16000, 1)).toSeq)
+  }
+
+  test("real decode e2e: syntheticImages -> extractFeatures(ImageIoDecoder) " +
+      "pins every planted pixel statistic") {
+    val docs = Tables.documents(spark, sfDir)
+    val audit = Multimodal.imageDecodeAudit(docs).collect()
+    assert(audit.length == docs.count() * 16)
+    // independent in-test simulation of the planted checkerboards
+    audit.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val w = (id % 16 + 1).toInt
+      val h = (id % 8 + 1).toInt
+      val colA = Seq(id % 256, id * 7 % 256, id * 13 % 256).map(_.toInt)
+      val colB = Seq(id * 3 % 256, id * 11 % 256, id * 17 % 256).map(_.toInt)
+      val cells = for (y <- 0 until h; x <- 0 until w)
+        yield if ((x + y) % 2 == 0) colA else colB
+      val hist = new Array[Long](16)
+      cells.foreach(c =>
+        hist(((299 * c(0) + 587 * c(1) + 114 * c(2)) / 1000) >> 4) += 1)
+      rows.foreach { r =>
+        assert(r.getLong(1) == w && r.getLong(2) == h)
+        assert(r.getLong(3) == cells.map(_(0)).sum)
+        assert(r.getLong(4) == cells.map(_(1)).sum)
+        assert(r.getLong(5) == cells.map(_(2)).sum)
+        assert(r.getLong(7) == hist(r.getLong(6).toInt))
+      }
+    }
+  }
 }
