@@ -824,6 +824,85 @@ object RelationalQueries {
       ORDER BY change, n_nationkey"""),
     doc = "snapshot store version diff: added/removed rows v1 -> v2, EXCEPT ALL twin")
 
+  /** q95 — snapshot MERGE (upsert-by-key), the write side of the
+    * incremental-refresh story: bootstrap a 16-bucket store from the
+    * documents table, merge a batch of 6 updates + 6 inserts, and emit
+    * the v1→v2 diff (q89's EXCEPT-ALL multiset twin) plus two contract
+    * booleans computed honestly against the filesystem: `reuse_ok` —
+    * every untouched bucket directory in v2 holds the SAME inodes as v1
+    * (hardlink reuse, no data rewrite), and `has_untouched` — the
+    * fixture really left buckets untouched (≤12 of 16 can be touched by
+    * 12 keys). DuckDB recomputes the diff from the batch predicates and
+    * pins both booleans TRUE. */
+  val q95 = GraftQuery(
+    "q95_snapshot_merge",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q95_snap_${ProcessHandle.current().pid()}/tbl"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      SnapshotStore.publishBucketed(
+        docs.filter(col("doc_id") < 300), root, "doc_id", nBuckets = 16)
+      val batch = docs.filter(col("doc_id") < 6)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 1000000L).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") < 6)
+          .select((col("doc_id") + 1000L).as("doc_id"), col("source"),
+            col("n_chars")))
+      SnapshotStore.merge(batch, root)
+      val touched = batch
+        .withColumn("_b", SnapshotStore.bucketExpr("doc_id", 16))
+        .select("_b").distinct().collect().map(_.getInt(0)).toSet
+      // untouched buckets must be carried over by link, not rewrite:
+      // identical file names AND identical inodes across versions
+      def listing(v: Long, k: Int): Map[String, Any] = {
+        val d = java.nio.file.Paths.get(root, s"v$v", s"_bucket=$k")
+        if (!java.nio.file.Files.exists(d)) Map.empty
+        else {
+          val s = java.nio.file.Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(f => f.getFileName.toString ->
+              java.nio.file.Files.getAttribute(f, "unix:ino")).toMap
+          } finally s.close()
+        }
+      }
+      val untouchedWithData = (0 until 16).filterNot(touched)
+        .filter(k => listing(1L, k).nonEmpty)
+      val reuseOk = untouchedWithData.forall(k => listing(1L, k) == listing(2L, k))
+      SnapshotStore.diff(spark, root, 1L, 2L).drop("_bucket")
+        .withColumn("reuse_ok", lit(reuseOk))
+        .withColumn("has_untouched", lit(untouchedWithData.nonEmpty))
+        .orderBy(col("change"), col("doc_id"))
+    },
+    Some("""WITH v1 AS (SELECT doc_id, source, n_chars FROM documents
+          WHERE doc_id < 300),
+      b AS (SELECT doc_id, source, n_chars + 1000000 AS n_chars
+          FROM documents WHERE doc_id < 6
+        UNION ALL
+        SELECT doc_id + 1000 AS doc_id, source, n_chars
+          FROM documents WHERE doc_id < 6),
+      v2 AS (SELECT * FROM b
+        UNION ALL
+        SELECT * FROM v1 WHERE doc_id NOT IN (SELECT doc_id FROM b))
+      SELECT doc_id, source, n_chars, 'added' AS change,
+        TRUE AS reuse_ok, TRUE AS has_untouched
+      FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+      UNION ALL
+      SELECT doc_id, source, n_chars, 'removed' AS change,
+        TRUE AS reuse_ok, TRUE AS has_untouched
+      FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+      ORDER BY change, doc_id"""),
+    doc = "snapshot MERGE: upsert batch, untouched buckets hardlink-reused, EXCEPT ALL twin")
+
   /** q86 — JSONL sink → source round-trip (the LLM-corpus exchange format,
     * S-surface sibling of q74's parquet snapshot): documents are written as
     * newline-delimited JSON and read back under the DECLARED schema in
@@ -863,5 +942,5 @@ object RelationalQueries {
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59, q66, q67, q74, q86, q89)
+    q59, q66, q67, q74, q86, q89, q95)
 }

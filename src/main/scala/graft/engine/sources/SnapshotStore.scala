@@ -2,8 +2,8 @@ package graft.engine.sources
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Versioned snapshot publishing over plain parquet — the minimal atomic
   * table pattern a 100 TB pipeline needs without a table format dependency:
@@ -231,6 +231,157 @@ object SnapshotStore {
     val to = read(spark, root, toVersion)
     to.exceptAll(from).withColumn("change", lit("added"))
       .unionByName(from.exceptAll(to).withColumn("change", lit("removed")))
+  }
+
+  // ---- bucketed layout + MERGE (incremental corpus refresh) --------------
+
+  /** The stable key→bucket assignment shared by [[publishBucketed]] and
+    * [[merge]] — both sides MUST compute it identically or merge would
+    * rewrite the wrong partitions. Null keys hash deterministically (to
+    * the hash seed's bucket); upserting by a null key is the caller's
+    * modeling error, not a crash. */
+  def bucketExpr(keyCol: String, nBuckets: Int): Column =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int")
+
+  private def specPath(root: String) = Paths.get(root, "BUCKETSPEC")
+
+  /** (keyCol, nBuckets) recorded at bootstrap, None for a plain store. */
+  def readBucketSpec(root: String): Option[(String, Int)] = {
+    val p = specPath(root)
+    if (!Files.exists(p)) None
+    else {
+      val Array(k, n) =
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.split('\n')
+      Some((k, n.toInt))
+    }
+  }
+
+  private def writeBucketSpec(root: String, keyCol: String, nBuckets: Int): Unit = {
+    Files.createDirectories(Paths.get(root))
+    readBucketSpec(root) match {
+      case Some((k, n)) =>
+        require(k == keyCol && n == nBuckets,
+          s"store $root is bucketed as (key=$k, buckets=$n); " +
+            s"got (key=$keyCol, buckets=$nBuckets)")
+      case None =>
+        val tmp = Paths.get(root, s".BUCKETSPEC.tmp.${System.nanoTime()}")
+        Files.write(tmp, s"$keyCol\n$nBuckets".getBytes(StandardCharsets.UTF_8))
+        try Files.move(tmp, specPath(root), StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost the create race: validate against the winner's spec
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+            writeBucketSpec(root, keyCol, nBuckets)
+        }
+    }
+  }
+
+  /** Bootstrap (or fully rewrite) a BUCKETED store: rows land in
+    * `_bucket = pmod(xxhash64(key), n)` partition directories, and the
+    * (key, n) spec is recorded at the root so every later [[merge]]
+    * computes the identical assignment. Same atomic publish contract as
+    * [[publish]]. */
+  def publishBucketed(df: DataFrame, root: String, keyCol: String,
+      nBuckets: Int): Long = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(df.columns.contains(keyCol), s"missing key column $keyCol")
+    require(!df.columns.contains("_bucket"), "_bucket is reserved")
+    writeBucketSpec(root, keyCol, nBuckets)
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    df.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
+      .parquet(staging.toString)
+    withFlipLock(root) {
+      val next = maxVersion(root) + 1
+      Files.move(staging, Paths.get(root, s"v$next"),
+        StandardCopyOption.ATOMIC_MOVE)
+      advancePointerLocked(root, next)
+      next
+    }
+  }
+
+  /** MERGE (upsert-by-key) a batch into a new version WITHOUT rewriting
+    * unchanged partitions — the write side of the incremental-refresh
+    * story (q89's diff is the read side). Semantics: rows of the current
+    * version whose key appears in `batch` are replaced, all other batch
+    * rows are inserted, everything else carries over unchanged.
+    *
+    * Scale shape — the whole point:
+    *  - only the buckets the batch TOUCHES are read (`_bucket` is a
+    *    partition column, so the filter prunes at the directory level —
+    *    cost ∝ touched data, never table size) and rewritten;
+    *  - untouched bucket directories are HARDLINKED from the base version
+    *    into the new one: metadata-only, no data movement, and time
+    *    travel still sees every version complete. The object-store
+    *    analogue is manifest reuse (a new manifest referencing old
+    *    immutable files) or server-side copy — same contract, the base
+    *    version's files are immutable either way;
+    *  - the driver holds only the touched-bucket id set (≤ nBuckets by
+    *    construction).
+    *
+    * Optimistic concurrency: the merged output is computed against
+    * `baseVersion` (default: the version current at entry); inside the
+    * flip-lock critical section the pointer is re-checked, and if a
+    * concurrent publisher advanced it past the base the merge throws
+    * `IllegalStateException` WITHOUT flipping — re-run to retry against
+    * the new base; the staged dir is abandoned like any crashed publish.
+    * Batch keys must be distinct: two batch rows with one key is an
+    * ambiguous upsert, rejected up front.
+    *
+    * Returns the published version number. */
+  def merge(batch: DataFrame, root: String, baseVersion: Long = 0L): Long = {
+    val spark = batch.sparkSession
+    val (keyCol, nBuckets) = readBucketSpec(root).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
+    val base = if (baseVersion > 0) baseVersion else currentVersion(root)
+    require(base > 0, s"no published version under $root")
+    val baseDf = spark.read.parquet(s"$root/v$base")
+    require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
+      s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
+        s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
+    val batchB = batch.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+      .localCheckpoint() // one compute: bucket census, anti-join, and write
+    require(batchB.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).isEmpty,
+      "batch has duplicate keys: ambiguous upsert")
+    val touched = batchB.select(col("_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val survivors = baseDf
+      .filter(col("_bucket").isin(touched.toSeq.map(Int.box): _*))
+      .join(batchB.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    survivors.unionByName(batchB)
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
+      .parquet(staging.toString)
+    // carry untouched buckets over as hardlinks (fall back to copy on
+    // filesystems without link support)
+    (0 until nBuckets).filterNot(touched).foreach { k =>
+      val src = Paths.get(root, s"v$base", s"_bucket=$k")
+      if (Files.exists(src)) {
+        val dst = staging.resolve(s"_bucket=$k")
+        Files.createDirectories(dst)
+        val stream = Files.list(src)
+        try stream.iterator().forEachRemaining { f =>
+          val t = dst.resolve(f.getFileName)
+          try Files.createLink(t, f)
+          catch { case _: UnsupportedOperationException => Files.copy(f, t) }
+        } finally stream.close()
+      }
+    }
+    withFlipLock(root) {
+      val cur = currentVersion(root)
+      if (cur != base)
+        throw new IllegalStateException(
+          s"stale merge: computed against v$base but CURRENT is v$cur " +
+            s"under $root; re-run the merge against the new base")
+      val next = maxVersion(root) + 1
+      Files.move(staging, Paths.get(root, s"v$next"),
+        StandardCopyOption.ATOMIC_MOVE)
+      advancePointerLocked(root, next)
+      next
+    }
   }
 
   /** Drop version dirs older than the newest `keep` versions behind the

@@ -152,4 +152,79 @@ class SnapshotStoreSpec extends AnyFunSuite {
     SnapshotStore.publish(Seq(2L, 3L, 4L).toDF("id"), r)
     assert(SnapshotStore.diff(spark, r, 2L, 3L).isEmpty)
   }
+
+  test("merge: upsert semantics, touched-only rewrite, hardlinked carry-over") {
+    val r = root()
+    val base = (0L until 64L).map(i => (i, s"v$i")).toDF("id", "v")
+    SnapshotStore.publishBucketed(base, r, "id", nBuckets = 8)
+    val batch = Seq((3L, "UPDATED"), (100L, "NEW")).toDF("id", "v")
+    assert(SnapshotStore.merge(batch, r) == 2L)
+    val out = SnapshotStore.read(spark, r).collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    assert(out.size == 65)
+    assert(out(3L) == "UPDATED" && out(100L) == "NEW" && out(5L) == "v5")
+    // time travel: v1 still sees the pre-merge row
+    val v1 = SnapshotStore.read(spark, r, 1L).filter(col("id") === 3L)
+      .head().getString(1)
+    assert(v1 == "v3")
+    // untouched buckets must be the SAME inodes (linked, not rewritten)
+    val touched = batch.withColumn("_b", SnapshotStore.bucketExpr("id", 8))
+      .select("_b").distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.size < 8, "fixture must leave untouched buckets")
+    def inos(v: Long, k: Int): Set[Any] = {
+      val d = java.nio.file.Paths.get(r, s"v$v", s"_bucket=$k")
+      if (!Files.exists(d)) Set.empty
+      else {
+        val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .map(f => Files.getAttribute(f, "unix:ino")).toSet
+        } finally s.close()
+      }
+    }
+    (0 until 8).filterNot(touched).foreach { k =>
+      assert(inos(1L, k) == inos(2L, k), s"bucket $k must be hardlink-reused")
+    }
+    (0 until 8).filter(touched).foreach { k =>
+      assert(inos(1L, k).intersect(inos(2L, k)).isEmpty,
+        s"touched bucket $k must be rewritten, not linked")
+    }
+  }
+
+  test("merge: duplicate batch keys and non-bucketed stores are rejected") {
+    val r = root()
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "v"), r)
+    val e1 = intercept[IllegalStateException] {
+      SnapshotStore.merge(Seq((1L, "b")).toDF("id", "v"), r)
+    }
+    assert(e1.getMessage.contains("not a bucketed store"))
+    val r2 = root()
+    SnapshotStore.publishBucketed(Seq((1L, "a")).toDF("id", "v"), r2, "id", 4)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.merge(Seq((2L, "x"), (2L, "y")).toDF("id", "v"), r2)
+    }
+    assert(e2.getMessage.contains("duplicate keys"))
+  }
+
+  test("merge: a rival pinned to a stale base fails the flip-lock re-check " +
+      "without flipping; its retry against CURRENT lands both changes") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      (0L until 16L).map(i => (i, "base")).toDF("id", "v"), r, "id", 4) // v1
+    // a competitor lands v2 while the rival's transaction is pinned to v1
+    assert(SnapshotStore.merge(Seq((2L, "winner")).toDF("id", "v"), r) == 2L)
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.merge(Seq((1L, "rival")).toDF("id", "v"), r,
+        baseVersion = 1L)
+    }
+    assert(e.getMessage.contains("stale merge"))
+    assert(SnapshotStore.currentVersion(r) == 2L,
+      "a failed merge must not move the pointer")
+    // retry against the new current: both writers' changes are present
+    assert(SnapshotStore.merge(Seq((1L, "rival")).toDF("id", "v"), r) == 3L)
+    val out = SnapshotStore.read(spark, r).collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    assert(out(1L) == "rival" && out(2L) == "winner" && out(0L) == "base")
+  }
 }
