@@ -305,6 +305,19 @@ object Dedup {
         existingBanded, maxBucketSize),
       incomingSigs, existingSigs, numHashes, threshold)
 
+  /** The candidate stage of [[incrementalMinHashNearDupsBanded]] alone:
+    * band collisions against the published band table, NO estimate joins.
+    * For callers that re-verify candidates by an exact predicate stronger
+    * than est_jaccard >= 1.0 (content-key equality — identical text implies
+    * identical signatures implies est 1.0), the estimate stage is provably
+    * redundant work: two signature joins and a zip_with/aggregate kernel
+    * per call. The streaming curation tick is exactly that caller. */
+  def incrementalNearDupCandidatesBanded(incomingSigs: DataFrame,
+      existingBanded: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame =
+    incrementalCandidates(bandedFromSigs(incomingSigs, numHashes, bands),
+      existingBanded, maxBucketSize)
+
   /** Truncation telemetry for [[incrementalMinHashNearDups]]'s existing-
     * side buckets (recall guaranteed iff 0 — x43's contract shape). */
   def incrementalCapOverflow(existingSigs: DataFrame, numHashes: Int = 32,

@@ -48,8 +48,8 @@ object Jsonl {
     * pins stream ≡ batch on the same directory). Split clean/quarantine
     * with a filter on [[corruptCol]], exactly as the batch reader does. */
   def readJsonlStream(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    parseLines(spark.readStream.text(path), schema)
+      schema: StructType, options: Map[String, String] = Map.empty): DataFrame =
+    parseLines(spark.readStream.options(options).text(path), schema)
 
   /** The one line-parse pipeline both readers share: schema-declared
     * `from_json` in PERMISSIVE mode, blank/null-literal lines folded into

@@ -326,10 +326,15 @@ object SnapshotStore {
     * `IllegalStateException` WITHOUT flipping — re-run to retry against
     * the new base; the staged dir is abandoned like any crashed publish.
     * Batch keys must be distinct: two batch rows with one key is an
-    * ambiguous upsert, rejected up front.
+    * ambiguous upsert, rejected up front — pass `keysAreDistinct = true`
+    * to skip the probe job when the batch is the output of a dedup/
+    * distinct stage that already guarantees it (a recurring per-tick
+    * caller saves one job; a false claim makes BOTH rows land, the
+    * documented garbage-in case).
     *
     * Returns the published version number. */
-  def merge(batch: DataFrame, root: String, baseVersion: Long = 0L): Long = {
+  def merge(batch: DataFrame, root: String, baseVersion: Long = 0L,
+      keysAreDistinct: Boolean = false): Long = {
     val spark = batch.sparkSession
     val (keyCol, nBuckets) = readBucketSpec(root).getOrElse(
       throw new IllegalStateException(
@@ -340,13 +345,20 @@ object SnapshotStore {
     require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
       s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
         s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
+    // one compute feeding bucket census, anti-join, and write; non-eager so
+    // materialization folds into the first consumer's job
     val batchB = batch.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
-      .localCheckpoint() // one compute: bucket census, anti-join, and write
-    require(batchB.groupBy(col(keyCol)).count()
-        .filter(col("count") > 1).isEmpty,
-      "batch has duplicate keys: ambiguous upsert")
+      .localCheckpoint(eager = false)
+    if (!keysAreDistinct)
+      require(batchB.groupBy(col(keyCol)).count()
+          .filter(col("count") > 1).isEmpty,
+        "batch has duplicate keys: ambiguous upsert")
     val touched = batchB.select(col("_bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
+    // empty batch = no-op: nothing to upsert, so no new version is flipped
+    // (a recurring caller — e.g. a per-tick stream — would otherwise mint
+    // carryover-only versions). The census above is the only job paid.
+    if (touched.isEmpty) return base
     val survivors = baseDf
       .filter(col("_bucket").isin(touched.toSeq.map(Int.box): _*))
       .join(batchB.select(col(keyCol)), Seq(keyCol), "left_anti")

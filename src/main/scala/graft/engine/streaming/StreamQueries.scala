@@ -369,6 +369,120 @@ object StreamQueries {
       ORDER BY doc_id"""),
     doc = "streaming JSONL ingest == parquet original + quarantined corrupt lines")
 
+  /** x59 — ALWAYS-ON end-to-end curation, the streaming twin of q88:
+    * JSONL micro-batches → quarantine routing → watermark-state exact
+    * dedup → incremental near-dup against the PUBLISHED banded signature
+    * snapshot (q91's store posture) → per-tick append-publish through the
+    * bucketed SnapshotStore merge (q95's write path). Every planted
+    * species is observable: corrupt lines land in quarantine, stream
+    * duplicates collapse to one representative, copies of historical
+    * documents are dropped by the verified near-dup stage, and genuinely
+    * new content is published.
+    *
+    * The emitted rows are micro-batch-boundary INVARIANT (which
+    * micro-batch a file lands in is scheduler-dependent): the surviving
+    * CONTENT-KEY set and the quarantined line set are identical under any
+    * batch split, so DuckDB replays them from the planting predicates
+    * alone. Representative doc_ids are deliberately NOT emitted — that
+    * identity is first-arrival, the one boundary-dependent fact. */
+  val x59 = GraftQuery(
+    "x59_stream_curation",
+    (spark, sfDir) => {
+      import graft.engine.llm.Dedup
+      import graft.engine.sources.SnapshotStore
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x59_${ProcessHandle.current().pid()}"
+      val basePath = java.nio.file.Paths.get(base)
+      if (java.nio.file.Files.exists(basePath)) {
+        val walk = java.nio.file.Files.walk(basePath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val docs = Tables.documents(spark, sfDir)
+      val history = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      // bootstrap: history exists ONLY as published signature artifacts.
+      // Non-eager checkpoints — the band-table publish materializes the
+      // signatures, the first tick's survivors probe materializes the keys
+      val exSigs = Dedup.minHashSignatures(history, "text", "doc_id")
+        .localCheckpoint(eager = false)
+      val bandTable = s"x59_bands_${ProcessHandle.current().pid()}"
+      Dedup.publishBandedSignatures(exSigs, bandTable, numBuckets = 8)
+      val exKeys = history.select(col("doc_id").as("id_ex"),
+        Dedup.contentKey(col("text")).as("ck_ex"))
+        .localCheckpoint(eager = false)
+      // incoming: new docs + copies of history (near-dup drops) + stream
+      // duplicates of incoming docs (watermark-state drops)
+      // bounded fixture (x56's 20k-event precedent): the contract under
+      // test is the pipeline SHAPE per tick, not scan throughput — the
+      // batch queries already measure that
+      val incoming = docs
+        .filter(col("doc_id") >= 250 && col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0 && col("doc_id") < 250)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 40 === 7 &&
+            col("doc_id") >= 250 && col("doc_id") < 2000)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      graft.engine.sources.Jsonl.writeJsonl(incoming.coalesce(4), s"$base/in")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/in/planted_bad_lines.txt"),
+        java.util.Arrays.asList("{ this is not valid json", "null", ""),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // per-tick state-store + merge costs dominate at harness scale; the
+      // x56 partition dial (result-neutral: emission is partition-invariant,
+      // and dropDuplicates state emits rows immediately, so watermark-only
+      // no-data batches add nothing but store re-commits)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = spark.conf
+        .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = Streaming.streamingCuration(spark, s"$base/in",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))),
+          spark.table(bandTable), exSigs, exKeys,
+          s"$base/store/tbl", s"$base/quarantine",
+          readOptions = Map("maxFilesPerTrigger" -> "3"))
+        try q.processAllAvailable() finally q.stop()
+        SnapshotStore.read(spark, s"$base/store/tbl")
+          .select(col("ck").as("k")).distinct()
+          .withColumn("kind", lit("kept"))
+          .unionByName(spark.read.parquet(s"$base/quarantine")
+            .select(md5(col("raw").cast("binary")).as("k")).distinct()
+            .withColumn("kind", lit("quarantine")))
+          .select(col("kind"), col("k"))
+          .localCheckpoint() // small; total sort's sampling pass re-runs upstream
+          .orderBy(col("kind"), col("k"))
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          prevNoData)
+      }
+    },
+    Some("""WITH hist AS (SELECT DISTINCT md5(lower(trim(text))) AS ck
+          FROM documents WHERE doc_id < 250),
+      inc AS (SELECT md5(lower(trim(text))) AS ck FROM documents
+          WHERE doc_id >= 250 AND doc_id < 2000
+        UNION ALL SELECT md5(lower(trim(text))) FROM documents
+          WHERE doc_id % 25 = 0 AND doc_id < 250
+        UNION ALL SELECT md5(lower(trim(text))) FROM documents
+          WHERE doc_id % 40 = 7 AND doc_id >= 250 AND doc_id < 2000)
+      SELECT 'kept' AS kind, ck AS k
+      FROM (SELECT DISTINCT ck FROM inc
+            WHERE ck NOT IN (SELECT ck FROM hist))
+      UNION ALL
+      SELECT 'quarantine' AS kind, md5(x) AS k
+      FROM (VALUES ('{ this is not valid json'), ('null'), ('')) t(x)
+      ORDER BY kind, k"""),
+    doc = "always-on curation: stream ingest + dedup + published-signature " +
+      "near-dup + merge-publish == batch-derivable content-key sets")
+
   /** q80 — video frame sampling (every-2nd-frame over byte-chunk frames),
     * ORACLE-checked at the VALUE level: the chunk arithmetic is pure
     * integer math over the UTF-8 byte length, so DuckDB replays every
@@ -454,5 +568,5 @@ object StreamQueries {
     doc = "real JDK-ImageIO decode pinned to a DuckDB arithmetic twin")
 
   def queries: Seq[GraftQuery] =
-    Seq(x52, x53, x54, x55, x56, x57, x58, q58, q80, q94)
+    Seq(x52, x53, x54, x55, x56, x57, x58, x59, q58, q80, q94)
 }

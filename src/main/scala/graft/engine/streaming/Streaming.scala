@@ -151,6 +151,121 @@ object Streaming {
       .drop("click_user_id")
   }
 
+  /** ALWAYS-ON end-to-end curation — the streaming twin of the q88 batch
+    * pipeline, the shape a production training-data ingest actually runs
+    * continuously. Per micro-batch (`foreachBatch` is the idiomatic
+    * stream→complex-batch-op→versioned-table composition):
+    *
+    *  1. JSONL lines arrive via the file source under the DECLARED schema;
+    *     corrupt lines are routed to a quarantine sink (x58's contract).
+    *  2. Exact dedup: within-and-across micro-batches through
+    *     `dropDuplicatesWithinWatermark` state (bounded by the watermark),
+    *     and against PREVIOUSLY PUBLISHED versions by an anti-join on the
+    *     corpus store's content keys.
+    *  3. Incremental near-dup against the published BANDED signature
+    *     snapshot (q91's store posture: history exists only as its
+    *     signature table, and the bucketed band table contributes zero
+    *     exchanges to the candidate join). Candidate pairs at estimated
+    *     Jaccard ≥ `threshold` are dropped once VERIFIED by content-key
+    *     equality against the history keys — the exact regime x59 pins.
+    *  4. Survivors append-publish to the SnapshotStore as a new version:
+    *     the first batch bootstraps a ck-bucketed store, every later batch
+    *     lands through [[graft.engine.sources.SnapshotStore.merge]], so
+    *     unchanged buckets are carried over without a rewrite.
+    *
+    * State/scale posture: stream state is the watermark-bounded seen-key
+    * store; the history side never re-signs or re-scans (signatures +
+    * band table are read-only snapshots); per-tick store cost is the
+    * merge's touched buckets. The caller owns the fixed event-time column
+    * (`ts`) — a real deployment uses arrival time; the harness pins a
+    * constant so replays are deterministic.
+    *
+    * Returns the started query; callers drive it (processAllAvailable)
+    * and then read `storeRoot` / `quarantineDir`. */
+  def streamingCuration(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String, docSchema: org.apache.spark.sql.types.StructType,
+      exBanded: DataFrame, exSigs: DataFrame, exKeys: DataFrame,
+      storeRoot: String, quarantineDir: String,
+      threshold: Double = 1.0, maxBucketSize: Int = 10000,
+      readOptions: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.engine.llm.Dedup
+    import graft.engine.sources.{Jsonl, SnapshotStore}
+    val corrupt = col(Jsonl.corruptCol)
+    val stream = Jsonl
+      .readJsonlStream(spark, inputDir, docSchema, readOptions)
+      .withColumn("ck", Dedup.contentKey(col("text")))
+      // constant event time: the watermark bounds state in production; a
+      // pinned ts makes the harness replay-deterministic. Dedup key spans
+      // both routes — distinct corrupt lines must NOT collapse with docs.
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("dkey",
+        when(corrupt.isNull, concat(lit("c:"), col("ck")))
+          .otherwise(concat(lit("q:"), md5(corrupt.cast("binary")))))
+    val deduped = dedupWithinWatermark(stream, Seq("dkey"))
+    deduped.writeStream
+      .outputMode("append")
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        // every later action re-executes the micro-batch plan (file scan +
+        // parse + state-store read); checkpoint ONCE so the quarantine
+        // write materializes it and everything downstream reads blocks
+        val batch = rawBatch.localCheckpoint(eager = false)
+        val quarantined = batch.filter(corrupt.isNotNull)
+          .select(corrupt.as("raw"))
+        // quarantine is rare-by-construction: one file per tick, not one
+        // per shuffle partition (narrow coalesce, no extra exchange)
+        quarantined.coalesce(1).write.mode("append").parquet(quarantineDir)
+        val docs = batch.filter(corrupt.isNull)
+          .select(col("doc_id"), col("text"), col("ck"))
+        // history near-dups: banded candidates, drops verified by content
+        // key (exact regime — identical text implies identical signature
+        // implies a guaranteed band collision)
+        val inSigs = Dedup.minHashSignatures(docs, "text", "doc_id")
+        // At threshold >= 1.0 the estimate stage is provably redundant
+        // (identical text => identical signatures => est 1.0, and the
+        // content-key verification below is strictly stronger), so the
+        // tick runs the candidate stage alone — two signature joins and a
+        // zip_with kernel saved per tick. Below 1.0 the full estimated-
+        // Jaccard path runs, exactly as q91 pins it.
+        val cand =
+          if (threshold >= 1.0) Dedup.incrementalNearDupCandidatesBanded(
+            inSigs, exBanded, maxBucketSize = maxBucketSize)
+          else Dedup.incrementalMinHashNearDupsBanded(
+            inSigs, exBanded, exSigs,
+            threshold = threshold, maxBucketSize = maxBucketSize)
+            .select(col("id_in"), col("id_ex"))
+        // candidate pairs are band collisions — bounded per tick at any
+        // corpus size — so THEY are the broadcast side of every
+        // verification join (AQE can't be relied on inside foreachBatch:
+        // it's disabled on the streaming plan); history-sized frames
+        // (exKeys) are never broadcast
+        val histDrops = broadcast(cand
+          .join(docs.select(col("doc_id").as("id_in"), col("ck")), Seq("id_in")))
+          .join(exKeys, Seq("id_ex"))
+          .filter(col("ck") === col("ck_ex"))
+          .select(col("id_in").as("doc_id")).distinct()
+        val fresh = docs.join(broadcast(histDrops), Seq("doc_id"), "left_anti")
+        // cross-version dedup: anything a PREVIOUS tick already published
+        val survivorsPlan =
+          if (SnapshotStore.currentVersion(storeRoot) == 0L) fresh
+          else fresh.join(
+            SnapshotStore.read(spark, storeRoot).select(col("ck")),
+            Seq("ck"), "left_anti")
+        // no emptiness probe, no extra checkpoint: the publish write (or
+        // merge's own batch checkpoint + empty-census no-op) materializes
+        // the signature+band+anti-join pipeline exactly once per tick.
+        // ck-distinctness is structural — the watermark dedup state admits
+        // one row per content key
+        if (SnapshotStore.currentVersion(storeRoot) == 0L)
+          SnapshotStore.publishBucketed(survivorsPlan, storeRoot, "ck",
+            nBuckets = 8)
+        else SnapshotStore.merge(survivorsPlan, storeRoot,
+          keysAreDistinct = true)
+        ()
+      }
+      .start()
+  }
+
   /** Custom stateful sessionization: flatMapGroupsWithState keyed by user.
     * A session CLOSES (and is emitted) when a later event arrives more than
     * `gapMinutes` after the session's last event; the open session stays in

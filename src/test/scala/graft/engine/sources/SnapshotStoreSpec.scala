@@ -207,6 +207,16 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("duplicate keys"))
   }
 
+  test("merge: an empty batch is a no-op — no new version flips") {
+    val r = root()
+    SnapshotStore.publishBucketed(Seq((1L, "a")).toDF("id", "v"), r, "id", 4)
+    assert(SnapshotStore.merge(
+      Seq.empty[(Long, String)].toDF("id", "v"), r) == 1L,
+      "empty merge must return the base version, not mint a new one")
+    assert(SnapshotStore.currentVersion(r) == 1L)
+    assert(SnapshotStore.read(spark, r).count() == 1L)
+  }
+
   test("merge: a rival pinned to a stale base fails the flip-lock re-check " +
       "without flipping; its retry against CURRENT lands both changes") {
     val r = root()

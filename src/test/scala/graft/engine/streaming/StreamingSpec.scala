@@ -394,4 +394,58 @@ class StreamingSpec extends AnyFunSuite {
     val win1 = Timestamp.valueOf("2024-06-01 10:00:00").getTime / 1000
     assert(counts(win1) == 2L, "late event must NOT be counted")
   }
+
+  test("streaming curation: quarantine routed and dedup state carried " +
+      "ACROSS micro-batches; each tick publishes a store version") {
+    import graft.engine.llm.Dedup
+    import graft.engine.sources.SnapshotStore
+    val base = java.nio.file.Files.createTempDirectory("curation_stream")
+      .toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    def put(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/in/$name"),
+        java.util.Arrays.asList(lines: _*),
+        java.nio.charset.StandardCharsets.UTF_8)
+    put("a.jsonl",
+      """{"doc_id":1,"text":"alpha text unique one"}""",
+      """{"doc_id":2,"text":"history doc text h1"}""", // copy of history
+      """{"doc_id":3,"text":"gamma text unique three"}""",
+      "this is { not json")
+    put("b.jsonl",
+      """{"doc_id":4,"text":"alpha text unique one"}""", // cross-batch dup
+      """{"doc_id":5,"text":"delta text unique five"}""",
+      "neither is this {")
+    val history = Seq((100L, "history doc text h1")).toDF("doc_id", "text")
+    val exSigs = Dedup.minHashSignatures(history, "text", "doc_id")
+    val bandTable = s"curation_spec_bands_${System.nanoTime()}"
+    Dedup.publishBandedSignatures(exSigs, bandTable, numBuckets = 4)
+    val exKeys = history.select(col("doc_id").as("id_ex"),
+      Dedup.contentKey(col("text")).as("ck_ex"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // one file per trigger forces the dup (doc 1 vs doc 4) and the two
+    // corrupt lines into DIFFERENT micro-batches — the cross-batch claims
+    // are only proven if the state/sinks span ticks
+    val q = Streaming.streamingCuration(spark, s"$base/in", schema,
+      spark.table(bandTable), exSigs, exKeys,
+      s"$base/store/tbl", s"$base/quarantine",
+      readOptions = Map("maxFilesPerTrigger" -> "1"))
+    try q.processAllAvailable() finally q.stop()
+    assert(SnapshotStore.currentVersion(s"$base/store/tbl") == 2L,
+      "each single-file micro-batch has a unique survivor, so each must " +
+        "publish a version (bootstrap publish, then merge)")
+    val kept = SnapshotStore.read(spark, s"$base/store/tbl")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(kept == Set("alpha text unique one", "gamma text unique three",
+      "delta text unique five"),
+      s"history copy dropped, cross-batch dup collapsed to one; got $kept")
+    val quarantined = spark.read.parquet(s"$base/quarantine")
+      .collect().map(_.getString(0)).toSet
+    assert(quarantined == Set("this is { not json", "neither is this {"),
+      s"corrupt lines from BOTH micro-batches must be quarantined; got " +
+        quarantined)
+  }
 }
