@@ -311,7 +311,15 @@ object Dedup {
     * than est_jaccard >= 1.0 (content-key equality — identical text implies
     * identical signatures implies est 1.0), the estimate stage is provably
     * redundant work: two signature joins and a zip_with/aggregate kernel
-    * per call. The streaming curation tick is exactly that caller. */
+    * per call. The streaming curation tick is exactly that caller.
+    *
+    * Recall caveat (inherited from [[incrementalCandidates]]): existing-
+    * side band buckets are TRUNCATED at `maxBucketSize`, so in an
+    * overflowing bucket a true duplicate can be silently absent from the
+    * candidates. A caller claiming verified-drop semantics must first
+    * prove nothing overflows — [[incrementalCapOverflow]] == 0, which
+    * [[graft.engine.streaming.Streaming.streamingCuration]] asserts once
+    * at bootstrap. */
   def incrementalNearDupCandidatesBanded(incomingSigs: DataFrame,
       existingBanded: DataFrame, numHashes: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame =

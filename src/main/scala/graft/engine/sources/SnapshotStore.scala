@@ -256,23 +256,38 @@ object SnapshotStore {
     }
   }
 
-  private def writeBucketSpec(root: String, keyCol: String, nBuckets: Int): Unit = {
+  private[sources] def writeBucketSpec(root: String, keyCol: String,
+      nBuckets: Int): Unit = {
     Files.createDirectories(Paths.get(root))
-    readBucketSpec(root) match {
-      case Some((k, n)) =>
-        require(k == keyCol && n == nBuckets,
-          s"store $root is bucketed as (key=$k, buckets=$n); " +
-            s"got (key=$keyCol, buckets=$nBuckets)")
-      case None =>
-        val tmp = Paths.get(root, s".BUCKETSPEC.tmp.${System.nanoTime()}")
-        Files.write(tmp, s"$keyCol\n$nBuckets".getBytes(StandardCharsets.UTF_8))
-        try Files.move(tmp, specPath(root), StandardCopyOption.ATOMIC_MOVE)
-        catch { // lost the create race: validate against the winner's spec
-          case _: java.nio.file.FileAlreadyExistsException =>
-            Files.deleteIfExists(tmp)
-            writeBucketSpec(root, keyCol, nBuckets)
-        }
+    if (readBucketSpec(root).isEmpty) {
+      val tmp = Paths.get(root, s".BUCKETSPEC.tmp.${System.nanoTime()}")
+      Files.write(tmp, s"$keyCol\n$nBuckets".getBytes(StandardCharsets.UTF_8))
+      // Files.createLink is an atomic create-NO-overwrite. A rename would
+      // NOT give this: POSIX defines rename to silently REPLACE an
+      // existing target (ATOMIC_MOVE never throws FileAlreadyExists on
+      // Linux), so two racing bootstrappers with DIFFERENT specs would
+      // both "succeed" and the last one would silently re-spec data the
+      // first already published. With link, exactly one racer installs
+      // its spec; every loser falls through to the validation below.
+      try Files.createLink(specPath(root), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // no hardlink support on this fs: best-effort move — the
+          // post-validation below still catches a lost race unless both
+          // racers interleave exactly between move and read (the narrow
+          // window the link path exists to close)
+          try Files.move(tmp, specPath(root), StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: Exception => () }
+      } finally Files.deleteIfExists(tmp)
     }
+    // ALWAYS validate against the spec that actually landed — covers both
+    // the pre-existing-spec case and the lost-create-race case
+    val (k, n) = readBucketSpec(root).getOrElse(throw new IllegalStateException(
+      s"BUCKETSPEC under $root vanished during bootstrap"))
+    require(k == keyCol && n == nBuckets,
+      s"store $root is bucketed as (key=$k, buckets=$n); " +
+        s"got (key=$keyCol, buckets=$nBuckets)")
   }
 
   /** Bootstrap (or fully rewrite) a BUCKETED store: rows land in
@@ -377,8 +392,17 @@ object SnapshotStore {
         val stream = Files.list(src)
         try stream.iterator().forEachRemaining { f =>
           val t = dst.resolve(f.getFileName)
+          // fall back to a real copy wherever linking fails: filesystems
+          // without hardlink support surface FileSystemException (not
+          // just UnsupportedOperationException), e.g. cross-device links.
+          // NOTE q95's inode-equality audit (reuse_ok) assumes the link
+          // path succeeded — true on POSIX-local storage; on a no-link fs
+          // the data is still correct, only the zero-copy claim degrades
           try Files.createLink(t, f)
-          catch { case _: UnsupportedOperationException => Files.copy(f, t) }
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+          }
         } finally stream.close()
       }
     }

@@ -453,7 +453,9 @@ object StreamQueries {
         SnapshotStore.read(spark, s"$base/store/tbl")
           .select(col("ck").as("k")).distinct()
           .withColumn("kind", lit("kept"))
-          .unionByName(spark.read.parquet(s"$base/quarantine")
+          .unionByName(spark.read
+            .option("recursiveFileLookup", "true") // per-batchId subdirs
+            .parquet(s"$base/quarantine")
             .select(md5(col("raw").cast("binary")).as("k")).distinct()
             .withColumn("kind", lit("quarantine")))
           .select(col("kind"), col("k"))

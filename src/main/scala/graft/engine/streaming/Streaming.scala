@@ -176,21 +176,56 @@ object Streaming {
     * State/scale posture: stream state is the watermark-bounded seen-key
     * store; the history side never re-signs or re-scans (signatures +
     * band table are read-only snapshots); per-tick store cost is the
-    * merge's touched buckets. The caller owns the fixed event-time column
+    * merge's touched buckets — INCLUDING the cross-version dedup read:
+    * the anti-join's store side is pruned to the batch's own `_bucket`
+    * set (a directory-level partition filter, never a full corpus-key
+    * scan), so the whole tick's store I/O is bounded by touched buckets
+    * at any corpus size. The caller owns the fixed event-time column
     * (`ts`) — a real deployment uses arrival time; the harness pins a
     * constant so replays are deterministic.
     *
+    * Delivery posture: `foreachBatch` is AT-LEAST-ONCE — a micro-batch
+    * whose offsets committed but whose epoch did not is RE-EXECUTED on
+    * restart. Every per-tick side effect here is idempotent under that
+    * replay: the quarantine write lands in a per-`batchId` directory with
+    * overwrite semantics (a retry replaces its own output, never
+    * appends a duplicate), and the store publish is key-idempotent — the
+    * replayed batch's survivors are all already published, so the
+    * cross-version anti-join empties the batch and `merge`'s empty-batch
+    * no-op mints no extra version (StreamingSpec kills a committed tick's
+    * epoch and proves both).
+    *
+    * Bootstrap recall guard: the candidate stage truncates existing-side
+    * band buckets at `maxBucketSize` (bounded-memory collector), so an
+    * overflowing bucket could silently hide a true history duplicate.
+    * One job at stream START (never per tick) asserts no `exBanded`
+    * bucket exceeds the cap — the verified-drop contract is only claimed
+    * when it provably holds.
+    *
     * Returns the started query; callers drive it (processAllAvailable)
-    * and then read `storeRoot` / `quarantineDir`. */
+    * and then read `storeRoot` / `quarantineDir` (quarantine parquet is
+    * nested per batch — read it with `recursiveFileLookup`). Pass
+    * `checkpointDir` to make the query restartable: a new call with the
+    * same checkpoint + store resumes exactly where the last one stopped. */
   def streamingCuration(spark: org.apache.spark.sql.SparkSession,
       inputDir: String, docSchema: org.apache.spark.sql.types.StructType,
       exBanded: DataFrame, exSigs: DataFrame, exKeys: DataFrame,
       storeRoot: String, quarantineDir: String,
       threshold: Double = 1.0, maxBucketSize: Int = 10000,
-      readOptions: Map[String, String] = Map.empty)
+      readOptions: Map[String, String] = Map.empty,
+      checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.engine.llm.Dedup
     import graft.engine.sources.{Jsonl, SnapshotStore}
+    val overflowing = exBanded
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .filter(col("n_in_bucket") > maxBucketSize)
+    require(overflowing.isEmpty,
+      s"existing-side band buckets overflow maxBucketSize=$maxBucketSize: " +
+        "the capped candidate collector would truncate them and a true " +
+        "history duplicate could slip through undetected; raise the cap " +
+        "or exact-dedup the history first")
     val corrupt = col(Jsonl.corruptCol)
     val stream = Jsonl
       .readJsonlStream(spark, inputDir, docSchema, readOptions)
@@ -203,9 +238,9 @@ object Streaming {
         when(corrupt.isNull, concat(lit("c:"), col("ck")))
           .otherwise(concat(lit("q:"), md5(corrupt.cast("binary")))))
     val deduped = dedupWithinWatermark(stream, Seq("dkey"))
-    deduped.writeStream
+    val writer = deduped.writeStream
       .outputMode("append")
-      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         // every later action re-executes the micro-batch plan (file scan +
         // parse + state-store read); checkpoint ONCE so the quarantine
         // write materializes it and everything downstream reads blocks
@@ -213,8 +248,11 @@ object Streaming {
         val quarantined = batch.filter(corrupt.isNotNull)
           .select(corrupt.as("raw"))
         // quarantine is rare-by-construction: one file per tick, not one
-        // per shuffle partition (narrow coalesce, no extra exchange)
-        quarantined.coalesce(1).write.mode("append").parquet(quarantineDir)
+        // per shuffle partition (narrow coalesce, no extra exchange). Per-
+        // batchId dir + overwrite = an at-least-once replay REPLACES its
+        // own earlier output instead of appending duplicate raw lines
+        quarantined.coalesce(1).write.mode("overwrite")
+          .parquet(s"$quarantineDir/batch-$batchId")
         val docs = batch.filter(corrupt.isNull)
           .select(col("doc_id"), col("text"), col("ck"))
         // history near-dups: banded candidates, drops verified by content
@@ -245,12 +283,33 @@ object Streaming {
           .filter(col("ck") === col("ck_ex"))
           .select(col("id_in").as("doc_id")).distinct()
         val fresh = docs.join(broadcast(histDrops), Seq("doc_id"), "left_anti")
-        // cross-version dedup: anything a PREVIOUS tick already published
+        // cross-version dedup: anything a PREVIOUS tick already published.
+        // The store is ck-bucketed (`_bucket` is a physical partition
+        // column), so the anti-join only needs store rows whose bucket a
+        // batch ck could hash into: prune the store side to the batch's
+        // own bucket set — a directory-level partition filter computed by
+        // one tiny census job over the checkpointed batch (docs ⊇ fresh,
+        // so its bucket set is a safe superset). Per-tick store I/O is
+        // thereby ∝ touched buckets, matching merge's own posture — never
+        // a full published-corpus key scan + shuffle
         val survivorsPlan =
           if (SnapshotStore.currentVersion(storeRoot) == 0L) fresh
-          else fresh.join(
-            SnapshotStore.read(spark, storeRoot).select(col("ck")),
-            Seq("ck"), "left_anti")
+          else {
+            val (storeKey, nb) = SnapshotStore.readBucketSpec(storeRoot)
+              .getOrElse(throw new IllegalStateException(
+                s"$storeRoot published but not bucketed: the curation " +
+                  "stream always bootstraps via publishBucketed"))
+            require(storeKey == "ck",
+              s"store $storeRoot is bucketed on '$storeKey', expected 'ck'")
+            val touched = docs
+              .select(SnapshotStore.bucketExpr("ck", nb).as("_bucket"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            fresh.join(
+              SnapshotStore.read(spark, storeRoot)
+                .filter(col("_bucket").isin(touched.map(Int.box): _*))
+                .select(col("ck")),
+              Seq("ck"), "left_anti")
+          }
         // no emptiness probe, no extra checkpoint: the publish write (or
         // merge's own batch checkpoint + empty-census no-op) materializes
         // the signature+band+anti-join pipeline exactly once per tick.
@@ -263,6 +322,7 @@ object Streaming {
           keysAreDistinct = true)
         ()
       }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
 

@@ -2,7 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 
 /** Static scale-audit of a query's plan: flags the shapes that are correct
@@ -59,6 +60,43 @@ object PlanAudit {
     plan.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.isDefined
+
+  /** Rule 4 — streaming/foreachBatch maintenance plans: any file scan of
+    * a bucketed snapshot-store version under `storeRoot` must carry a
+    * `_bucket` partition filter. Without one, a recurring per-tick plan
+    * re-reads the FULL published corpus every micro-batch — cost ∝ table
+    * history instead of ∝ the tick, the always-on pipeline's
+    * scale-killer. Micro-batch plans never surface in the registry (they
+    * are built inside `foreachBatch` closures, invisible to the
+    * registered-query sweep), so this rule runs over listener-CAPTURED
+    * executed plans — see StreamingPlanAuditSpec, which registers a
+    * QueryExecutionListener around the streaming run and audits every
+    * plan the micro-batches actually executed. */
+  def unprunedStoreScans(plan: SparkPlan, storeRoot: String): Seq[String] =
+    storeScans(plan, storeRoot)
+      .filterNot(_.partitionFilters.exists(_.references.exists(_.name == "_bucket")))
+      .map(f =>
+        s"unpruned store scan: ${f.relation.location.rootPaths.mkString(",")} " +
+          "read with no _bucket partition filter (full corpus re-read per tick)")
+
+  /** All snapshot-store file scans under `storeRoot` in the (AQE-expanded)
+    * plan, pruned or not — the streaming audit also asserts it actually
+    * SAW the cross-version read (a capture that finds no store scan at
+    * all would vacuously "pass" while auditing nothing). */
+  def storeScans(plan: SparkPlan, storeRoot: String): Seq[FileSourceScanExec] =
+    flatten(plan).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(storeRoot)) => f
+    }
+
+  /** AQE wraps executed subtrees in AdaptiveSparkPlanExec / QueryStageExec
+    * whose realized plans are not `children`, so a plain `collect` would
+    * miss every scan below them; expand explicitly. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case q: QueryStageExec => q +: flatten(q.plan)
+    case _ => p +: p.children.flatMap(flatten)
+  }
 
   private def smjOverFixedDim(plan: SparkPlan): Seq[String] =
     plan.collect { case smj: SortMergeJoinExec =>

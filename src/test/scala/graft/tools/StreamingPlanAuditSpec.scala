@@ -1,0 +1,161 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.spark
+import graft.engine.llm.Dedup
+import graft.engine.sources.SnapshotStore
+import graft.engine.streaming.Streaming
+
+/** Plan audit EXTENDED INTO foreachBatch: PlanAuditSpec sweeps registered
+  * queries' batch plans, but plans built inside `foreachBatch` closures
+  * never surface there — which is exactly where the round-7 unpruned
+  * store scan hid. This spec registers a QueryExecutionListener around a
+  * streaming run, so every plan the micro-batches actually EXECUTE is
+  * captured (writes included — the scan under a parquet-write command is
+  * part of its executed plan), then audits the captures with
+  * [[PlanAudit.unprunedStoreScans]].
+  *
+  * Two halves, per the gate-building discipline: first PROVE the audit
+  * catches a planted offender (a foreachBatch that anti-joins against the
+  * full unpruned store), then run the real curation pipeline under the
+  * same audit and require zero violations AND at least one pruned store
+  * scan observed (no vacuous pass).
+  */
+class StreamingPlanAuditSpec extends AnyFunSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** Listener delivery is async on the shared bus; snapshot() drains it
+    * before reading, so captures are complete for everything executed
+    * before the call. */
+  private final class PlanCapture extends QueryExecutionListener {
+    private val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, QueryExecution)]
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = synchronized { buf += funcName -> qe }
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = synchronized { buf += funcName -> qe }
+    def snapshot(): Seq[(String, QueryExecution)] = {
+      org.apache.spark.graft.TestBridge.drainListenerBus(spark.sparkContext)
+      synchronized(buf.toVector)
+    }
+  }
+
+  private def capturing[A](body: => A): (A, Seq[(String, QueryExecution)]) = {
+    val cap = new PlanCapture
+    spark.listenerManager.register(cap)
+    try { val a = body; (a, cap.snapshot()) }
+    finally spark.listenerManager.unregister(cap)
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("the audit catches a planted unpruned store scan inside foreachBatch") {
+    val storeRoot = s"${tmp("audit_bad")}/tbl"
+    SnapshotStore.publishBucketed(
+      (1L to 200L).map(i => (s"ck$i", i)).toDF("ck", "payload"),
+      storeRoot, "ck", nBuckets = 4)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    stream.addData(Seq("ck1", "ck2", "novel"))
+    def runTick(prune: Boolean): Seq[(String, QueryExecution)] = {
+      val (_, captured) = capturing {
+        val q = stream.toDF().select(col("value").as("ck")).writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val store = SnapshotStore.read(spark, storeRoot)
+            val side =
+              if (prune) {
+                val touched = batch
+                  .select(SnapshotStore.bucketExpr("ck", 4).as("_bucket"))
+                  .distinct().collect().map(_.getInt(0)).toSeq
+                store.filter(col("_bucket").isin(touched.map(Int.box): _*))
+              } else store
+            batch.join(side.select(col("ck")), Seq("ck"), "left_anti").count()
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      captured
+    }
+    val badPlans = runTick(prune = false)
+    val badViolations = badPlans.flatMap { case (_, qe) =>
+      PlanAudit.unprunedStoreScans(qe.executedPlan, storeRoot)
+    }
+    assert(badViolations.nonEmpty,
+      "the planted full-store anti-join must be flagged; captured " +
+        s"${badPlans.size} executions: ${badPlans.map(_._1).mkString(",")}")
+    stream.addData(Seq("ck3", "novel2"))
+    val okPlans = runTick(prune = true)
+    val okViolations = okPlans.flatMap { case (_, qe) =>
+      PlanAudit.unprunedStoreScans(qe.executedPlan, storeRoot)
+    }
+    assert(okViolations.isEmpty, s"pruned tick wrongly flagged: $okViolations")
+    assert(okPlans.exists { case (_, qe) =>
+      PlanAudit.storeScans(qe.executedPlan, storeRoot).nonEmpty },
+      "the pruned tick's store scan must still be OBSERVED by the audit")
+  }
+
+  test("streamingCuration's micro-batch plans carry _bucket partition " +
+      "filters on every store scan (the round-7 scale-killer, gated)") {
+    val base = tmp("audit_curation")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    def put(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/in/$name"),
+        java.util.Arrays.asList(lines: _*),
+        java.nio.charset.StandardCharsets.UTF_8)
+    put("a.jsonl",
+      """{"doc_id":1,"text":"first tick doc one"}""",
+      """{"doc_id":2,"text":"first tick doc two"}""")
+    put("b.jsonl",
+      """{"doc_id":3,"text":"second tick doc three"}""",
+      """{"doc_id":4,"text":"first tick doc one"}""") // published-dup: anti-join must drop
+    val history = Seq((100L, "history doc text h1")).toDF("doc_id", "text")
+    val exSigs = Dedup.minHashSignatures(history, "text", "doc_id")
+    val bandTable = s"audit_curation_bands_${System.nanoTime()}"
+    Dedup.publishBandedSignatures(exSigs, bandTable, numBuckets = 4)
+    val exKeys = history.select(col("doc_id").as("id_ex"),
+      Dedup.contentKey(col("text")).as("ck_ex"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val storeRoot = s"$base/store/tbl"
+    // one file per trigger: tick 1 bootstraps, tick 2 runs the
+    // cross-version anti-join + merge — the two store-reading plans
+    val (_, captured) = capturing {
+      val q = Streaming.streamingCuration(spark, s"$base/in", schema,
+        spark.table(bandTable), exSigs, exKeys,
+        storeRoot, s"$base/quarantine",
+        readOptions = Map("maxFilesPerTrigger" -> "1"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    val violations = captured.flatMap { case (fn, qe) =>
+      PlanAudit.unprunedStoreScans(qe.executedPlan, storeRoot)
+        .map(v => s"[$fn] $v")
+    }
+    assert(violations.isEmpty,
+      s"curation micro-batch executed an unpruned store scan:\n" +
+        violations.mkString("\n"))
+    val observedStoreScans = captured.flatMap { case (_, qe) =>
+      PlanAudit.storeScans(qe.executedPlan, storeRoot)
+    }
+    assert(observedStoreScans.nonEmpty,
+      "audit must observe the cross-version dedup + merge store scans " +
+        "(nothing captured = nothing gated)")
+    // and the pipeline's answer is still right: published-dup dropped,
+    // both ticks' unique docs kept exactly once
+    val kept = SnapshotStore.read(spark, storeRoot)
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(kept.sorted == Seq("first tick doc one", "first tick doc two",
+      "second tick doc three"),
+      s"cross-version dedup answer changed under pruning: $kept")
+  }
+}
