@@ -11,7 +11,11 @@ import graft.engine.llm.Similarity
   * query, wall seconds. The chosen operating point is recorded in
   * BASELINE.md and run by x44/x47.
   *
-  * Usage: runMain graft.tools.AnnSweep <sfDir> [k] [nQueries]
+  * Usage: runMain graft.tools.AnnSweep <corpus> [k] [nQueries]
+  * where <corpus> is an sfDir (isotropic synthetic embeddings — the
+  * adversarial case) or `clustered:n[:k[:sigma]]` for the
+  * [[ClusteredVectors]] planted-cluster corpus (the realistic case) —
+  * run BOTH and record both curves side by side.
   */
 object AnnSweep {
   def main(args: Array[String]): Unit = {
@@ -24,7 +28,8 @@ object AnnSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = Tables.embeddings(spark, sfDir).persist()
+    val emb = ClusteredVectors.parseSpec(spark, sfDir)
+      .getOrElse(Tables.embeddings(spark, sfDir)).persist()
     val n = emb.count()
     val queries = emb.filter(col("vec_id") < nq)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

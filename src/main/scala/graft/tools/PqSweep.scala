@@ -7,13 +7,16 @@ import graft.engine.llm.Similarity
 /** PQ operating-point sweep (the AnnSweep sibling for the product-quantizer
   * dials): recall@5 of the ADC scan vs brute force for a grid of
   * (m subspaces, k centroids) — i.e., compression vs fidelity. Usage:
-  * runMain graft.tools.PqSweep [sfDir]. Results recorded in BASELINE.md. */
+  * runMain graft.tools.PqSweep [sfDir | clustered:n[:k[:sigma]]] — the
+  * latter sweeps the [[ClusteredVectors]] planted-cluster corpus (see
+  * AnnSweep's scaladoc). Results recorded in BASELINE.md. */
 object PqSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.engine.GraftSession.build("32")
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = Tables.embeddings(spark, sfDir).persist()
+    val emb = ClusteredVectors.parseSpec(spark, sfDir)
+      .getOrElse(Tables.embeddings(spark, sfDir)).persist()
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
       .select(col("qid"), col("nid")).collect()

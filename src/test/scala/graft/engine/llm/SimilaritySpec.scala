@@ -396,4 +396,46 @@ class SimilaritySpec extends AnyFunSuite {
       assert(a == b, "exhaustive IVF-PQ must equal the flat ADC ranking")
     } finally emb.unpersist()
   }
+
+  test("clustered corpus: published dials hold their recall floors far " +
+      "above the isotropic diagonal (the realistic-deployment check)") {
+    // The synthetic embeddings are isotropic — recall ≈ candidate fraction,
+    // the information-theoretic worst case. Real corpora are clustered;
+    // BASELINE.md's deployment guidance rests on the claim that the same
+    // dials then land far ABOVE the diagonal. Plant the clusters and pin
+    // it: fixed-seed corpus → these are regressions gates, not flakes
+    // (AnnSweep/PqSweep `clustered:` mode carries the full curves).
+    import graft.tools.ClusteredVectors
+    val emb = ClusteredVectors.generate(spark, n = 1000L, k = 10,
+      sigma = 0.2, seed = 42L).persist()
+    try {
+      val queries = emb.filter(col("vec_id") < 10)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Similarity.bruteForceTopK(emb, queries, 5))
+      def recallOf(approx: Set[(Long, Long)]): Double =
+        exact.intersect(approx).size.toDouble / math.max(exact.size, 1)
+      // published LSH point (bits=6, radius=1, tables=8): 0.94 isotropic,
+      // measured 0.96 on this fixture — floor leaves headroom
+      val lsh = recallOf(pairs(Similarity.lshTopK(emb, queries, 5,
+        bits = 6, probeRadius = 1, tables = 8)))
+      info(f"clustered recall: lsh=$lsh%.2f (floor 0.9)")
+      assert(lsh >= 0.9, f"clustered LSH operating-point recall $lsh%.2f")
+      // the above-the-diagonal pin: IVF at a ~12.5% expected scan
+      // (nprobe/nlist = 4/32) must beat 4× its candidate fraction —
+      // isotropic lands AT the fraction (~0.125); measured 1.00 here
+      val ivf = recallOf(pairs(Similarity.ivfTopK(emb, queries, 5,
+        nlist = 32, nprobe = 4)))
+      info(f"clustered recall: ivf@0.125-scan=$ivf%.2f (floor 0.5)")
+      assert(ivf >= 0.5, f"IVF@12.5%%-scan recall $ivf%.2f not above diagonal")
+      // published PQ point (m=16, k=32, re-rank@100): 0.98 isotropic,
+      // measured 1.00 clustered — quantizer gains structure, never loses
+      val books = Similarity.pqTrain(emb, 16, 32, iters = 2)
+      val pq = recallOf(pairs(
+        Similarity.pqTopK(emb, queries, 5, books, rerank = 100)))
+      info(f"clustered recall: pq-rerank100=$pq%.2f (floor 0.9)")
+      assert(pq >= 0.9, f"clustered PQ re-rank@100 recall $pq%.2f")
+    } finally emb.unpersist()
+  }
 }
