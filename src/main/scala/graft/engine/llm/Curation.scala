@@ -324,4 +324,31 @@ object Curation {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
           / budgetTokens).cast(LongType))
   }
+
+  /** Fused tiers + pack: [[groupNtile]] applied AFTER [[packAssignments]]
+    * on the SAME DataFrame, so one pipeline carries both labels. Result-
+    * identical to the composed form
+    * {{{ packAssignments(df,...).join(groupNtile(df,...).select(order, tier), order) }}}
+    * — tier depends only on (group, score, order) and pack only on
+    * (shard, order, text), so neither label perturbs the other — but the
+    * plan is structurally better: the composed form scans `df` twice and
+    * aligns the two corpus-sized derived tables with an equi-join on the
+    * order key, which at 100 TB is a full-corpus shuffle join existing
+    * solely to re-unite columns that were never apart. The fused form's
+    * only joins are [[groupNtile]]'s internal histogram joins (bounded by
+    * distinct (group, score) pairs — broadcast-sized by the quantized-key
+    * contract), and the hist branch's column pruning drops the pack window
+    * entirely, so the pack prefix-sum runs once.
+    *
+    * Per-stage observability is NOT lost: [[groupNtile]] and
+    * [[packAssignments]] remain independent operators (q65 / q62 pin each
+    * against its own oracle), and callers that need the composed plan for
+    * stage-by-stage debugging can still write it — see q88's
+    * `spark.graft.curate.fusedTiersPack` flag. */
+  def tieredPack(docs: DataFrame, groupCol: String, scoreCol: String,
+      orderCol: String, textCol: String, numTiles: Int,
+      budgetTokens: Long, shardCols: Seq[String] = Nil): DataFrame =
+    groupNtile(
+      packAssignments(docs, orderCol, textCol, budgetTokens, shardCols),
+      groupCol, scoreCol, orderCol, numTiles)
 }

@@ -1411,16 +1411,26 @@ object LlmQueries {
         .join(embAll, col("doc_id") === col("vec_id")).localCheckpoint()
       val semSurv = Similarity.semanticDedup(withVec, threshold = 0.999999)
         .drop("vec_id", "embedding").localCheckpoint()
-      // 4. per-language quality quartiles (3 dp-quantized key, q65 contract)
+      // 4+5. per-language quality quartiles (3 dp-quantized key, q65
+      // contract) + per-doc pack assignment (2048-token budget, sharded by
+      // source). Default path FUSES the two stages (Curation.tieredPack):
+      // one scan, no corpus-sized doc_id re-union join — the composed
+      // two-branch form stays available under the flag for stage-by-stage
+      // debugging; CuratePipelineSpec pins both paths row-identical.
       val scored = TextAnalysis.qualityScore(semSurv, "text")
         .withColumn("q_bin", round(col("quality"), 3))
-      val tiers = Curation.groupNtile(scored, "lang", "q_bin", "doc_id", 4)
-        .select(col("doc_id"), col("tier"))
-      // 5. per-doc pack assignment (2048-token budget, sharded by source)
-      val packed = Curation.packAssignments(semSurv, "doc_id", "text",
-        budgetTokens = 2048L, shardCols = Seq("source"))
-      val curated = packed.join(tiers, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("source"), col("tier"),
+      val fused = spark.conf.getOption("spark.graft.curate.fusedTiersPack")
+        .forall(_.toBoolean)
+      val curated = (if (fused) {
+        Curation.tieredPack(scored, "lang", "q_bin", "doc_id", "text",
+          numTiles = 4, budgetTokens = 2048L, shardCols = Seq("source"))
+      } else {
+        val tiers = Curation.groupNtile(scored, "lang", "q_bin", "doc_id", 4)
+          .select(col("doc_id"), col("tier"))
+        Curation.packAssignments(semSurv, "doc_id", "text",
+          budgetTokens = 2048L, shardCols = Seq("source"))
+          .join(tiers, Seq("doc_id"))
+      }).select(col("doc_id"), col("lang"), col("source"), col("tier"),
           col("pack_id"), col("n_tokens"),
           md5(col("text").cast("binary")).as("text_md5"))
       // 6. atomic snapshot publish; the OUTPUT is the read-back (pins that

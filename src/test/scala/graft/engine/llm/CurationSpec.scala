@@ -240,6 +240,36 @@ class CurationSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() == docs.count())
   }
 
+  test("tieredPack == composed groupNtile ⋈ packAssignments, with one fewer join") {
+    // ties (5 score levels), null groups AND null scores, two shards — every
+    // path groupNtile's null-safe joins and the straddling branch exercise
+    val rows: Seq[(Long, Option[String], Option[Double], String, String)] =
+      (0L until 120L).map { i =>
+        val g = if (i % 11 == 0) None else Some(s"lang${i % 3}")
+        val v = if (i % 13 == 0) None else Some((i % 5).toDouble / 10.0)
+        (i, g, v, ("tok " * ((i % 7).toInt + 1)).trim, s"src${i % 2}")
+      }
+    val df = rows.toDF("doc_id", "lang", "q_bin", "text", "source")
+    val fused = Curation.tieredPack(df, "lang", "q_bin", "doc_id", "text",
+      numTiles = 4, budgetTokens = 10L, shardCols = Seq("source"))
+    val composed = Curation.packAssignments(df, "doc_id", "text", 10L, Seq("source"))
+      .join(Curation.groupNtile(df, "lang", "q_bin", "doc_id", 4)
+        .select(col("doc_id"), col("tier")), Seq("doc_id"))
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "tier", "pack_id", "n_tokens").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val (f, c) = (key(fused), key(composed))
+    assert(f.size == 120 && f == c, "fusion must be row-identical to the composition")
+    // structural: the fusion deletes the corpus-sized doc_id re-union join;
+    // only groupNtile's bounded histogram joins remain
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def joins(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.collect { case j: Join => j }.length
+    assert(joins(fused) == joins(composed) - 1,
+      s"fused=${joins(fused)} composed=${joins(composed)}")
+  }
+
   test("packSequences: no pack starts beyond the running token budget") {
     // tiny synthetic corpus with known token counts: 10 docs × 5 tokens,
     // budget 12 ⇒ starting offsets 0,5,10,15,… ⇒ packs 0,0,0,1,1,2,2,2,3,3
