@@ -259,6 +259,10 @@ object SnapshotStore {
   private[sources] def writeBucketSpec(root: String, keyCol: String,
       nBuckets: Int): Unit = {
     Files.createDirectories(Paths.get(root))
+    // a swallowed install failure (move fallback below) must resurface as
+    // the CAUSE of the vanished-spec error, not be lost to a misleading
+    // "vanished during bootstrap" with no root cause
+    var installFailure: Option[Throwable] = None
     if (readBucketSpec(root).isEmpty) {
       val tmp = Paths.get(root, s".BUCKETSPEC.tmp.${System.nanoTime()}")
       Files.write(tmp, s"$keyCol\n$nBuckets".getBytes(StandardCharsets.UTF_8))
@@ -276,15 +280,19 @@ object SnapshotStore {
           // no hardlink support on this fs: best-effort move — the
           // post-validation below still catches a lost race unless both
           // racers interleave exactly between move and read (the narrow
-          // window the link path exists to close)
+          // window the link path exists to close). A move failure is
+          // tolerated HERE only because a racing winner may have landed
+          // the spec; if none did, the validation below throws with this
+          // failure attached as its cause.
           try Files.move(tmp, specPath(root), StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: Exception => () }
+          catch { case e: Exception => installFailure = Some(e) }
       } finally Files.deleteIfExists(tmp)
     }
     // ALWAYS validate against the spec that actually landed — covers both
     // the pre-existing-spec case and the lost-create-race case
     val (k, n) = readBucketSpec(root).getOrElse(throw new IllegalStateException(
-      s"BUCKETSPEC under $root vanished during bootstrap"))
+      s"BUCKETSPEC under $root vanished during bootstrap",
+      installFailure.orNull))
     require(k == keyCol && n == nBuckets,
       s"store $root is bucketed as (key=$k, buckets=$n); " +
         s"got (key=$keyCol, buckets=$nBuckets)")

@@ -206,15 +206,39 @@ object Streaming {
     * and then read `storeRoot` / `quarantineDir` (quarantine parquet is
     * nested per batch — read it with `recursiveFileLookup`). Pass
     * `checkpointDir` to make the query restartable: a new call with the
-    * same checkpoint + store resumes exactly where the last one stopped. */
+    * same checkpoint + store resumes exactly where the last one stopped.
+    * WITHOUT a checkpoint the restart guarantees above do NOT hold — a
+    * restarted query re-numbers batches from 0, so the per-`batchId`
+    * quarantine overwrite rewrites `batch-0..` while the old run's higher
+    * `batch-N` dirs linger as stale duplicates, and the store's no-op
+    * replay protection never engages (every batch is "new"). A missing
+    * checkpoint logs a warning; it is acceptable only for run-once
+    * harness drives that never restart.
+    *
+    * `nBuckets` sizes the bootstrap store's `_bucket` partitioning, which
+    * is what the per-tick touched-bucket pruning prunes AGAINST. The
+    * default 8 suits the harness corpus; at production scale size it to
+    * corpus/tick ratio (buckets >> distinct buckets a tick's keys hash
+    * into — e.g. 4096 for a corpus thousands of times a tick), or the
+    * "per-tick I/O ∝ touched buckets" posture degenerates to a full scan
+    * because every tick touches all 8. */
   def streamingCuration(spark: org.apache.spark.sql.SparkSession,
       inputDir: String, docSchema: org.apache.spark.sql.types.StructType,
       exBanded: DataFrame, exSigs: DataFrame, exKeys: DataFrame,
       storeRoot: String, quarantineDir: String,
       threshold: Double = 1.0, maxBucketSize: Int = 10000,
       readOptions: Map[String, String] = Map.empty,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      nBuckets: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    if (checkpointDir.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "streamingCuration started WITHOUT a checkpointDir: restart " +
+          "semantics (store no-op replay, per-batchId quarantine " +
+          "idempotence) require one — a restarted query re-numbers " +
+          "batches from 0 and leaves the old run's quarantine dirs as " +
+          "stale duplicates. Run-once harness use only.")
     import graft.engine.llm.Dedup
     import graft.engine.sources.{Jsonl, SnapshotStore}
     val overflowing = exBanded
@@ -317,7 +341,7 @@ object Streaming {
         // one row per content key
         if (SnapshotStore.currentVersion(storeRoot) == 0L)
           SnapshotStore.publishBucketed(survivorsPlan, storeRoot, "ck",
-            nBuckets = 8)
+            nBuckets = nBuckets)
         else SnapshotStore.merge(survivorsPlan, storeRoot,
           keysAreDistinct = true)
         ()

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, InSet}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -74,20 +75,47 @@ object PlanAudit {
     * plan the micro-batches actually executed. */
   def unprunedStoreScans(plan: SparkPlan, storeRoot: String): Seq[String] =
     storeScans(plan, storeRoot)
-      .filterNot(_.partitionFilters.exists(_.references.exists(_.name == "_bucket")))
+      .filterNot(_.partitionFilters.exists(isBucketMembership))
       .map(f =>
         s"unpruned store scan: ${f.relation.location.rootPaths.mkString(",")} " +
-          "read with no _bucket partition filter (full corpus re-read per tick)")
+          "read with no _bucket membership partition filter " +
+          "(full corpus re-read per tick)")
+
+  /** A partition filter counts as pruning only if it is a genuine
+    * MEMBERSHIP constraint on `_bucket` (`In`/`InSet`/`EqualTo`). A filter
+    * that merely REFERENCES the column — `_bucket >= 0`, `isnotnull(
+    * _bucket)` — selects every partition and would have satisfied the old
+    * references-based check while pruning nothing. */
+  private def isBucketMembership(e: Expression): Boolean = e match {
+    case In(a: AttributeReference, vs) if vs.nonEmpty => a.name == "_bucket"
+    case InSet(a: AttributeReference, _) => a.name == "_bucket"
+    case EqualTo(a: AttributeReference, _) => a.name == "_bucket"
+    case EqualTo(_, a: AttributeReference) => a.name == "_bucket"
+    case _ => false
+  }
 
   /** All snapshot-store file scans under `storeRoot` in the (AQE-expanded)
     * plan, pruned or not — the streaming audit also asserts it actually
     * SAW the cross-version read (a capture that finds no store scan at
-    * all would vacuously "pass" while auditing nothing). */
+    * all would vacuously "pass" while auditing nothing). Root matching is
+    * prefix-with-separator-boundary: `/x/tbl` matches `/x/tbl` and
+    * `/x/tbl/v=3` but NOT the sibling `/x/tbl2` a substring check would
+    * false-match. */
   def storeScans(plan: SparkPlan, storeRoot: String): Seq[FileSourceScanExec] =
     flatten(plan).collect {
       case f: FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.contains(storeRoot)) => f
+          if f.relation.location.rootPaths
+            .exists(p => underRoot(p.toString, storeRoot)) => f
     }
+
+  /** Scheme-insensitive path containment: Hadoop renders local roots as
+    * `file:/root/...` while callers pass bare `/root/...` paths. */
+  private def underRoot(path: String, root: String): Boolean = {
+    def norm(s: String) =
+      s.stripPrefix("file://").stripPrefix("file:").stripSuffix("/")
+    val (p, r) = (norm(path), norm(root))
+    p == r || p.startsWith(r + "/")
+  }
 
   /** AQE wraps executed subtrees in AdaptiveSparkPlanExec / QueryStageExec
     * whose realized plans are not `children`, so a plain `collect` would

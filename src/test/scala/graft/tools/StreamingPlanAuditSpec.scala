@@ -55,6 +55,38 @@ class StreamingPlanAuditSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  test("audit hardening: tautological _bucket filters are NOT pruning, " +
+      "and sibling roots do NOT false-match") {
+    val base = tmp("audit_hardening")
+    val storeRoot = s"$base/tbl"
+    val siblingRoot = s"$base/tbl2" // substring-matching would conflate these
+    for (root <- Seq(storeRoot, siblingRoot))
+      SnapshotStore.publishBucketed(
+        (1L to 50L).map(i => (s"ck$i", i)).toDF("ck", "payload"),
+        root, "ck", nBuckets = 4)
+    def planOf(df: DataFrame) = df.queryExecution.executedPlan
+    // a filter that merely REFERENCES _bucket selects every partition —
+    // the audit must still flag the scan as unpruned
+    val tautological = planOf(
+      SnapshotStore.read(spark, storeRoot).filter(col("_bucket") >= 0))
+    assert(PlanAudit.unprunedStoreScans(tautological, storeRoot).nonEmpty,
+      "_bucket >= 0 prunes nothing and must be flagged")
+    // genuine membership filters pass, single-value and set forms alike
+    val isin = planOf(SnapshotStore.read(spark, storeRoot)
+      .filter(col("_bucket").isin(0, 2)))
+    assert(PlanAudit.unprunedStoreScans(isin, storeRoot).isEmpty)
+    val eq = planOf(SnapshotStore.read(spark, storeRoot)
+      .filter(col("_bucket") === 1))
+    assert(PlanAudit.unprunedStoreScans(eq, storeRoot).isEmpty)
+    // an unpruned scan of the SIBLING store must not surface when
+    // auditing storeRoot (path-boundary matching, not substring)
+    val sibling = planOf(SnapshotStore.read(spark, siblingRoot))
+    assert(PlanAudit.storeScans(sibling, storeRoot).isEmpty,
+      s"$siblingRoot scan wrongly attributed to $storeRoot")
+    assert(PlanAudit.storeScans(sibling, siblingRoot).nonEmpty,
+      "the sibling scan itself must still be observable under its own root")
+  }
+
   test("the audit catches a planted unpruned store scan inside foreachBatch") {
     val storeRoot = s"${tmp("audit_bad")}/tbl"
     SnapshotStore.publishBucketed(
@@ -134,9 +166,12 @@ class StreamingPlanAuditSpec extends AnyFunSuite {
       val q = Streaming.streamingCuration(spark, s"$base/in", schema,
         spark.table(bandTable), exSigs, exKeys,
         storeRoot, s"$base/quarantine",
-        readOptions = Map("maxFilesPerTrigger" -> "1"))
+        readOptions = Map("maxFilesPerTrigger" -> "1"),
+        nBuckets = 4) // non-default: the bootstrap must honor the dial
       try q.processAllAvailable() finally q.stop()
     }
+    assert(SnapshotStore.readBucketSpec(storeRoot) == Some(("ck", 4)),
+      "bootstrap must bucket the store at the caller's nBuckets")
     val violations = captured.flatMap { case (fn, qe) =>
       PlanAudit.unprunedStoreScans(qe.executedPlan, storeRoot)
         .map(v => s"[$fn] $v")
