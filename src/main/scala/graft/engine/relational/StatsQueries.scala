@@ -340,6 +340,96 @@ object StatsQueries {
       ) t GROUP BY o_custkey ORDER BY o_custkey LIMIT 1000"""),
     doc = "multiset UNION ALL / EXCEPT ALL / INTERSECT ALL")
 
+  /** q96 — binned point-in-interval range join
+    * ([[graft.engine.relational.RangeJoin.pointInInterval]]): each view
+    * event opens an engagement window `[ts, ts + floor(value·10) s)`;
+    * count every event (any type) landing inside and exact-sum its value.
+    * The naive `BETWEEN` join is nested-loop at any scale; the binned plan
+    * is an equi-join on an hour-wide micros bin. Empty windows (floor = 0)
+    * survive via the compose-outer pattern the operator documents: inner
+    * range join → aggregate per window id → left-join back to the window
+    * set, so COUNT reads 0 and SUM stays NULL exactly like the oracle's
+    * flat LEFT JOIN + GROUP BY. */
+  val q96 = GraftQuery(
+    "q96_range_join",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val points = ev.select(col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+      val windows = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            expr("CAST(FLOOR(value * 10) AS BIGINT)") * 1000000L).as("e_us"))
+      val hits = RangeJoin
+        .pointInInterval(points, windows, "p_us", "s_us", "e_us",
+          binWidth = 3600L * 1000000L)
+        .groupBy(col("view_id"))
+        .agg(lcount().as("n_hits"), dsum(col("p_value")).as("sum_value"))
+      windows.select(col("view_id"))
+        .join(hits, Seq("view_id"), "left_outer")
+        .select(col("view_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("sum_value"))
+        .orderBy(col("view_id"))
+    },
+    Some(s"""WITH iv AS (
+        SELECT event_id AS view_id, epoch_us(ts) AS s_us,
+               epoch_us(ts) + CAST(FLOOR(value * 10) AS BIGINT) * 1000000 AS e_us
+        FROM events WHERE event_type = 'view'),
+      pt AS (SELECT event_id AS p_id, epoch_us(ts) AS p_us, value AS p_value
+        FROM events)
+      SELECT view_id, COUNT(p_id) AS n_hits,
+        ${sqlDsum("p_value")} AS sum_value
+      FROM iv LEFT JOIN pt ON p_us >= s_us AND p_us < e_us
+      GROUP BY view_id ORDER BY view_id"""),
+    doc = "point-in-interval range join, binned to a distributed equi-join")
+
+  /** q97 — binned interval-overlap join
+    * ([[graft.engine.relational.RangeJoin.intervalOverlap]]): 10-minute
+    * view windows × 10-minute click windows, per view the count and
+    * exact value sum of concurrently-open click windows. Both sides
+    * explode to covered bins; the claim-bin filter keeps each overlapping
+    * pair exactly once with no corpus-sized distinct. */
+  val q97 = GraftQuery(
+    "q97_interval_overlap",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      def win(tpe: String, idAs: String, sAs: String, eAs: String,
+          extra: Seq[(String, String)]) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("event_id").as(idAs) +:
+            unix_micros(col("ts")).as(sAs) +:
+            (unix_micros(col("ts")) + 600L * 1000000L).as(eAs) +:
+            extra.map { case (c, a) => col(c).as(a) }: _*)
+      val views = win("view", "view_id", "vs_us", "ve_us", Nil)
+      val clicks = win("click", "click_id", "cs_us", "ce_us",
+        Seq("value" -> "c_value"))
+      val pairs = RangeJoin.intervalOverlap(views, clicks,
+        "vs_us", "ve_us", "cs_us", "ce_us", binWidth = 600L * 1000000L)
+      val agg = pairs.groupBy(col("view_id"))
+        .agg(lcount().as("n_concurrent"),
+          dsum(col("c_value")).as("sum_click_value"))
+      views.select(col("view_id"))
+        .join(agg, Seq("view_id"), "left_outer")
+        .select(col("view_id"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"),
+          col("sum_click_value"))
+        .orderBy(col("view_id"))
+    },
+    Some(s"""WITH v AS (
+        SELECT event_id AS view_id, epoch_us(ts) AS vs,
+               epoch_us(ts) + 600000000 AS ve
+        FROM events WHERE event_type = 'view'),
+      c AS (
+        SELECT event_id AS click_id, value AS c_value, epoch_us(ts) AS cs,
+               epoch_us(ts) + 600000000 AS ce
+        FROM events WHERE event_type = 'click')
+      SELECT view_id, COUNT(click_id) AS n_concurrent,
+        ${sqlDsum("c_value")} AS sum_click_value
+      FROM v LEFT JOIN c ON vs < ce AND cs < ve
+      GROUP BY view_id ORDER BY view_id"""),
+    doc = "interval-overlap range join via per-bin explode + claim-bin dedup")
+
   def queries: Seq[GraftQuery] =
-    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93)
+    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97)
 }
