@@ -903,6 +903,84 @@ object RelationalQueries {
       ORDER BY change, doc_id"""),
     doc = "snapshot MERGE: upsert batch, untouched buckets hardlink-reused, EXCEPT ALL twin")
 
+  /** q98 — sort-merge-bucket join ([[graft.engine.relational.Bucketed]]):
+    * lineitem and orders published co-bucketed by order key, then joined
+    * with ZERO exchange on either side — the pay-the-shuffle-once layout a
+    * recurring 100 TB fact–fact join wants. `smb_shuffle_free` is computed
+    * honestly from the executed join plan (count of ShuffleExchange nodes
+    * == 0, AQE-expanded) and pinned TRUE by the oracle; the aggregate's
+    * values must simultaneously match the plain-join DuckDB twin, so the
+    * co-located plan is proven both shuffle-free AND correct. */
+  val q98 = GraftQuery(
+    "q98_smb_join",
+    (spark, sfDir) => {
+      val pid = ProcessHandle.current().pid()
+      val lt = s"graft_q98_lineitem_$pid"
+      val ot = s"graft_q98_orders_$pid"
+      Bucketed.publishTable(
+        Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("okey"),
+          col("l_extendedprice"), col("l_discount")),
+        lt, nBuckets = 16, keyCols = Seq("okey"))
+      Bucketed.publishTable(
+        Tables.orders(spark, sfDir).select(col("o_orderkey").as("okey"),
+          col("o_orderpriority")),
+        ot, nBuckets = 16, keyCols = Seq("okey"))
+      val joined = Bucketed.smbJoin(spark, lt, ot, Seq("okey"))
+      val shuffleFree = Bucketed.shuffleCount(joined) == 0
+      joined.groupBy(col("o_orderpriority"))
+        .agg(lcount().as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .withColumn("smb_shuffle_free", lit(shuffleFree))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+        ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        TRUE AS smb_shuffle_free
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    doc = "co-bucketed SMB join: zero-shuffle fact-fact join, plan-contract boolean")
+
+  /** q99 — incremental aggregate maintenance
+    * ([[graft.engine.sources.IncrementalAgg]]): per-source (count, exact
+    * sum of n_chars) maintained across three disjoint refresh batches —
+    * each refresh aggregates its batch alone, reads only the touched
+    * store buckets, and merges; untouched buckets hardlink-carry. The
+    * head version must equal a full-corpus GROUP BY (the DuckDB twin),
+    * and `n_versions` pins that three versions (bootstrap + 2 merges)
+    * really were minted — a silent full-rewrite path would still pass
+    * the values, but IncrementalAggSpec's plan audit pins the pruning. */
+  val q99 = GraftQuery(
+    "q99_incremental_agg",
+    (spark, sfDir) => {
+      import graft.engine.sources.{IncrementalAgg, SnapshotStore}
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q99_agg_${ProcessHandle.current().pid()}/tbl"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      for (r <- 0 until 3)
+        IncrementalAgg.refresh(
+          docs.filter(col("doc_id") % 3 === r).select("source", "n_chars"),
+          root, keyCol = "source", valueCol = "n_chars", nBuckets = 8)
+      IncrementalAgg.read(spark, root)
+        .select(col("source"), col("n").as("n_docs"),
+          col("s").cast("double").as("sum_chars"))
+        .withColumn("n_versions", lit(SnapshotStore.currentVersion(root)))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE) AS sum_chars,
+        CAST(3 AS BIGINT) AS n_versions
+      FROM documents GROUP BY source ORDER BY source"""),
+    doc = "incremental aggregate maintenance: delta-cost refresh == full recompute")
+
   /** q86 — JSONL sink → source round-trip (the LLM-corpus exchange format,
     * S-surface sibling of q74's parquet snapshot): documents are written as
     * newline-delimited JSON and read back under the DECLARED schema in
@@ -942,5 +1020,5 @@ object RelationalQueries {
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59, q66, q67, q74, q86, q89, q95)
+    q59, q66, q67, q74, q86, q89, q95, q98, q99)
 }

@@ -29,28 +29,8 @@ class StreamingPlanAuditSpec extends AnyFunSuite {
   import spark.implicits._
   implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-  /** Listener delivery is async on the shared bus; snapshot() drains it
-    * before reading, so captures are complete for everything executed
-    * before the call. */
-  private final class PlanCapture extends QueryExecutionListener {
-    private val buf =
-      scala.collection.mutable.ArrayBuffer.empty[(String, QueryExecution)]
-    override def onSuccess(funcName: String, qe: QueryExecution,
-        durationNs: Long): Unit = synchronized { buf += funcName -> qe }
-    override def onFailure(funcName: String, qe: QueryExecution,
-        exception: Exception): Unit = synchronized { buf += funcName -> qe }
-    def snapshot(): Seq[(String, QueryExecution)] = {
-      org.apache.spark.graft.TestBridge.drainListenerBus(spark.sparkContext)
-      synchronized(buf.toVector)
-    }
-  }
-
-  private def capturing[A](body: => A): (A, Seq[(String, QueryExecution)]) = {
-    val cap = new PlanCapture
-    spark.listenerManager.register(cap)
-    try { val a = body; (a, cap.snapshot()) }
-    finally spark.listenerManager.unregister(cap)
-  }
+  private def capturing[A](body: => A): (A, Seq[(String, QueryExecution)]) =
+    PlanCaptureUtil.capturing(spark)(body)
 
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
