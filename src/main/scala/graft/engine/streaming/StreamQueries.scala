@@ -569,6 +569,62 @@ object StreamQueries {
       ORDER BY media_id, bin"""),
     doc = "real JDK-ImageIO decode pinned to a DuckDB arithmetic twin")
 
+  /** x60 — ALWAYS-ON incremental aggregate maintenance (a streaming
+    * materialized view): JSONL micro-batches fold into the
+    * [[graft.engine.sources.IncrementalAgg]] store tick by tick — each
+    * tick partial-aggregates ITS batch alone, reads only the touched
+    * `_bucket` partitions, and merge-upserts (untouched buckets
+    * hardlink-carry). The maintained table is batch-boundary INVARIANT
+    * (addition commutes), so DuckDB replays it as one full-corpus
+    * GROUP BY; `n_versions` = 3 is deterministic because the input is
+    * written as exactly three JSONL part-files and `maxFilesPerTrigger=1`
+    * caps each tick at one file — three non-empty ticks, three versions
+    * (bootstrap + two delta merges). The q93 HLL twin maintains
+    * distinct-count sketches under this exact posture; this closes the
+    * loop for exact additive aggregates. */
+  val x60 = GraftQuery(
+    "x60_stream_incremental_agg",
+    (spark, sfDir) => {
+      import graft.engine.sources.{IncrementalAgg, Jsonl, SnapshotStore}
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x60_magg_${ProcessHandle.current().pid()}"
+      val basePath = java.nio.file.Paths.get(base)
+      if (java.nio.file.Files.exists(basePath)) {
+        val walk = java.nio.file.Files.walk(basePath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      // exactly three part-files -> exactly three one-file ticks
+      Jsonl.writeJsonl(ev.repartition(3), s"$base/in")
+      val schema = ev.schema
+      val root = s"$base/store/agg"
+      val q = Jsonl.readJsonlStream(spark, s"$base/in", schema,
+          Map("maxFilesPerTrigger" -> "1"))
+        .filter(col(Jsonl.corruptCol).isNull)
+        .select(col("event_type"), col("value"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalAgg.refresh(batch, root,
+            keyCol = "event_type", valueCol = "value", nBuckets = 8)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      IncrementalAgg.read(spark, root)
+        .select(col("event_type"), col("n").as("n_events"),
+          col("s").cast("double").as("sum_value"))
+        .withColumn("n_versions", lit(SnapshotStore.currentVersion(root)))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+        CAST(3 AS BIGINT) AS n_versions
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    doc = "streaming materialized view: per-tick delta-cost aggregate maintenance")
+
   def queries: Seq[GraftQuery] =
-    Seq(x52, x53, x54, x55, x56, x57, x58, x59, q58, q80, q94)
+    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, q58, q80, q94)
 }
