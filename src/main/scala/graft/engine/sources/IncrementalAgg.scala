@@ -45,15 +45,29 @@ object IncrementalAgg {
   /** Fold a batch into the aggregate store at `root` (bootstrapping it on
     * first use). Returns the published version. `nBuckets` only applies at
     * bootstrap; size it to corpus/batch ratio so touched-bucket pruning
-    * has room to bite at scale. */
+    * has room to bite at scale.
+    *
+    * ADDITION IS NOT IDEMPOTENT: an at-least-once caller (foreachBatch —
+    * a replayed committed epoch re-runs with the same data) MUST pass a
+    * per-batch `tag` (e.g. `s"batch-$$batchId"`). The tag is recorded
+    * atomically with the version flip ([[SnapshotStore.versionTags]]);
+    * a refresh whose tag is already applied returns that version without
+    * touching the store — exactly-once maintenance on an at-least-once
+    * engine (x60's contract, pinned by the restart/replay spec). */
   def refresh(batch: DataFrame, root: String, keyCol: String,
-      valueCol: String, nBuckets: Int = 8): Long = {
+      valueCol: String, nBuckets: Int = 8,
+      tag: Option[String] = None): Long = {
     val spark = batch.sparkSession
+    val applied = SnapshotStore.versionTags(root)
+    val pre = tag.flatMap(t => applied.collectFirst {
+      case (v, vt) if vt == t => v
+    })
+    if (pre.isDefined) return pre.get // replayed epoch: skip the whole job
     val delta = batch.groupBy(col(keyCol))
       .agg(count(lit(1)).cast(LongType).as("n"),
         coalesce(sum(col(valueCol).cast(Dec)), lit(0)).cast(Dec).as("s"))
     if (SnapshotStore.currentVersion(root) == 0L)
-      SnapshotStore.publishBucketed(delta, root, keyCol, nBuckets)
+      SnapshotStore.publishBucketed(delta, root, keyCol, nBuckets, tag = tag)
     else {
       val (storeKey, nb) = SnapshotStore.readBucketSpec(root).getOrElse(
         throw new IllegalStateException(
@@ -72,7 +86,7 @@ object IncrementalAgg {
           (col("s") + coalesce(col("_s_old"), lit(0).cast(Dec)))
             .cast(Dec).as("s"))
       // delta keys are distinct by construction (output of a groupBy)
-      SnapshotStore.merge(updated, root, keysAreDistinct = true)
+      SnapshotStore.merge(updated, root, keysAreDistinct = true, tag = tag)
     }
   }
 

@@ -27,6 +27,56 @@ object SnapshotStore {
 
   private def pointerPath(root: String) = Paths.get(root, "CURRENT")
 
+  private val TagFile = "_GRAFT_TAG"
+
+  /** Versions carrying an idempotence tag (version → tag). A tag rides
+    * INSIDE its version directory (`_GRAFT_TAG` — underscore-prefixed, so
+    * parquet readers ignore it like `_SUCCESS`) and is written into the
+    * staging directory BEFORE the atomic move: a version and its tag
+    * become visible together or not at all. [[publishBucketed]]/[[merge]]
+    * refuse to apply a tag that is already present — the transactional-
+    * sink primitive an at-least-once caller (foreachBatch epoch replay)
+    * needs for EXACTLY-ONCE non-idempotent writes, checked under the
+    * flip-lock so concurrent same-tag publishers can't both land.
+    * Tags live and die with their version directory: [[vacuum]]ing past
+    * the caller's replay horizon forfeits replay detection for the
+    * vacuumed epochs (streams replay only their most recent epoch, so
+    * any keep ≥ 1 horizon is safe in practice). */
+  def versionTags(root: String): Map[Long, String] = {
+    val d = Paths.get(root)
+    if (!Files.exists(d)) Map.empty
+    else {
+      val stream = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.flatMap { p =>
+          val name = p.getFileName.toString
+          if (!name.startsWith("v")) None
+          else name.drop(1).toLongOption.flatMap { v =>
+            val t = p.resolve(TagFile)
+            if (Files.exists(t))
+              Some(v -> new String(Files.readAllBytes(t),
+                StandardCharsets.UTF_8))
+            else None
+          }
+        }.toMap
+      } finally stream.close()
+    }
+  }
+
+  private def taggedVersion(root: String, tag: Option[String]): Option[Long] =
+    tag.flatMap(t => versionTags(root).collectFirst {
+      case (v, vt) if vt == t => v
+    })
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+
   /** Highest version present, whether or not CURRENT points at it. */
   private def maxVersion(root: String): Long = {
     val d = Paths.get(root)
@@ -304,22 +354,31 @@ object SnapshotStore {
     * computes the identical assignment. Same atomic publish contract as
     * [[publish]]. */
   def publishBucketed(df: DataFrame, root: String, keyCol: String,
-      nBuckets: Int): Long = {
+      nBuckets: Int, tag: Option[String] = None): Long = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(df.columns.contains(keyCol), s"missing key column $keyCol")
     require(!df.columns.contains("_bucket"), "_bucket is reserved")
+    val alreadyApplied = taggedVersion(root, tag)
+    if (alreadyApplied.isDefined) return alreadyApplied.get
     writeBucketSpec(root, keyCol, nBuckets)
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     df.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
+    tag.foreach(t => Files.write(staging.resolve(TagFile),
+      t.getBytes(StandardCharsets.UTF_8)))
     withFlipLock(root) {
-      val next = maxVersion(root) + 1
-      Files.move(staging, Paths.get(root, s"v$next"),
-        StandardCopyOption.ATOMIC_MOVE)
-      advancePointerLocked(root, next)
-      next
+      taggedVersion(root, tag) match {
+        case Some(v) => // a concurrent same-tag publisher won the race
+          deleteRecursively(staging); v
+        case None =>
+          val next = maxVersion(root) + 1
+          Files.move(staging, Paths.get(root, s"v$next"),
+            StandardCopyOption.ATOMIC_MOVE)
+          advancePointerLocked(root, next)
+          next
+      }
     }
   }
 
@@ -355,10 +414,18 @@ object SnapshotStore {
     * caller saves one job; a false claim makes BOTH rows land, the
     * documented garbage-in case).
     *
+    * Pass `tag` for NON-idempotent batches (e.g. additive aggregate
+    * deltas) applied from an at-least-once caller: a merge whose tag is
+    * already recorded on any version returns that version without
+    * re-applying — see [[versionTags]]. A tagged EMPTY batch stays the
+    * untagged no-op (its replay is empty too, so nothing can double).
+    *
     * Returns the published version number. */
   def merge(batch: DataFrame, root: String, baseVersion: Long = 0L,
-      keysAreDistinct: Boolean = false): Long = {
+      keysAreDistinct: Boolean = false, tag: Option[String] = None): Long = {
     val spark = batch.sparkSession
+    val alreadyApplied = taggedVersion(root, tag)
+    if (alreadyApplied.isDefined) return alreadyApplied.get
     val (keyCol, nBuckets) = readBucketSpec(root).getOrElse(
       throw new IllegalStateException(
         s"$root is not a bucketed store; bootstrap with publishBucketed"))
@@ -390,6 +457,8 @@ object SnapshotStore {
     survivors.unionByName(batchB)
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
+    tag.foreach(t => Files.write(staging.resolve(TagFile),
+      t.getBytes(StandardCharsets.UTF_8)))
     // carry untouched buckets over as hardlinks (fall back to copy on
     // filesystems without link support)
     (0 until nBuckets).filterNot(touched).foreach { k =>
@@ -415,16 +484,21 @@ object SnapshotStore {
       }
     }
     withFlipLock(root) {
-      val cur = currentVersion(root)
-      if (cur != base)
-        throw new IllegalStateException(
-          s"stale merge: computed against v$base but CURRENT is v$cur " +
-            s"under $root; re-run the merge against the new base")
-      val next = maxVersion(root) + 1
-      Files.move(staging, Paths.get(root, s"v$next"),
-        StandardCopyOption.ATOMIC_MOVE)
-      advancePointerLocked(root, next)
-      next
+      taggedVersion(root, tag) match {
+        case Some(v) => // a concurrent same-tag merger won the race
+          deleteRecursively(staging); v
+        case None =>
+          val cur = currentVersion(root)
+          if (cur != base)
+            throw new IllegalStateException(
+              s"stale merge: computed against v$base but CURRENT is v$cur " +
+                s"under $root; re-run the merge against the new base")
+          val next = maxVersion(root) + 1
+          Files.move(staging, Paths.get(root, s"v$next"),
+            StandardCopyOption.ATOMIC_MOVE)
+          advancePointerLocked(root, next)
+          next
+      }
     }
   }
 

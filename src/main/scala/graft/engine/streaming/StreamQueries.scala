@@ -606,11 +606,16 @@ object StreamQueries {
         .filter(col(Jsonl.corruptCol).isNull)
         .select(col("event_type"), col("value"))
         .writeStream.outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // foreachBatch is at-least-once and addition is not idempotent:
+          // the per-batch tag makes a replayed committed epoch a no-op
+          // (recorded atomically with the version flip)
           IncrementalAgg.refresh(batch, root,
-            keyCol = "event_type", valueCol = "value", nBuckets = 8)
+            keyCol = "event_type", valueCol = "value", nBuckets = 8,
+            tag = Some(s"batch-$batchId"))
           ()
         }
+        .option("checkpointLocation", s"$base/ckpt")
         .start()
       try q.processAllAvailable() finally q.stop()
       IncrementalAgg.read(spark, root)

@@ -8,9 +8,11 @@ import graft.tools.{PlanAudit, PlanCaptureUtil}
 
 /** IncrementalAgg contracts: refresh-by-refresh maintenance equals a full
   * recompute (nulls and all-null groups included), versions accumulate
-  * and time-travel, key mismatches are refused, and — the scale posture —
-  * a refresh whose delta touches one bucket reads the store through a
-  * `_bucket` membership filter, audited on the actually-executed plans. */
+  * and time-travel, key mismatches are refused, tagged replays are
+  * exactly-once (addition is NOT idempotent — the tag guard is what makes
+  * an at-least-once caller safe), and — the scale posture — a refresh
+  * whose delta touches one bucket reads the store through a `_bucket`
+  * membership filter, audited on the actually-executed plans. */
 class IncrementalAggSpec extends AnyFunSuite {
   import spark.implicits._
 
@@ -71,6 +73,24 @@ class IncrementalAggSpec extends AnyFunSuite {
       .filter(col("k") === "key1").collect().head
     assert(updated.getLong(1) == 3L &&
       updated.getDecimal(2).doubleValue() == 13.0)
+  }
+
+  test("a replayed tagged refresh is exactly-once: no double-add") {
+    val root = freshRoot("replay")
+    val b0 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val b1 = Seq(("a", 10.0)).toDF("k", "v")
+    IncrementalAgg.refresh(b0, root, "k", "v", tag = Some("batch-0"))
+    IncrementalAgg.refresh(b1, root, "k", "v", tag = Some("batch-1"))
+    // the at-least-once replays: same data, same tags — all no-ops
+    IncrementalAgg.refresh(b1, root, "k", "v", tag = Some("batch-1"))
+    IncrementalAgg.refresh(b0, root, "k", "v", tag = Some("batch-0"))
+    assert(SnapshotStore.currentVersion(root) == 2L,
+      "replays must mint no versions")
+    val out = IncrementalAgg.read(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue()))
+      .toMap
+    assert(out == Map("a" -> ((2L, 11.0)), "b" -> ((1L, 2.0))),
+      s"replay double-added: $out")
   }
 
   test("refreshing with the wrong key column is refused") {

@@ -217,6 +217,33 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, r).count() == 1L)
   }
 
+  test("tagged publish/merge: an already-applied tag is returned, not " +
+      "re-applied — the at-least-once replay guard") {
+    val r = root()
+    // tagged bootstrap: replaying it returns v1 and writes nothing
+    val v1 = SnapshotStore.publishBucketed(
+      Seq((1L, 10.0)).toDF("id", "v"), r, "id", 4, tag = Some("batch-0"))
+    assert(v1 == 1L)
+    assert(SnapshotStore.publishBucketed(
+      Seq((1L, 999.0)).toDF("id", "v"), r, "id", 4, tag = Some("batch-0")) == 1L,
+      "replayed tagged bootstrap must return the applied version")
+    // tagged merge applied twice: second call is a version-stable no-op
+    val v2 = SnapshotStore.merge(Seq((2L, 20.0)).toDF("id", "v"), r,
+      tag = Some("batch-1"))
+    assert(v2 == 2L)
+    assert(SnapshotStore.merge(Seq((2L, 777.0)).toDF("id", "v"), r,
+      tag = Some("batch-1")) == 2L)
+    assert(SnapshotStore.currentVersion(r) == 2L)
+    val out = SnapshotStore.read(spark, r).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(out == Map(1L -> 10.0, 2L -> 20.0),
+      s"replays must not re-apply or overwrite; got $out")
+    assert(SnapshotStore.versionTags(r) == Map(1L -> "batch-0", 2L -> "batch-1"))
+    // untagged writes still mint versions freely alongside tagged ones
+    assert(SnapshotStore.merge(Seq((3L, 30.0)).toDF("id", "v"), r) == 3L)
+    assert(SnapshotStore.versionTags(r).keySet == Set(1L, 2L))
+  }
+
   test("merge: a rival pinned to a stale base fails the flip-lock re-check " +
       "without flipping; its retry against CURRENT lands both changes") {
     val r = root()

@@ -536,4 +536,69 @@ class StreamingSpec extends AnyFunSuite {
       "gamma text unique three"),
       "published dup dropped by cross-version dedup; new doc kept")
   }
+
+  test("streaming incremental-agg restart/replay: a replayed committed " +
+      "epoch does NOT double-add (tagged exactly-once on an " +
+      "at-least-once engine)") {
+    import graft.engine.sources.{IncrementalAgg, Jsonl, SnapshotStore}
+    val base = java.nio.file.Files.createTempDirectory("magg_restart").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    def put(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/in/$name"),
+        java.util.Arrays.asList(lines: _*),
+        java.nio.charset.StandardCharsets.UTF_8)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val root = s"$base/store/agg"
+    def run(): Unit = {
+      val q = Jsonl.readJsonlStream(spark, s"$base/in", schema,
+          Map("maxFilesPerTrigger" -> "1"))
+        .filter(col(Jsonl.corruptCol).isNull).select(col("k"), col("v"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          IncrementalAgg.refresh(b, root, "k", "v", nBuckets = 4,
+            tag = Some(s"batch-$id"))
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def agg(): Map[String, (Long, Double)] =
+      IncrementalAgg.read(spark, root).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    // session 1: two one-file ticks
+    put("a.jsonl", """{"k":"x","v":1.5}""", """{"k":"y","v":2.0}""")
+    put("b.jsonl", """{"k":"x","v":10.0}""")
+    run()
+    val expected = Map("x" -> ((2L, 11.5)), "y" -> ((1L, 2.0)))
+    assert(agg() == expected)
+    val vAfter = SnapshotStore.currentVersion(root)
+    // kill the last epoch's commit marker: the restart re-executes that
+    // batch with the SAME data and batchId — the tag must absorb it
+    val lastCommit = java.nio.file.Files
+      .list(java.nio.file.Paths.get(s"$base/ckpt", "commits"))
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .sorted(java.util.Comparator.comparingLong[java.nio.file.Path](
+        p => p.getFileName.toString.toLong))
+      .reduce((_, b) => b).orElseThrow()
+    assert(java.nio.file.Files.deleteIfExists(lastCommit))
+    java.nio.file.Files.deleteIfExists(lastCommit.resolveSibling(
+      s".${lastCommit.getFileName}.crc"))
+    run()
+    assert(agg() == expected,
+      s"replayed epoch double-added: ${agg()} (additive refresh without " +
+        "the tag guard would read x -> (3, 21.5))")
+    assert(SnapshotStore.currentVersion(root) == vAfter,
+      "replay must mint no version")
+    // session 3: new data continues normally after the replay
+    put("c.jsonl", """{"k":"y","v":0.5}""")
+    run()
+    assert(agg() == Map("x" -> ((2L, 11.5)), "y" -> ((2L, 2.5))))
+    assert(SnapshotStore.currentVersion(root) == vAfter + 1)
+  }
 }
