@@ -430,6 +430,37 @@ object StatsQueries {
       GROUP BY view_id ORDER BY view_id"""),
     doc = "interval-overlap range join via per-bin explode + claim-bin dedup")
 
+  /** q100 — ANALYZE-style one-pass table profile
+    * ([[graft.engine.relational.TableStats]]): per-column rows/non-nulls/
+    * NDV/min/max over documents in a single scan (exact NDV here so the
+    * DuckDB twin is bit-comparable; the approx default is the scale
+    * path — see the operator's scaladoc for the expand-cost rationale). */
+  val q100 = GraftQuery(
+    "q100_table_stats",
+    (spark, sfDir) => {
+      TableStats.profile(Tables.documents(spark, sfDir),
+          Seq("doc_id", "lang", "source", "n_chars"), exactNdv = true)
+        .orderBy(col("column_name"))
+    },
+    Some("""SELECT column_name, n_rows, n_nonnull, ndv, min_str, max_str
+      FROM (
+        SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
+          COUNT(doc_id) AS n_nonnull, COUNT(DISTINCT doc_id) AS ndv,
+          CAST(MIN(doc_id) AS VARCHAR) AS min_str,
+          CAST(MAX(doc_id) AS VARCHAR) AS max_str FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang),
+          MIN(lang), MAX(lang) FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source),
+          MIN(source), MAX(source) FROM documents
+        UNION ALL
+        SELECT 'n_chars', COUNT(*), COUNT(n_chars), COUNT(DISTINCT n_chars),
+          CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+          FROM documents
+      ) t ORDER BY column_name"""),
+    doc = "one-pass ANALYZE: per-column rows/non-nulls/NDV/min/max, long format")
+
   def queries: Seq[GraftQuery] =
-    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97)
+    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100)
 }
