@@ -461,6 +461,62 @@ object StatsQueries {
       ) t ORDER BY column_name"""),
     doc = "one-pass ANALYZE: per-column rows/non-nulls/NDV/min/max, long format")
 
+  /** q101 — INCREMENTAL ANALYZE ([[TableStats.refreshProfile]]): the q100
+    * profile maintained across three append batches without re-scanning
+    * history — counts add, native-typed min/max merge monotonically, NDV
+    * merges as HLL sketch columns (q93's machinery folded into the
+    * maintenance loop). Exact fields must equal a full recompute (the
+    * DuckDB twin); the sketch NDV is pinned by the same 5%-of-exact
+    * contract boolean x28/q93 use, with the exact side computed in its
+    * own aggregation. */
+  val q101 = GraftQuery(
+    "q101_incremental_stats",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q101_prof_${ProcessHandle.current().pid()}/tbl"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id") +: cols.drop(1).map(col): _*)
+      for (r <- 0 until 3)
+        TableStats.refreshProfile(docs.filter(col("doc_id") % 3 === r),
+          root, cols)
+      val exact = TableStats.profile(docs, cols, exactNdv = true)
+        .select(col("column_name"), col("ndv").as("_exact_ndv"))
+      TableStats.readProfile(spark, root)
+        .join(exact, Seq("column_name"))
+        .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+          col("min_str"), col("max_str"),
+          (abs(col("ndv_est") - col("_exact_ndv"))
+            <= col("_exact_ndv") * 0.05).as("ndv_in_contract"))
+        .orderBy(col("column_name"))
+    },
+    Some("""SELECT column_name, n_rows, n_nonnull, min_str, max_str,
+        TRUE AS ndv_in_contract
+      FROM (
+        SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
+          COUNT(doc_id) AS n_nonnull,
+          CAST(MIN(doc_id) AS VARCHAR) AS min_str,
+          CAST(MAX(doc_id) AS VARCHAR) AS max_str FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*), COUNT(lang), MIN(lang), MAX(lang)
+          FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*), COUNT(source), MIN(source), MAX(source)
+          FROM documents
+        UNION ALL
+        SELECT 'n_chars', COUNT(*), COUNT(n_chars),
+          CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+          FROM documents
+      ) t ORDER BY column_name"""),
+    doc = "incremental ANALYZE: mergeable profile maintenance == full recompute")
+
   def queries: Seq[GraftQuery] =
-    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100)
+    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101)
 }

@@ -52,4 +52,99 @@ object TableStats {
     df.agg(array(rows: _*).as("_stats"))
       .select(inline(col("_stats")))
   }
+
+  // ---- incremental ANALYZE: profile maintenance at delta cost ----------
+
+  /** Fold a batch into a maintained profile store at `root` — the
+    * incremental ANALYZE: per-column statistics stay current under
+    * appends WITHOUT ever re-scanning history. Every component is chosen
+    * to be mergeable:
+    *
+    *  - counts are additive;
+    *  - min/max are monotone under union (kept in their NATIVE type —
+    *    `least`/`greatest` on a string-cast would order "10" < "9");
+    *  - NDV is a Datasketches HLL sketch column (`hll_sketch_agg` /
+    *    `hll_union`, q93's machinery) — fixed-width state that merges
+    *    exactly like the counts do.
+    *
+    * The store is a column_name-keyed bucketed [[graft.engine.sources.SnapshotStore]]
+    * (one row per profiled column — tiny at any corpus size; the DATA
+    * scanned per refresh is the batch, once). Addition is not
+    * idempotent, so at-least-once callers pass `tag` exactly as with
+    * [[graft.engine.sources.IncrementalAgg.refresh]]. */
+  def refreshProfile(batch: DataFrame, root: String, cols: Seq[String],
+      tag: Option[String] = None, nBuckets: Int = 4): Long = {
+    import graft.engine.sources.SnapshotStore
+    val applied = tag.flatMap(t =>
+      SnapshotStore.versionTags(root).collectFirst { case (v, vt) if vt == t => v })
+    if (applied.isDefined) return applied.get
+    val delta = batchProfile(batch, cols)
+    if (SnapshotStore.currentVersion(root) == 0L)
+      SnapshotStore.publishBucketed(delta, root, "column_name", nBuckets,
+        tag = tag)
+    else {
+      val existing = SnapshotStore.read(batch.sparkSession, root)
+        .drop("_bucket")
+        .select(col("column_name") +: StatCols.map(c => col(c).as(s"_old_$c")): _*)
+      val updated = delta.join(existing, Seq("column_name"), "left_outer")
+        .select(col("column_name"),
+          (col("n_rows") + coalesce(col("_old_n_rows"), lit(0L))).as("n_rows"),
+          (col("n_nonnull") + coalesce(col("_old_n_nonnull"), lit(0L)))
+            .as("n_nonnull"),
+          least(col("min_long"), col("_old_min_long")).as("min_long"),
+          greatest(col("max_long"), col("_old_max_long")).as("max_long"),
+          least(col("min_str"), col("_old_min_str")).as("min_str"),
+          greatest(col("max_str"), col("_old_max_str")).as("max_str"),
+          when(col("_old_hll").isNull, col("hll"))
+            .when(col("hll").isNull, col("_old_hll"))
+            .otherwise(hll_union(col("hll"), col("_old_hll"))).as("hll"))
+      SnapshotStore.merge(updated, root, keysAreDistinct = true, tag = tag)
+    }
+  }
+
+  /** The maintained profile: per column rows/non-nulls/NDV-estimate and
+    * min/max rendered as strings (from the native-typed stored values). */
+  def readProfile(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    graft.engine.sources.SnapshotStore.read(spark, root)
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        when(col("hll").isNull, lit(0L))
+          .otherwise(hll_sketch_estimate(col("hll")).cast("long")).as("ndv_est"),
+        coalesce(col("min_long").cast("string"), col("min_str")).as("min_str"),
+        coalesce(col("max_long").cast("string"), col("max_str")).as("max_str"))
+
+  private val StatCols = Seq("n_rows", "n_nonnull", "min_long", "max_long",
+    "min_str", "max_str", "hll")
+
+  /** One-scan per-batch partial profile in MERGEABLE form: typed min/max
+    * (the other type's pair is null) and an HLL sketch per column. An
+    * all-null column yields a null sketch — normalized by the merge's
+    * null-safe union and by [[readProfile]]'s estimate (0). */
+  private def batchProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"no such columns: ${bad.mkString(", ")}")
+    import org.apache.spark.sql.types._
+    val rows = cols.map { c =>
+      val dt = df.schema(c).dataType
+      val integral = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(dt)
+      require(integral || dt == StringType,
+        s"profile supports string/integral columns; '$c' is $dt")
+      val (minL, maxL, minS, maxS) =
+        if (integral)
+          (min(col(c)).cast(LongType), max(col(c)).cast(LongType),
+            lit(null).cast(StringType), lit(null).cast(StringType))
+        else
+          (lit(null).cast(LongType), lit(null).cast(LongType),
+            min(col(c)), max(col(c)))
+      struct(lit(c).as("column_name"),
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        minL.as("min_long"), maxL.as("max_long"),
+        minS.as("min_str"), maxS.as("max_str"),
+        hll_sketch_agg(col(c)).as("hll"))
+    }
+    df.agg(array(rows: _*).as("_stats")).select(inline(col("_stats")))
+  }
 }

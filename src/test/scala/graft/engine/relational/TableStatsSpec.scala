@@ -46,6 +46,30 @@ class TableStatsSpec extends AnyFunSuite {
       "long format must come from inline, not a per-column UNION of scans")
   }
 
+  test("incremental profile == one-shot profile, across type-mixed " +
+      "batches, with tagged replay absorbed") {
+    val root = java.nio.file.Files
+      .createTempDirectory("tablestats_inc").toString + "/tbl"
+    // batch 2 extends both ranges and adds nulls; key orders differ from
+    // string order (10 < 9 as longs, "10" < "9" as strings — the typed
+    // min/max path is what keeps this correct)
+    val b0 = Seq((9L, Some("m")), (10L, Some("b"))).toDF("id", "s")
+    val b1 = Seq((2L, None), (40L, Some("z"))).toDF("id", "s")
+    val b2 = Seq((1L, Some("a"))).toDF("id", "s")
+    TableStats.refreshProfile(b0, root, Seq("id", "s"), tag = Some("t0"))
+    TableStats.refreshProfile(b1, root, Seq("id", "s"), tag = Some("t1"))
+    TableStats.refreshProfile(b2, root, Seq("id", "s"), tag = Some("t2"))
+    TableStats.refreshProfile(b1, root, Seq("id", "s"), tag = Some("t1")) // replay
+    val got = TableStats.readProfile(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(got("id") == ((5L, 5L, 5L, "1", "40")),
+      s"typed long min/max must not be string-ordered: ${got("id")}")
+    assert(got("s") == ((5L, 4L, 4L, "a", "z")))
+    assert(graft.engine.sources.SnapshotStore.currentVersion(root) == 3L,
+      "the replayed tagged refresh must mint no version")
+  }
+
   test("float columns and unknown columns are refused") {
     val f = Seq((1L, 1.5)).toDF("id", "d")
     assert(intercept[IllegalArgumentException] {
