@@ -80,4 +80,42 @@ class SparkPropertySpec extends AnyFunSuite {
       assert(small.subsetOf(big), s"fraction $lo not nested in $hi")
     }
   }
+
+  test("property: binned range joins == naive theta joins for arbitrary " +
+      "intervals and bin widths") {
+    import graft.engine.relational.RangeJoin
+    // coordinates straddle zero and bin boundaries; widths vary per sample
+    val coordGen = Gen.choose(-50L, 50L)
+    val caseGen = for {
+      pts <- Gen.listOfN(30, coordGen)
+      ivs <- Gen.nonEmptyListOf(Gen.zip(coordGen, Gen.choose(0L, 25L)))
+      w <- Gen.oneOf(1L, 3L, 7L, 10L, 64L)
+    } yield (pts, ivs.take(12), w)
+    samples(caseGen, 5).foreach { case (pts, ivs, w) =>
+      val points = pts.zipWithIndex.map { case (p, i) => (s"p$i", p) }
+        .toDF("p_id", "p_v")
+      val intervals = ivs.zipWithIndex
+        .map { case ((s, len), i) => (s"i$i", s, s + len) }
+        .toDF("iv_id", "s_v", "e_v")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("iv_id", "p_id").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      val naive = points.join(intervals,
+        col("s_v") <= col("p_v") && col("p_v") < col("e_v"))
+      val binned = RangeJoin.pointInInterval(points, intervals,
+        "p_v", "s_v", "e_v", binWidth = w)
+      assert(pairs(binned) == pairs(naive), s"w=$w ivs=$ivs")
+      // overlap: self-join the interval set against a shifted copy
+      val rhs = intervals.select(col("iv_id").as("r_id"),
+        (col("s_v") - 3L).as("rs"), (col("e_v") + 2L).as("re"))
+      def opairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("iv_id", "r_id").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      val onaive = intervals.join(rhs,
+        col("s_v") < col("re") && col("rs") < col("e_v"))
+      val obinned = RangeJoin.intervalOverlap(intervals, rhs,
+        "s_v", "e_v", "rs", "re", binWidth = w)
+      assert(opairs(obinned) == opairs(onaive), s"overlap w=$w ivs=$ivs")
+    }
+  }
 }
