@@ -630,6 +630,50 @@ object StreamQueries {
       FROM events GROUP BY event_type ORDER BY event_type"""),
     doc = "streaming materialized view: per-tick delta-cost aggregate maintenance")
 
+  /** x61 — the binned range join under the MICRO-BATCH engine: streaming
+    * events (file-source readStream, no driver replay) range-joined
+    * against the STATIC view-window table — the stream-static enrichment
+    * shape where the enrichment key is an interval, not an equality.
+    * [[graft.engine.relational.RangeJoin.pointInInterval]] works on the
+    * unbounded side unchanged because it only adds a narrow bin column
+    * before a plain stream-static equi-join; the per-window aggregate is
+    * batch-boundary invariant (counts add, decimal sums are
+    * order-independent), and the final left-join back to the window list
+    * runs as a batch step over the complete-mode sink. Shares q96's
+    * DuckDB oracle verbatim — the streamed execution is value-verified
+    * equivalent to the batch plan, the q51/q92 pattern. */
+  val x61 = GraftQuery(
+    "x61_stream_range_join",
+    (spark, sfDir) => {
+      import graft.engine.relational.RangeJoin
+      val ev = Tables.events(spark, sfDir)
+      val windows = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            expr("CAST(FLOOR(value * 10) AS BIGINT)") * 1000000L).as("e_us"))
+      val streamPoints = Tables.eventsStream(spark, sfDir)
+        .select(col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+      val name = s"x61_out_${System.nanoTime()}"
+      val q = RangeJoin
+        .pointInInterval(streamPoints, windows, "p_us", "s_us", "e_us",
+          binWidth = 3600L * 1000000L)
+        .groupBy(col("view_id"))
+        .agg(graft.engine.relational.Exact.lcount().as("n_hits"),
+          graft.engine.relational.Exact.dsum(col("p_value")).as("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      windows.select(col("view_id"))
+        .join(spark.table(name), Seq("view_id"), "left_outer")
+        .select(col("view_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("sum_value"))
+        .orderBy(col("view_id"))
+    },
+    graft.engine.relational.StatsQueries.q96.oracle,
+    doc = "stream-static binned range join == batch q96 (shared oracle)")
+
   def queries: Seq[GraftQuery] =
-    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, q58, q80, q94)
+    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, q58, q80, q94)
 }
