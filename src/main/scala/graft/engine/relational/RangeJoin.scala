@@ -89,6 +89,21 @@ object RangeJoin {
       .drop(BinCol)
   }
 
+  /** Telemetry for the binWidth dial (the incrementalCapOverflow pattern:
+    * measure the regime before trusting the plan): per-bin interval
+    * occupancy, descending. A handful of bins carrying most intervals
+    * means within-bin pairing degenerates toward the naive join for rows
+    * in those bins — widen/narrow `binWidth` toward the typical span, or
+    * pre-split the hot range, until the top counts flatten. Runs as one
+    * aggregation over the exploded bins (the same rows the join would
+    * shuffle), so probing costs no more than one pass of the build side. */
+  def binOccupancy(intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long, maxBinsPerInterval: Int = 4096): DataFrame =
+    explodeBins(intervals, startCol, endCol, binWidth, maxBinsPerInterval)
+      .groupBy(col(BinCol).as("bin"))
+      .agg(count(lit(1)).as("n_intervals"))
+      .orderBy(col("n_intervals").desc, col("bin"))
+
   private val BinCol = "_rj_bin"
 
   private def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {

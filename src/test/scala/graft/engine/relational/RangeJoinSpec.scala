@@ -71,6 +71,19 @@ class RangeJoinSpec extends AnyFunSuite {
       "overlap sanity: wide×wide overlaps; empty interval acts as an instant")
   }
 
+  test("binOccupancy reports per-bin interval load, hot bins first") {
+    val occ = RangeJoin.binOccupancy(intervals, "s_v", "e_v", binWidth = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // binning is TRUNCATING div (monotone; -7 div 10 = 0, not floor's -1):
+    // i_neg [-23,-7) → -2..0, i_zero → 0, i_empty → 0, i_unit → 0,
+    // i_wide [-20,19) → -2..1, i_edge [10,20) → 1..2, i_far → 100..101
+    assert(occ.toMap == Map(-2L -> 2L, -1L -> 2L, 0L -> 5L, 1L -> 2L,
+      2L -> 1L, 100L -> 1L, 101L -> 1L))
+    assert(occ.head == (0L -> 5L), "hot bin must sort first")
+    val counts = occ.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("a mega-interval fails fast instead of exploding") {
     val mega = Seq(("huge", 0L, 10_000_000L)).toDF("iv_id", "s_v", "e_v")
     val ex = intercept[Exception] {
