@@ -52,13 +52,25 @@ object RangeJoin {
 
   /** Rows of `points` paired with every row of `intervals` whose
     * `[startCol, endCol)` contains `pointCol`. Output carries both sides'
-    * columns; each qualifying pair appears exactly once. */
+    * columns; each qualifying pair appears exactly once.
+    *
+    * `broadcastIntervals = true` is the DIMENSION-interval regime
+    * (calendar windows, maintenance windows, holiday tables — interval
+    * sets that are broadcast-sized after exploding): the exploded
+    * interval side ships to every executor and the join becomes a
+    * broadcast hash join on the bin key, so the fact/point side — the
+    * 100 TB side — NEVER shuffles (q102 pins that with a plan-contract
+    * boolean). Leave it false when intervals are corpus-sized; the
+    * default shuffle equi-join partitions both sides by bin. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
-      binWidth: Long, maxBinsPerInterval: Int = 4096): DataFrame = {
+      binWidth: Long, maxBinsPerInterval: Int = 4096,
+      broadcastIntervals: Boolean = false): DataFrame = {
     requireDisjoint(points, intervals)
     val p = points.withColumn(BinCol, expr(s"`$pointCol` div ${binWidth}L"))
-    val iv = explodeBins(intervals, startCol, endCol, binWidth, maxBinsPerInterval)
+    val ivPlain =
+      explodeBins(intervals, startCol, endCol, binWidth, maxBinsPerInterval)
+    val iv = if (broadcastIntervals) broadcast(ivPlain) else ivPlain
     p.alias("_rj_p").join(iv.alias("_rj_i"),
         col(s"_rj_p.$BinCol") === col(s"_rj_i.$BinCol") &&
           col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))

@@ -517,6 +517,44 @@ object StatsQueries {
       ) t ORDER BY column_name"""),
     doc = "incremental ANALYZE: mergeable profile maintenance == full recompute")
 
+  /** q102 — the DIM-INTERVAL regime of the range join: same semantics as
+    * q96 (shared oracle, the q51/q92 value-equivalence pattern) but with
+    * the exploded window table broadcast, so the point side contributes
+    * ZERO shuffle to the join — at 100 TB the fact stream flows straight
+    * from scan to broadcast-hash-join to partial aggregation.
+    * `points_unshuffled` is computed honestly from the executed join
+    * plan (no ShuffleExchange anywhere below the join: the broadcast
+    * side distributes via BroadcastExchange, the point side is scan →
+    * project) and pinned TRUE by the oracle. */
+  val q102 = GraftQuery(
+    "q102_range_join_broadcast",
+    (spark, sfDir) => {
+      val ev = Tables.events(spark, sfDir)
+      val points = ev.select(col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+      val windows = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            expr("CAST(FLOOR(value * 10) AS BIGINT)") * 1000000L).as("e_us"))
+      val joined = RangeJoin.pointInInterval(points, windows,
+        "p_us", "s_us", "e_us", binWidth = 3600L * 1000000L,
+        broadcastIntervals = true)
+      val pointsUnshuffled = Bucketed.shuffleCount(joined) == 0
+      windows.select(col("view_id"))
+        .join(joined.groupBy(col("view_id"))
+            .agg(lcount().as("n_hits"), dsum(col("p_value")).as("sum_value")),
+          Seq("view_id"), "left_outer")
+        .select(col("view_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("sum_value"),
+          lit(pointsUnshuffled).as("points_unshuffled"))
+        .orderBy(col("view_id"))
+    },
+    q96.oracle.map(_.replace(
+      "SELECT view_id, COUNT(p_id) AS n_hits,",
+      "SELECT view_id, COUNT(p_id) AS n_hits, TRUE AS points_unshuffled,")),
+    doc = "broadcast-interval range join: fact side never shuffles, plan-pinned")
+
   def queries: Seq[GraftQuery] =
-    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101)
+    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101, q102)
 }

@@ -84,6 +84,21 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("broadcastIntervals: same pairs, broadcast hash join, point side " +
+      "unshuffled") {
+    val binned = RangeJoin.pointInInterval(points, intervals,
+      "p_v", "s_v", "e_v", binWidth = 10L, broadcastIntervals = true)
+    val naive = points.join(intervals,
+      col("s_v") <= col("p_v") && col("p_v") < col("e_v"))
+    assert(collectPairs(binned, "iv_id", "p_id") ==
+      collectPairs(naive, "iv_id", "p_id"))
+    val plan = binned.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join:\n$plan")
+    assert(Bucketed.shuffleCount(binned) == 0,
+      "the point side must reach the join without any shuffle exchange")
+  }
+
   test("a mega-interval fails fast instead of exploding") {
     val mega = Seq(("huge", 0L, 10_000_000L)).toDF("iv_id", "s_v", "e_v")
     val ex = intercept[Exception] {
