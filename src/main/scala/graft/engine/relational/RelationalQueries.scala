@@ -981,6 +981,146 @@ object RelationalQueries {
       FROM documents GROUP BY source ORDER BY source"""),
     doc = "incremental aggregate maintenance: delta-cost refresh == full recompute")
 
+  /** q104 — bucketed-store LIFECYCLE: merge-driven fragmentation →
+    * [[graft.engine.sources.SnapshotStore.compact]] → small merge →
+    * [[graft.engine.sources.SnapshotStore.vacuum]]. Every per-tick merge
+    * writes ≥1 fresh file into each touched bucket (x59/x60's steady
+    * state), so file counts grow without bound — the classic small-files
+    * decay. The query bootstraps a store, merges two corpus thirds
+    * (round-robin-repartitioned so buckets are genuinely fragmented),
+    * compacts to ≤1 data file per bucket, applies one more small upsert
+    * (whose untouched buckets HARDLINK into the compacted version), then
+    * vacuums every non-current version — including the compact base the
+    * links point into. Contract booleans, all honest filesystem
+    * observables: `fragmented_before` (some bucket >1 file pre-compact),
+    * `compacted_ok` (every bucket ≤1 file post-compact),
+    * `old_versions_gone` (vacuum really deleted v1..v4). The final read
+    * happens AFTER the vacuum, so the oracle hash-match simultaneously
+    * proves hardlinked carryovers survive deletion of their source dirs
+    * (inode refcount — the POSIX analogue of immutable-file manifest
+    * reuse). */
+  val q104 = GraftQuery(
+    "q104_compact_vacuum",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q104_store_${ProcessHandle.current().pid()}/tbl"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      SnapshotStore.publishBucketed(
+        docs.filter(col("doc_id") % 3 === 0), root, "doc_id", nBuckets = 8)
+      SnapshotStore.merge(docs.filter(col("doc_id") % 3 === 1), root)
+      SnapshotStore.merge(
+        docs.filter(col("doc_id") % 3 === 2).repartition(4), root)
+      def bucketFiles(v: Long): Seq[Int] = (0 until 8).map { k =>
+        val d = java.nio.file.Paths.get(root, s"v$v", s"_bucket=$k")
+        if (!java.nio.file.Files.exists(d)) 0
+        else {
+          val s = java.nio.file.Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.count { f =>
+              val n = f.getFileName.toString
+              n.endsWith(".parquet") && !n.startsWith(".")
+            }
+          } finally s.close()
+        }
+      }
+      val fragmentedBefore = bucketFiles(3L).exists(_ > 1)
+      val vCompact = SnapshotStore.compact(spark, root) // v4
+      val compactedOk = bucketFiles(vCompact).forall(_ <= 1)
+      SnapshotStore.merge(docs.filter(col("doc_id") < 6)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 1000000L).as("n_chars")), root) // v5
+      val dropped = SnapshotStore.vacuum(root, keep = 0)
+      val oldGone = dropped.nonEmpty && (1L to 4L).forall(v =>
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(root, s"v$v")))
+      SnapshotStore.read(spark, root).groupBy(col("source"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .withColumn("fragmented_before", lit(fragmentedBefore))
+        .withColumn("compacted_ok", lit(compactedOk))
+        .withColumn("old_versions_gone", lit(oldGone))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id < 6 THEN n_chars + 1000000
+                      ELSE n_chars END) AS BIGINT) AS sum_chars,
+        TRUE AS fragmented_before, TRUE AS compacted_ok,
+        TRUE AS old_versions_gone
+      FROM documents GROUP BY source ORDER BY source"""),
+    doc = "store lifecycle: fragmentation -> compact -> vacuum, hardlinks survive")
+
+  /** q103 — Z-order clustered layout + file-level min/max skipping
+    * ([[graft.engine.sources.ZOrder]]): events is clustered on the Morton
+    * interleave of (epoch-micros, value-band) and republished with a
+    * one-row-per-file manifest; a middle-decile box query on BOTH columns
+    * then reads only the files whose min/max envelopes touch the box.
+    * The box bounds derive from each column's global min/max with exact
+    * integer arithmetic (`mn + (mx-mn)*45//100`), so the DuckDB twin
+    * computes the identical box straight off the raw table. `pruned` is
+    * the honest skipping observable — selected files ≤ half the manifest
+    * (measured 3/32 at sf0.01; the conservative bound keeps the oracle
+    * stable under range-partitioner sampling jitter) — and correctness
+    * never depends on the manifest: the box filter re-applies to the
+    * surviving files. */
+  val q103 = GraftQuery(
+    "q103_zorder_skipping",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q103_zorder_${ProcessHandle.current().pid()}/tbl"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      import graft.engine.sources.ZOrder
+      val ev = Tables.events(spark, sfDir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("v_k"))
+      ZOrder.clusterWrite(ev, root, "ts_us", "v_k", nFiles = 32)
+      val Array(mm) = ev.agg(min(col("ts_us")), max(col("ts_us")),
+        min(col("v_k")), max(col("v_k"))).collect()
+      def lo(mn: Long, mx: Long) = mn + (mx - mn) * 45L / 100L
+      def hi(mn: Long, mx: Long) = mn + (mx - mn) * 55L / 100L
+      val (tMn, tMx, vMn, vMx) =
+        (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      val (box, filesRead, filesTotal) = ZOrder.readBox(spark, root,
+        "ts_us", lo(tMn, tMx), hi(tMn, tMx),
+        "v_k", lo(vMn, vMx), hi(vMn, vMx))
+      box.groupBy(col("event_type"))
+        .agg(lcount().as("n_box"), dsum(col("value")).as("sum_value"))
+        .withColumn("pruned", lit(filesRead * 2 <= filesTotal))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (
+        SELECT event_type, value, epoch_us(ts) AS ts_us,
+          CAST(FLOOR(value * 1000) AS BIGINT) AS v_k
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      b AS (
+        SELECT MIN(ts_us) AS tmn, MAX(ts_us) AS tmx,
+          MIN(v_k) AS vmn, MAX(v_k) AS vmx FROM e)
+      SELECT event_type, COUNT(*) AS n_box,
+        ${sqlDsum("value")} AS sum_value, TRUE AS pruned
+      FROM e, b
+      WHERE ts_us BETWEEN tmn + (tmx - tmn) * 45 // 100
+                      AND tmn + (tmx - tmn) * 55 // 100
+        AND v_k BETWEEN vmn + (vmx - vmn) * 45 // 100
+                    AND vmn + (vmx - vmn) * 55 // 100
+      GROUP BY event_type ORDER BY event_type"""),
+    doc = "z-order clustering + manifest min/max skipping: 2-D box reads few files")
+
   /** q86 — JSONL sink → source round-trip (the LLM-corpus exchange format,
     * S-surface sibling of q74's parquet snapshot): documents are written as
     * newline-delimited JSON and read back under the DECLARED schema in
@@ -1020,5 +1160,5 @@ object RelationalQueries {
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59, q66, q67, q74, q86, q89, q95, q98, q99)
+    q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104)
 }

@@ -502,6 +502,95 @@ object SnapshotStore {
     }
   }
 
+  /** COMPACT a bucketed store's current version: rewrite only the buckets
+    * whose file count exceeds `maxFilesPerBucket`, hardlink every other
+    * bucket, and publish the result as a new version (content identical —
+    * this is a pure layout operation).
+    *
+    * Why it exists: every [[merge]] writes ≥ 1 fresh file into each bucket
+    * it touches, so an always-on per-tick caller (the x59/x60 streaming
+    * pipelines) fragments its hot buckets without bound — small files are
+    * the classic lakehouse decay mode (per-file open/footer cost starts to
+    * dominate the scan). Compaction is the maintenance half of that
+    * contract, and it follows the same scale posture as merge:
+    *  - the FRAGMENTED bucket set is found from driver-side directory
+    *    listings (bounded by nBuckets + file counts, the same metadata a
+    *    FileIndex holds) — no data job;
+    *  - only fragmented buckets are READ (the `_bucket` partition filter
+    *    prunes at the directory level) and rewritten, one output file per
+    *    bucket (`repartition(k, _bucket)` maps each bucket to exactly one
+    *    task partition — a shuffle of the fragmented subset only);
+    *  - everything else carries over as hardlinks, and the flip happens
+    *    under the same lock + stale-base check as merge, so a concurrent
+    *    publisher can't be silently overwritten (the compacted output is
+    *    content-equal to its BASE — flipping past a newer version would
+    *    resurrect rows that version deleted).
+    *
+    * Returns the new version, or the current version unchanged when no
+    * bucket is fragmented (no-op, nothing minted). Time travel keeps
+    * working: old versions still reference the small files; [[vacuum]]
+    * reclaims them once the horizon passes, and hardlinked carryovers
+    * survive vacuum by inode refcount. */
+  def compact(spark: SparkSession, root: String,
+      maxFilesPerBucket: Int = 1): Long = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val (_, nBuckets) = readBucketSpec(root).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
+    val base = currentVersion(root)
+    require(base > 0, s"no published version under $root")
+    def dataFiles(dir: java.nio.file.Path): Int =
+      if (!Files.exists(dir)) 0
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.count { f =>
+            val n = f.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+        } finally s.close()
+      }
+    val fragmented = (0 until nBuckets).filter(k =>
+      dataFiles(Paths.get(root, s"v$base", s"_bucket=$k")) > maxFilesPerBucket)
+    if (fragmented.isEmpty) return base
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    spark.read.parquet(s"$root/v$base")
+      .filter(col("_bucket").isin(fragmented.map(Int.box): _*))
+      .repartition(fragmented.size, col("_bucket"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
+      .parquet(staging.toString)
+    (0 until nBuckets).filterNot(fragmented.contains).foreach { k =>
+      val src = Paths.get(root, s"v$base", s"_bucket=$k")
+      if (Files.exists(src)) {
+        val dst = staging.resolve(s"_bucket=$k")
+        Files.createDirectories(dst)
+        val stream = Files.list(src)
+        try stream.iterator().forEachRemaining { f =>
+          val t = dst.resolve(f.getFileName)
+          try Files.createLink(t, f)
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally stream.close()
+      }
+    }
+    withFlipLock(root) {
+      val cur = currentVersion(root)
+      if (cur != base)
+        throw new IllegalStateException(
+          s"stale compact: computed against v$base but CURRENT is v$cur " +
+            s"under $root; re-run against the new base")
+      val next = maxVersion(root) + 1
+      Files.move(staging, Paths.get(root, s"v$next"),
+        StandardCopyOption.ATOMIC_MOVE)
+      advancePointerLocked(root, next)
+      next
+    }
+  }
+
   /** Drop version dirs older than the newest `keep` versions behind the
     * current pointer (current itself always survives). Returns the dropped
     * version numbers. */
