@@ -221,7 +221,14 @@ object Streaming {
     * corpus/tick ratio (buckets >> distinct buckets a tick's keys hash
     * into — e.g. 4096 for a corpus thousands of times a tick), or the
     * "per-tick I/O ∝ touched buckets" posture degenerates to a full scan
-    * because every tick touches all 8. */
+    * because every tick touches all 8.
+    *
+    * `compactEvery` (0 = never) runs [[graft.engine.sources.SnapshotStore
+    * .compact]] after every Nth tick's publish, rewriting only buckets
+    * past `compactMaxFilesPerBucket` files — the maintenance half of the
+    * per-tick merge contract (q104): without it, file counts in hot
+    * buckets grow by ≥ 1 per tick forever. Compaction is
+    * content-preserving and no-ops when clean, so replays stay safe. */
   def streamingCuration(spark: org.apache.spark.sql.SparkSession,
       inputDir: String, docSchema: org.apache.spark.sql.types.StructType,
       exBanded: DataFrame, exSigs: DataFrame, exKeys: DataFrame,
@@ -229,9 +236,12 @@ object Streaming {
       threshold: Double = 1.0, maxBucketSize: Int = 10000,
       readOptions: Map[String, String] = Map.empty,
       checkpointDir: Option[String] = None,
-      nBuckets: Int = 8)
+      nBuckets: Int = 8,
+      compactEvery: Int = 0,
+      compactMaxFilesPerBucket: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(nBuckets > 0, "nBuckets must be positive")
+    require(compactEvery >= 0, "compactEvery must be >= 0 (0 = never)")
     if (checkpointDir.isEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         "streamingCuration started WITHOUT a checkpointDir: restart " +
@@ -344,6 +354,18 @@ object Streaming {
             nBuckets = nBuckets)
         else SnapshotStore.merge(survivorsPlan, storeRoot,
           keysAreDistinct = true)
+        // small-files maintenance: every merge writes >= 1 fresh file into
+        // each touched bucket, so an always-on stream fragments its hot
+        // buckets without bound. With compactEvery > 0, every Nth tick
+        // rewrites ONLY the buckets past compactMaxFilesPerBucket (driver
+        // listings find them; `_bucket` directory pruning bounds the read)
+        // and hardlinks the rest — work is bounded by the fragmentation
+        // the threshold admitted, amortized across the N ticks that built
+        // it. Content-preserving, so an at-least-once replay can at worst
+        // mint one extra content-equal layout version (compact no-ops when
+        // every bucket is already under the threshold).
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          SnapshotStore.compact(spark, storeRoot, compactMaxFilesPerBucket)
         ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))

@@ -451,6 +451,71 @@ class StreamingSpec extends AnyFunSuite {
         quarantined)
   }
 
+  test("streaming curation compaction policy: per-tick compact bounds " +
+      "files per bucket without changing the published content") {
+    import graft.engine.llm.Dedup
+    import graft.engine.sources.SnapshotStore
+    val base = java.nio.file.Files.createTempDirectory("curation_compact")
+      .toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    def put(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/in/$name"),
+        java.util.Arrays.asList(lines: _*),
+        java.nio.charset.StandardCharsets.UTF_8)
+    // three ticks, each with fresh docs: every merge writes new files
+    // into the touched buckets of a 2-bucket store, so fragmentation is
+    // structural by tick 3
+    put("a.jsonl", (1 to 6).map(i =>
+      s"""{"doc_id":$i,"text":"tick one doc $i"}"""): _*)
+    put("b.jsonl", (11 to 16).map(i =>
+      s"""{"doc_id":$i,"text":"tick two doc $i"}"""): _*)
+    put("c.jsonl", (21 to 26).map(i =>
+      s"""{"doc_id":$i,"text":"tick three doc $i"}"""): _*)
+    val history = Seq((100L, "unrelated history doc")).toDF("doc_id", "text")
+    val exSigs = Dedup.minHashSignatures(history, "text", "doc_id")
+    val bandTable = s"curation_compact_bands_${System.nanoTime()}"
+    Dedup.publishBandedSignatures(exSigs, bandTable, numBuckets = 4)
+    val exKeys = history.select(col("doc_id").as("id_ex"),
+      Dedup.contentKey(col("text")).as("ck_ex"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val store = s"$base/store/tbl"
+    val q = Streaming.streamingCuration(spark, s"$base/in", schema,
+      spark.table(bandTable), exSigs, exKeys, store, s"$base/quarantine",
+      readOptions = Map("maxFilesPerTrigger" -> "1"),
+      nBuckets = 2, compactEvery = 1, compactMaxFilesPerBucket = 1)
+    try q.processAllAvailable() finally q.stop()
+    // content is exactly the union of the three ticks' docs
+    val kept = SnapshotStore.read(spark, store)
+      .select("text").collect().map(_.getString(0)).toSet
+    val want = ((1 to 6).map(i => s"tick one doc $i") ++
+      (11 to 16).map(i => s"tick two doc $i") ++
+      (21 to 26).map(i => s"tick three doc $i")).toSet
+    assert(kept == want, s"compaction must not change content; got $kept")
+    // the final (post-compact) version holds at most one data file per
+    // bucket — the small-files decay is actually repaired
+    val cur = SnapshotStore.currentVersion(store)
+    (0 until 2).foreach { k =>
+      val d = java.nio.file.Paths.get(store, s"v$cur", s"_bucket=$k")
+      if (java.nio.file.Files.exists(d)) {
+        val s = java.nio.file.Files.list(d)
+        val n = try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))
+        } finally s.close()
+        assert(n <= 1, s"bucket $k still has $n files after compaction")
+      }
+    }
+    // at least one compaction actually did work (3 publishes happened, so
+    // a 2-bucket store must have fragmented at least once)
+    assert(cur > 3L,
+      s"expected compaction versions beyond the 3 publishes, CURRENT=v$cur")
+  }
+
   test("streaming curation restart/replay: a stop/start on the same " +
       "checkpoint + store neither duplicates publishes nor loses " +
       "survivors; a replayed committed epoch is a no-op") {
