@@ -555,6 +555,77 @@ object StatsQueries {
       "SELECT view_id, COUNT(p_id) AS n_hits, TRUE AS points_unshuffled,")),
     doc = "broadcast-interval range join: fact side never shuffles, plan-pinned")
 
+  /** q105 — Misra–Gries heavy hitters, EXACT regime
+    * ([[FrequentItems]]): capacity 64 ≥ NDV(lang) = 5, so no counter is
+    * ever evicted in any partial or merge and the summary equals the full
+    * GROUP BY — the same exactness-pinning pattern as q84 (PQ) / q75
+    * (MinHash): value-level proof of the kernel in the regime where the
+    * approximation provably vanishes. The aggregation itself stays
+    * capacity-bounded at every stage (map-side partials carry ≤ 64
+    * counters per partition), which is the whole point at 100 TB — the
+    * exchange never scales with row count. */
+  val q105 = GraftQuery(
+    "q105_heavy_hitters_exact",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir).filter(col("lang").isNotNull)
+      docs.agg(FrequentItems.frequentItems(64, col("lang")).as("mg"))
+        .select(explode(col("mg")).as(Seq("lang", "est_count")))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS est_count
+      FROM documents WHERE lang IS NOT NULL
+      GROUP BY lang ORDER BY lang"""),
+    doc = "Misra-Gries heavy hitters, exact regime (capacity >= NDV) == GROUP BY")
+
+  /** q106 — Misra–Gries heavy hitters, SKETCH regime: capacity 8 over a
+    * planted-skew item stream (even event ids collapse to one 'hot'
+    * item — exactly half the stream — the rest keep their user id — NDV ≈ 150 at sf0.01, far above
+    * capacity), with every published guarantee pinned as a contract
+    * boolean against an exact census computed in the SAME query:
+    * `no_overcount` (est ≤ true for every tracked item),
+    * `bounded_undercount` (true − est ≤ n/(c+1) counting untracked as 0
+    * — the Agarwal et al. mergeable bound, so it must hold under Spark's
+    * arbitrary partial/merge tree), `hot_item_tracked` (an item holding
+    * ~50% of the stream MUST survive — it exceeds the n/(c+1) eviction
+    * bound by construction), and `tracked_ok` (the summary really holds
+    * ≤ capacity entries). The census-side GROUP BY exists only to AUDIT
+    * the sketch at harness scale; production use ships the map alone. */
+  val q106 = GraftQuery(
+    "q106_heavy_hitters_guarantee",
+    (spark, sfDir) => {
+      val c = 8
+      val items = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(when(col("event_id") % 2 === 0, lit("hot"))
+          .otherwise(col("user_id").cast("string")).as("item"))
+      val mg = items
+        .agg(FrequentItems.frequentItems(c, col("item")).as("mg"))
+        .select(explode(col("mg")).as(Seq("item", "est")))
+      val exact = items.groupBy(col("item")).agg(lcount().as("true_cnt"))
+      val audit = exact.join(mg, Seq("item"), "left_outer")
+        .agg(
+          sum(col("true_cnt")).cast(LongType).as("n_events"),
+          max(when(col("est") > col("true_cnt"), 1L).otherwise(0L))
+            .as("_overcount"),
+          max(col("true_cnt") - coalesce(col("est"), lit(0L)))
+            .as("_max_under"),
+          max(when(col("item") === "hot" && col("est").isNotNull, 1L)
+            .otherwise(0L)).as("_hot_tracked"),
+          sum(when(col("est").isNotNull, 1L).otherwise(0L)).as("_tracked"))
+      audit.select(
+        col("n_events"),
+        (col("_overcount") === 0L).as("no_overcount"),
+        (col("_max_under") * (c + 1) <= col("n_events")).as("bounded_undercount"),
+        (col("_hot_tracked") === 1L).as("hot_item_tracked"),
+        (col("_tracked") <= c).as("tracked_ok"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        TRUE AS no_overcount, TRUE AS bounded_undercount,
+        TRUE AS hot_item_tracked, TRUE AS tracked_ok
+      FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL"""),
+    doc = "Misra-Gries sketch regime: mergeable-bound contract booleans vs exact census")
+
   def queries: Seq[GraftQuery] =
-    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101, q102)
+    Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101,
+      q102, q105, q106)
 }
