@@ -109,6 +109,74 @@ object ZOrder {
       .write.mode(SaveMode.Overwrite).parquet(s"$root/manifest")
   }
 
+  /** APPEND a new batch to an existing clustered layout: the batch is
+    * z-clustered WITHIN ITSELF (scaled by its own min/max — see below),
+    * written as `nFiles` additional data files, and the manifest gains
+    * one row per new file. This is the steady-state write path: a 100 TB
+    * table takes daily appends, each clustered within itself; a full
+    * [[clusterWrite]] re-cluster is the rare maintenance action (same
+    * cost class as q104's compact) once accumulated appends overlap the
+    * base layout enough to degrade skipping.
+    *
+    * Why per-batch scaling is sound: the z-value exists ONLY to cluster
+    * rows within one write — it is never stored and never compared
+    * across batches. Skipping reads use the manifest's RAW per-file
+    * min/max envelopes, which are exact filesystem facts regardless of
+    * how any batch was scaled. A time-ordered append stream even helps:
+    * each day's files envelope that day's timestamp range, so time-range
+    * boxes prune whole appends.
+    *
+    * The new-file set is found by diffing the data listing against the
+    * manifest's known files (driver-side path lists, bounded by file
+    * count — the same metadata a FileIndex holds); stats are computed by
+    * reading ONLY the new files. */
+  def appendCluster(df: DataFrame, root: String, colA: String, colB: String,
+      nFiles: Int, bits: Int = 16): Unit = {
+    require(nFiles >= 1, "nFiles must be positive")
+    val spark = df.sparkSession
+    val known = spark.read.parquet(s"$root/manifest")
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val Array(row) = df.agg(
+      min(col(colA).cast(LongType)), max(col(colA).cast(LongType)),
+      min(col(colB).cast(LongType)), max(col(colB).cast(LongType))).collect()
+    require(!row.anyNull, s"$colA/$colB must be non-null for clustering")
+    val z = interleave(
+      scaled(col(colA), row.getLong(0), row.getLong(1), bits),
+      scaled(col(colB), row.getLong(2), row.getLong(3), bits), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Append).parquet(s"$root/data")
+    // fresh files come from a DIRECTORY LISTING (metadata-only — scanning
+    // the table to discover its own new files would defeat the append's
+    // cost model); names are write-unique, so suffix-matching against the
+    // manifest's URIs is exact
+    val fresh = {
+      val d = java.nio.file.Paths.get(root, "data")
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        val knownFileNames = known.map(u => u.substring(u.lastIndexOf('/') + 1))
+        s.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith(".") &&
+              !knownFileNames.contains(n)
+          }
+          .map(_.toAbsolutePath.toString).toArray
+      } finally s.close()
+    }
+    require(fresh.nonEmpty, "append produced no new files (empty batch?)")
+    spark.read.parquet(fresh.toIndexedSeq: _*)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
+        min(col(colB)).as("min_b"), max(col(colB)).as("max_b"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$root/manifest")
+  }
+
   /** Box read `loA <= colA <= hiA AND loB <= colB <= hiB` with manifest
     * skipping. Returns the filtered DataFrame plus (filesRead,
     * filesTotal) — the honest pruning observable callers pin in contract

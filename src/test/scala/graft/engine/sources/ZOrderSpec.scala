@@ -98,6 +98,40 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-layout skips for the same b-only box ($readZ/$totalSorted)")
   }
 
+  test("appendCluster: per-batch clustering keeps envelopes exact, " +
+      "skipped read == full scan over the union, time-boxes prune appends") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-zorder-append").toString
+    // base: a in [0,99] (day 1); appends: a in [100,199], [200,299] —
+    // DIFFERENT per-batch min/max, so per-batch scaling is exercised
+    def day(lo: Long): org.apache.spark.sql.DataFrame =
+      spark.range(100L * 64L).select(
+        (lit(lo) + col("id") / 64).cast("long").as("a"),
+        pmod(col("id"), lit(64L)).as("b"),
+        (col("id") + lo * 1000).as("payload"))
+    ZOrder.clusterWrite(day(0L), root, "a", "b", nFiles = 4, bits = 8)
+    ZOrder.appendCluster(day(100L), root, "a", "b", nFiles = 4, bits = 8)
+    ZOrder.appendCluster(day(200L), root, "a", "b", nFiles = 4, bits = 8)
+    val all = day(0L).unionByName(day(100L)).unionByName(day(200L))
+    // full-union correctness through the skipped path
+    val (boxDf, _, total) = ZOrder.readBox(spark, root,
+      "a", 0L, 299L, "b", 0L, 63L)
+    assert(total == 12, s"3 batches x 4 files, got $total manifest rows")
+    assert(boxDf.count() == all.count())
+    // a one-day time box must prune the other days' files entirely
+    val (d2, readD2, _) = ZOrder.readBox(spark, root,
+      "a", 100L, 199L, "b", 0L, 63L)
+    assert(readD2 <= 4, s"day-2 box should read only day-2's files, read $readD2")
+    val want = all.filter(col("a").between(100, 199))
+      .select(col("payload")).collect().map(_.getLong(0)).toSet
+    val got = d2.select(col("payload")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // and the 2-D box still prunes WITHIN the day
+    val (_, readSmall, _) = ZOrder.readBox(spark, root,
+      "a", 110L, 120L, "b", 10L, 20L)
+    assert(readSmall < 4, s"within-day 2-D box should skip, read $readSmall")
+  }
+
   test("empty box selects zero files and returns zero rows") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-zorder-empty").toString
