@@ -298,9 +298,11 @@ object Curation {
     * non-unique key makes pack boundaries land on different documents
     * run-to-run. */
   def packSequences(docs: DataFrame, orderCol: String, textCol: String,
-      budgetTokens: Long, shardCols: Seq[String] = Nil): DataFrame = {
+      budgetTokens: Long, shardCols: Seq[String] = Nil,
+      allowGlobalWindow: Boolean = false): DataFrame = {
     val shard = shardCols.map(col)
-    packAssignments(docs, orderCol, textCol, budgetTokens, shardCols)
+    packAssignments(docs, orderCol, textCol, budgetTokens, shardCols,
+        allowGlobalWindow)
       .groupBy(shard :+ col("pack_id"): _*)
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
@@ -314,7 +316,17 @@ object Curation {
     * [[packSequences]] is this aggregated to pack level. Same window, same
     * shard scoping, same unique-`orderCol` contract. */
   def packAssignments(docs: DataFrame, orderCol: String, textCol: String,
-      budgetTokens: Long, shardCols: Seq[String] = Nil): DataFrame = {
+      budgetTokens: Long, shardCols: Seq[String] = Nil,
+      allowGlobalWindow: Boolean = false): DataFrame = {
+    // The unsharded prefix sum is a single-partition total-order window —
+    // a scale hazard every registered caller avoids by sharding (q62/q88
+    // pack per `source`). Refuse the silent fallback: an API user must opt
+    // in explicitly, which is only sane for bounded inputs (a fixture, a
+    // per-tenant slice already known to be small).
+    require(shardCols.nonEmpty || allowGlobalWindow,
+      "packAssignments without shardCols runs ONE unpartitioned window " +
+        "over the whole corpus; pass shardCols (e.g. source/date) or set " +
+        "allowGlobalWindow = true for provably small inputs")
     val w = (if (shardCols.isEmpty) Window.orderBy(col(orderCol))
              else Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -662,21 +662,31 @@ object LlmQueries {
             bits = 6, probeRadius = 1, tables = 8)
           .select(col("qid"), col("nid")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val hit = exact.intersect(approx).size.toLong
-        val hitMp = exact.intersect(mp).size.toLong
-        val hitOp = exact.intersect(op).size.toLong
+        val n = math.max(exact.size, 1)
+        val recall = exact.intersect(approx).size.toDouble / n
+        val recallMp = exact.intersect(mp).size.toDouble / n
+        val recallOp = exact.intersect(op).size.toDouble / n
         import spark.implicits._
-        Seq((exact.size.toLong, approx.size.toLong, hit,
-          hit.toDouble / math.max(exact.size, 1),
-          hitMp.toDouble / math.max(exact.size, 1),
-          hitOp.toDouble / math.max(exact.size, 1)))
-          .toDF("n_exact", "n_approx", "n_hits", "recall",
-            "recall_multiprobe", "recall_operating")
+        // CONTRACT-BOOLEAN ORACLE (the q106 pattern): raw recalls are
+        // data-dependent doubles DuckDB cannot recompute, but the published
+        // GUARANTEES are decidable — the BASELINE.md operating point
+        // (bits=6, radius=1, 8 tables → 0.94 measured) must clear the 0.9
+        // bar it was picked for, and multi-probing must never lose recall
+        // (its candidate set is a superset, and exact-cosine re-scoring of
+        // a superset can only displace lower-cosine candidates). The DuckDB
+        // twin recomputes n_exact from the corpus (k rows per query) and
+        // pins both booleans TRUE, so a recall regression flips the hash.
+        // SimilaritySpec still pins the raw curve values.
+        Seq((exact.size.toLong, recallOp >= 0.9, recallMp >= recall))
+          .toDF("n_exact", "recall_operating_ok", "multiprobe_monotone")
       } finally emb.unpersist()
     },
-    None,
-    doc = "LSH ANN vs brute force: 4-bit single-bucket / multi-probe recall, " +
-      "plus the published operating point (bits=6, radius=1, 8 tables, >=0.9)")
+    Some("""SELECT CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+          AS BIGINT) AS n_exact,
+        TRUE AS recall_operating_ok, TRUE AS multiprobe_monotone"""),
+    doc = "LSH ANN vs brute force; contract oracle: published operating " +
+      "point (bits=6, radius=1, 8 tables) holds >=0.9 recall, multi-probe " +
+      "is recall-monotone")
 
   /** X3 — IVF approximate top-k with recall vs the exact answer. */
   val x47 = GraftQuery(
@@ -713,18 +723,27 @@ object LlmQueries {
             centroids = Some(cents32))
           .select(col("qid"), col("nid")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val hit = exact.intersect(approx).size.toLong
-        val hitOp = exact.intersect(op).size.toLong
+        val n = math.max(exact.size, 1)
+        val recall = exact.intersect(approx).size.toDouble / n
+        val recallOp = exact.intersect(op).size.toDouble / n
         import spark.implicits._
-        Seq((exact.size.toLong, approx.size.toLong, hit,
-          hit.toDouble / math.max(exact.size, 1),
-          hitOp.toDouble / math.max(exact.size, 1)))
-          .toDF("n_exact", "n_approx", "n_hits", "recall", "recall_operating")
+        // CONTRACT-BOOLEAN ORACLE (q106 pattern, x44's argument): the
+        // guarantees BASELINE.md records for the isotropic worst case are
+        // decidable — a quarter-scan probe (nprobe=4 of nlist=16) must at
+        // least reach its expected candidate fraction (0.25; measured
+        // 0.54), and the published half-scan operating point (nlist=32,
+        // nprobe=16 → 0.87 measured in the sweep, 0.88 here) must hold
+        // 0.8. The twin pins both TRUE next to the SQL-recomputed n_exact.
+        Seq((exact.size.toLong, recall >= 0.25, recallOp >= 0.8))
+          .toDF("n_exact", "recall_ge_scan_fraction", "recall_operating_ok")
       } finally emb.unpersist()
     },
-    None,
-    doc = "IVF ANN vs brute force: nlist=16/nprobe=4 baseline plus the " +
-      "nlist=32/nprobe=16 half-scan operating point")
+    Some("""SELECT CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+          AS BIGINT) AS n_exact,
+        TRUE AS recall_ge_scan_fraction, TRUE AS recall_operating_ok"""),
+    doc = "IVF ANN vs brute force; contract oracle: quarter-scan probe >= " +
+      "its scan fraction, half-scan operating point (nlist=32/nprobe=16) " +
+      "holds >=0.8 recall")
 
   /** q87 — IVF-PQ (the production ANN composition: coarse cells partition
     * the storage, PQ codes are what a probe scans) ORACLE-checked by
@@ -826,13 +845,29 @@ object LlmQueries {
           .select(col("qid"), col("nid")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         import spark.implicits._
-        Seq((exact.size.toLong, recallOf(adcTop5), recallOf(reranked)))
-          .toDF("n_exact", "recall_adc", "recall_rerank100")
+        val recallAdc = recallOf(adcTop5)
+        val recallRr = recallOf(reranked)
+        // CONTRACT-BOOLEAN ORACLE (q106 pattern, x44's argument): the
+        // PqSweep findings are decidable guarantees — raw ADC at m=16/k=32
+        // plateaus near 0.5 on this isotropic corpus (0.48 measured; floor
+        // 0.3 leaves the documented host band), the rerank@100 operating
+        // point reads 0.98-1.0 across SFs (floor 0.9), and reranking can
+        // never lose recall vs its own ADC prefix (top-5 ⊂ top-100 and
+        // exact-cosine re-scoring of a superset only displaces
+        // lower-cosine candidates). DuckDB pins all three TRUE next to the
+        // SQL-recomputed n_exact.
+        Seq((exact.size.toLong, recallAdc >= 0.3, recallRr >= 0.9,
+          recallRr >= recallAdc))
+          .toDF("n_exact", "recall_adc_ok", "recall_rerank_ok",
+            "rerank_monotone")
       } finally emb.unpersist()
     },
-    None,
-    doc = "PQ ANN vs brute force: m=16 x k=32 byte codes (16x compression), " +
-      "raw-ADC recall plus the rerank@100 operating point")
+    Some("""SELECT CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+          AS BIGINT) AS n_exact,
+        TRUE AS recall_adc_ok, TRUE AS recall_rerank_ok,
+        TRUE AS rerank_monotone"""),
+    doc = "PQ ANN vs brute force (m=16 x k=32, 16x compression); contract " +
+      "oracle: ADC plateau floor, rerank@100 >=0.9, rerank recall-monotone")
 
   /** X2 end-to-end — MinHash pairs → transitive clusters → survivors,
     * promoted to a FULL VALUE-LEVEL ORACLE: every document's cluster label

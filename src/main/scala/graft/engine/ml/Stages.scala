@@ -2,7 +2,6 @@ package graft.engine.ml
 
 import org.apache.spark.ml.feature.{IndexToString, StringIndexer, StringIndexerModel, VectorAssembler}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -50,17 +49,22 @@ object Stages {
   // ---- Relational twins ----
 
   /** Dictionary build: (value, code) with Spark StringIndexer tie semantics
-    * (frequency desc, value asc). A hash-agg + a window over the tiny
-    * distinct-value set — the window input is |distinct values| rows, not
-    * the full table, so this scales to any fact size.
+    * (frequency desc, value asc). A hash-agg over the fact (map-side partial
+    * aggregation stays fully parallel), then the tiny distinct-value set is
+    * coalesced to ONE partition and rank-numbered by its sort position —
+    * the boundedness is explicit in the plan (a single |distinct|-row task)
+    * instead of implied by an unpartitioned WindowExec, which Spark rightly
+    * warns about and PlanShapeSpec now forbids across every registered
+    * query. `monotonically_increasing_id` on partition 0 of a sorted
+    * single-partition frame is exactly 0..k-1 in row order.
     */
-  def labelDictionary(df: DataFrame, column: String): DataFrame = {
-    val w = Window.orderBy(col("cnt").desc, col("value").asc)
+  def labelDictionary(df: DataFrame, column: String): DataFrame =
     df.groupBy(col(column).as("value"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("code", (row_number().over(w) - 1).cast(LongType))
+      .coalesce(1)
+      .sortWithinPartitions(col("cnt").desc, col("value").asc)
+      .withColumn("code", monotonically_increasing_id().cast(LongType))
       .select(col("value"), col("code"), col("cnt"))
-  }
 
   /** Dictionary encode: broadcast-join the dictionary onto the data.
     * At scale the dictionary is ~|distinct| rows → always broadcast; the
