@@ -1,5 +1,6 @@
 package graft.engine.ml
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.engine.{GraftQuery, Tables}
@@ -92,6 +93,48 @@ object MlQueries {
          CAST((label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) % 3 AS BIGINT) AS prediction
        FROM embeddings"""
 
+  /** Fixed scratch root shared between a query run and its DuckDB twin.
+    *
+    * The `ml_*` fits are RNG-bound: no SQL can re-derive a RandomForest's
+    * predictions, so the fit itself stays golden-pinned in ScalaTest. But
+    * everything DOWNSTREAM of the seed-pinned fit is a plain DataFrame —
+    * so each fit query persists its scored rows here and the oracle SQL
+    * reads them back with `read_parquet`, recomputing the confusion
+    * matrix / weighted metrics independently in DuckDB (the q34/q35
+    * twins) plus an `accuracy >= 0.9` contract boolean. A broken scorer,
+    * metric pipeline, or accuracy regression flips the hash; only tree
+    * induction remains un-oracled.
+    *
+    * Deliberately NOT pid-suffixed: the twin's SQL must name the path
+    * statically (both strings are produced by the same JVM, so the
+    * tmpdir resolution agrees). Concurrent runs racing the dir are
+    * benign-by-determinism — every writer writes the same seed-pinned
+    * rows. */
+  private def scoredDir(tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mlscored/$tag"
+
+  /** q35's CTE chain over an arbitrary (label, prediction) source — shared
+    * by the synthetic twin (q35) and the persisted-fit twins (ml_cv_rf). */
+  private def weightedMetricsSql(sourceSql: String): String =
+    s"""WITH scored AS ($sourceSql),
+      cm AS (SELECT label, prediction, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+      bl AS (SELECT label, CAST(SUM(n) AS BIGINT) AS support,
+               CAST(SUM(CASE WHEN prediction = label THEN n ELSE 0 END) AS BIGINT) AS tp
+             FROM cm GROUP BY label),
+      bp AS (SELECT prediction AS label, CAST(SUM(n) AS BIGINT) AS pp FROM cm GROUP BY prediction),
+      pc AS (SELECT bl.label, support, tp, COALESCE(pp, 0) AS pp,
+               CASE WHEN COALESCE(pp, 0) = 0 THEN 0.0
+                    ELSE CAST(tp AS DOUBLE) / pp END AS prec,
+               CAST(tp AS DOUBLE) / support AS rec
+             FROM bl LEFT JOIN bp ON bl.label = bp.label),
+      pc2 AS (SELECT *, CASE WHEN prec + rec = 0.0 THEN 0.0
+                             ELSE 2.0 * prec * rec / (prec + rec) END AS f1 FROM pc)
+      SELECT ROUND(CAST(SUM(tp) AS DOUBLE) / CAST(SUM(support) AS DOUBLE), 6) AS accuracy,
+        ROUND(SUM(prec * support) / CAST(SUM(support) AS DOUBLE), 6) AS weighted_precision,
+        ROUND(SUM(rec * support) / CAST(SUM(support) AS DOUBLE), 6) AS weighted_recall,
+        ROUND(SUM(f1 * support) / CAST(SUM(support) AS DOUBLE), 6) AS weighted_f1
+      FROM pc2"""
+
   private def syntheticScored(spark: org.apache.spark.sql.SparkSession, sfDir: String) =
     Tables.embeddings(spark, sfDir).select(
       col("label").cast(LongType).as("label"),
@@ -115,24 +158,7 @@ object MlQueries {
     "q35_multiclass_metrics",
     (spark, sfDir) =>
       Metrics.multiclassMetrics(syntheticScored(spark, sfDir), "label", "prediction"),
-    Some(s"""WITH scored AS ($scoredSql),
-      cm AS (SELECT label, prediction, COUNT(*) AS n FROM scored GROUP BY 1, 2),
-      bl AS (SELECT label, CAST(SUM(n) AS BIGINT) AS support,
-               CAST(SUM(CASE WHEN prediction = label THEN n ELSE 0 END) AS BIGINT) AS tp
-             FROM cm GROUP BY label),
-      bp AS (SELECT prediction AS label, CAST(SUM(n) AS BIGINT) AS pp FROM cm GROUP BY prediction),
-      pc AS (SELECT bl.label, support, tp, COALESCE(pp, 0) AS pp,
-               CASE WHEN COALESCE(pp, 0) = 0 THEN 0.0
-                    ELSE CAST(tp AS DOUBLE) / pp END AS prec,
-               CAST(tp AS DOUBLE) / support AS rec
-             FROM bl LEFT JOIN bp ON bl.label = bp.label),
-      pc2 AS (SELECT *, CASE WHEN prec + rec = 0.0 THEN 0.0
-                             ELSE 2.0 * prec * rec / (prec + rec) END AS f1 FROM pc)
-      SELECT ROUND(CAST(SUM(tp) AS DOUBLE) / CAST(SUM(support) AS DOUBLE), 6) AS accuracy,
-        ROUND(SUM(prec * support) / CAST(SUM(support) AS DOUBLE), 6) AS weighted_precision,
-        ROUND(SUM(rec * support) / CAST(SUM(support) AS DOUBLE), 6) AS weighted_recall,
-        ROUND(SUM(f1 * support) / CAST(SUM(support) AS DOUBLE), 6) AS weighted_f1
-      FROM pc2"""),
+    Some(weightedMetricsSql(scoredSql)),
     doc = "accuracy + weighted P/R/F1, single confusion-matrix pass")
 
   /** q36 — per-class precision/recall/f1 table. */
@@ -159,40 +185,94 @@ object MlQueries {
       FROM pc ORDER BY label"""),
     doc = "per-class precision/recall/f1 from the confusion matrix")
 
-  // ---- rows-only ML queries (no SQL twin; golden-checked in ScalaTest) ----
+  // ---- ML queries whose RNG-bound half is pinned in ScalaTest; the
+  // ---- scored/assigned half is persisted and ORACLE-checked (see
+  // ---- scoredDir's contract) ----
 
-  /** T10 — split invariants: sizes sum to total, sides are disjoint. */
+  /** T10 — split invariants, ORACLE-checked from the persisted assignment:
+    * the (doc_id, side) table the split actually produced is written to
+    * scratch; DuckDB independently recounts both sides, the overlap, and
+    * the documents total, and recomputes the partition boolean — only the
+    * sampling RNG itself (which rows land where) stays un-oracled. */
   val mlSplit = GraftQuery(
     "ml_split_check",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
       val (train, test) = TrainTestSplit.split(docs, 0.7, seed = 42L)
-      val overlap = train.join(test, Seq("doc_id"), "inner")
-      val summary = Seq((train.count(), test.count(), docs.count(), overlap.count()))
+      val dir = scoredDir("split")
+      train.select(col("doc_id"), lit("train").as("side"))
+        .unionByName(test.select(col("doc_id"), lit("test").as("side")))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val nTrain = back.filter(col("side") === "train").count()
+      val nTest = back.filter(col("side") === "test").count()
+      val nTotal = docs.count()
+      val nOverlap = back.groupBy(col("doc_id"))
+        .agg(countDistinct(col("side")).as("k")).filter(col("k") > 1).count()
       import spark.implicits._
-      summary.toDF("n_train", "n_test", "n_total", "n_overlap")
+      Seq((nTrain, nTest, nTotal, nOverlap,
+        nTrain + nTest == nTotal && nOverlap == 0L))
+        .toDF("n_train", "n_test", "n_total", "n_overlap", "partition_ok")
     },
-    None,
-    doc = "randomSplit invariants: n_train+n_test=n_total, overlap=0")
+    Some(s"""WITH s AS (SELECT * FROM
+        read_parquet('${scoredDir("split")}/*.parquet')),
+      c AS (SELECT
+        CAST(SUM(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(SUM(CASE WHEN side = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total,
+        CAST((SELECT COUNT(*) FROM (SELECT doc_id FROM s
+              GROUP BY doc_id HAVING COUNT(DISTINCT side) > 1)) AS BIGINT)
+          AS n_overlap
+        FROM s)
+      SELECT *, n_train + n_test = n_total AND n_overlap = 0 AS partition_ok
+      FROM c"""),
+    doc = "randomSplit invariants recomputed by DuckDB from the persisted " +
+      "assignment: sizes sum to total, sides disjoint")
 
   /** T10 (scale variant) — deterministic hash split: 80/10/10 by
-    * xxhash64(doc_id); fold membership is repartition- and rerun-stable. */
+    * xxhash64(doc_id). Fold sizes and the exactly-once cover are
+    * ORACLE-recomputed from the persisted assignment (xxhash64 itself is
+    * Spark-private, so fold MEMBERSHIP has no SQL twin — q77's portable
+    * md5 split carries that check); repartition stability is computed
+    * honestly in Spark and pinned TRUE. */
   val mlHashSplit = GraftQuery(
     "ml_hash_split_check",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
       val splits = TrainTestSplit.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
-      val counts = splits.map(_.count())
+      val dir = scoredDir("hashsplit")
+      splits.zipWithIndex
+        .map { case (s, i) => s.select(col("doc_id"), lit(i.toLong).as("fold")) }
+        .reduce(_ unionByName _)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val counts = (0 to 2).map(i =>
+        back.filter(col("fold") === i.toLong).count())
+      val nTotal = docs.count()
+      val coveredOnce = back.select(col("doc_id")).distinct().count() == nTotal &&
+        back.count() == nTotal
       val again = TrainTestSplit
         .hashSplit(docs.repartition(7), "doc_id", Seq(0.8, 0.1, 0.1))
         .map(_.count())
       import spark.implicits._
-      Seq((counts(0), counts(1), counts(2), docs.count(),
+      Seq((counts(0), counts(1), counts(2), nTotal, coveredOnce,
         counts == again))
-        .toDF("n_train", "n_val", "n_test", "n_total", "stable_after_repartition")
+        .toDF("n_train", "n_val", "n_test", "n_total", "covered_once",
+          "stable_after_repartition")
     },
-    None,
-    doc = "hash split 80/10/10: sizes sum to total, stable under repartition")
+    Some(s"""WITH s AS (SELECT * FROM
+        read_parquet('${scoredDir("hashsplit")}/*.parquet'))
+      SELECT
+        CAST(SUM(CASE WHEN fold = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(SUM(CASE WHEN fold = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        CAST(SUM(CASE WHEN fold = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total,
+        COUNT(DISTINCT doc_id) = (SELECT COUNT(*) FROM documents)
+          AND COUNT(*) = (SELECT COUNT(*) FROM documents) AS covered_once,
+        TRUE AS stable_after_repartition
+      FROM s"""),
+    doc = "hash split 80/10/10: fold sizes + exactly-once cover recomputed " +
+      "by DuckDB from the persisted assignment; repartition-stable")
 
   /** T10 (portable variant) — md5-bucket 80/10/10 split, ORACLE-checked at
     * the ASSIGNMENT level: every (doc_id, fold) row is value-compared
@@ -214,47 +294,90 @@ object MlQueries {
       FROM documents ORDER BY doc_id"""),
     doc = "engine-portable md5-prefix hash split; fold assignment value-checked")
 
-  /** T4/T5/T8 — full RandomForest pipeline on the iris fixture. */
+  /** Shared scoring-oracle shape for the species-level fit queries:
+    * persist the seed-pinned model's (species, prediction_species) rows,
+    * then emit the confusion matrix + an accuracy>=0.9 contract boolean —
+    * both recomputed independently by DuckDB from the persisted rows
+    * (reference scorer behavior: no_pipeline/Predict.scala:92-101). */
+  private def scoredConfusionQuery(tag: String)(
+      scored: DataFrame): DataFrame = {
+    val dir = scoredDir(tag)
+    scored.select(col("species"), col("prediction_species"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val back = scored.sparkSession.read.parquet(dir)
+    val acc = back
+      .agg(avg((col("species") === col("prediction_species")).cast("double")))
+      .head().getDouble(0)
+    back.groupBy(col("species"), col("prediction_species"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("accuracy_ok", lit(acc >= 0.9))
+      .orderBy(col("species"), col("prediction_species"))
+  }
+
+  private def scoredConfusionSql(tag: String): String =
+    s"""WITH s AS (SELECT * FROM read_parquet('${scoredDir(tag)}/*.parquet')),
+      acc AS (SELECT CAST(SUM(CASE WHEN species = prediction_species
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS a FROM s)
+      SELECT species, prediction_species, COUNT(*) AS n,
+        (SELECT a >= 0.9 FROM acc) AS accuracy_ok
+      FROM s GROUP BY species, prediction_species
+      ORDER BY species, prediction_species"""
+
+  /** T4/T5/T8 — full RandomForest pipeline on the iris fixture; scored
+    * half ORACLE-checked (see [[scoredDir]]). */
   val mlRf = GraftQuery(
     "ml_rf_pipeline",
     (spark, sfDir) => {
       val data = IrisData.generate(spark)
       val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
       val model = Fit.pipelined(train)
-      model.transform(test)
-        .groupBy(col("species"), col("prediction_species"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("species"), col("prediction_species"))
+      scoredConfusionQuery("rf")(model.transform(test))
     },
-    None,
-    doc = "Pipeline(indexer, assembler, RF, decoder) fit+score on iris fixture")
+    Some(scoredConfusionSql("rf")),
+    doc = "Pipeline(indexer, assembler, RF, decoder) fit+score on iris; " +
+      "confusion matrix + accuracy>=0.9 recomputed by DuckDB from the " +
+      "persisted scored rows")
 
-  /** M1/M2 — CrossValidator grid search (small grid: 4 points × 3 folds). */
+  /** M1/M2 — CrossValidator grid search (small grid: 4 points × 3 folds);
+    * scored half ORACLE-checked: the winning model's (label, prediction)
+    * rows are persisted, and DuckDB replays the full q35 weighted-metrics
+    * chain over them plus the accuracy contract. */
   val mlCv = GraftQuery(
     "ml_cv_rf",
     (spark, sfDir) => {
       val data = IrisData.generate(spark)
       val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
       val cv = Fit.crossValidated(train)
-      Metrics.multiclassMetrics(cv.transform(test), "label", "prediction")
+      val dir = scoredDir("cv")
+      cv.transform(test)
+        .select(col("label").cast(LongType).as("label"),
+          col("prediction").cast(LongType).as("prediction"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      Metrics.multiclassMetrics(back, "label", "prediction")
+        .withColumn("accuracy_ok", col("accuracy") >= 0.9)
     },
-    None,
-    doc = "CrossValidator(4-point grid, 3 folds, parallelism 8) + metrics")
+    Some(s"""SELECT *, accuracy >= 0.9 AS accuracy_ok FROM (
+      ${weightedMetricsSql(
+        s"SELECT label, prediction FROM read_parquet('${scoredDir("cv")}/*.parquet')")})"""),
+    doc = "CrossValidator(4-point grid, 3 folds, parallelism 8); weighted " +
+      "metrics + accuracy>=0.9 recomputed by DuckDB from the persisted " +
+      "scored rows")
 
-  /** T6 — boosted classifier slot: OneVsRest(GBT). */
+  /** T6 — boosted classifier slot: OneVsRest(GBT); scored half
+    * ORACLE-checked (see [[scoredDir]]). */
   val mlGbt = GraftQuery(
     "ml_gbt_ovr",
     (spark, sfDir) => {
       val data = IrisData.generate(spark)
       val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
       val model = Fit.gbtOneVsRest(train)
-      model.transform(test)
-        .groupBy(col("species"), col("prediction_species"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("species"), col("prediction_species"))
+      scoredConfusionQuery("gbt")(model.transform(test))
     },
-    None,
-    doc = "OneVsRest(GBTClassifier) multiclass pipeline on iris fixture")
+    Some(scoredConfusionSql("gbt")),
+    doc = "OneVsRest(GBTClassifier) multiclass pipeline on iris; confusion " +
+      "matrix + accuracy>=0.9 recomputed by DuckDB from the persisted " +
+      "scored rows")
 
   def queries: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q77, mlSplit, mlHashSplit, mlRf,
