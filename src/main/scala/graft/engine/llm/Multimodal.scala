@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *    BMP via JDK `javax.imageio`, no external codecs needed): per-channel
   *    means + a 16-bin integer-luminance histogram, integer-exact and
   *    pinned against a DuckDB arithmetic twin (q94).
+  *  - [[Multimodal.WavDecoder]] — a REAL audio decoder (WAV/AIFF/AU PCM
+  *    via JDK `javax.sound.sampled.AudioSystem`): sample rate, frame
+  *    count, amplitude stats + 16-bin amplitude histogram, integer-exact
+  *    and pinned against a DuckDB arithmetic twin (q107).
   *  - [[Multimodal.ByteHistogramDecoder]] — the codec-free stand-in for
-  *    modalities the JDK cannot decode (audio/video), and the default.
+  *    the one modality the JDK cannot decode (video), and the default.
   *
   * Scale posture: content bytes never shuffle except for the initial
   * repartition-by-id (even distribution of large blobs); features (small,
@@ -65,11 +69,11 @@ object Multimodal {
     def decode(modality: String, content: Array[Byte], meta: MediaMeta): Array[Float]
   }
 
-  /** Codec-free stand-in for modalities the JDK cannot decode (the
-    * container ships no audio/video codecs): 16-bin byte histogram,
-    * L1 normalized — deterministic and shape-compatible with an
-    * embedding model's pooled output. Images have a REAL decoder:
-    * [[ImageIoDecoder]]. */
+  /** Codec-free stand-in for modalities the JDK cannot decode — in
+    * practice only VIDEO (images have [[ImageIoDecoder]], WAV/AIFF/AU
+    * audio has [[WavDecoder]]): 16-bin byte histogram, L1 normalized —
+    * deterministic and shape-compatible with an embedding model's pooled
+    * output. */
   object ByteHistogramDecoder extends MediaDecoder {
     def decode(modality: String, content: Array[Byte],
         meta: MediaMeta): Array[Float] = {
@@ -102,7 +106,8 @@ object Multimodal {
     * `getRGB` converts any reader-produced raster to packed sRGB — for the
     * lossless formats (PNG/GIF/BMP) the round trip is bit-exact, which is
     * what lets q94 pin decoded stats against a DuckDB arithmetic twin.
-    * Audio/video delegate to [[ByteHistogramDecoder]] (no JDK codec).
+    * Audio/video delegate to [[ByteHistogramDecoder]] (audio has its own
+    * real decoder, [[WavDecoder]]; video has no JDK codec).
     * Undecodable image bytes throw `IllegalArgumentException` — silently
     * emitting garbage features would poison downstream dedup/similarity. */
   object ImageIoDecoder extends MediaDecoder {
@@ -143,6 +148,70 @@ object Multimodal {
         var b = 0
         while (b < 16) { out(5 + b) = (hist(b) / n).toFloat; b += 1 }
         out
+      case _ => ByteHistogramDecoder.decode(modality, content, meta)
+    }
+  }
+
+  /** REAL audio decoder over the same seam — `javax.sound.sampled`
+    * (AudioSystem) ships inside every JDK and decodes the WAV/AIFF/AU
+    * container family for linear PCM, so audio decode needs no external
+    * codecs either. Feature layout (19 floats):
+    * {{{
+    *   [0] sample_rate (Hz, from the container header)
+    *   [1] n_frames    (decoded PCM frame count)
+    *   [2] sum_abs     (sum of |sample| over all 16-bit samples)
+    *   [3..18] 16-bin amplitude histogram: the bin of a signed 16-bit
+    *           sample s is (s + 32768) >> 12 — raw INTEGER counts, so
+    *           every statistic is bit-deterministic and exactly
+    *           representable as Float for any clip under 2^24 frames
+    *           (sum_abs stays exact under 2^24 too, i.e. clips shorter
+    *           than ~512 frames at full scale; the audit fixture is ≤ 32).
+    * }}}
+    * PCM in a WAV container round-trips bit-exactly — what lets q107 pin
+    * decoded stats against a DuckDB arithmetic twin, exactly as
+    * [[ImageIoDecoder]]/q94 did for PNG. Only 16-bit signed mono PCM is
+    * accepted; anything else throws (`IllegalArgumentException` — garbage
+    * features would poison downstream dedup/similarity, the q94 stance).
+    * Images delegate to [[ImageIoDecoder]]; video (genuinely no JDK
+    * codec) falls through to [[ByteHistogramDecoder]]. */
+  object WavDecoder extends MediaDecoder {
+    def decode(modality: String, content: Array[Byte],
+        meta: MediaMeta): Array[Float] = modality match {
+      case "audio" =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"unsupported audio format $fmt: decoder handles 16-bit " +
+              "signed mono PCM; transcode or quarantine upstream")
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          var sumAbs = 0L
+          val hist = new Array[Long](16)
+          var i = 0
+          while (i < n) {
+            // sign-carrying high byte << 8 | unsigned low byte
+            val s =
+              if (fmt.isBigEndian)
+                (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+              else
+                (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            sumAbs += math.abs(s)
+            hist((s + 32768) >> 12) += 1L
+            i += 1
+          }
+          val out = new Array[Float](19)
+          out(0) = fmt.getSampleRate
+          out(1) = n.toFloat
+          out(2) = sumAbs.toFloat
+          var b = 0
+          while (b < 16) { out(3 + b) = hist(b).toFloat; b += 1 }
+          out
+        } finally in.close()
+      case "image" => ImageIoDecoder.decode(modality, content, meta)
       case _ => ByteHistogramDecoder.decode(modality, content, meta)
     }
   }
@@ -242,6 +311,77 @@ object Multimodal {
         (0 until 16).map { b =>
           ImagePin(f.media_id, w, h, sr, sg, sb, b.toLong,
             math.round(f.features(5 + b).toDouble * n))
+        }
+      }
+      .toDF()
+      // small fixed-width pins; checkpoint so the total sort's range
+      // sampling pass doesn't run the encode+decode pipeline twice
+      .localCheckpoint()
+      .orderBy(col("media_id"), col("bin"))
+  }
+
+  final case class AudioPin(media_id: Long, sample_rate: Long,
+      n_frames: Long, sum_abs: Long, bin: Long, cnt: Long)
+
+  /** Deterministic planted-WAV corpus (the audio sibling of
+    * [[syntheticImages]]): for each doc_id, `doc_id % 32 + 1` 16-bit mono
+    * PCM samples at `8000 + (doc_id % 8)·1000` Hz, sample i being
+    * `((doc_id·2654435761 + i·40503) mod 65536) − 32768` — pure integer
+    * arithmetic over doc_id (Knuth-hash multipliers spread the samples
+    * over the full amplitude range so every histogram bin is exercised),
+    * ENCODED to real WAV container bytes with `AudioSystem.write` on the
+    * executors. An engine with no audio codec (DuckDB) can recompute every
+    * decoded statistic, which turns [[WavDecoder]] into an
+    * oracle-checkable operator. Encode runs inside mapPartitions: blobs
+    * are born distributed and never visit the driver. */
+  def syntheticWavs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 32 + 1).toInt
+        val rate = (8000 + (id % 8) * 1000).toInt
+        val pcm = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 2654435761L + i * 40503L) % 65536L) - 32768L).toInt
+          pcm(2 * i) = (s & 0xff).toByte // little-endian
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, true, false)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        MediaRow(id, "audio", baos.toByteArray, MediaMeta(0, 0, rate, n))
+      }
+    }
+  }
+
+  /** q107's Spark side: planted WAVs → REAL AudioSystem decode → integer
+    * pins. Each clip emits one row per NON-EMPTY amplitude bin carrying
+    * the decoded sample rate, frame count, |sample| sum and the bin's
+    * count — all BIGINT, recovered exactly from the float features (every
+    * value < 2^24; see [[WavDecoder]]). The DuckDB twin recomputes all of
+    * them from doc_id arithmetic alone: a hash match proves the WAV
+    * encode → AudioSystem decode round trip reproduced the planted PCM
+    * bit-exactly, header fields included. */
+  def audioDecodeAudit(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    extractFeatures(syntheticWavs(docs).repartition(col("media_id")),
+        WavDecoder)
+      .flatMap { f =>
+        val rate = math.round(f.features(0).toDouble)
+        val n = math.round(f.features(1).toDouble)
+        val sumAbs = math.round(f.features(2).toDouble)
+        (0 until 16).flatMap { b =>
+          val cnt = math.round(f.features(3 + b).toDouble)
+          if (cnt == 0L) None
+          else Some(AudioPin(f.media_id, rate, n, sumAbs, b.toLong, cnt))
         }
       }
       .toDF()

@@ -569,6 +569,40 @@ object StreamQueries {
       ORDER BY media_id, bin"""),
     doc = "real JDK-ImageIO decode pinned to a DuckDB arithmetic twin")
 
+  /** q107 — REAL audio decode (JDK AudioSystem), value-pinned: planted
+    * PCM clips are WAV-encoded on the executors, decoded by the real
+    * `javax.sound.sampled` reader, and every decoded statistic (sample
+    * rate from the container header, frame count, |sample| sum, 16-bin
+    * amplitude histogram counts) is emitted as BIGINT. The DuckDB twin
+    * recomputes all of them from doc_id arithmetic alone — a hash match
+    * proves the WAV encode → decode round trip reproduced the planted
+    * samples exactly. Closes the q94 gap for audio: of the three
+    * modalities only video (genuinely no JDK codec) keeps the
+    * byte-histogram stand-in. */
+  val q107 = GraftQuery(
+    "q107_audio_decode",
+    (spark, sfDir) =>
+      graft.engine.llm.Multimodal.audioDecodeAudit(
+        Tables.documents(spark, sfDir)),
+    Some("""WITH s AS (SELECT doc_id,
+          ((doc_id * 2654435761 + i.generate_series * 40503) % 65536)
+            - 32768 AS smp
+        FROM documents, generate_series(0, 31) i
+        WHERE i.generate_series <= doc_id % 32),
+      agg AS (SELECT doc_id,
+          CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+          CAST(COUNT(*) AS BIGINT) AS n_frames,
+          CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs
+        FROM s GROUP BY doc_id),
+      bins AS (SELECT doc_id, CAST((smp + 32768) // 4096 AS BIGINT) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s GROUP BY doc_id, bin)
+      SELECT a.doc_id AS media_id, a.sample_rate, a.n_frames, a.sum_abs,
+        b.bin, b.cnt
+      FROM agg a JOIN bins b ON a.doc_id = b.doc_id
+      ORDER BY media_id, bin"""),
+    doc = "real JDK-AudioSystem WAV decode pinned to a DuckDB arithmetic twin")
+
   /** x60 — ALWAYS-ON incremental aggregate maintenance (a streaming
     * materialized view): JSONL micro-batches fold into the
     * [[graft.engine.sources.IncrementalAgg]] store tick by tick — each
@@ -675,5 +709,5 @@ object StreamQueries {
     doc = "stream-static binned range join == batch q96 (shared oracle)")
 
   def queries: Seq[GraftQuery] =
-    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, q58, q80, q94)
+    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, q58, q80, q94, q107)
 }

@@ -160,6 +160,98 @@ class MultimodalSpec extends AnyFunSuite {
       "hello".getBytes("UTF-8"), Multimodal.MediaMeta(0, 0, 16000, 1)).toSeq)
   }
 
+  // ---- real JDK-AudioSystem decode --------------------------------------
+
+  private def wavBytes(rate: Int, samples: Seq[Int],
+      bigEndian: Boolean = false): Array[Byte] = {
+    val pcm = new Array[Byte](2 * samples.length)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      if (bigEndian) {
+        pcm(2 * i) = ((s >> 8) & 0xff).toByte
+        pcm(2 * i + 1) = (s & 0xff).toByte
+      } else {
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true,
+      bigEndian)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("WavDecoder: planted PCM decodes to exact rate, frames, sum, histogram") {
+    val samples = Seq(-32768, -1, 0, 1, 32767, 4095, 4096, -4097)
+    val f = Multimodal.WavDecoder.decode("audio", wavBytes(11025, samples),
+      Multimodal.MediaMeta(0, 0, 11025, samples.length))
+    assert(f.length == 19)
+    assert(f(0) == 11025f && f(1) == samples.length.toFloat)
+    assert(math.round(f(2).toDouble) == samples.map(s => math.abs(s.toLong)).sum)
+    val hist = new Array[Long](16)
+    samples.foreach(s => hist((s + 32768) >> 12) += 1)
+    (0 until 16).foreach(b =>
+      assert(math.round(f(3 + b).toDouble) == hist(b), s"bin $b"))
+  }
+
+  test("WavDecoder: AIFF (big-endian PCM) decodes via the same seam") {
+    // AudioSystem writes AIFF as big-endian PCM — exercises the
+    // endianness branch with a different JDK-native container.
+    val samples = Seq(100, -200, 30000)
+    val pcm = new Array[Byte](2 * samples.length)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = ((s >> 8) & 0xff).toByte
+      pcm(2 * i + 1) = (s & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    val f = Multimodal.WavDecoder.decode("audio", baos.toByteArray,
+      Multimodal.MediaMeta(0, 0, 8000, samples.length))
+    assert(f(0) == 8000f && f(1) == 3f)
+    assert(math.round(f(2).toDouble) == samples.map(s => math.abs(s.toLong)).sum)
+  }
+
+  test("WavDecoder: undecodable/unsupported bytes throw; image delegates") {
+    intercept[Exception] { // UnsupportedAudioFileException on garbage
+      Multimodal.WavDecoder.decode("audio", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(0, 0, 8000, 1))
+    }
+    val img = pngBytes(2, 2, (_, _) => 0xffffff)
+    assert(Multimodal.WavDecoder.decode("image", img,
+        Multimodal.MediaMeta(2, 2, 0, 1)).toSeq ==
+      Multimodal.ImageIoDecoder.decode("image", img,
+        Multimodal.MediaMeta(2, 2, 0, 1)).toSeq)
+  }
+
+  test("real decode e2e: syntheticWavs -> extractFeatures(WavDecoder) " +
+      "pins every planted sample statistic") {
+    val docs = Tables.documents(spark, sfDir)
+    val audit = Multimodal.audioDecodeAudit(docs).collect()
+    assert(audit.nonEmpty)
+    // independent in-test simulation of the planted PCM
+    audit.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val n = (id % 32 + 1).toInt
+      val samples = (0 until n).map(i =>
+        ((id * 2654435761L + i * 40503L) % 65536L - 32768L).toInt)
+      val hist = new Array[Long](16)
+      samples.foreach(s => hist((s + 32768) >> 12) += 1)
+      assert(rows.length == hist.count(_ > 0L))
+      rows.foreach { r =>
+        assert(r.getLong(1) == 8000L + (id % 8) * 1000L)
+        assert(r.getLong(2) == n.toLong)
+        assert(r.getLong(3) == samples.map(s => math.abs(s.toLong)).sum)
+        assert(r.getLong(5) == hist(r.getLong(4).toInt))
+      }
+    }
+  }
+
   test("real decode e2e: syntheticImages -> extractFeatures(ImageIoDecoder) " +
       "pins every planted pixel statistic") {
     val docs = Tables.documents(spark, sfDir)
