@@ -1121,6 +1121,80 @@ object RelationalQueries {
       GROUP BY event_type ORDER BY event_type"""),
     doc = "z-order clustering + manifest min/max skipping: 2-D box reads few files")
 
+  /** q108 — N-dimensional z-order (q103's 3-D successor): events is
+    * clustered on the 3-way Morton interleave of (epoch-micros,
+    * value-band, user_id) and a 35–45%-decile box on ALL THREE columns is
+    * read through the manifest. The box sits INSIDE the curve's first
+    * octant (0.45·span < 2^(spanBits−1), so the top scaled bit is 0 on
+    * every axis — a box straddling the midpoint on all axes is Morton's
+    * worst case and prunes little at this file granularity; real
+    * dashboards pick their boxes by time/tenant, not by the curve's
+    * midpoint, so the interior case is the representative one). Bounds
+    * derive from each column's global min/max with exact integer
+    * arithmetic, so the DuckDB twin computes the identical box straight
+    * off the raw table; `pruned` pins that a ~10%-per-axis 3-D box
+    * (~0.1% of the volume) touches at most half the files. Correctness
+    * never depends on the manifest: readBox re-applies the box filter
+    * and reads unknown files unpruned. */
+  val q108 = GraftQuery(
+    "q108_zorder_3d",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q108_zorder3_${ProcessHandle.current().pid()}/tbl"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      import graft.engine.sources.ZOrder
+      val ev = Tables.events(spark, sfDir)
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          col("user_id").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("v_k"))
+      ZOrder.clusterWrite(ev, root, Seq("ts_us", "v_k", "user_id"),
+        nFiles = 32, bits = 16)
+      val Array(mm) = ev.agg(min(col("ts_us")), max(col("ts_us")),
+        min(col("v_k")), max(col("v_k")),
+        min(col("user_id")), max(col("user_id"))).collect()
+      def lo(mn: Long, mx: Long) = mn + (mx - mn) * 35L / 100L
+      def hi(mn: Long, mx: Long) = mn + (mx - mn) * 45L / 100L
+      val box = Seq(
+        ("ts_us", lo(mm.getLong(0), mm.getLong(1)), hi(mm.getLong(0), mm.getLong(1))),
+        ("v_k", lo(mm.getLong(2), mm.getLong(3)), hi(mm.getLong(2), mm.getLong(3))),
+        ("user_id", lo(mm.getLong(4), mm.getLong(5)), hi(mm.getLong(4), mm.getLong(5))))
+      val (boxDf, filesRead, filesTotal) = ZOrder.readBox(spark, root, box)
+      boxDf.groupBy(col("event_type"))
+        .agg(lcount().as("n_box"), dsum(col("value")).as("sum_value"))
+        .withColumn("pruned", lit(filesRead * 2 <= filesTotal))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (
+        SELECT event_type, value, user_id, epoch_us(ts) AS ts_us,
+          CAST(FLOOR(value * 1000) AS BIGINT) AS v_k
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+      b AS (
+        SELECT MIN(ts_us) AS tmn, MAX(ts_us) AS tmx,
+          MIN(v_k) AS vmn, MAX(v_k) AS vmx,
+          MIN(user_id) AS umn, MAX(user_id) AS umx FROM e)
+      SELECT event_type, COUNT(*) AS n_box,
+        ${sqlDsum("value")} AS sum_value, TRUE AS pruned
+      FROM e, b
+      WHERE ts_us BETWEEN tmn + (tmx - tmn) * 35 // 100
+                      AND tmn + (tmx - tmn) * 45 // 100
+        AND v_k BETWEEN vmn + (vmx - vmn) * 35 // 100
+                    AND vmn + (vmx - vmn) * 45 // 100
+        AND user_id BETWEEN umn + (umx - umn) * 35 // 100
+                        AND umn + (umx - umn) * 45 // 100
+      GROUP BY event_type ORDER BY event_type"""),
+    doc = "3-D z-order clustering + manifest skipping: 35-45%-decile box " +
+      "on (time, value, user) reads few files")
+
   /** q86 — JSONL sink → source round-trip (the LLM-corpus exchange format,
     * S-surface sibling of q74's parquet snapshot): documents are written as
     * newline-delimited JSON and read back under the DECLARED schema in
@@ -1160,5 +1234,5 @@ object RelationalQueries {
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104)
+    q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108)
 }

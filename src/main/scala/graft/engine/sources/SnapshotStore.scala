@@ -77,6 +77,65 @@ object SnapshotStore {
       finally walk.close()
     }
 
+  private val ManifestFile = "_GRAFT_MANIFEST"
+
+  /** Write the per-version FILE MANIFEST into a staging dir: one relative
+    * data-file path per line, sorted. Called after every data write /
+    * hardlink carryover and BEFORE the atomic move, so a version and its
+    * manifest become visible together or not at all (the same contract as
+    * [[versionTags]]'s tag file). [[read]] consumes the manifest instead
+    * of enumerating the directory — at real scale the listing-at-read
+    * pattern is the object-store anti-pattern every table format exists
+    * to kill (O(files) LIST calls, eventual-consistency windows); the
+    * manifest makes reads O(1) metadata fetches, with [[auditVersion]]
+    * keeping `Files.walk` as a consistency AUDIT rather than the source
+    * of truth. The one-time walk here is of the just-written staging dir
+    * — write-time cost, amortized over every later read. */
+  private def writeVersionManifest(staging: java.nio.file.Path): Unit = {
+    val walk = Files.walk(staging)
+    val rel =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          Files.isRegularFile(f) && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }.map(f => staging.relativize(f).toString).toSeq.sorted
+      } finally walk.close()
+    Files.write(staging.resolve(ManifestFile),
+      rel.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The data files of a published version AS ITS MANIFEST RECORDS THEM
+    * (relative paths). Empty for pre-manifest versions (legacy fallback:
+    * directory read). */
+  def manifestFiles(root: String, version: Long): Option[Seq[String]] = {
+    val mf = Paths.get(root, s"v$version", ManifestFile)
+    if (!Files.exists(mf)) None
+    else Some(new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+      .split('\n').toSeq.filter(_.nonEmpty))
+  }
+
+  /** Consistency AUDIT of a version: (manifest entries missing on disk,
+    * on-disk data files the manifest does not list). Both empty for a
+    * healthy version. The directory walk lives HERE — an explicit audit
+    * tool — not in the read path. */
+  def auditVersion(root: String, version: Long): (Seq[String], Seq[String]) = {
+    val dir = Paths.get(root, s"v$version")
+    val listed = manifestFiles(root, version).getOrElse(Seq.empty)
+    val walk = Files.walk(dir)
+    val onDisk =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          Files.isRegularFile(f) && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }.map(f => dir.relativize(f).toString).toSeq.sorted
+      } finally walk.close()
+    (listed.diff(onDisk), onDisk.diff(listed))
+  }
+
   /** Highest version present, whether or not CURRENT points at it. */
   private def maxVersion(root: String): Long = {
     val d = Paths.get(root)
@@ -122,6 +181,7 @@ object SnapshotStore {
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    writeVersionManifest(staging)
     withFlipLock(root) {
       val next = maxVersion(root) + 1
       Files.move(staging, Paths.get(root, s"v$next"),
@@ -256,11 +316,21 @@ object SnapshotStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the current (or a pinned) snapshot. */
+  /** Read the current (or a pinned) snapshot. The version's manifest is
+    * the file-listing source of truth (see [[writeVersionManifest]] — no
+    * directory enumeration on the read path); `basePath` keeps partition
+    * columns (`_bucket=k/` paths) parsing exactly as a directory read
+    * would. Pre-manifest versions fall back to the directory read. */
   def read(spark: SparkSession, root: String, version: Long = 0L): DataFrame = {
     val v = if (version > 0) version else currentVersion(root)
     require(v > 0, s"no published version under $root")
-    spark.read.parquet(s"$root/v$v")
+    val dir = s"$root/v$v"
+    manifestFiles(root, v) match {
+      case Some(files) if files.nonEmpty =>
+        spark.read.option("basePath", dir)
+          .parquet(files.map(f => s"$dir/$f"): _*)
+      case _ => spark.read.parquet(dir)
+    }
   }
 
   /** Row-level diff between two published versions: rows only in
@@ -368,6 +438,7 @@ object SnapshotStore {
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
+    writeVersionManifest(staging)
     withFlipLock(root) {
       taggedVersion(root, tag) match {
         case Some(v) => // a concurrent same-tag publisher won the race
@@ -431,7 +502,7 @@ object SnapshotStore {
         s"$root is not a bucketed store; bootstrap with publishBucketed"))
     val base = if (baseVersion > 0) baseVersion else currentVersion(root)
     require(base > 0, s"no published version under $root")
-    val baseDf = spark.read.parquet(s"$root/v$base")
+    val baseDf = read(spark, root, base)
     require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
       s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
         s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
@@ -483,16 +554,24 @@ object SnapshotStore {
         } finally stream.close()
       }
     }
+    writeVersionManifest(staging)
     withFlipLock(root) {
       taggedVersion(root, tag) match {
         case Some(v) => // a concurrent same-tag merger won the race
           deleteRecursively(staging); v
         case None =>
           val cur = currentVersion(root)
-          if (cur != base)
+          if (cur != base) {
+            // clean the staged rewrite up BEFORE rethrowing: a retrying
+            // caller (e.g. a streaming compactEvery path racing an
+            // external writer) would otherwise leak one full staged
+            // rewrite per aborted attempt; vacuum additionally reaps any
+            // .staging-* a crash strands
+            deleteRecursively(staging)
             throw new IllegalStateException(
               s"stale merge: computed against v$base but CURRENT is v$cur " +
                 s"under $root; re-run the merge against the new base")
+          }
           val next = maxVersion(root) + 1
           Files.move(staging, Paths.get(root, s"v$next"),
             StandardCopyOption.ATOMIC_MOVE)
@@ -551,12 +630,24 @@ object SnapshotStore {
           }
         } finally s.close()
       }
-    val fragmented = (0 until nBuckets).filter(k =>
-      dataFiles(Paths.get(root, s"v$base", s"_bucket=$k")) > maxFilesPerBucket)
+    // fragmentation census from the version MANIFEST (the file-listing
+    // source of truth — same rationale as read); directory listing remains
+    // only as the pre-manifest-version fallback
+    val fragmented = manifestFiles(root, base) match {
+      case Some(files) =>
+        val perBucket = files.groupBy(_.split('/').head).collect {
+          case (d, fs) if d.startsWith("_bucket=") =>
+            d.stripPrefix("_bucket=").toInt -> fs.size
+        }
+        (0 until nBuckets).filter(k =>
+          perBucket.getOrElse(k, 0) > maxFilesPerBucket)
+      case None => (0 until nBuckets).filter(k =>
+        dataFiles(Paths.get(root, s"v$base", s"_bucket=$k")) > maxFilesPerBucket)
+    }
     if (fragmented.isEmpty) return base
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    spark.read.parquet(s"$root/v$base")
+    read(spark, root, base)
       .filter(col("_bucket").isin(fragmented.map(Int.box): _*))
       .repartition(fragmented.size, col("_bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
@@ -577,12 +668,15 @@ object SnapshotStore {
         } finally stream.close()
       }
     }
+    writeVersionManifest(staging)
     withFlipLock(root) {
       val cur = currentVersion(root)
-      if (cur != base)
+      if (cur != base) {
+        deleteRecursively(staging) // see merge: no staged-rewrite leak
         throw new IllegalStateException(
           s"stale compact: computed against v$base but CURRENT is v$cur " +
             s"under $root; re-run against the new base")
+      }
       val next = maxVersion(root) + 1
       Files.move(staging, Paths.get(root, s"v$next"),
         StandardCopyOption.ATOMIC_MOVE)
@@ -593,8 +687,25 @@ object SnapshotStore {
 
   /** Drop version dirs older than the newest `keep` versions behind the
     * current pointer (current itself always survives). Returns the dropped
-    * version numbers. */
-  def vacuum(root: String, keep: Int = 1): Seq[Long] = {
+    * version numbers. Also reaps `.staging-*` dirs past the lock
+    * staleness horizon — a publisher that crashed (or a pre-fix merge
+    * retry loop) strands its staged write there, and nothing else ever
+    * deletes them. The age guard keeps a LIVE publisher's in-flight
+    * staging safe: its directory mtime refreshes as part-files land. */
+  def vacuum(root: String, keep: Int = 1,
+      stagingStaleMs: Long = 60000L): Seq[Long] = {
+    val rootDir = Paths.get(root)
+    if (Files.exists(rootDir)) {
+      val s = Files.list(rootDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".staging-"))
+          .filter(p => System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis > stagingStaleMs)
+          .toSeq.foreach(deleteRecursively)
+      } finally s.close()
+    }
     val cur = currentVersion(root)
     (1L until cur - keep).filter { v =>
       val dir = Paths.get(root, s"v$v")

@@ -258,11 +258,61 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale merge"))
     assert(SnapshotStore.currentVersion(r) == 2L,
       "a failed merge must not move the pointer")
+    // the aborted attempt must clean up its staged rewrite — a retrying
+    // caller would otherwise leak one full rewrite per attempt
+    assert(stagingDirs(r).isEmpty,
+      s"stale merge left staging dirs: ${stagingDirs(r)}")
     // retry against the new current: both writers' changes are present
     assert(SnapshotStore.merge(Seq((1L, "rival")).toDF("id", "v"), r) == 3L)
     val out = SnapshotStore.read(spark, r).collect()
       .map(row => row.getLong(0) -> row.getString(1)).toMap
     assert(out(1L) == "rival" && out(2L) == "winner" && out(0L) == "base")
+  }
+
+  private def stagingDirs(r: String): Seq[String] = {
+    val s = Files.list(java.nio.file.Paths.get(r))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".staging-")).toSeq
+    } finally s.close()
+  }
+
+  test("reads consume the version manifest, never the directory listing") {
+    val r = root()
+    SnapshotStore.publish(spark.range(100).toDF("id"), r)
+    // healthy version: manifest exists and matches disk exactly
+    val files = SnapshotStore.manifestFiles(r, 1L)
+    assert(files.exists(_.nonEmpty), "publish must write a manifest")
+    assert(SnapshotStore.auditVersion(r, 1L) == ((Seq.empty, Seq.empty)))
+    // an alien file dropped into the version dir (an external writer, or
+    // debris from a torn copy) is INVISIBLE to manifest-backed reads —
+    // proof the listing is not the source of truth — and the audit
+    // surfaces it
+    spark.range(5000L, 5050L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$r/v1")
+    assert(SnapshotStore.read(spark, r).count() == 100L,
+      "read must see exactly the manifested files")
+    val (missing, unknown) = SnapshotStore.auditVersion(r, 1L)
+    assert(missing.isEmpty && unknown.nonEmpty,
+      s"audit must surface the alien file, got ($missing, $unknown)")
+  }
+
+  test("vacuum reaps stranded .staging-* dirs past the staleness horizon") {
+    val r = root()
+    SnapshotStore.publish(spark.range(10).toDF("id"), r)
+    val stranded = java.nio.file.Paths.get(r, ".staging-dead-1")
+    Files.createDirectories(stranded)
+    Files.write(stranded.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    // fresh staging (a live publisher's in-flight write) must survive
+    val live = java.nio.file.Paths.get(r, ".staging-live-2")
+    Files.createDirectories(live)
+    Files.setLastModifiedTime(stranded,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000L))
+    SnapshotStore.vacuum(r, keep = 99)
+    assert(stagingDirs(r) == Seq(".staging-live-2"),
+      s"stale staging reaped, live staging kept — got ${stagingDirs(r)}")
   }
 
   private def bucketListing(r: String, v: Long, k: Int): Map[String, Any] = {

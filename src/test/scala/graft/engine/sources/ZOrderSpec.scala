@@ -84,8 +84,8 @@ class ZOrderSpec extends AnyFunSuite {
       .write.parquet(s"$sortedRoot/data")
     spark.read.parquet(s"$sortedRoot/data")
       .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min(col("a")).as("min_a"), max(col("a")).as("max_a"),
-        min(col("b")).as("min_b"), max(col("b")).as("max_b"),
+      .agg(min(col("a")).as("min_0"), max(col("a")).as("max_0"),
+        min(col("b")).as("min_1"), max(col("b")).as("max_1"),
         count(lit(1)).as("n_rows"))
       .coalesce(1).write.parquet(s"$sortedRoot/manifest")
     val (_, readSorted, totalSorted) = ZOrder.readBox(spark, sortedRoot,
@@ -130,6 +130,89 @@ class ZOrderSpec extends AnyFunSuite {
     val (_, readSmall, _) = ZOrder.readBox(spark, root,
       "a", 110L, 120L, "b", 10L, 20L)
     assert(readSmall < 4, s"within-day 2-D box should skip, read $readSmall")
+  }
+
+  test("3-D interleave matches the reference bit walk and stays positive") {
+    def ref3(a: Long, b: Long, c: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | ((a & (1L << i)) << (2 * i)) |
+          ((b & (1L << i)) << (2 * i + 1)) |
+          ((c & (1L << i)) << (2 * i + 2))
+      }
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (7L, 7L, 7L), (0xFFFFL, 0L, 0xAAAAL), (12345L, 54321L, 33333L))
+    val got = cases.toDF("a", "b", "c")
+      .select(ZOrder.interleaveN(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == cases.map { case (a, b, c) => ref3(a, b, c, 16) })
+    assert(got.forall(_ >= 0L))
+    // dimension-count guard: 3 cols x 21 bits = 63 would go negative
+    intercept[IllegalArgumentException] {
+      ZOrder.interleaveN(Seq(col("a"), col("b"), col("c")), 21)
+    }
+  }
+
+  test("3-D clusterWrite + box read == full-scan filter, and it prunes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-zorder-3d").toString
+    // 32x32x32 lattice, one row per cell
+    val grid = spark.range(32L * 32L * 32L).select(
+      (col("id") / 1024).cast("long").as("a"),
+      (pmod(col("id"), lit(1024L)) / 32).cast("long").as("b"),
+      pmod(col("id"), lit(32L)).as("c"),
+      col("id").as("payload"))
+    ZOrder.clusterWrite(grid, root, Seq("a", "b", "c"), nFiles = 16, bits = 5)
+    // box inside one octant (top bit 0 on every axis): Morton locality
+    // confines its z-range to 1/8 of the curve. A box STRADDLING the
+    // midpoint on every axis is the curve's worst case and prunes little
+    // at this file granularity — position boxes off high-bit boundaries
+    // (the q108 oracle does the same).
+    val (boxDf, read, total) = ZOrder.readBox(spark, root,
+      Seq(("a", 2L, 9L), ("b", 2L, 9L), ("c", 2L, 9L)))
+    val want = grid.filter(col("a").between(2, 9) &&
+        col("b").between(2, 9) && col("c").between(2, 9))
+      .select(col("payload")).collect().map(_.getLong(0)).toSet
+    val got = boxDf.select(col("payload")).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.size == 8 * 8 * 8)
+    assert(total == 16)
+    assert(read * 2 <= total,
+      s"25%-per-axis octant-interior 3-D box should skip, read $read/$total")
+  }
+
+  test("scaled fails loudly on span overflow instead of degrading to 0") {
+    intercept[ArithmeticException] {
+      ZOrder.scaled(col("v"), Long.MinValue + 1, Long.MaxValue - 1, 16)
+    }
+  }
+
+  test("torn publish: a data file missing from the manifest is read unpruned") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-zorder-torn").toString
+    val grid = spark.range(1000L)
+      .select(col("id").as("a"), col("id").as("b"), col("id").as("payload"))
+    ZOrder.clusterWrite(grid, root, "a", "b", nFiles = 4, bits = 8)
+    // simulate a crash between the data and manifest steps of an append:
+    // new rows land in data/ but never make the manifest
+    val orphan = spark.range(5000L, 5010L)
+      .select(col("id").as("a"), col("id").as("b"), col("id").as("payload"))
+    orphan.coalesce(1).write.mode("append").parquet(s"$root/data")
+    // a box that the MANIFEST would prune to zero files still finds the
+    // orphan rows, because unknown files are always read
+    val (df, read, total) = ZOrder.readBox(spark, root,
+      "a", 5000L, 6000L, "b", 5000L, 6000L)
+    assert(df.count() == 10L)
+    assert(total == 5 && read >= 1, s"orphan must be counted, $read/$total")
+    // and the next append ADOPTS the orphan into the manifest (self-heal)
+    ZOrder.appendCluster(
+      spark.range(9000L, 9100L).select(col("id").as("a"), col("id").as("b"),
+        col("id").as("payload")),
+      root, "a", "b", nFiles = 2, bits = 8)
+    val manifest = spark.read.parquet(s"$root/manifest")
+    assert(manifest.count() == 7L, "4 base + 1 adopted orphan + 2 appended")
+    val (df2, _, total2) = ZOrder.readBox(spark, root,
+      "a", 5000L, 6000L, "b", 5000L, 6000L)
+    assert(df2.count() == 10L && total2 == 7)
   }
 
   test("empty box selects zero files and returns zero rows") {
