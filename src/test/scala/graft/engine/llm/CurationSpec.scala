@@ -270,6 +270,23 @@ class CurationSpec extends AnyFunSuite {
       s"fused=${joins(fused)} composed=${joins(composed)}")
   }
 
+  test("packAssignments refuses the unsharded global window unless " +
+      "explicitly allowed") {
+    val tiny = (0L until 4L).map(i => (i, "a b c", "s"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      Curation.packAssignments(tiny, "doc_id", "text", 10L)
+    }
+    assert(e.getMessage.contains("shardCols"))
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(tiny, "doc_id", "text", 10L)
+    }
+    // the explicit small-input opt-in still works and packs correctly
+    val packs = Curation.packSequences(tiny, "doc_id", "text", 6L,
+      allowGlobalWindow = true).orderBy("pack_id").collect()
+    assert(packs.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+  }
+
   test("packSequences: no pack starts beyond the running token budget") {
     // tiny synthetic corpus with known token counts: 10 docs × 5 tokens,
     // budget 12 ⇒ starting offsets 0,5,10,15,… ⇒ packs 0,0,0,1,1,2,2,2,3,3

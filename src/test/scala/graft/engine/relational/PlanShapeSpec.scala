@@ -114,6 +114,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query plans an UNPARTITIONED WindowExec (the " +
+      "single-task total-order scale hazard)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Excluded: the x5x streaming queries run a real micro-batch engine
+    // inside run() (their foreachBatch plans are gated separately in
+    // StreamingPlanAuditSpec) and the ml_* MLlib fits are minutes of
+    // tree induction with no relational windows of ours — sweeping them
+    // here would triple the suite's cost for zero added coverage.
+    val excluded = Set("ml_rf_pipeline", "ml_cv_rf", "ml_gbt_ovr")
+    val offenders = graft.engine.Registry.all
+      .filterNot(q => excluded.contains(q.name) || q.name.startsWith("x5"))
+      .flatMap { q =>
+        val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => q.name
+        }
+      }.distinct
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec in: ${offenders.mkString(", ")} — " +
+        "bound the input explicitly (coalesce(1)+sortWithinPartitions, " +
+        "TakeOrdered) or shard the window")
+  }
+
   test("q59: partitioned read prunes to the filtered partition") {
     val plan = explainFormatted(RelationalQueries.q59)
     val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
