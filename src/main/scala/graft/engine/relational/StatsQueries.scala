@@ -625,7 +625,91 @@ object StatsQueries {
       FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL"""),
     doc = "Misra-Gries sketch regime: mergeable-bound contract booleans vs exact census")
 
+  /** q110 — mergeable QUANTILE sketch columns ([[QuantileSketch]], the
+    * percentile sibling of q93's HLL columns): events arrives as three
+    * ingest batches, each batch is sketched independently per event_type
+    * (per-batch sketch COLUMNS — storable rows, never re-scanned), the
+    * batch sketches fold through [[QuantileSketch.mergeAgg]], and
+    * p50/p90 estimates come off the merged sketch through a
+    * sketch-items-only window. The ORACLE pins (a) the exact p50/p90
+    * VALUES (the ceil(q·n)-th smallest, recomputed by DuckDB from the raw
+    * rows — the exact census half of the q93 pattern) and (b) the
+    * `in_contract` booleans: each estimate's true-rank interval
+    * [#{x<est}+1, #{x<=est}] overlaps the target rank ± the sketch's own
+    * self-computed L·n/k+k bound (interval form so heavy ties cannot
+    * false-fail the contract). A broken collapse, a lost buffer in a
+    * merge, or weight drift breaks the booleans — weight conservation is
+    * additionally value-pinned through `n` (total sketch weight must
+    * equal the DuckDB row count). */
+  val q110 = GraftQuery(
+    "q110_quantile_sketches",
+    (spark, sfDir) => {
+      val k = 512
+      val qs = Seq(0.5, 0.9)
+      val ev = Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val batches = (0 to 2).map(i =>
+        ev.filter(pmod(col("event_id"), lit(3L)) === i.toLong)
+          .groupBy(col("event_type"))
+          .agg(QuantileSketch.sketchAgg(col("value"), k).as("sk")))
+      val merged = batches.reduce(_ unionByName _)
+        .groupBy(col("event_type"))
+        .agg(QuantileSketch.mergeAgg(col("sk"), k).as("sk"))
+      val est = QuantileSketch.estimate(merged, "event_type", "sk", qs, k)
+        // tiny (|event_type| × |qs| rows) but feeds THREE consumers below
+        .localCheckpoint()
+      // exact census (oracle half): the ceil(q·n)-th smallest raw value —
+      // a per-type sort, the harness's exact side, not the scale path
+      val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ranked = ev.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("value"))))
+      val exact = qs.map(q =>
+        ranked.join(n, "event_type")
+          .filter(col("rn") === ceil(lit(q) * col("n")).cast(LongType))
+          .select(col("event_type"), lit(q).as("q"), col("n"),
+            col("value").as("exact_q"))).reduce(_ unionByName _)
+      // true-rank interval of each estimate, from the raw rows
+      val ranks = ev
+        .join(est.select(col("event_type"), col("q"), col("estimate")),
+          "event_type")
+        .groupBy(col("event_type"), col("q"))
+        .agg(sum(when(col("value") < col("estimate"), 1L).otherwise(0L))
+            .as("rank_lo"),
+          sum(when(col("value") <= col("estimate"), 1L).otherwise(0L))
+            .as("rank_hi"))
+      exact
+        .join(est, Seq("event_type", "q"))
+        .join(ranks, Seq("event_type", "q"))
+        .select(col("event_type"), col("q"), col("n").cast(LongType).as("n"),
+          col("exact_q"),
+          (col("total_weight") === col("n")).as("weight_exact"),
+          (col("rank_lo") + 1 <= ceil(col("q") * col("n")).cast(LongType)
+              + col("bound") &&
+            col("rank_hi") >= ceil(col("q") * col("n")).cast(LongType)
+              - col("bound")).as("in_contract"))
+        .orderBy(col("event_type"), col("q"))
+    },
+    Some("""WITH e AS (SELECT event_type, value FROM events
+        WHERE value IS NOT NULL),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY 1),
+      r AS (SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        FROM e),
+      qs AS (SELECT CAST(0.5 AS DOUBLE) AS q
+        UNION ALL SELECT CAST(0.9 AS DOUBLE))
+      SELECT n.event_type, qs.q, n.n,
+        (SELECT value FROM r WHERE r.event_type = n.event_type
+           AND rn = CAST(CEIL(qs.q * n.n) AS BIGINT)) AS exact_q,
+        TRUE AS weight_exact, TRUE AS in_contract
+      FROM n, qs ORDER BY event_type, q"""),
+    doc = "per-batch Munro-Paterson quantile sketches merged without " +
+      "re-scanning any batch; exact p50/p90 census + self-computed " +
+      "rank-error contract oracle-pinned")
+
   def queries: Seq[GraftQuery] =
     Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101,
-      q102, q105, q106)
+      q102, q105, q106, q110)
 }
