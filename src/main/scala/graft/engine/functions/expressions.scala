@@ -523,6 +523,138 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared trie for the vocabulary tokenizer expressions: greedy
+  * longest-match against a fixed word vocabulary, with every single
+  * non-whitespace character an implicit base token (so tokenization
+  * always terminates and unknown characters count as one token each).
+  *
+  * The semantics are EXACTLY those of a leftmost-first regex alternation
+  * `(w1|w2|…|wK|[^\s])` with the vocabulary sorted by (length desc, word
+  * asc) — the formulation both Java regex and DuckDB/RE2 replay, which is
+  * what makes the operator oracle-checkable end to end (two same-length
+  * distinct words can never match at the same position, so the sort is a
+  * total tie-break). The trie walk is O(longest match) per position
+  * instead of the alternation's O(vocab) — same answer, linear scan.
+  */
+private[functions] final class VocabTrie(vocab: Array[String]) extends Serializable {
+  // flat trie: children as per-node HashMap (vocabularies are 10^2..10^5
+  // words — driver-built once per plan, shipped with the expression)
+  private val children = scala.collection.mutable.ArrayBuffer(
+    new java.util.HashMap[Char, Int]())
+  private val terminal = scala.collection.mutable.ArrayBuffer(false)
+  vocab.foreach { w =>
+    require(w.nonEmpty && w.forall(c => !VocabTrie.isWs(c)),
+      s"vocab tokens must be non-empty and whitespace-free, got '$w'")
+    var node = 0
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      node =
+        if (children(node).containsKey(c)) children(node).get(c)
+        else {
+          children += new java.util.HashMap[Char, Int]()
+          terminal += false
+          children(node).put(c, children.size - 1)
+          children.size - 1
+        }
+      i += 1
+    }
+    terminal(node) = true
+  }
+
+  /** Longest vocab match starting at `pos` (0 = none). */
+  def longestMatch(s: String, pos: Int): Int = {
+    var node = 0
+    var i = pos
+    var best = 0
+    while (i < s.length && children(node).containsKey(s.charAt(i))) {
+      node = children(node).get(s.charAt(i))
+      i += 1
+      if (terminal(node)) best = i - pos
+    }
+    best
+  }
+}
+
+private[functions] object VocabTrie {
+  /** Regex `\s` on BOTH engines (Java and RE2): the explicit 6-char set —
+    * NOT Character.isWhitespace, which disagrees on - etc. */
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}
+
+/** Greedy longest-match token COUNT against a fixed vocabulary — the
+  * learned-vocab successor of the `[a-z]+|[0-9]+|[^a-z0-9\s]` regex proxy
+  * (TextAnalysis.tokenCount): a real LLM pipeline budgets sequences in
+  * tokens of ITS tokenizer's vocabulary, and word-piece inference is
+  * greedy longest-match. One tight loop, no token array allocated —
+  * the packing/budgeting hot path wants only the count.
+  *
+  * Matches the reference's token accounting role (it has none — its only
+  * text surface is iris CSV); modeled on the public WordPiece/BPE
+  * inference semantics (Devlin et al. 2019; Sennrich et al. 2016).
+  */
+case class VocabTokenCount(child: Expression, vocab: Array[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_vocab_token_count"
+
+  @transient private lazy val trie = new VocabTrie(vocab)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      if (VocabTrie.isWs(s.charAt(i))) i += 1
+      else {
+        val m = trie.longestMatch(s, i)
+        n += 1L
+        i += (if (m > 0) m else 1)
+      }
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Greedy longest-match TOKENS (ARRAY<STRING>) against a fixed vocabulary
+  * — [[VocabTokenCount]]'s materializing sibling for pipelines that need
+  * the pieces themselves (vocabulary-hit analysis, sequence writers) and
+  * for value-level verification: `size(vocabTokens(...))` must equal
+  * `vocabTokenCount(...)` by construction, and each piece is replayable
+  * through the regex-alternation twin. Unknown characters surface as
+  * single-character tokens (the `[^\s]` catch-all).
+  */
+case class VocabTokens(child: Expression, vocab: Array[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_vocab_tokens"
+
+  @transient private lazy val trie = new VocabTrie(vocab)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < s.length) {
+      if (VocabTrie.isWs(s.charAt(i))) i += 1
+      else {
+        val m = trie.longestMatch(s, i)
+        val len = if (m > 0) m else 1
+        out += UTF8String.fromString(s.substring(i, i + len))
+        i += len
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL-registration surface for the custom expressions. */
 object F {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -539,6 +671,14 @@ object F {
 
   def rollingHash(s: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(s)))
+
+  /** Greedy longest-match token count against a fixed vocabulary. */
+  def vocabTokenCount(text: Column, vocab: Array[String]): Column =
+    Bridge.column(VocabTokenCount(Bridge.expression(text), vocab))
+
+  /** Greedy longest-match token pieces (ARRAY<STRING>). */
+  def vocabTokens(text: Column, vocab: Array[String]): Column =
+    Bridge.column(VocabTokens(Bridge.expression(text), vocab))
 
   /** Per-table sign-LSH bucket ids as ARRAY<BIGINT> (index = table). */
   def signLshBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =

@@ -299,10 +299,11 @@ object Curation {
     * run-to-run. */
   def packSequences(docs: DataFrame, orderCol: String, textCol: String,
       budgetTokens: Long, shardCols: Seq[String] = Nil,
-      allowGlobalWindow: Boolean = false): DataFrame = {
+      allowGlobalWindow: Boolean = false,
+      tokenCounter: Column => Column = TextAnalysis.tokenCount): DataFrame = {
     val shard = shardCols.map(col)
     packAssignments(docs, orderCol, textCol, budgetTokens, shardCols,
-        allowGlobalWindow)
+        allowGlobalWindow, tokenCounter)
       .groupBy(shard :+ col("pack_id"): _*)
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
@@ -317,7 +318,8 @@ object Curation {
     * shard scoping, same unique-`orderCol` contract. */
   def packAssignments(docs: DataFrame, orderCol: String, textCol: String,
       budgetTokens: Long, shardCols: Seq[String] = Nil,
-      allowGlobalWindow: Boolean = false): DataFrame = {
+      allowGlobalWindow: Boolean = false,
+      tokenCounter: Column => Column = TextAnalysis.tokenCount): DataFrame = {
     // The unsharded prefix sum is a single-partition total-order window —
     // a scale hazard every registered caller avoids by sharding (q62/q88
     // pack per `source`). Refuse the silent fallback: an API user must opt
@@ -331,7 +333,7 @@ object Curation {
              else Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("n_tokens", tokenCounter(col(textCol)))
       .withColumn("pack_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
           / budgetTokens).cast(LongType))

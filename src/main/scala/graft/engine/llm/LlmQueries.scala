@@ -199,6 +199,80 @@ object LlmQueries {
       FROM t GROUP BY source ORDER BY source"""),
     doc = "regex pre-tokenizer counts per source")
 
+  /** q109 — learned-vocabulary token counts (q48's successor, VERDICT r9
+    * gap 4): a 16-word vocabulary trained deterministically from the
+    * corpus (top frequency, word-asc tie-break), then greedy
+    * longest-match counting through the native trie kernel. The oracle
+    * replays the ENTIRE operator in SQL — vocabulary training (same
+    * frequency ranking) AND tokenization (the leftmost-first regex
+    * alternation twin, built dynamically with string_agg) — so a drift in
+    * either half breaks value equality. The 16-of-30-words vocabulary is
+    * deliberately partial: uncovered words tokenize char-by-char, so
+    * every row's vocab count differs from the regex proxy (the two
+    * columns would otherwise be indistinguishable). */
+  val q109 = GraftQuery(
+    "q109_vocab_tokens",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val vocab = Tokenizer.trainWordVocab(docs, "text", 16)
+      docs.select(col("doc_id"),
+          Tokenizer.tokenCount(col("text"), vocab).as("n_tok_vocab"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok_regex"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents),
+      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w
+        WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
+      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
+        || '|[^\s])' AS pat FROM v)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
+          AS BIGINT) AS n_tok_vocab,
+        CAST(len(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS BIGINT) AS n_tok_regex
+      FROM documents ORDER BY doc_id"""),
+    doc = "learned-vocab greedy longest-match token counts; oracle " +
+      "replays training AND tokenization (dynamic alternation pattern)")
+
+  /** q112 — context-window packing under the LEARNED tokenizer's budget
+    * (q62 re-wired per VERDICT r9 gap 4): pack boundaries land where the
+    * trained vocabulary says the token budget is spent, not where the
+    * regex proxy approximates it. Same sharded prefix-sum machinery
+    * (Curation.packSequences with the pluggable tokenCounter); the oracle
+    * replays vocab training, tokenization, and the windowed prefix sums
+    * end to end. */
+  val q112 = GraftQuery(
+    "q112_vocab_pack",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val vocab = Tokenizer.trainWordVocab(docs, "text", 16)
+      Curation.packSequences(docs, "doc_id", "text", budgetTokens = 1024L,
+          shardCols = Seq("source"),
+          tokenCounter = t => Tokenizer.tokenCount(t, vocab))
+        .orderBy(col("source"), col("pack_id"))
+    },
+    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents),
+      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w
+        WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
+      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
+        || '|[^\s])' AS pat FROM v),
+      t AS (SELECT source, doc_id,
+        CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
+          AS BIGINT) AS n_tokens FROM documents),
+      pk AS (SELECT source, doc_id, n_tokens,
+        CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          / 1024.0) AS BIGINT) AS pack_id
+      FROM t)
+      SELECT source, pack_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM pk GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "token-budget packing under the learned vocabulary (1024/window " +
+      "sharded by source); oracle replays train + tokenize + prefix sums")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -1658,6 +1732,6 @@ object LlmQueries {
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
-      q83, q84, q85, q87, q88, q90, q91, x42, x43, x44, x45, x46, x47, x48,
-      x51)
+      q83, q84, q85, q87, q88, q90, q91, q109, q112, x42, x43, x44, x45,
+      x46, x47, x48, x51)
 }

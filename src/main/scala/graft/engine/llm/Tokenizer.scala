@@ -1,0 +1,98 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.functions.F
+
+/** Learned-vocabulary tokenization: train a deterministic word vocabulary
+  * from a corpus, then count/emit tokens by greedy longest-match against
+  * it — the real budgeting unit of an LLM data pipeline (context-window
+  * packing, per-source token accounting, dataset mixing by token share),
+  * where the `[a-z]+|[0-9]+|[^a-z0-9\s]` regex proxy
+  * ([[TextAnalysis.tokenCount]]) only approximates the sequence length a
+  * trained tokenizer would produce.
+  *
+  * Semantics (the WordPiece/BPE-inference family, public literature:
+  * Devlin et al. 2019, Sennrich et al. 2016): text is lowercased; at each
+  * non-whitespace position the LONGEST vocabulary word matching there is
+  * consumed as one token; if none matches, the single character is one
+  * token (every character is an implicit base-vocab entry, so
+  * tokenization is total and unknown text degrades to character count,
+  * never to failure).
+  *
+  * Oracle story — the whole operator is SQL-replayable, training
+  * included: greedy longest-match with a single-char fallback is EXACTLY
+  * a leftmost-first regex alternation `(w1|…|wK|[^\s])` with the
+  * vocabulary sorted by (length desc, word asc) — both Java regex and
+  * DuckDB's RE2 use leftmost-first alternation, and two distinct
+  * same-length words cannot match at one position, so the sort is a total
+  * tie-break. [[alternationPattern]] builds that twin; the DuckDB oracle
+  * rebuilds the vocabulary with the same frequency query and replays the
+  * same pattern, closing the loop at value level
+  * (LlmQueries.q109/q112). The native trie kernel
+  * ([[graft.engine.functions.VocabTokenCount]]) exists because the
+  * alternation is O(vocab) per position where the trie is O(match).
+  *
+  * Scale posture (100 TB lens): training is ONE word-frequency
+  * aggregation — partial-aggregated map-side, shuffling only distinct
+  * words (Heaps'-law bounded, millions at web scale) — followed by a
+  * driver-side top-K of K strings (the vocabulary itself: bounded,
+  * broadcast with the expression). Real tokenizer training samples the
+  * corpus first; composing with [[Curation.hashSample]] gives that
+  * without a new operator. Tokenizing is a narrow per-row kernel — no
+  * shuffle, no UDF SerDe, whole-stage codegen around it.
+  *
+  * No counterpart in the reference (its only text surface is the iris
+  * CSV's species column).
+  */
+object Tokenizer {
+
+  /** Word-piece candidates: maximal `[a-z]+|[0-9]+` runs of the lowercased
+    * text — punctuation is never learned (it tokenizes through the
+    * single-char fallback on both engines). */
+  private val wordRe = "[a-z]+|[0-9]+"
+
+  /** Train the top-`size` vocabulary: words of length >= 2 ranked by
+    * (frequency desc, word asc) — fully deterministic, no RNG, and exactly
+    * reproducible in SQL (GROUP BY word ORDER BY count DESC, word LIMIT K).
+    * Length-1 words are excluded: every single character is already an
+    * implicit base token, so learning it would spend a vocabulary slot on
+    * a no-op. */
+  def trainWordVocab(docs: DataFrame, textCol: String, size: Int): Array[String] = {
+    require(size >= 1, "vocab size must be positive")
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)), lit(wordRe),
+        lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(size)
+      .collect()
+      .map(_.getString(0))
+  }
+
+  /** Token count of `text` under `vocab` (greedy longest-match, implicit
+    * single-char base vocab). Lowercases internally — same answer as the
+    * alternation twin over `lower(text)`. */
+  def tokenCount(text: Column, vocab: Array[String]): Column =
+    F.vocabTokenCount(lower(text), vocab)
+
+  /** The token pieces themselves (ARRAY<STRING>), for vocabulary-hit
+    * analysis and value-level verification. */
+  def tokens(text: Column, vocab: Array[String]): Column =
+    F.vocabTokens(lower(text), vocab)
+
+  /** The regex-alternation twin of the trie kernel: `(w1|…|wK|[^\s])`
+    * with vocab sorted by (length desc, word asc). Applying
+    * `size(regexp_extract_all(lower(text), pattern, 0))` must equal
+    * [[tokenCount]] on every input — property-pinned in TokenizerSpec and
+    * replayed verbatim by the DuckDB oracles. */
+  def alternationPattern(vocab: Array[String]): String = {
+    vocab.foreach(w => require(w.nonEmpty && w.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"vocab words must be [a-z0-9]+ (regex-safe on both engines), got '$w'"))
+    vocab.sortBy(w => (-w.length, w)).mkString("(", "|", "|[^\\s])")
+  }
+}
