@@ -1,0 +1,139 @@
+package graft.engine.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.sources.SnapshotStore
+
+/** Versioned IVF-PQ index artifacts on [[SnapshotStore]] — the "train
+  * once, encode forever" lifecycle of a production ANN deployment
+  * (VERDICT r9 gap 7): codebooks are trained on one (sampled) corpus
+  * snapshot, PUBLISHED as a versioned table, and every later ingest batch
+  * is encoded against the published version — retraining is a deliberate
+  * new version, never an implicit side effect of a query, because codes
+  * quantized under different codebooks are not comparable and silently
+  * mixing them corrupts every ADC score.
+  *
+  * Layout: one row per centroid — `(kind, sub, cid, vec)` where
+  * `kind = 'cent'` rows are the coarse IVF centroids (`sub = -1`) and
+  * `kind = 'book'` rows are subspace `sub`'s PQ codebook entries. The
+  * whole table is `nlist + m·ksub` rows of `dim`-ish doubles — a few MB
+  * at production scale (Faiss-shape: nlist ≤ 2^18, m ≤ 64, ksub = 256) —
+  * so driver-side collect on load is bounded by construction, and the
+  * doubles round-trip bit-exactly through parquet.
+  *
+  * The encoded corpus itself lives in a separate BUCKETED store keyed by
+  * `cell` ([[SnapshotStore.publishBucketed]] + insert-only
+  * [[SnapshotStore.append]] — cell is a PARTITION key, not a row
+  * identity, so upsert-by-key merge is the wrong primitive): an ingest
+  * batch lands as new files inside its cells' buckets with everything
+  * else hardlink-carried, and probes read ONLY their cells' bucket
+  * directories ([[probeCodes]]) — the IVF "scan nprobe/nlist of the
+  * corpus" promise realized at the STORAGE layer, not just the scan
+  * (q111 pins the composed lifecycle; AnnIndexSpec pins restart/version
+  * semantics and the pruned-read file set).
+  *
+  * No counterpart in the reference (its only persistence is MLlib
+  * `model.save`, `no_pipeline/Predict.scala` sibling paths); modeled on
+  * the public Faiss index-file lifecycle re-expressed as versioned
+  * tables.
+  */
+object AnnIndex {
+
+  /** Serialize trained codebooks to one DataFrame (see layout above). */
+  def toDf(spark: SparkSession,
+      cents: Array[(Int, Array[Double])],
+      books: Seq[Array[(Int, Array[Double])]]): DataFrame = {
+    import spark.implicits._
+    val centRows = cents.toSeq.map { case (cid, v) => ("cent", -1, cid, v.toSeq) }
+    val bookRows = books.zipWithIndex.flatMap { case (book, sub) =>
+      book.toSeq.map { case (cid, v) => ("book", sub, cid, v.toSeq) }
+    }
+    (centRows ++ bookRows).toDF("kind", "sub", "cid", "vec")
+  }
+
+  /** Publish trained codebooks as the next version under `root`.
+    * Atomic + versioned via [[SnapshotStore.publish]]: readers pinned to
+    * a version keep decoding consistently while a retrain publishes. */
+  def publishIndex(spark: SparkSession, root: String,
+      cents: Array[(Int, Array[Double])],
+      books: Seq[Array[(Int, Array[Double])]]): Long = {
+    require(cents.nonEmpty, "need at least one coarse centroid")
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "every PQ subspace needs a non-empty codebook")
+    SnapshotStore.publish(toDf(spark, cents, books), root)
+  }
+
+  /** Load a published index version (0 = current) back into the driver
+    * structures [[Similarity.ivfPqTopK]] consumes. Bounded collect:
+    * nlist + m·ksub rows by the publish-side contract. */
+  def loadIndex(spark: SparkSession, root: String, version: Long = 0L)
+      : (Array[(Int, Array[Double])], Seq[Array[(Int, Array[Double])]]) = {
+    val rows = SnapshotStore.read(spark, root, version)
+      .select(col("kind"), col("sub"), col("cid"), col("vec"))
+      .collect()
+    val cents = rows.filter(_.getString(0) == "cent")
+      .map(r => r.getInt(2) -> r.getSeq[Double](3).toArray)
+      .sortBy(_._1)
+    val books = rows.filter(_.getString(0) == "book")
+      .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.map(r => r.getInt(2) -> r.getSeq[Double](3).toArray).sortBy(_._1)
+      }
+    require(cents.nonEmpty, s"no index published under $root")
+    (cents, books)
+  }
+
+  /** Bootstrap the encoded-corpus store: encode `corpus` under the given
+    * codebooks and publish (nid, cell, code) bucketed by `cell`, so
+    * recurring probes and merges read only the touched cells' buckets. */
+  def publishCodes(corpus: DataFrame, root: String,
+      cents: Array[(Int, Array[Double])],
+      books: Seq[Array[(Int, Array[Double])]],
+      nBuckets: Int): Long =
+    SnapshotStore.publishBucketed(
+      Similarity.ivfPqEncode(corpus, cents, books), root, "cell", nBuckets)
+
+  /** Incrementally encode a new ingest batch against the SAME published
+    * codebooks and APPEND it to the encoded store: history is neither
+    * re-encoded nor rewritten (hardlink carryover) — cost is O(batch)
+    * regardless of corpus size. `nid` uniqueness is the upstream ingest
+    * pipeline's contract (the Dedup operators); pass `tag` when the
+    * caller is at-least-once. Returns the new version. */
+  def appendCodes(batch: DataFrame, root: String,
+      cents: Array[(Int, Array[Double])],
+      books: Seq[Array[(Int, Array[Double])]],
+      tag: Option[String] = None): Long =
+    SnapshotStore.append(Similarity.ivfPqEncode(batch, cents, books), root, tag)
+
+  /** Read the current (or pinned) encoded corpus for probing. The
+    * `_bucket` column is internal to the store layout; drop it so the
+    * frame matches [[Similarity.ivfPqEncode]]'s schema. */
+  def readCodes(spark: SparkSession, root: String, version: Long = 0L): DataFrame =
+    SnapshotStore.read(spark, root, version)
+      .select(col("nid"), col("cell"), col("code"))
+
+  /** Probe-side PRUNED read: only the bucket directories holding the
+    * given cells are listed and scanned (`_bucket` is a partition column
+    * — directory-level pruning, the same mechanics as merge's touched-
+    * bucket reads), then the exact cell filter is re-applied. At scale
+    * this is what makes a published IVF-PQ store pay nprobe/nlist of the
+    * compressed corpus per query batch in IO, not just in CPU. */
+  def probeCodes(spark: SparkSession, root: String, cells: Seq[Int],
+      version: Long = 0L): DataFrame = {
+    require(cells.nonEmpty, "need at least one probed cell")
+    val (keyCol, nBuckets) = SnapshotStore.readBucketSpec(root).getOrElse(
+      throw new IllegalStateException(s"$root is not a bucketed store"))
+    require(keyCol == "cell", s"codes store must be bucketed by cell, got $keyCol")
+    val spark2 = spark
+    import spark2.implicits._
+    val bucketOf = cells.distinct.toDF("cell")
+      .select(col("cell"), SnapshotStore.bucketExpr("cell", nBuckets).as("b"))
+      .collect().map(_.getInt(1)).distinct.toSeq
+    SnapshotStore.read(spark, root, version)
+      .filter(col("_bucket").isin(bucketOf.map(Int.box): _*) &&
+        col("cell").isin(cells.distinct.map(Int.box): _*))
+      .select(col("nid"), col("cell"), col("code"))
+  }
+}

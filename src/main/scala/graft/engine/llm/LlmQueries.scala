@@ -841,6 +841,50 @@ object LlmQueries {
     q84.oracle, // same pinned corpus, same exact ranking
     doc = "IVF-PQ at nprobe=nlist + lossless codebooks == exact cosine ranking")
 
+  /** q111 — the PUBLISHED-index ANN lifecycle (VERDICT r9 gap 7): q87
+    * re-run through versioned storage instead of in-query training state.
+    * Codebooks are trained once and PUBLISHED (AnnIndex/SnapshotStore),
+    * loaded back from the store, the corpus is encoded in two ingest
+    * batches — bootstrap then insert-only append (hardlink carryover,
+    * nothing re-encoded) — and the probe runs against the STORE's current
+    * version. At q87's exact settings (nprobe = nlist, lossless
+    * codebooks) the result must still equal DuckDB's brute-force cosine
+    * ranking: any loss in codebook serialization round-trip, cell
+    * assignment drift between load and train, or a row dropped/duplicated
+    * by the append carryover breaks the rows. */
+  val q111 = GraftQuery(
+    "q111_published_ann",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q111_ann_${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+      // train once, publish, and use ONLY what the store gives back
+      AnnIndex.publishIndex(spark, s"$root/index",
+        Similarity.ivfCentroids(emb, nlist = 4, iters = 1),
+        Similarity.pqCodebooksExact(emb, m = 4))
+      val (cents, books) = AnnIndex.loadIndex(spark, s"$root/index")
+      // two ingest batches: bootstrap publish, then insert-only append
+      AnnIndex.publishCodes(emb.filter(col("vec_id") < 50), s"$root/codes",
+        cents, books, nBuckets = 4)
+      AnnIndex.appendCodes(emb.filter(col("vec_id") >= 50), s"$root/codes",
+        cents, books)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          cents, books, nprobe = 4,
+          codes = Some(AnnIndex.readCodes(spark, s"$root/codes")))
+        .select(col("qid"), col("rnk"), col("nid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    q84.oracle, // same pinned corpus, same exact ranking
+    doc = "published-codebook ANN: train->publish->load->bootstrap+append " +
+      "codes->probe current version == exact cosine ranking")
+
   /** q85 — SemDeDup-style semantic dedup (X2e end-to-end) ORACLE-checked in
     * its exact regime: planted duplicate CLIQUES (every 25th vector copied
     * once, every 50th copied twice → 3-cliques) at threshold 0.999999,
@@ -1732,6 +1776,6 @@ object LlmQueries {
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
-      q83, q84, q85, q87, q88, q90, q91, q109, q112, x42, x43, x44, x45,
-      x46, x47, x48, x51)
+      q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, x42, x43, x44,
+      x45, x46, x47, x48, x51)
 }

@@ -603,18 +603,33 @@ object Similarity {
     * lossless codebooks (PQ exact) reproduces the brute-force ranking,
     * and rerank >= corpus recovers exactness under ANY codebooks —
     * both asserted in SimilaritySpec. */
+  /** The IVF-PQ STORED representation of a corpus: (nid, cell, code) —
+    * one narrow pass over the vectors assigning each to its coarse cell
+    * and quantizing it to the m-subspace PQ code. This is the table a
+    * production deployment persists (cell-partitioned; the float vectors
+    * go cold) and appends to incrementally as batches arrive — publish it
+    * through [[AnnIndex]] and probe with `ivfPqTopK(codes = Some(...))`
+    * without ever re-encoding history. */
+  def ivfPqEncode(corpus: DataFrame,
+      cents: Array[(Int, Array[Double])],
+      books: Seq[Array[(Int, Array[Double])]]): DataFrame =
+    corpus.select(col("vec_id").as("nid"),
+      ivfCell(col("embedding"), cents).as("cell"),
+      F.pqEncode(col("embedding"), bareBooks(books)).as("code"))
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: Array[(Int, Array[Double])],
       books: Seq[Array[(Int, Array[Double])]],
-      nprobe: Int, rerank: Int = 0): DataFrame = {
+      nprobe: Int, rerank: Int = 0,
+      codes: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= cents.length,
       "need 1 <= nprobe <= nlist")
     val m = books.length
     val ds = books.head.head._2.length
-    // the stored table: (nid, cell, code) — one pass over the vectors
-    val stored = corpus.select(col("vec_id").as("nid"),
-      ivfCell(col("embedding"), cents).as("cell"),
-      F.pqEncode(col("embedding"), bareBooks(books)).as("code"))
+    // the stored table: (nid, cell, code) — precomputed/published codes
+    // when the caller has them (the incremental path), one encode pass
+    // over the vectors otherwise
+    val stored = codes.getOrElse(ivfPqEncode(corpus, cents, books))
     val qRows = queries
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()

@@ -581,6 +581,96 @@ object SnapshotStore {
     }
   }
 
+  /** APPEND (insert-only) a batch into a new version WITHOUT rewriting
+    * ANY existing data — [[merge]]'s LSM-flavored sibling for stores
+    * whose bucket key is a PARTITION key rather than a row identity
+    * (e.g. an IVF codes table bucketed by coarse cell: a cell holds many
+    * vectors, so upsert-by-cell would replace whole cells; what an ingest
+    * batch wants is new files INSIDE the touched cells).
+    *
+    * Mechanics: the batch is written as fresh files into its buckets'
+    * directories in a staging version; EVERY base file (touched buckets
+    * included) carries over as a hardlink — append never reads, rewrites,
+    * or invalidates existing data, so the cost is O(batch) regardless of
+    * table size. Part-file names are write-job unique, so fresh files and
+    * carried-over links can never collide. Repeated appends fragment the
+    * hot buckets; [[compact]] is the maintenance half of that contract,
+    * exactly as for per-tick merges.
+    *
+    * Same optimistic concurrency as merge (stale-base check under the
+    * flip lock, staging cleaned on abort), same `tag` replay protection
+    * for at-least-once callers. Rows are APPENDED verbatim: if the batch
+    * repeats a logical key the store now holds both rows — deduplication
+    * is the upstream pipeline's contract (or use [[merge]], whose bucket
+    * key IS the row identity). Returns the published version. */
+  def append(batch: DataFrame, root: String, tag: Option[String] = None): Long = {
+    val spark = batch.sparkSession
+    val alreadyApplied = taggedVersion(root, tag)
+    if (alreadyApplied.isDefined) return alreadyApplied.get
+    val (keyCol, nBuckets) = readBucketSpec(root).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
+    val base = currentVersion(root)
+    require(base > 0, s"no published version under $root")
+    val baseDf = read(spark, root, base)
+    require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
+      s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
+        s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
+    if (batch.isEmpty) return base // no-op: nothing minted (see merge)
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    batch.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
+      .parquet(staging.toString)
+    tag.foreach(t => Files.write(staging.resolve(TagFile),
+      t.getBytes(StandardCharsets.UTF_8)))
+    // hardlink the ENTIRE base version's data into the staging dirs —
+    // metadata-only carryover, fresh files and links merge per bucket dir
+    val baseDir = Paths.get(root, s"v$base")
+    val baseList = Files.list(baseDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      baseList.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("_bucket="))
+        .foreach { src =>
+          val dst = staging.resolve(src.getFileName.toString)
+          Files.createDirectories(dst)
+          val files = Files.list(src)
+          try files.iterator().forEachRemaining { f =>
+            if (!Files.isDirectory(f)) {
+              val t = dst.resolve(f.getFileName)
+              try Files.createLink(t, f)
+              catch {
+                case _: UnsupportedOperationException | _: java.io.IOException =>
+                  Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+              }
+            }
+          } finally files.close()
+        }
+    } finally baseList.close()
+    writeVersionManifest(staging)
+    withFlipLock(root) {
+      taggedVersion(root, tag) match {
+        case Some(v) => // a concurrent same-tag appender won the race
+          deleteRecursively(staging); v
+        case None =>
+          val cur = currentVersion(root)
+          if (cur != base) {
+            deleteRecursively(staging) // see merge: no staged leak
+            throw new IllegalStateException(
+              s"stale append: computed against v$base but CURRENT is v$cur " +
+                s"under $root; re-run the append against the new base")
+          }
+          val next = maxVersion(root) + 1
+          Files.move(staging, Paths.get(root, s"v$next"),
+            StandardCopyOption.ATOMIC_MOVE)
+          advancePointerLocked(root, next)
+          next
+      }
+    }
+  }
+
   /** COMPACT a bucketed store's current version: rewrite only the buckets
     * whose file count exceeds `maxFilesPerBucket`, hardlink every other
     * bucket, and publish the result as a new version (content identical —

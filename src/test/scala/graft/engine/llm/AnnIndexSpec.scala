@@ -1,0 +1,140 @@
+package graft.engine.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession.{sfDir, spark}
+import graft.engine.Tables
+import graft.engine.sources.SnapshotStore
+
+class AnnIndexSpec extends AnyFunSuite {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+    .filter(col("vec_id") < 100)
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft_annidx_$tag").toString + "/store"
+
+  private def trained() = (
+    Similarity.ivfCentroids(emb, nlist = 4, iters = 1),
+    Similarity.pqCodebooksExact(emb, m = 4))
+
+  test("publish/load round-trips codebooks bit-exactly, versions pin") {
+    val root = freshRoot("rt")
+    val (cents, books) = trained()
+    val v1 = AnnIndex.publishIndex(spark, root, cents, books)
+    assert(v1 == 1L)
+    val (c2, b2) = AnnIndex.loadIndex(spark, root)
+    assert(c2.map(_._1).toSeq == cents.map(_._1).toSeq)
+    assert(c2.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) },
+      "coarse centroids must round-trip bit-exactly")
+    assert(b2.size == books.size)
+    assert(b2.zip(books).forall { case (ba, bb) =>
+      ba.map(_._1).toSeq == bb.map(_._1).toSeq &&
+        ba.zip(bb).forall { case ((_, x), (_, y)) => x.sameElements(y) }
+    }, "PQ codebooks must round-trip bit-exactly per subspace")
+
+    // retrain (different nlist) -> v2; the pinned v1 read still loads the
+    // ORIGINAL index — a retrain is a new version, never a mutation
+    val cents8 = Similarity.ivfCentroids(emb, nlist = 8, iters = 1)
+    val v2 = AnnIndex.publishIndex(spark, root, cents8, books)
+    assert(v2 == 2L)
+    assert(AnnIndex.loadIndex(spark, root)._1.length == 8)
+    val (c1again, _) = AnnIndex.loadIndex(spark, root, version = 1L)
+    assert(c1again.length == 4 &&
+      c1again.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+  }
+
+  test("bootstrap + append == one-shot encode; append moves no history") {
+    val root = freshRoot("ap")
+    val (cents, books) = trained()
+    val v1 = AnnIndex.publishCodes(emb.filter(col("vec_id") < 50), root,
+      cents, books, nBuckets = 4)
+    val v1Files = SnapshotStore.read(spark, root, v1).inputFiles.toSet
+    val v2 = AnnIndex.appendCodes(emb.filter(col("vec_id") >= 50), root,
+      cents, books)
+    assert(v2 == v1 + 1)
+    // content: the two-batch store equals a single-pass encode, row-exact
+    val expect = Similarity.ivfPqEncode(emb, cents, books)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).toSet
+    val got = AnnIndex.readCodes(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).toSet
+    assert(got == expect, "bootstrap+append must equal one-shot encode")
+    // history carryover is by hardlink: every v1 file name is still
+    // referenced by v2 (append rewrites nothing)
+    val v2Files = SnapshotStore.read(spark, root, v2).inputFiles.toSet
+    val v1Names = v1Files.map(_.split('/').last)
+    val v2Names = v2Files.map(_.split('/').last)
+    assert(v1Names.subsetOf(v2Names),
+      "append must carry every base file over untouched")
+    // and the pinned v1 read still sees only the first batch
+    assert(SnapshotStore.read(spark, root, v1).count() == 50L)
+  }
+
+  test("probeCodes reads only the probed cells' bucket directories") {
+    val root = freshRoot("pr")
+    val (cents, books) = trained()
+    AnnIndex.publishCodes(emb, root, cents, books, nBuckets = 4)
+    val all = AnnIndex.readCodes(spark, root)
+    val cellOf = all.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(cellOf.length > 1, "fixture must spread over multiple cells")
+    val probed = AnnIndex.probeCodes(spark, root, Seq(cellOf.head))
+    // value correctness: pruned read == full read filtered
+    val expect = all.filter(col("cell") === cellOf.head)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed.collect().map(_.getLong(0)).toSet == expect)
+    // IO correctness, plan-pinned (house style): the scan must carry a
+    // directory-level partition filter on _bucket (listing only the
+    // probed bucket's directory) AND push the exact cell predicate into
+    // the parquet reader — both visible on the FileScan node
+    val plan = probed.queryExecution.executedPlan.toString
+    val pf = plan.split('\n').find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.substring(l.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']').contains("_bucket")),
+      s"probe scan must partition-prune on _bucket:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(cell)") ||
+      plan.contains("EqualTo(cell") || plan.contains("In(cell"),
+      s"probe scan must push the cell predicate down:\n$plan")
+  }
+
+  test("empty append is a no-op version; appended store compacts") {
+    val root = freshRoot("cp")
+    val (cents, books) = trained()
+    val v1 = AnnIndex.publishCodes(emb.filter(col("vec_id") < 50), root,
+      cents, books, nBuckets = 2)
+    assert(AnnIndex.appendCodes(emb.filter(col("vec_id") < 0), root,
+      cents, books) == v1, "empty batch must not mint a version")
+    AnnIndex.appendCodes(emb.filter(col("vec_id") >= 50 &&
+      col("vec_id") < 75), root, cents, books)
+    AnnIndex.appendCodes(emb.filter(col("vec_id") >= 75), root, cents, books)
+    val before = AnnIndex.readCodes(spark, root)
+    val beforeRows = before.collect().map(_.getLong(0)).toSet
+    val beforeFiles = before.inputFiles.length
+    val vC = SnapshotStore.compact(spark, root, maxFilesPerBucket = 1)
+    val after = AnnIndex.readCodes(spark, root)
+    assert(after.collect().map(_.getLong(0)).toSet == beforeRows,
+      "compaction is layout-only")
+    assert(after.inputFiles.length < beforeFiles,
+      s"compaction must shrink the file count (was $beforeFiles)")
+    assert(vC > v1)
+  }
+
+  test("append replay protection: a tagged batch applies once") {
+    val root = freshRoot("tg")
+    val (cents, books) = trained()
+    AnnIndex.publishCodes(emb.filter(col("vec_id") < 50), root,
+      cents, books, nBuckets = 2)
+    val batch = emb.filter(col("vec_id") >= 50)
+    val va = AnnIndex.appendCodes(batch, root, cents, books,
+      tag = Some("ingest-batch-7"))
+    val vb = AnnIndex.appendCodes(batch, root, cents, books,
+      tag = Some("ingest-batch-7"))
+    assert(va == vb, "replayed tag must return the applied version")
+    assert(AnnIndex.readCodes(spark, root).count() == 100L,
+      "rows must not double on replay")
+  }
+}
