@@ -365,4 +365,33 @@ object Curation {
     groupNtile(
       packAssignments(docs, orderCol, textCol, budgetTokens, shardCols),
       groupCol, scoreCol, orderCol, numTiles)
+
+  /** Per-group quantile FLOOR filter: keep rows whose `scoreCol` reaches
+    * their group's q-quantile — the standard "drop the worst X% per
+    * source" curation gate, driven by the MERGEABLE quantile sketch
+    * ([[graft.engine.relational.QuantileSketch]], q110) instead of a
+    * per-group sort: one capped-state aggregation over the corpus, a
+    * groups-sized threshold table broadcast back, one narrow filter. At
+    * 100 TB the sketch is the only formulation that doesn't shuffle raw
+    * scores; with `k` >= the largest group (the exact regime, q110's
+    * "below capacity" contract) the threshold is the exact
+    * ceil(q·n)-th smallest score, which is what the q114 oracle pins.
+    * Thresholds can also come from PUBLISHED per-batch sketch columns
+    * (q110's posture) — pass precomputed `thresholds` to skip the scan.
+    */
+  def quantileFloor(docs: DataFrame, groupCol: String, scoreCol: String,
+      q: Double, k: Int,
+      thresholds: Option[DataFrame] = None): DataFrame = {
+    require(q > 0.0 && q <= 1.0, "quantile must lie in (0, 1]")
+    import graft.engine.relational.QuantileSketch
+    val thr = thresholds.getOrElse {
+      val sk = docs.groupBy(col(groupCol))
+        .agg(QuantileSketch.sketchAgg(col(scoreCol), k).as("sk"))
+      QuantileSketch.estimate(sk, groupCol, "sk", Seq(q), k)
+        .select(col(groupCol), col("estimate").as("_thr"))
+    }
+    docs.join(broadcast(thr), groupCol)
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
 }

@@ -235,6 +235,88 @@ object LlmQueries {
     doc = "learned-vocab greedy longest-match token counts; oracle " +
       "replays training AND tokenization (dynamic alternation pattern)")
 
+  /** q113 — SUBWORD tokenization (the BPE-family capability): a 24-unit
+    * character-n-gram vocabulary trained in one aggregation, then the
+    * same greedy longest-match kernel. Unseen words decompose into
+    * learned pieces ("joining" → "join","in","g"), not single chars.
+    * Like q109 the oracle replays BOTH halves — n-gram generation within
+    * words (unnest(range) in DuckDB must equal the guarded sequence/
+    * transform in Spark, including the short-word empty case), frequency
+    * ranking, and the alternation tokenize. */
+  val q113 = GraftQuery(
+    "q113_subword_tokens",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val vocab = Tokenizer.trainNgramVocab(docs, "text", 24)
+      docs.select(col("doc_id"),
+          Tokenizer.tokenCount(col("text"), vocab).as("n_tok_subword"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH words AS (SELECT unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents),
+      pos AS (SELECT w, unnest(range(2, 7)) AS n FROM words),
+      grams AS (SELECT substr(w, CAST(i AS INT), CAST(n AS INT)) AS g
+        FROM (SELECT w, n, unnest(range(1, length(w) - n + 2)) AS i FROM pos)),
+      v AS (SELECT g FROM (SELECT g, count(*) AS c FROM grams
+        GROUP BY g ORDER BY c DESC, g LIMIT 24)),
+      p AS (SELECT '(' || string_agg(g, '|' ORDER BY length(g) DESC, g)
+        || '|[^\s])' AS pat FROM v)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
+          AS BIGINT) AS n_tok_subword
+      FROM documents ORDER BY doc_id"""),
+    doc = "subword n-gram vocab (one-pass BPE-family training) + greedy " +
+      "longest-match; oracle replays gram generation, ranking, tokenize")
+
+  /** q114 — per-source QUANTILE-FLOOR curation: drop each source's worst
+    * quartile by quality score, with the threshold computed by the
+    * mergeable quantile sketch (q110's operator) in its EXACT regime
+    * (k = 4096 >= every per-source group at both SFs, so the sketch
+    * threshold IS the ceil(q·n)-th smallest score — the "below capacity"
+    * contract QuantileSketchSpec pins). Composes q47's oracle-proven
+    * scoring with q110's sketch machinery; DuckDB recomputes score,
+    * per-source exact threshold, and survivor set end to end. */
+  val q114 = GraftQuery(
+    "q114_quantile_floor",
+    (spark, sfDir) => {
+      val scored = TextAnalysis.qualityScore(
+        Tables.documents(spark, sfDir), "text")
+      Curation.quantileFloor(scored, "source", "quality", q = 0.25, k = 4096)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS (
+        SELECT doc_id, source, text,
+          string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents),
+      scored AS (
+        SELECT doc_id, source,
+          ROUND(0.5 * (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0
+               WHEN len(ws) BETWEEN 5 AND 5000 THEN 0.5
+               ELSE 0.0 END)
+            + 0.3 * least((CAST(len(list_filter(ws, w -> list_contains(
+                ${TextAnalysis.markers.values.flatten.toSeq.distinct.sorted
+                  .mkString("['", "','", "']")},
+                w))) AS DOUBLE) / len(ws)) * 5.0, 1.0)
+            + 0.2 * (1.0 - least((CAST(length(text) -
+                length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                / length(text)) * 10.0, 1.0)), 6) AS quality
+        FROM base),
+      n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1),
+      r AS (SELECT source, quality,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality) AS rn
+        FROM scored),
+      thr AS (SELECT r.source, r.quality AS thr
+        FROM r JOIN n USING (source)
+        WHERE rn = CAST(CEIL(0.25 * n) AS BIGINT))
+      SELECT s.doc_id, s.source, s.quality
+      FROM scored s JOIN thr t
+        ON s.source = t.source AND s.quality >= t.thr
+      ORDER BY s.doc_id"""),
+    doc = "per-source p25 quality floor via mergeable quantile sketch " +
+      "(exact regime); oracle replays score, threshold, survivors")
+
   /** q112 — context-window packing under the LEARNED tokenizer's budget
     * (q62 re-wired per VERDICT r9 gap 4): pack boundaries land where the
     * trained vocabulary says the token budget is spent, not where the
@@ -1776,6 +1858,6 @@ object LlmQueries {
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
-      q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, x42, x43, x44,
-      x45, x46, x47, x48, x51)
+      q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
+      x42, x43, x44, x45, x46, x47, x48, x51)
 }

@@ -73,6 +73,39 @@ object Tokenizer {
       .map(_.getString(0))
   }
 
+  /** Train a SUBWORD vocabulary: the top-`size` character n-grams
+    * (`minN..maxN`, drawn WITHIN words — never across whitespace) by
+    * (frequency desc, gram asc). This is the BPE-family capability —
+    * frequent subword units so unseen words decompose into learned
+    * pieces instead of single characters — trained in ONE aggregation
+    * instead of BPE's sequential merge rounds, which keeps the whole
+    * operator (training included) SQL-replayable and makes training a
+    * single shuffle of distinct n-grams (bounded: ≤ 26^maxN and in
+    * practice Heaps'-law small) rather than `size` dependent jobs.
+    * Inference is the same greedy longest-match kernel; a 100 TB
+    * deployment trains on a [[Curation.hashSample]] of the corpus. */
+  def trainNgramVocab(docs: DataFrame, textCol: String, size: Int,
+      minN: Int = 2, maxN: Int = 6): Array[String] = {
+    require(size >= 1, "vocab size must be positive")
+    require(minN >= 2 && maxN >= minN, "need 2 <= minN <= maxN")
+    // NOTE: Spark's sequence(a, b) is DESCENDING when b < a — the guard
+    // keeps words shorter than n from generating reversed junk grams
+    val gramsExpr = s"""flatten(transform(sequence($minN, $maxN), n ->
+      if(length(w) >= n,
+         transform(sequence(1, length(w) - n + 1), i -> substring(w, i, n)),
+         cast(array() as array<string>))))"""
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)), lit(wordRe),
+        lit(0))).as("w"))
+      .select(explode(expr(gramsExpr)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("g"))
+      .limit(size)
+      .collect()
+      .map(_.getString(0))
+  }
+
   /** Token count of `text` under `vocab` (greedy longest-match, implicit
     * single-char base vocab). Lowercases internally — same answer as the
     * alternation twin over `lower(text)`. */

@@ -708,6 +708,70 @@ object StreamQueries {
     graft.engine.relational.StatsQueries.q96.oracle,
     doc = "stream-static binned range join == batch q96 (shared oracle)")
 
+  /** x62 — ALWAYS-ON ANN ingestion: the q111 published-index lifecycle
+    * under the micro-batch engine. Codebooks train and publish ONCE;
+    * each streamed ingest file encodes against the SAME published
+    * codebooks and lands in the cell-bucketed codes store through the
+    * insert-only [[graft.engine.sources.SnapshotStore.append]] (O(batch)
+    * per tick — new files into touched cells, hardlink carryover, no
+    * history re-encoded). `foreachBatch` is at-least-once and append is
+    * not idempotent, so the per-batch tag makes a replayed epoch a
+    * no-op, recorded atomically with the version flip. The final probe
+    * runs against the store's CURRENT version at q87's exact settings
+    * (nprobe = nlist, lossless codebooks), so the result must equal
+    * DuckDB's brute-force cosine ranking — any row lost or doubled
+    * across the three ticks breaks the rows. Version arithmetic is
+    * asserted inline: bootstrap + two one-file ticks = 3 versions. */
+  val x62 = GraftQuery(
+    "x62_stream_ann_ingest",
+    (spark, sfDir) => {
+      import graft.engine.llm.{AnnIndex, Similarity}
+      import graft.engine.sources.SnapshotStore
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x62_ann_${ProcessHandle.current().pid()}"
+      val basePath = java.nio.file.Paths.get(base)
+      if (java.nio.file.Files.exists(basePath)) {
+        val walk = java.nio.file.Files.walk(basePath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+      AnnIndex.publishIndex(spark, s"$base/index",
+        Similarity.ivfCentroids(emb, nlist = 4, iters = 1),
+        Similarity.pqCodebooksExact(emb, m = 4))
+      val (cents, books) = AnnIndex.loadIndex(spark, s"$base/index")
+      val codesRoot = s"$base/codes"
+      // bootstrap with the first ingest batch; stream the rest as
+      // exactly two one-file ticks
+      AnnIndex.publishCodes(emb.filter(col("vec_id") < 34), codesRoot,
+        cents, books, nBuckets = 4)
+      emb.filter(col("vec_id") >= 34).repartition(2)
+        .write.parquet(s"$base/in")
+      val q = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          AnnIndex.appendCodes(batch, codesRoot, cents, books,
+            tag = Some(s"batch-$batchId"))
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(SnapshotStore.currentVersion(codesRoot) == 3L,
+        "bootstrap + two one-file ticks must mint exactly 3 versions")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          cents, books, nprobe = 4,
+          codes = Some(AnnIndex.readCodes(spark, codesRoot)))
+        .select(col("qid"), col("rnk"), col("nid"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    graft.engine.llm.LlmQueries.q84.oracle,
+    doc = "streaming ANN ingest: per-tick encode+append into the " +
+      "published store == exact cosine ranking (shared q84 oracle)")
+
   def queries: Seq[GraftQuery] =
-    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, q58, q80, q94, q107)
+    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, q58, q80,
+      q94, q107)
 }

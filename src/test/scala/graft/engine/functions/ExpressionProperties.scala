@@ -237,4 +237,63 @@ object ExpressionProperties extends Properties("graft.expressions") {
         cos >= 1.0 - 1e-6
       }
     }
+
+  // --- vocab tokenizer kernels ----------------------------------------
+  private val vocabGen: Gen[List[String]] = Gen.listOf(
+    Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)))
+    .map(_.distinct)
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaLowerChar,
+    1 -> Gen.const(' '),
+    1 -> Gen.oneOf('0', '9', '.', '!', '\t', '\n'))).map(_.mkString)
+
+  /** Reference semantics: leftmost-first java.util.regex alternation with
+    * the vocab sorted (length desc, word asc) and a [^\s] catch-all —
+    * the same pattern DuckDB replays in the q109/q112/q113 oracles. */
+  private def alternationTokens(text: String, vocab: Seq[String]): List[String] = {
+    val pat = (vocab.sortBy(w => (-w.length, w)) :+ "[^\\s]")
+      .mkString("(", "|", ")")
+    val m = java.util.regex.Pattern.compile(pat).matcher(text)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toList
+  }
+
+  private def trieTokens(text: String, vocab: Seq[String]): List[String] = {
+    val arr = VocabTokens(Literal.create(UTF8String.fromString(text),
+      StringType), vocab.toArray).eval(null).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(arr.getUTF8String(_).toString).toList
+  }
+
+  property("vocab trie == regex alternation (tokens AND count)") =
+    Prop.forAll(textGen, vocabGen) { (text, vocab) =>
+      val trie = trieTokens(text, vocab)
+      val re = alternationTokens(text, vocab)
+      val n = VocabTokenCount(Literal.create(UTF8String.fromString(text),
+        StringType), vocab.toArray).eval(null).asInstanceOf[Long]
+      trie == re && n == trie.length.toLong
+    }
+
+  property("vocab tokens partition the non-whitespace text") =
+    Prop.forAll(textGen, vocabGen) { (text, vocab) =>
+      trieTokens(text, vocab).mkString("") ==
+        text.filterNot(c => c == ' ' || c == '\t' || c == '\n' ||
+          c == '\u000B' || c == '\f' || c == '\r')
+    }
+
+  // NOTE deliberately absent: "adding a vocab word never increases the
+  // count" is FALSE for greedy matching (vocab {bcd} tokenizes "abcd" as
+  // [a,bcd]=2; adding "ab" gives [ab,c,d]=3) -- greedy is not optimal,
+  // only deterministic. The per-character fallback bound below is the
+  // true invariant.
+  property("token count bounded by non-whitespace char count") =
+    Prop.forAll(textGen, vocabGen) { (text, vocab) =>
+      val nonWs = text.count(c => c != ' ' && c != '\t' && c != '\n' &&
+        c != '\u000B' && c != '\f' && c != '\r').toLong
+      val n = VocabTokenCount(Literal.create(UTF8String.fromString(text),
+        StringType), vocab.toArray).eval(null).asInstanceOf[Long]
+      // every token consumes 1..6 chars (vocabGen caps word length at 6)
+      n <= nonWs && 6L * n >= nonWs
+    }
 }

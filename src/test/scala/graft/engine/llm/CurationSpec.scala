@@ -22,6 +22,39 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(frac - 0.1) < 0.01, s"expected ~10%, got $frac")
   }
 
+  test("quantileFloor: exact regime keeps exactly the top (1-q) per group") {
+    val scored = TextAnalysis.qualityScore(docs, "text")
+    val out = Curation.quantileFloor(scored, "source", "quality",
+      q = 0.25, k = 4096).cache()
+    try {
+      // reference: per-source ceil(q*n)-th smallest quality, then >=
+      val ref = scored.select(col("source"), col("quality")).collect()
+        .groupBy(_.getString(0)).map { case (src, rows) =>
+          val vals = rows.map(_.getDouble(1)).sorted
+          val thr = vals(math.ceil(0.25 * vals.length).toInt - 1)
+          src -> rows.count(_.getDouble(1) >= thr)
+        }
+      val got = out.groupBy(col("source")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      assert(got == ref, s"survivor counts per source: $got vs $ref")
+      // every group must keep at least one row, never all rows unless ties
+      assert(out.count() < scored.count(),
+        "a p25 floor must drop something on this corpus")
+    } finally out.unpersist()
+  }
+
+  test("quantileFloor accepts published thresholds and rejects bad q") {
+    val scored = TextAnalysis.qualityScore(docs, "text")
+    intercept[IllegalArgumentException] {
+      Curation.quantileFloor(scored, "source", "quality", q = 0.0, k = 64)
+    }
+    // precomputed thresholds short-circuit the sketch scan
+    val thr = Seq(("src0", 2.0)).toDF("source", "_thr")
+    val out = Curation.quantileFloor(scored, "source", "quality",
+      q = 0.5, k = 64, thresholds = Some(thr))
+    assert(out.count() == 0L, "impossible threshold admits nothing")
+  }
+
   test("hashSample composes: sample(a ∪ b) == sample(a) ∪ sample(b)") {
     val a = docs.filter(col("doc_id") % 2 === 0)
     val b = docs.filter(col("doc_id") % 2 === 1)

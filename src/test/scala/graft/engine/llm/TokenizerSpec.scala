@@ -76,6 +76,32 @@ class TokenizerSpec extends AnyFunSuite {
     assert(none.filter(col("vocab") > col("regex")).count() == 0L)
   }
 
+  test("subword vocab: within-word grams only, short words covered, " +
+      "unseen words decompose into pieces") {
+    val vocab = Tokenizer.trainNgramVocab(docs, "text", 24)
+    assert(vocab.length == 24)
+    assert(vocab.forall(g => g.length >= 2 && g.length <= 6))
+    // grams never span whitespace by construction
+    assert(vocab.forall(_.forall(c => c.isLetterOrDigit)))
+    // determinism
+    assert(vocab.toSeq == Tokenizer.trainNgramVocab(docs, "text", 24).toSeq)
+    // an UNSEEN word still decomposes greedily: the learned piece is
+    // consumed whole, the unseen tail falls back to characters
+    val piece = vocab.maxBy(g => (g.length, g))
+    val toks = Seq(piece + "zq").toDF("t")
+      .select(Tokenizer.tokens(col("t"), vocab)).collect()
+      .head.getSeq[String](0).toList
+    assert(toks.head == piece, s"longest learned piece first, got $toks")
+    assert(toks.mkString("") == piece + "zq")
+    // trie == alternation twin holds for the subword vocab too
+    val pat = Tokenizer.alternationPattern(vocab)
+    val both = docs.select(
+      Tokenizer.tokenCount(col("text"), vocab).as("trie"),
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        .cast("long").as("re"))
+    assert(both.filter(col("trie") =!= col("re")).count() == 0L)
+  }
+
   test("guards: whitespace or regex-unsafe vocab entries are rejected") {
     intercept[IllegalArgumentException] {
       Seq("x").toDF("t")
