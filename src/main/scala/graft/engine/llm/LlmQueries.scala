@@ -317,6 +317,51 @@ object LlmQueries {
     doc = "per-source p25 quality floor via mergeable quantile sketch " +
       "(exact regime); oracle replays score, threshold, survivors")
 
+  /** q115 — the PUBLISHED-vocabulary lifecycle (the tokenizer artifact
+    * under q111's train-once/version-forever posture): the vocabulary is
+    * trained on the ALREADY-INGESTED half of the corpus, published as a
+    * versioned store table, and a NEW ingest batch is tokenized against
+    * the version loaded BACK from the store — the production shape, where
+    * the vocabulary freezes before tomorrow's data arrives and token
+    * budgets stay comparable across batches. The oracle retrains on the
+    * same frozen half in SQL and replays the tokenize over the new batch;
+    * a drift in publish/load order (rank column), a lost token, or
+    * training leakage from the new batch all break value equality. */
+  val q115 = GraftQuery(
+    "q115_published_vocab",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q115_vocab_${ProcessHandle.current().pid()}/vocab"
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
+      }
+      val docs = Tables.documents(spark, sfDir)
+      val frozen = docs.filter(col("doc_id") < 250)
+      Tokenizer.publishVocab(spark, root,
+        Tokenizer.trainWordVocab(frozen, "text", 16))
+      val vocab = Tokenizer.loadVocab(spark, root)
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"),
+          Tokenizer.tokenCount(col("text"), vocab).as("n_tok_vocab"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents WHERE doc_id < 250),
+      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w
+        WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
+      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
+        || '|[^\s])' AS pat FROM v)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
+          AS BIGINT) AS n_tok_vocab
+      FROM documents WHERE doc_id >= 250 ORDER BY doc_id"""),
+    doc = "published-vocabulary tokenize: train on the frozen half, " +
+      "publish, load, tokenize the new batch; oracle retrains + replays")
+
   /** q112 — context-window packing under the LEARNED tokenizer's budget
     * (q62 re-wired per VERDICT r9 gap 4): pack boundaries land where the
     * trained vocabulary says the token budget is spent, not where the
@@ -1859,5 +1904,5 @@ object LlmQueries {
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      x42, x43, x44, x45, x46, x47, x48, x51)
+      q115, x42, x43, x44, x45, x46, x47, x48, x51)
 }

@@ -117,6 +117,37 @@ object Tokenizer {
   def tokens(text: Column, vocab: Array[String]): Column =
     F.vocabTokens(lower(text), vocab)
 
+  /** Publish a trained vocabulary as the next version of a
+    * [[graft.engine.sources.SnapshotStore]] table `(rank, token)` — the
+    * tokenizer artifact under the same train-once/version-forever
+    * lifecycle as ANN codebooks ([[AnnIndex]]): token counts, packing
+    * boundaries, and budget accounting are only comparable when produced
+    * by the SAME vocabulary version, so a retrain must be a new version a
+    * caller pins deliberately, never a silent drift. `rank` preserves the
+    * training order (frequency desc, token asc), so a loaded vocabulary
+    * is bit-identical to the trained array, prefix-truncatable to any
+    * smaller size (the training-order prefix property TokenizerSpec
+    * pins). */
+  def publishVocab(spark: org.apache.spark.sql.SparkSession, root: String,
+      vocab: Array[String]): Long = {
+    require(vocab.nonEmpty, "refusing to publish an empty vocabulary")
+    import spark.implicits._
+    graft.engine.sources.SnapshotStore.publish(
+      vocab.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
+        .toDF("rank", "token"), root)
+  }
+
+  /** Load a published vocabulary version (0 = current) back in training
+    * order. Bounded collect: the vocabulary is the K-row artifact
+    * itself. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Long = 0L): Array[String] =
+    graft.engine.sources.SnapshotStore.read(spark, root, version)
+      .orderBy(col("rank"))
+      .select(col("token"))
+      .collect()
+      .map(_.getString(0))
+
   /** The regex-alternation twin of the trie kernel: `(w1|…|wK|[^\s])`
     * with vocab sorted by (length desc, word asc). Applying
     * `size(regexp_extract_all(lower(text), pattern, 0))` must equal

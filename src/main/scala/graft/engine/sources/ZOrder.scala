@@ -203,6 +203,33 @@ object ZOrder {
       nFiles: Int, bits: Int = 16): Unit =
     appendCluster(df, root, Seq(colA, colB), nFiles, bits)
 
+  /** RE-CLUSTER maintenance: rebuild the layout into a FRESH root from
+    * the current data. [[appendCluster]] keeps each batch clustered
+    * within itself, so accumulated appends overlap the base layout in z
+    * space and box reads stop skipping (ZOrderSpec pins the decay and
+    * this repair); recluster is the rare whole-table rewrite that
+    * restores one global clustering — the OPTIMIZE/rewrite action of the
+    * public lakehouse formats, and the same cost class as a bootstrap
+    * [[clusterWrite]].
+    *
+    * It writes to `dstRoot` (must not exist) rather than rewriting
+    * `srcRoot` in place: an in-place overwrite would either read and
+    * clobber the same directory in one job or leave a window where the
+    * manifest lists files that no longer exist — a fresh root keeps every
+    * reader of the old layout correct for as long as the caller keeps it,
+    * and cutting consumers over to `dstRoot` is a catalog pointer swap
+    * (publish the path through [[SnapshotStore]] if an atomic pointer is
+    * needed). Reads the data files, not the manifest, so a torn append's
+    * orphans are carried along (same fail-safe stance as [[readBox]]). */
+  def recluster(spark: SparkSession, srcRoot: String, dstRoot: String,
+      cols: Seq[String], nFiles: Int, bits: Int): Unit = {
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(dstRoot)),
+      s"recluster destination $dstRoot already exists; " +
+        "pick a fresh root and swap consumers over after the rewrite")
+    clusterWrite(spark.read.parquet(s"$srcRoot/data"), dstRoot, cols,
+      nFiles, bits)
+  }
+
   /** Data files on disk that the given manifest file set does not know,
     * as absolute paths (driver-side listing, bounded by file count). */
   private def unknownDataFiles(root: String, known: Set[String]): Array[String] = {

@@ -27,6 +27,38 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.simHashNearDups(one, "text", "doc_id").count() == 0)
   }
 
+  test("tokenizer kernels: null/empty/unicode text and degenerate vocab") {
+    val vocab = Array("ab", "abc")
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "   "), (4L, "日本語 text"),
+      (5L, "ABCABX")).toDF("id", "t")
+      .select(col("id"), Tokenizer.tokenCount(col("t"), vocab).as("n"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(1), "null text -> null count (expression null)")
+    assert(rows(1).getLong(1) == 0L && rows(2).getLong(1) == 0L)
+    // non-ASCII chars fall through the single-char base vocab: 3 CJK
+    // chars + 4 latin ("text") = 7 tokens
+    assert(rows(3).getLong(1) == 7L)
+    // greedy: "abc"+"ab"+"x" after lowercasing
+    assert(rows(4).getLong(1) == 3L)
+    // training on an empty corpus: no words -> empty vocab is refused by
+    // publish, and tokenCount with an empty vocab degrades to char count
+    assert(Tokenizer.trainWordVocab(empty, "text", 8).isEmpty)
+    val charCount = Seq("abc de").toDF("t")
+      .select(Tokenizer.tokenCount(col("t"), Array.empty[String]))
+      .collect().head.getLong(0)
+    assert(charCount == 5L)
+  }
+
+  test("quantileFloor on empty and singleton groups") {
+    val scored1 = one.withColumn("s", lit(1.0))
+    assert(Curation.quantileFloor(empty.withColumn("s", lit(0.0)),
+      "text", "s", 0.5, 64).count() == 0)
+    // singleton group: the p-quantile of one row is that row -> it survives
+    assert(Curation.quantileFloor(scored1, "text", "s", 0.25, 64)
+      .count() == 1)
+  }
+
   test("connectedComponents of an empty pair set is empty") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(pairs).count() == 0)

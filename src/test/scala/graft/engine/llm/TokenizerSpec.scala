@@ -102,6 +102,26 @@ class TokenizerSpec extends AnyFunSuite {
     assert(both.filter(col("trie") =!= col("re")).count() == 0L)
   }
 
+  test("publish/load round-trips the vocabulary in training order; " +
+      "versions pin") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vocab").toString + "/v"
+    val v16 = Tokenizer.trainWordVocab(docs, "text", 16)
+    assert(Tokenizer.publishVocab(spark, root, v16) == 1L)
+    assert(Tokenizer.loadVocab(spark, root).toSeq == v16.toSeq,
+      "load must return the exact trained array, order included")
+    // retrain wider -> v2; v1 stays loadable and unchanged
+    val v24 = Tokenizer.trainWordVocab(docs, "text", 24)
+    assert(Tokenizer.publishVocab(spark, root, v24) == 2L)
+    assert(Tokenizer.loadVocab(spark, root).toSeq == v24.toSeq)
+    assert(Tokenizer.loadVocab(spark, root, version = 1L).toSeq == v16.toSeq)
+    // the loaded wider vocab still prefix-extends the narrower one
+    assert(Tokenizer.loadVocab(spark, root).take(16).toSeq == v16.toSeq)
+    intercept[IllegalArgumentException] {
+      Tokenizer.publishVocab(spark, root, Array.empty[String])
+    }
+  }
+
   test("guards: whitespace or regex-unsafe vocab entries are rejected") {
     intercept[IllegalArgumentException] {
       Seq("x").toDF("t")

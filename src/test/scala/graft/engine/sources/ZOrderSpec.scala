@@ -132,6 +132,46 @@ class ZOrderSpec extends AnyFunSuite {
     assert(readSmall < 4, s"within-day 2-D box should skip, read $readSmall")
   }
 
+  test("recluster: repairs append-decayed pruning in a fresh root, " +
+      "content-identically") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-zorder-reclu").toString
+    // batches that INTERLEAVE in b (same a range): each append is
+    // clustered within itself, so every batch's files overlap every
+    // other's in z space and a b-box must read files from all batches
+    def slice(off: Long): org.apache.spark.sql.DataFrame =
+      spark.range(100L * 16L).select(
+        (col("id") / 16).cast("long").as("a"),
+        (pmod(col("id"), lit(16L)) * 4 + off).as("b"),
+        (col("id") * 10 + off).as("payload"))
+    ZOrder.clusterWrite(slice(0L), root, "a", "b", nFiles = 4, bits = 8)
+    ZOrder.appendCluster(slice(1L), root, "a", "b", nFiles = 4, bits = 8)
+    ZOrder.appendCluster(slice(2L), root, "a", "b", nFiles = 4, bits = 8)
+    val (decayDf, readDecayed, totalDecayed) = ZOrder.readBox(spark, root,
+      "a", 10L, 20L, "b", 0L, 7L)
+    assert(totalDecayed == 12)
+    val dst = root + "-v2"
+    ZOrder.recluster(spark, root, dst, Seq("a", "b"), nFiles = 12, bits = 8)
+    val (recluDf, readReclustered, totalReclustered) =
+      ZOrder.readBox(spark, dst, "a", 10L, 20L, "b", 0L, 7L)
+    assert(totalReclustered == 12)
+    // same rows through both layouts
+    val want = decayDf.select(col("payload")).collect()
+      .map(_.getLong(0)).toSet
+    assert(recluDf.select(col("payload")).collect()
+      .map(_.getLong(0)).toSet == want, "recluster is layout-only")
+    assert(want.nonEmpty)
+    // the rewritten global clustering must prune strictly better than the
+    // decayed append pile for the same box
+    assert(readReclustered < readDecayed,
+      s"expected repair: decayed read $readDecayed files, " +
+        s"reclustered read $readReclustered")
+    // destination must be fresh
+    intercept[IllegalArgumentException] {
+      ZOrder.recluster(spark, root, dst, Seq("a", "b"), 4, 8)
+    }
+  }
+
   test("3-D interleave matches the reference bit walk and stays positive") {
     def ref3(a: Long, b: Long, c: Long, bits: Int): Long =
       (0 until bits).foldLeft(0L) { (acc, i) =>
