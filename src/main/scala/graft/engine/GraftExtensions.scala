@@ -28,11 +28,30 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** A FOLDABLE array-of-strings argument (e.g. `array('the', 'ing')`),
+    * constant-evaluated at registration: the vocab trie is built once per
+    * plan, exactly as the Column-API path ships it — a non-constant vocab
+    * would mean a trie per row, which is refused. */
+  private def strArrayLit(e: Expression, what: String): Array[String] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a constant array of strings, got $e")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        Array.tabulate(a.numElements())(i => a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a constant array of strings, got $other")
+    }
+  }
+
   /** name → expression builder, shared by the extensions hook and tests. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64(es.head)),
     "graft_rolling_hash" -> (es => RollingHash(es.head)),
     "graft_shingles" -> (es => Shingles(es(0), intLit(es(1), "shingle size"))),
-    "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1), "numHashes"))))
+    "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1), "numHashes"))),
+    "graft_vocab_token_count" -> (es =>
+      VocabTokenCount(es(0), strArrayLit(es(1), "vocabulary"))),
+    "graft_vocab_tokens" -> (es =>
+      VocabTokens(es(0), strArrayLit(es(1), "vocabulary"))))
 }

@@ -15,10 +15,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     Literal.create(ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray),
       ArrayType(StringType))
 
-  test("all five functions are registered with working builders") {
+  test("all registered functions have working builders") {
     val fns = GraftExtensions.functions.toMap
     assert(fns.keySet == Set("graft_cosine", "graft_simhash64",
-      "graft_rolling_hash", "graft_shingles", "graft_minhash"))
+      "graft_rolling_hash", "graft_shingles", "graft_minhash",
+      "graft_vocab_token_count", "graft_vocab_tokens"))
+
+    val vc = fns("graft_vocab_token_count")(Seq(
+      Literal(UTF8String.fromString("the theory x"), StringType),
+      strArray("the", "theory")))
+    assert(vc.eval(null) == 3L) // greedy: [the][theory][x]
+    val vt = fns("graft_vocab_tokens")(Seq(
+      Literal(UTF8String.fromString("the theory x"), StringType),
+      strArray("the", "theory")))
+    val toks = vt.eval(null).asInstanceOf[ArrayData]
+    assert((0 until toks.numElements()).map(toks.getUTF8String(_).toString)
+      == Seq("the", "theory", "x"))
+    // a NON-constant vocab argument is refused (trie per row)
+    intercept[IllegalArgumentException] {
+      fns("graft_vocab_token_count")(Seq(
+        Literal(UTF8String.fromString("t"), StringType),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "v", ArrayType(StringType))()))
+    }
 
     val cos = fns("graft_cosine")(Seq(
       Literal.create(Array(1.0, 2.0), ArrayType(org.apache.spark.sql.types.DoubleType)),
