@@ -123,6 +123,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(vC > v1)
   }
 
+  test("streaming ingest restart: checkpoint resume + per-batch tags keep " +
+      "the codes store exactly-once across process boundaries") {
+    val base = Files.createTempDirectory("graft_annidx_rs").toString
+    val (cents, books) = trained()
+    val codesRoot = s"$base/codes"
+    AnnIndex.publishCodes(emb.filter(col("vec_id") < 34), codesRoot,
+      cents, books, nBuckets = 4)
+    emb.filter(col("vec_id") >= 34 && col("vec_id") < 67)
+      .write.parquet(s"$base/in")
+    def start() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        AnnIndex.appendCodes(batch, codesRoot, cents, books,
+          tag = Some(s"batch-$id"))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = AnnIndex.readCodes(spark, codesRoot).count()
+    assert(afterFirst == 67L)
+    // second ingest file lands while the process is DOWN; a fresh query
+    // over the same checkpoint must pick up only the new file — no
+    // re-encode, no double-append of the first tick
+    emb.filter(col("vec_id") >= 67).write.mode("append")
+      .parquet(s"$base/in")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = AnnIndex.readCodes(spark, codesRoot)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList))
+    assert(got.length == 100, s"exactly-once across restart, got ${got.length}")
+    assert(got.toSet == Similarity.ivfPqEncode(emb, cents, books)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).toSet)
+  }
+
   test("append replay protection: a tagged batch applies once") {
     val root = freshRoot("tg")
     val (cents, books) = trained()
