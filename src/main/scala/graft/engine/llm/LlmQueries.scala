@@ -362,6 +362,91 @@ object LlmQueries {
     doc = "published-vocabulary tokenize: train on the frozen half, " +
       "publish, load, tokenize the new batch; oracle retrains + replays")
 
+  /** q116 — hashing-trick text embedding, every component value-checked:
+    * the derived vectors are pure md5 arithmetic (bucket = hex prefix mod
+    * dim, sign = 5th hex digit band), so DuckDB recomputes the full
+    * doc × dim grid — including the zero components the grid join makes
+    * explicit — from the raw text. */
+  val q116 = GraftQuery(
+    "q116_embed_text",
+    (spark, sfDir) =>
+      TextAnalysis.embedText(Tables.documents(spark, sfDir), "doc_id",
+          "text", dim = 16)
+        .select(col("doc_id"), posexplode(col("embedding"))
+          .as(Seq("pos", "v")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("v"))
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents),
+      s AS (SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 16
+            AS BIGINT) AS bucket,
+          CASE WHEN substr(md5(w), 5, 1) < '8' THEN 1 ELSE -1 END AS sgn
+        FROM w),
+      g AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+        FROM s GROUP BY 1, 2),
+      grid AS (SELECT d.doc_id, CAST(j.j AS BIGINT) AS pos
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j)
+      SELECT grid.doc_id, grid.pos, COALESCE(g.v, 0) AS v
+      FROM grid LEFT JOIN g
+        ON grid.doc_id = g.doc_id AND grid.pos = g.bucket
+      ORDER BY grid.doc_id, grid.pos"""),
+    doc = "signed feature-hashing embedding (md5 buckets); full doc x dim " +
+      "grid value-checked incl. zeros")
+
+  /** q117 — text → embed → ANN, end to end with NO external model: the
+    * documents table is featurized by [[TextAnalysis.embedText]] and the
+    * exact cosine top-k runs over the DERIVED vectors; DuckDB replays
+    * BOTH stages (md5 featurization, then q44's brute-force ranking) from
+    * the raw text. Integer components make the cosine doubles
+    * reproducible (exact dots, correctly-rounded division), and
+    * proportional word multisets tie at identical doubles where the
+    * shared (cos desc, nid asc) tie-break decides both sides. */
+  val q117 = GraftQuery(
+    "q117_text_ann_e2e",
+    (spark, sfDir) => {
+      val emb = TextAnalysis.embedText(Tables.documents(spark, sfDir),
+          "doc_id", "text", dim = 32)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents),
+      s AS (SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 32
+            AS BIGINT) AS bucket,
+          CASE WHEN substr(md5(w), 5, 1) < '8' THEN 1 ELSE -1 END AS sgn
+        FROM w),
+      g AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+        FROM s GROUP BY 1, 2),
+      grid AS (SELECT d.doc_id, CAST(j.j AS BIGINT) AS pos
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS j) j),
+      e AS (SELECT grid.doc_id AS vec_id,
+          list(CAST(COALESCE(g.v, 0) AS DOUBLE) ORDER BY grid.pos) AS emb
+        FROM grid LEFT JOIN g
+          ON grid.doc_id = g.doc_id AND grid.pos = g.bucket
+        GROUP BY grid.doc_id),
+      q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+      pairs AS (SELECT q.qid, e.vec_id AS nid,
+          list_dot_product(q.qe, e.emb) AS dot,
+          sqrt(list_dot_product(q.qe, q.qe)) *
+            sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+        FROM q, e WHERE e.vec_id <> q.qid),
+      ranked AS (SELECT qid, nid,
+          CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END AS cos,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END DESC,
+              nid ASC) AS rnk
+        FROM pairs)
+      SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, ROUND(cos, 6) AS cosine
+      FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""),
+    doc = "text -> feature-hash embed -> exact cosine top-k; oracle " +
+      "replays featurization AND ranking from the raw text")
+
   /** q112 — context-window packing under the LEARNED tokenizer's budget
     * (q62 re-wired per VERDICT r9 gap 4): pack boundaries land where the
     * trained vocabulary says the token budget is spent, not where the
@@ -1904,5 +1989,5 @@ object LlmQueries {
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      q115, x42, x43, x44, x45, x46, x47, x48, x51)
+      q115, q116, q117, x42, x43, x44, x45, x46, x47, x48, x51)
 }

@@ -116,6 +116,47 @@ object TextAnalysis {
       .filter(size(col("chunk_tok")) > 0)
   }
 
+  /** Deterministic hashing-trick text embedding (feature hashing,
+    * Weinberger et al. 2009): each word occurrence lands in bucket
+    * `md5(word)[0:4] mod dim` with sign `md5(word)[4] < '8'` (+1/−1),
+    * and a document's embedding is the per-bucket signed count vector —
+    * the classic signed-hash featurizer, chosen over xxhash so ANY
+    * engine with md5 replays the exact vectors (the same md5-prefix
+    * trick as [[Curation.hashSample]]). Integer components on purpose:
+    * no normalization at embed time (cosine normalizes anyway), so every
+    * value is engine-replayable BIGINT arithmetic.
+    *
+    * This is the documents → embeddings bridge: the [[Similarity]]
+    * operators (brute-force/LSH/IVF/PQ top-k, near-dup, semantic dedup)
+    * run unchanged on the output, giving text-to-ANN pipelines with no
+    * external model (q117 composes exactly that, DuckDB-replayed end to
+    * end). Scale shape: explode → two hash-aggregations (map-side
+    * partial), output dim·8 bytes per doc; wordless docs embed as the
+    * zero vector, not a dropped row. */
+  def embedText(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 65536, "need 1 <= dim <= 65536 (16-bit bucket)")
+    val h = md5(col("w").cast("binary"))
+    val sums = df
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(h, 1, 4), 16, 10).cast(LongType) % dim)
+          .cast("int").as("bucket"),
+        when(substring(h, 5, 1) < "8", 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
+        .as("m"))
+    df.select(col(idCol).cast(LongType).as("doc_id")).distinct()
+      .join(sums, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j), lit(0L))).as("embedding"))
+  }
+
   /** Text normalization for dedup/quality pipelines: lowercase, strip
     * non-alphanumerics to spaces, collapse whitespace runs, trim. Pure
     * narrow projection. */

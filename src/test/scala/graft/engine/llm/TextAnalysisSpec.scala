@@ -7,6 +7,32 @@ import graft.SparkTestSession.spark
 class TextAnalysisSpec extends AnyFunSuite {
   import spark.implicits._
 
+  test("embedText: identical word multisets embed identically; order and " +
+      "case are irrelevant; wordless docs are the zero vector") {
+    val df = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "Beta GAMMA beta, alpha!"), // same multiset, different order/case
+      (3L, "alpha beta gamma"),        // different multiset
+      (4L, "?!. ..."),                 // wordless
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.embedText(df, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(out.size == 5, "every input row embeds, none dropped")
+    assert(out(1) == out(2), "multiset-equal docs must embed identically")
+    assert(out(1) != out(3))
+    assert(out(4) == List.fill(8)(0L) && out(5) == List.fill(8)(0L))
+    assert(out.values.forall(_.length == 8))
+    // total signed mass equals the signed word count: 4 words, each ±1
+    assert(out(1).sum.abs <= 4 && out(1).map(_.abs).sum <= 4)
+    // determinism across evaluations
+    val again = TextAnalysis.embedText(df, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.embedText(df, "doc_id", "text", dim = 0)
+    }
+  }
+
   private def chunksOf(text: String, size: Int, overlap: Int): Seq[(Long, Seq[String])] = {
     val df = Seq((1L, text)).toDF("doc_id", "text")
     TextAnalysis.chunkTokens(df, "doc_id", "text", size, overlap)
