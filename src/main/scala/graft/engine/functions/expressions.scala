@@ -610,7 +610,11 @@ case class VocabTokenCount(child: Expression, vocab: Array[String])
       else {
         val m = trie.longestMatch(s, i)
         n += 1L
-        i += (if (m > 0) m else 1)
+        // the single-"char" fallback consumes a full CODE POINT (2 UTF-16
+        // units for supplementary-plane text) — the regex twins' [^\s]
+        // matches code points, and splitting a surrogate pair would both
+        // overcount and emit invalid lone-surrogate tokens
+        i += (if (m > 0) m else Character.charCount(s.codePointAt(i)))
       }
     }
     n
@@ -643,7 +647,9 @@ case class VocabTokens(child: Expression, vocab: Array[String])
       if (VocabTrie.isWs(s.charAt(i))) i += 1
       else {
         val m = trie.longestMatch(s, i)
-        val len = if (m > 0) m else 1
+        // code-point fallback — see VocabTokenCount: never split a
+        // surrogate pair into two invalid tokens
+        val len = if (m > 0) m else Character.charCount(s.codePointAt(i))
         out += UTF8String.fromString(s.substring(i, i + len))
         i += len
       }

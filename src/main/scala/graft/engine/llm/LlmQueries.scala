@@ -220,17 +220,12 @@ object LlmQueries {
           TextAnalysis.tokenCount(col("text")).as("n_tok_regex"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
-          '[a-z]+|[0-9]+')) AS w FROM documents),
-      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w
-        WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
-      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
-        || '|[^\s])' AS pat FROM v)
+    Some(s"""WITH ${Tokenizer.sqlVocabCtes(16)}
       SELECT doc_id,
         CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
           AS BIGINT) AS n_tok_vocab,
         CAST(len(regexp_extract_all(lower(text),
-          '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS BIGINT) AS n_tok_regex
+          '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT) AS n_tok_regex
       FROM documents ORDER BY doc_id"""),
     doc = "learned-vocab greedy longest-match token counts; oracle " +
       "replays training AND tokenization (dynamic alternation pattern)")
@@ -332,13 +327,8 @@ object LlmQueries {
     (spark, sfDir) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q115_vocab_${ProcessHandle.current().pid()}/vocab"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       val docs = Tables.documents(spark, sfDir)
       val frozen = docs.filter(col("doc_id") < 250)
       Tokenizer.publishVocab(spark, root,
@@ -349,12 +339,7 @@ object LlmQueries {
           Tokenizer.tokenCount(col("text"), vocab).as("n_tok_vocab"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
-          '[a-z]+|[0-9]+')) AS w FROM documents WHERE doc_id < 250),
-      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w
-        WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
-      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
-        || '|[^\s])' AS pat FROM v)
+    Some(s"""WITH ${Tokenizer.sqlVocabCtes(16, " WHERE doc_id < 250")}
       SELECT doc_id,
         CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
           AS BIGINT) AS n_tok_vocab
@@ -464,12 +449,7 @@ object LlmQueries {
           tokenCounter = t => Tokenizer.tokenCount(t, vocab))
         .orderBy(col("source"), col("pack_id"))
     },
-    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
-          '[a-z]+|[0-9]+')) AS w FROM documents),
-      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w
-        WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
-      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
-        || '|[^\s])' AS pat FROM v),
+    Some(s"""WITH ${Tokenizer.sqlVocabCtes(16)},
       t AS (SELECT source, doc_id,
         CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
           AS BIGINT) AS n_tokens FROM documents),
@@ -1069,13 +1049,8 @@ object LlmQueries {
     (spark, sfDir) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q111_ann_${ProcessHandle.current().pid()}"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
       // train once, publish, and use ONLY what the store gives back
       AnnIndex.publishIndex(spark, s"$root/index",
@@ -1726,13 +1701,8 @@ object LlmQueries {
       // would accumulate versions and break the read-back pin)
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q88_curate_${ProcessHandle.current().pid()}"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       val plantedExact = docs.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"),
@@ -1932,13 +1902,8 @@ object LlmQueries {
       val docs = Tables.documents(spark, sfDir)
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q91_sigs_${ProcessHandle.current().pid()}/sigs"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       val existing = docs.filter(col("doc_id") < 250)
       SnapshotStore.publish(
         Dedup.minHashSignatures(existing, "text", "doc_id"), root)

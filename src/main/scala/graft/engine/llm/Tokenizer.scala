@@ -148,6 +148,21 @@ object Tokenizer {
       .collect()
       .map(_.getString(0))
 
+  /** The DuckDB-replayable vocab-training CTE fragment shared by the
+    * q109/q112/q115 oracles — ONE definition of the training replay
+    * (word extraction, length>=2 filter, freq-desc/word-asc top-K,
+    * alternation-pattern assembly), so the three oracles cannot silently
+    * diverge from each other. Emits CTEs `w`/`v`/`p`; embed as
+    * `s"WITH ${sqlVocabCtes(16)} SELECT ..."`. `where` scopes the
+    * TRAINING corpus (e.g. the frozen half in q115). */
+  def sqlVocabCtes(size: Int, where: String = ""): String =
+    s"""w AS (SELECT unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents$where),
+      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w
+        WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT $size)),
+      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
+        || '|[^\\s])' AS pat FROM v)"""
+
   /** The regex-alternation twin of the trie kernel: `(w1|…|wK|[^\s])`
     * with vocab sorted by (length desc, word asc). Applying
     * `size(regexp_extract_all(lower(text), pattern, 0))` must equal

@@ -106,10 +106,15 @@ object MlQueries {
     * induction remains un-oracled.
     *
     * Deliberately NOT pid-suffixed: the twin's SQL must name the path
-    * statically (both strings are produced by the same JVM, so the
-    * tmpdir resolution agrees). Concurrent runs racing the dir are
-    * benign-by-determinism — every writer writes the same seed-pinned
-    * rows. */
+    * statically (oracle strings are fixed at registry build, so the path
+    * cannot carry runtime identity like the sfDir). The honest contract
+    * that follows: ONE verify sequence per host at a time — the iris
+    * fixture is generated in-test (identical at every sf, so same-SF
+    * races are benign-by-determinism), but the split-check queries
+    * persist sf-DEPENDENT row sets, and a concurrent run at a DIFFERENT
+    * sf could overwrite them between this run's write and its DuckDB
+    * read. The driver's verify → oracle sequencing satisfies the
+    * contract; don't run two harnesses against one tmpdir. */
   private def scoredDir(tag: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_mlscored/$tag"
 

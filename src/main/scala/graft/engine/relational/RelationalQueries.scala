@@ -758,13 +758,8 @@ object RelationalQueries {
       // overwrites), and concurrent processes cannot race on one store
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q74_snap_${ProcessHandle.current().pid()}/tbl"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       val nat = Tables.nation(spark, sfDir)
       graft.engine.sources.SnapshotStore.publish(
         nat.filter(col("n_regionkey") === 0), root)
@@ -796,13 +791,8 @@ object RelationalQueries {
     (spark, sfDir) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q89_snap_${ProcessHandle.current().pid()}/tbl"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       val nat = Tables.nation(spark, sfDir)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       graft.engine.sources.SnapshotStore.publish(
@@ -839,13 +829,8 @@ object RelationalQueries {
     (spark, sfDir) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q95_snap_${ProcessHandle.current().pid()}/tbl"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       import graft.engine.sources.SnapshotStore
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -956,13 +941,8 @@ object RelationalQueries {
       import graft.engine.sources.{IncrementalAgg, SnapshotStore}
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q99_agg_${ProcessHandle.current().pid()}/tbl"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       for (r <- 0 until 3)
@@ -1004,13 +984,8 @@ object RelationalQueries {
     (spark, sfDir) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q104_store_${ProcessHandle.current().pid()}/tbl"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       import graft.engine.sources.SnapshotStore
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -1076,13 +1051,8 @@ object RelationalQueries {
     (spark, sfDir) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q103_zorder_${ProcessHandle.current().pid()}/tbl"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       import graft.engine.sources.ZOrder
       val ev = Tables.events(spark, sfDir)
         .filter(col("ts").isNotNull && col("value").isNotNull)
@@ -1141,13 +1111,8 @@ object RelationalQueries {
     (spark, sfDir) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q108_zorder3_${ProcessHandle.current().pid()}/tbl"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       import graft.engine.sources.ZOrder
       val ev = Tables.events(spark, sfDir)
         .filter(col("ts").isNotNull && col("value").isNotNull &&

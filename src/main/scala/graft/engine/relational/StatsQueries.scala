@@ -474,13 +474,8 @@ object StatsQueries {
     (spark, sfDir) => {
       val root = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_q101_prof_${ProcessHandle.current().pid()}/tbl"
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
       val cols = Seq("doc_id", "lang", "source", "n_chars")
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id") +: cols.drop(1).map(col): _*)

@@ -69,7 +69,11 @@ object SnapshotStore {
       case (v, vt) if vt == t => v
     })
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  /** Recursive delete (children-first; a no-op on a missing path) —
+    * shared by the store internals and every store-backed query's
+    * scratch-root wipe, so the try/finally stream discipline lives in
+    * ONE place. */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -235,11 +239,33 @@ object SnapshotStore {
     * [[advancePointerLocked]]'s forward-only check backstops publish even
     * if a pathological pause defeats the lease. Package-private so the spec
     * can drive the ownership-loss path directly. */
-  private[sources] def withFlipLock[A](root: String, staleMs: Long = 60000L)(body: => A): A = {
+  private[sources] def withFlipLock[A](root: String, staleMs: Long = 60000L)(body: => A): A =
+    withFlipLockRenewable(root, staleMs)(_ => body)
+
+  /** [[withFlipLock]] for critical sections containing LONG Spark jobs:
+    * the body receives a `renew` callback that (a) FAILS LOUDLY if this
+    * holder's token is no longer on the lock — the lease expired
+    * mid-section and a concurrent writer broke in, so continuing would
+    * interleave two list → write → manifest sequences into silent
+    * corruption — and (b) refreshes the lock mtime, extending the lease.
+    * The lease clock only ticks between `renew` calls: a holder that
+    * renews after every long step can never be judged staler than its
+    * longest SINGLE step, instead of its whole section. */
+  private[sources] def withFlipLockRenewable[A](root: String,
+      staleMs: Long = 60000L)(body: (() => Unit) => A): A = {
     Files.createDirectories(Paths.get(root))
     val lock = Paths.get(root, ".CURRENT.lock")
     val token = s"${ProcessHandle.current().pid()}-" +
       s"${Thread.currentThread().getId}-${System.nanoTime()}"
+    val renew: () => Unit = () => {
+      if (!readLockToken(lock).contains(token))
+        throw new IllegalStateException(
+          s"flip lock $lock lost mid-section (lease expired and a " +
+            "concurrent writer broke it); aborting before touching " +
+            "shared state — re-run this publish")
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
     var waitedMs = 0L
     while (true) {
       var acquired = false
@@ -268,7 +294,7 @@ object SnapshotStore {
       // between stamping and here, another writer may hold the lock now —
       // re-enter the acquire loop rather than flip under a lock we lost
       if (readLockToken(lock).contains(token)) {
-        try return body
+        try return body(renew)
         finally {
           // release only what we still own; deleting a successor's fresh
           // lock would let a third writer in alongside them
@@ -781,10 +807,24 @@ object SnapshotStore {
     * staleness horizon — a publisher that crashed (or a pre-fix merge
     * retry loop) strands its staged write there, and nothing else ever
     * deletes them. The age guard keeps a LIVE publisher's in-flight
-    * staging safe: its directory mtime refreshes as part-files land. */
+    * staging safe: staleness is judged by the NEWEST mtime anywhere in
+    * the staging subtree, because a running Spark write lands part-files
+    * under `_temporary/` task directories without ever touching the
+    * top-level dir's mtime — aging by the top-level mtime alone would
+    * reap a >60 s in-flight publish mid-write. The subtree walk is
+    * bounded by the staged file count (a maintenance-path cost). */
   def vacuum(root: String, keep: Int = 1,
       stagingStaleMs: Long = 60000L): Seq[Long] = {
     val rootDir = Paths.get(root)
+    def newestMtime(p: java.nio.file.Path): Long = {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .map(f => Files.getLastModifiedTime(f).toMillis)
+          .foldLeft(0L)(math.max)
+      } finally walk.close()
+    }
     if (Files.exists(rootDir)) {
       val s = Files.list(rootDir)
       try {
@@ -792,7 +832,7 @@ object SnapshotStore {
         s.iterator().asScala
           .filter(_.getFileName.toString.startsWith(".staging-"))
           .filter(p => System.currentTimeMillis() -
-            Files.getLastModifiedTime(p).toMillis > stagingStaleMs)
+            newestMtime(p) > stagingStaleMs)
           .toSeq.foreach(deleteRecursively)
       } finally s.close()
     }

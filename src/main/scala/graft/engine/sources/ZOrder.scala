@@ -129,12 +129,17 @@ object ZOrder {
     require(nFiles >= 1, "nFiles must be positive")
     val spark = df.sparkSession
     val z = zExpr(df, cols, bits)
-    SnapshotStore.withFlipLock(root, staleMs = 600000L) {
+    // renew between the two Spark jobs: the lease clock then bounds ONE
+    // job, not the whole publish — a write outlasting the lease fails
+    // loudly at the renew instead of silently sharing the manifest step
+    // with whoever broke the lock
+    SnapshotStore.withFlipLockRenewable(root, staleMs = 600000L) { renew =>
       df.withColumn("_z", z)
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions(col("_z"))
         .drop("_z")
         .write.mode(SaveMode.Overwrite).parquet(s"$root/data")
+      renew()
       spark.read.parquet(s"$root/data")
         .groupBy(col("_metadata.file_path").as("file"))
         .agg(statExprs(cols).head, statExprs(cols).tail: _*)
@@ -177,7 +182,7 @@ object ZOrder {
     require(nFiles >= 1, "nFiles must be positive")
     val spark = df.sparkSession
     val z = zExpr(df, cols, bits)
-    SnapshotStore.withFlipLock(root, staleMs = 600000L) {
+    SnapshotStore.withFlipLockRenewable(root, staleMs = 600000L) { renew =>
       val known = spark.read.parquet(s"$root/manifest")
         .select(col("file")).collect().map(_.getString(0)).toSet
       df.withColumn("_z", z)
@@ -185,6 +190,10 @@ object ZOrder {
         .sortWithinPartitions(col("_z"))
         .drop("_z")
         .write.mode(SaveMode.Append).parquet(s"$root/data")
+      // a write that outlasted the lease must NOT proceed to the
+      // list-diff-manifest sequence: whoever broke the lock may be
+      // mid-append, and our diff would adopt THEIR in-flight files
+      renew()
       // fresh files come from a DIRECTORY LISTING (metadata-only —
       // scanning the table to discover its own new files would defeat the
       // append's cost model); names are write-unique, so suffix-matching
@@ -266,12 +275,17 @@ object ZOrder {
       box: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
     require(box.nonEmpty, "need at least one box clause")
     val manifest = spark.read.parquet(s"$root/manifest")
-    val knownFiles = manifest.select(col("file")).collect().map(_.getString(0))
+    // .distinct on both path sets: a duplicated manifest row (possible
+    // only if a writer ever outlives its lease AND ignores the renew
+    // abort) must degrade to a redundant stat, never to a file scanned
+    // twice — double-reading a path would silently double its rows
+    val knownFiles = manifest.select(col("file")).collect()
+      .map(_.getString(0)).distinct
     val pruneFilter = box.zipWithIndex.map { case ((_, lo, hi), i) =>
       col(s"max_$i") >= lo && col(s"min_$i") <= hi
     }.reduce(_ && _)
     val selected = manifest.filter(pruneFilter)
-      .select(col("file")).collect().map(_.getString(0))
+      .select(col("file")).collect().map(_.getString(0)).distinct
     val unknown = unknownDataFiles(root, knownFiles.toSet)
     val paths = selected ++ unknown
     val filesTotal = knownFiles.length + unknown.length

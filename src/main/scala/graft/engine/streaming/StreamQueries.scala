@@ -392,13 +392,8 @@ object StreamQueries {
       import graft.engine.sources.SnapshotStore
       val base = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_x59_${ProcessHandle.current().pid()}"
-      val basePath = java.nio.file.Paths.get(base)
-      if (java.nio.file.Files.exists(basePath)) {
-        val walk = java.nio.file.Files.walk(basePath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
       val docs = Tables.documents(spark, sfDir)
       val history = docs.filter(col("doc_id") < 250)
         .select(col("doc_id"), col("text"))
@@ -622,13 +617,8 @@ object StreamQueries {
       import graft.engine.sources.{IncrementalAgg, Jsonl, SnapshotStore}
       val base = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_x60_magg_${ProcessHandle.current().pid()}"
-      val basePath = java.nio.file.Paths.get(base)
-      if (java.nio.file.Files.exists(basePath)) {
-        val walk = java.nio.file.Files.walk(basePath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
       val ev = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"), col("value"))
       // exactly three part-files -> exactly three one-file ticks
@@ -729,13 +719,8 @@ object StreamQueries {
       import graft.engine.sources.SnapshotStore
       val base = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_x62_ann_${ProcessHandle.current().pid()}"
-      val basePath = java.nio.file.Paths.get(base)
-      if (java.nio.file.Files.exists(basePath)) {
-        val walk = java.nio.file.Files.walk(basePath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
       val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
       AnnIndex.publishIndex(spark, s"$base/index",
         Similarity.ivfCentroids(emb, nlist = 4, iters = 1),

@@ -244,9 +244,12 @@ object ExpressionProperties extends Properties("graft.expressions") {
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)))
     .map(_.distinct)
   private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
-    6 -> Gen.alphaLowerChar,
-    1 -> Gen.const(' '),
-    1 -> Gen.oneOf('0', '9', '.', '!', '\t', '\n'))).map(_.mkString)
+    6 -> Gen.alphaLowerChar.map(_.toString),
+    1 -> Gen.const(" "),
+    1 -> Gen.oneOf("0", "9", ".", "!", "\t", "\n"),
+    // supplementary-plane code points: the fallback must consume whole
+    // surrogate pairs, exactly like the regex twins' [^\s]
+    1 -> Gen.oneOf("😀", "𝄞"))).map(_.mkString)
 
   /** Reference semantics: leftmost-first java.util.regex alternation with
     * the vocab sorted (length desc, word asc) and a [^\s] catch-all —
@@ -273,6 +276,14 @@ object ExpressionProperties extends Properties("graft.expressions") {
       val n = VocabTokenCount(Literal.create(UTF8String.fromString(text),
         StringType), vocab.toArray).eval(null).asInstanceOf[Long]
       trie == re && n == trie.length.toLong
+    }
+
+  property("vocab fallback never splits a surrogate pair") =
+    Prop.forAll(textGen, vocabGen) { (text, vocab) =>
+      trieTokens(text, vocab).forall { t =>
+        !Character.isLowSurrogate(t.charAt(0)) &&
+          !Character.isHighSurrogate(t.charAt(t.length - 1))
+      }
     }
 
   property("vocab tokens partition the non-whitespace text") =

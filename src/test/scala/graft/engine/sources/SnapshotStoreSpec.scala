@@ -307,9 +307,15 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // fresh staging (a live publisher's in-flight write) must survive
     val live = java.nio.file.Paths.get(r, ".staging-live-2")
     Files.createDirectories(live)
-    Files.setLastModifiedTime(stranded,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 3600 * 1000L))
+    // age the WHOLE subtree: staleness is judged by the newest mtime
+    // anywhere under the staging dir (a live Spark write lands files in
+    // _temporary/ without touching the top-level mtime, so the top-level
+    // timestamp alone must never be reap evidence) — a genuinely crashed
+    // publisher's tree is uniformly old
+    Seq(stranded, stranded.resolve("part-0.parquet")).foreach(p =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600 * 1000L)))
     SnapshotStore.vacuum(r, keep = 99)
     assert(stagingDirs(r) == Seq(".staging-live-2"),
       s"stale staging reaped, live staging kept — got ${stagingDirs(r)}")
