@@ -347,6 +347,56 @@ object LlmQueries {
     doc = "published-vocabulary tokenize: train on the frozen half, " +
       "publish, load, tokenize the new batch; oracle retrains + replays")
 
+  /** q118 — incremental TOKEN ACCOUNTING under the published vocabulary:
+    * the budget dashboard every training-data pipeline keeps (how many
+    * tokens per source, updated per ingest batch, never a full re-scan).
+    * Composes three proven pieces: the vocabulary freezes once
+    * (publishVocab — counts stay comparable across batches), each of
+    * three ingest batches token-counts ITSELF and folds into the
+    * bucketed [[graft.engine.sources.IncrementalAgg]] store at delta
+    * cost, and the maintained table is batch-boundary invariant
+    * (addition commutes). DuckDB replays it as one full-corpus GROUP BY
+    * through the shared vocab CTE; `n_versions` pins that three deltas
+    * actually happened. */
+  val q118 = GraftQuery(
+    "q118_token_accounting",
+    (spark, sfDir) => {
+      import graft.engine.sources.{IncrementalAgg, SnapshotStore}
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q118_tokacct_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(spark, sfDir)
+      Tokenizer.publishVocab(spark, s"$base/vocab",
+        Tokenizer.trainWordVocab(docs, "text", 16))
+      val vocab = Tokenizer.loadVocab(spark, s"$base/vocab")
+      val aggRoot = s"$base/agg"
+      (0 to 2).foreach { i =>
+        IncrementalAgg.refresh(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === i.toLong)
+            .select(col("source"),
+              Tokenizer.tokenCount(col("text"), vocab)
+                .cast("double").as("n_tok")),
+          aggRoot, keyCol = "source", valueCol = "n_tok", nBuckets = 4,
+          tag = Some(s"batch-$i"))
+      }
+      IncrementalAgg.read(spark, aggRoot)
+        .select(col("source"), col("n").as("n_docs"),
+          col("s").cast(LongType).as("sum_tokens"))
+        .withColumn("n_versions",
+          lit(SnapshotStore.currentVersion(aggRoot)))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH ${Tokenizer.sqlVocabCtes(16)},
+      t AS (SELECT source,
+        CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
+          AS BIGINT) AS n_tok FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        CAST(3 AS BIGINT) AS n_versions
+      FROM t GROUP BY source ORDER BY source"""),
+    doc = "per-source token budgets under the published vocab, maintained " +
+      "incrementally (3 delta refreshes == full-corpus GROUP BY)")
+
   /** q116 — hashing-trick text embedding, every component value-checked:
     * the derived vectors are pure md5 arithmetic (bucket = hex prefix mod
     * dim, sign = 5th hex digit band), so DuckDB recomputes the full
@@ -1954,5 +2004,5 @@ object LlmQueries {
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      q115, q116, q117, x42, x43, x44, x45, x46, x47, x48, x51)
+      q115, q116, q117, q118, x42, x43, x44, x45, x46, x47, x48, x51)
 }
