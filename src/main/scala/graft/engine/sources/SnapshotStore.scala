@@ -258,13 +258,21 @@ object SnapshotStore {
     val token = s"${ProcessHandle.current().pid()}-" +
       s"${Thread.currentThread().getId}-${System.nanoTime()}"
     val renew: () => Unit = () => {
-      if (!readLockToken(lock).contains(token))
+      def lost(cause: Throwable = null): Nothing =
         throw new IllegalStateException(
           s"flip lock $lock lost mid-section (lease expired and a " +
             "concurrent writer broke it); aborting before touching " +
-            "shared state — re-run this publish")
-      Files.setLastModifiedTime(lock,
+            "shared state — re-run this publish", cause)
+      if (!readLockToken(lock).contains(token)) lost()
+      // the touch can race a breaker renaming the lock away — a raw
+      // NoSuchFileException here IS the lost-lock condition, and a
+      // post-touch re-read closes the check-then-touch window where the
+      // touch would land on (and silently extend) a successor's fresh
+      // lock while we proceed as if renewed
+      try Files.setLastModifiedTime(lock,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case e: Exception => lost(e) }
+      if (!readLockToken(lock).contains(token)) lost()
     }
     var waitedMs = 0L
     while (true) {
@@ -817,13 +825,22 @@ object SnapshotStore {
       stagingStaleMs: Long = 60000L): Seq[Long] = {
     val rootDir = Paths.get(root)
     def newestMtime(p: java.nio.file.Path): Long = {
-      val walk = Files.walk(p)
+      // a LIVE publisher's commit renames files out of _temporary/ while
+      // we iterate — a path vanishing mid-walk is itself proof of
+      // activity, so it (or any listing failure) reads as "fresh now",
+      // never as an error that aborts the whole vacuum
       try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala
-          .map(f => Files.getLastModifiedTime(f).toMillis)
-          .foldLeft(0L)(math.max)
-      } finally walk.close()
+        val walk = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .map { f =>
+              try Files.getLastModifiedTime(f).toMillis
+              catch { case _: Exception => Long.MaxValue }
+            }
+            .foldLeft(0L)(math.max)
+        } finally walk.close()
+      } catch { case _: Exception => Long.MaxValue }
     }
     if (Files.exists(rootDir)) {
       val s = Files.list(rootDir)
@@ -831,8 +848,11 @@ object SnapshotStore {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
           .filter(_.getFileName.toString.startsWith(".staging-"))
-          .filter(p => System.currentTimeMillis() -
-            newestMtime(p) > stagingStaleMs)
+          .filter(p => {
+            val newest = newestMtime(p)
+            newest != Long.MaxValue &&
+              System.currentTimeMillis() - newest > stagingStaleMs
+          })
           .toSeq.foreach(deleteRecursively)
       } finally s.close()
     }
@@ -840,12 +860,7 @@ object SnapshotStore {
     (1L until cur - keep).filter { v =>
       val dir = Paths.get(root, s"v$v")
       if (Files.exists(dir) && v != cur) {
-        // delete children then dir (parquet dirs are flat + _SUCCESS);
-        // close the walk stream or its directory fds leak
-        val walk = Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-        finally walk.close()
+        deleteRecursively(dir)
         true
       } else false
     }
