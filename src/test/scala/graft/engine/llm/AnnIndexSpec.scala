@@ -101,6 +101,33 @@ class AnnIndexSpec extends AnyFunSuite {
       s"probe scan must push the cell predicate down:\n$plan")
   }
 
+  test("probeCodes: multi-cell probes and version pinning") {
+    val root = freshRoot("mc")
+    val (cents, books) = trained()
+    val v1 = AnnIndex.publishCodes(emb.filter(col("vec_id") < 50), root,
+      cents, books, nBuckets = 4)
+    AnnIndex.appendCodes(emb.filter(col("vec_id") >= 50), root, cents, books)
+    val all = AnnIndex.readCodes(spark, root)
+    val cells = all.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    // probing every cell == the full read (dup cells in the request are
+    // tolerated)
+    val everything = AnnIndex.probeCodes(spark, root, cells ++ cells.take(1))
+    assert(everything.count() == all.count())
+    // probing two cells == the filtered full read, row-exact
+    val two = cells.take(2)
+    val got = AnnIndex.probeCodes(spark, root, two)
+      .collect().map(_.getLong(0)).toSet
+    val want = all.filter(col("cell").isin(two.map(Int.box): _*))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty)
+    // a probe pinned to v1 sees only the bootstrap batch's rows
+    val v1Rows = AnnIndex.probeCodes(spark, root, cells, version = v1)
+      .collect().map(_.getLong(0))
+    assert(v1Rows.nonEmpty && v1Rows.forall(_ < 50),
+      "pinned probe must not see appended history")
+  }
+
   test("empty append is a no-op version; appended store compacts") {
     val root = freshRoot("cp")
     val (cents, books) = trained()
