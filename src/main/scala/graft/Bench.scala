@@ -1,14 +1,28 @@
 package graft
+
 object Bench {
+
+  /** First two fields of /proc/loadavg (1- and 5-minute load) — the
+    * noise-adjudication context BASELINE.md's quiet-window rule needs
+    * recorded next to every reading. Best-effort: absent outside Linux. */
+  private def loadAvg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(2).toSeq.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => Nil }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = graft.engine.GraftSession.build(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer cache, JIT) with one tiny
     // scan so the first measured query doesn't absorb startup cost.
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    val loadBefore = loadAvg()
     // Deterministic execution order → comparable per-query numbers across
     // rounds (Map iteration order varies with contents).
     val failed = scala.collection.mutable.ListBuffer.empty[String]
@@ -23,11 +37,23 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
+    val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2.abs).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},""" +
+        s""""load_before":${loadJson(loadBefore)},""" +
+        s""""load_after":${loadJson(loadAfter)}}"""
+    // ONE clean machine-readable artifact: sbt interleaves [info]/[success]
+    // noise into stdout, which has repeatedly left the driver's BENCH_r*.json
+    // with "parsed": null — the file is the record, the println a courtesy.
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

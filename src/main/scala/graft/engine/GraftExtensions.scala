@@ -37,7 +37,11 @@ object GraftExtensions {
       s"$what must be a constant array of strings, got $e")
     e.eval(null) match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        Array.tabulate(a.numElements())(i => a.getUTF8String(i).toString)
+        Array.tabulate(a.numElements()) { i =>
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            s"$what must not contain NULL elements")
+          a.getUTF8String(i).toString
+        }
       case other => throw new IllegalArgumentException(
         s"$what must be a constant array of strings, got $other")
     }

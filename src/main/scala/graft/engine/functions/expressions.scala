@@ -577,8 +577,12 @@ private[functions] final class VocabTrie(vocab: Array[String]) extends Serializa
 }
 
 private[functions] object VocabTrie {
-  /** Regex `\s` on BOTH engines (Java and RE2): the explicit 6-char set —
-    * NOT Character.isWhitespace, which disagrees on - etc. */
+  /** Java regex `\s`: the explicit 6-char set — NOT
+    * Character.isWhitespace, which disagrees on NBSP etc. RE2's `\s`
+    * omits U+000B (vertical tab), so the regex twins
+    * (Tokenizer.alternationPattern / sqlVocabCtes) spell this set out as
+    * an explicit character class instead of writing `\s` — otherwise the
+    * DuckDB oracle would tokenize VT while this kernel skips it. */
   @inline def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 }

@@ -76,12 +76,26 @@ object AnnIndex {
     val cents = rows.filter(_.getString(0) == "cent")
       .map(r => r.getInt(2) -> r.getSeq[Double](3).toArray)
       .sortBy(_._1)
-    val books = rows.filter(_.getString(0) == "book")
-      .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
-      .map { case (_, rs) =>
-        rs.map(r => r.getInt(2) -> r.getSeq[Double](3).toArray).sortBy(_._1)
-      }
     require(cents.nonEmpty, s"no index published under $root")
+    val grouped = rows.filter(_.getString(0) == "book").groupBy(_.getInt(1))
+    require(grouped.nonEmpty, s"no PQ codebooks published under $root")
+    // A partial/corrupt store must FAIL here, not decode against shifted
+    // codebooks: a missing subspace would otherwise silently collapse the
+    // gap (groupBy+sortBy renumbers) and every later code would look up
+    // the wrong book.
+    val subs = grouped.keys.toSeq.sorted
+    require(subs == (0 until subs.length),
+      s"PQ subspace indices must be contiguous 0..${subs.length - 1} " +
+        s"under $root, got $subs")
+    val books = subs.map { sub =>
+      grouped(sub).map(r => r.getInt(2) -> r.getSeq[Double](3).toArray)
+        .sortBy(_._1)
+    }
+    val ksub = books.head.length
+    val dsub = books.head.head._2.length
+    require(books.forall(b => b.length == ksub && b.forall(_._2.length == dsub)),
+      s"PQ codebooks under $root disagree on ksub/dsub " +
+        s"(expected $ksub x $dsub)")
     (cents, books)
   }
 

@@ -378,6 +378,15 @@ object Curation {
     * ceil(q·n)-th smallest score, which is what the q114 oracle pins.
     * Thresholds can also come from PUBLISHED per-batch sketch columns
     * (q110's posture) — pass precomputed `thresholds` to skip the scan.
+    *
+    * CALLER-SUPPLIED THRESHOLDS DEFINE THE GROUP UNIVERSE: the join is
+    * an INNER join, so a group with no row in `thresholds` is dropped
+    * entirely — indistinguishable downstream from "threshold above every
+    * score". This is deliberate (validating coverage would cost a second
+    * full scan of `docs`, the wrong default at 100 TB); callers curating
+    * against published sketches must ensure the sketch table covers every
+    * group they intend to keep, or union in a -inf threshold row per
+    * extra group. CurationSpec pins this drop semantics explicitly.
     */
   def quantileFloor(docs: DataFrame, groupCol: String, scoreCol: String,
       q: Double, k: Int,

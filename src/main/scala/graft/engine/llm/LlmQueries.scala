@@ -255,7 +255,7 @@ object LlmQueries {
       v AS (SELECT g FROM (SELECT g, count(*) AS c FROM grams
         GROUP BY g ORDER BY c DESC, g LIMIT 24)),
       p AS (SELECT '(' || string_agg(g, '|' ORDER BY length(g) DESC, g)
-        || '|[^\s])' AS pat FROM v)
+        || '|[^ \x09\x0A\x0B\x0C\x0D])' AS pat FROM v)
       SELECT doc_id,
         CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
           AS BIGINT) AS n_tok_subword

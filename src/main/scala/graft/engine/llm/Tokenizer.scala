@@ -161,17 +161,22 @@ object Tokenizer {
       v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w
         WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT $size)),
       p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
-        || '|[^\\s])' AS pat FROM v)"""
+        || '|[^ \\x09\\x0A\\x0B\\x0C\\x0D])' AS pat FROM v)"""
 
-  /** The regex-alternation twin of the trie kernel: `(w1|…|wK|[^\s])`
+  /** The regex-alternation twin of the trie kernel: `(w1|…|wK|[^ …])`
     * with vocab sorted by (length desc, word asc). Applying
     * `size(regexp_extract_all(lower(text), pattern, 0))` must equal
     * [[tokenCount]] on every input — property-pinned in TokenizerSpec and
-    * replayed verbatim by the DuckDB oracles. */
+    * replayed verbatim by the DuckDB oracles. The catch-all is the
+    * EXPLICIT 6-char whitespace complement (not `[^\s]`): Java's `\s`
+    * includes U+000B but RE2's does not, so `\s` would make the two
+    * replay engines disagree on vertical-tab input while the trie kernel
+    * (VocabTrie.isWs) pins the Java set. */
   def alternationPattern(vocab: Array[String]): String = {
     vocab.foreach(w => require(w.nonEmpty && w.forall(c =>
       (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
       s"vocab words must be [a-z0-9]+ (regex-safe on both engines), got '$w'"))
-    vocab.sortBy(w => (-w.length, w)).mkString("(", "|", "|[^\\s])")
+    vocab.sortBy(w => (-w.length, w))
+      .mkString("(", "|", "|[^ \\x09\\x0A\\x0B\\x0C\\x0D])")
   }
 }

@@ -59,6 +59,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rh.eval(null) == ('a' * 131L + 'b'))
   }
 
+  test("NULL element in a constant vocabulary is rejected cleanly") {
+    val withNull = Literal.create(
+      ArrayData.toArrayData(Array(UTF8String.fromString("a"), null)),
+      ArrayType(StringType))
+    val ex = intercept[IllegalArgumentException] {
+      GraftExtensions.functions.toMap.apply("graft_vocab_token_count")(Seq(
+        Literal(UTF8String.fromString("t"), StringType), withNull))
+    }
+    assert(ex.getMessage.contains("NULL"))
+  }
+
   test("non-literal shingle size is rejected with a clear error") {
     val ex = intercept[IllegalArgumentException] {
       GraftExtensions.functions.toMap.apply("graft_shingles")(

@@ -46,6 +46,39 @@ class AnnIndexSpec extends AnyFunSuite {
       c1again.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) })
   }
 
+  test("loadIndex refuses a partial/corrupt store instead of silently " +
+      "renumbering subspaces") {
+    val (cents, books) = trained()
+    // a store whose sub=1 codebook rows are missing entirely: decoding
+    // would silently shift subspaces 2..m-1 down without the guard
+    val gapRoot = freshRoot("gap")
+    SnapshotStore.publish(
+      AnnIndex.toDf(spark, cents, books).filter(col("sub") =!= 1), gapRoot)
+    val exGap = intercept[IllegalArgumentException] {
+      AnnIndex.loadIndex(spark, gapRoot)
+    }
+    assert(exGap.getMessage.contains("contiguous"), exGap.getMessage)
+    // a store with centroids but NO codebooks at all fails with a clear
+    // message, not books.head downstream
+    val emptyRoot = freshRoot("nobooks")
+    SnapshotStore.publish(
+      AnnIndex.toDf(spark, cents, books).filter(col("kind") === "cent"),
+      emptyRoot)
+    val exEmpty = intercept[IllegalArgumentException] {
+      AnnIndex.loadIndex(spark, emptyRoot)
+    }
+    assert(exEmpty.getMessage.contains("codebooks"), exEmpty.getMessage)
+    // ragged ksub: one codebook entry removed from sub=0
+    val raggedRoot = freshRoot("ragged")
+    SnapshotStore.publish(
+      AnnIndex.toDf(spark, cents, books)
+        .filter(!(col("sub") === 0 && col("cid") === 0)), raggedRoot)
+    val exRag = intercept[IllegalArgumentException] {
+      AnnIndex.loadIndex(spark, raggedRoot)
+    }
+    assert(exRag.getMessage.contains("ksub"), exRag.getMessage)
+  }
+
   test("bootstrap + append == one-shot encode; append moves no history") {
     val root = freshRoot("ap")
     val (cents, books) = trained()

@@ -53,6 +53,21 @@ class CurationSpec extends AnyFunSuite {
     val out = Curation.quantileFloor(scored, "source", "quality",
       q = 0.5, k = 64, thresholds = Some(thr))
     assert(out.count() == 0L, "impossible threshold admits nothing")
+    // DOCUMENTED drop semantics: caller-supplied thresholds define the
+    // group universe (inner join) — a group with no threshold row is
+    // dropped entirely, while a covered group keeps its qualifying rows.
+    val one = scored.select(col("source")).distinct()
+      .orderBy(col("source")).limit(1)
+      .collect().head.getString(0)
+    val partial = Seq((one, -1.0)).toDF("source", "_thr")
+    val kept = Curation.quantileFloor(scored, "source", "quality",
+      q = 0.5, k = 64, thresholds = Some(partial))
+    assert(kept.select(col("source")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(one),
+      "groups absent from the thresholds frame must be dropped (documented)")
+    assert(kept.count() ==
+      scored.filter(col("source") === one).count(),
+      "-inf-style threshold keeps the covered group whole")
   }
 
   test("hashSample composes: sample(a ∪ b) == sample(a) ∪ sample(b)") {

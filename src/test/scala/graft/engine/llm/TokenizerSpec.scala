@@ -122,6 +122,28 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("vertical tab: kernel and alternation twin agree, and the emitted " +
+      "pattern avoids \\s (RE2's \\s excludes U+000B, Java's includes it)") {
+    val vocab = Array("ab", "cd")
+    val pat = Tokenizer.alternationPattern(vocab)
+    assert(!pat.contains("\\s"),
+      s"pattern must spell out the whitespace class explicitly, got $pat")
+    assert(!Tokenizer.sqlVocabCtes(4).contains("[^\\s]"))
+    // VT is whitespace for the kernel; the explicit class makes the regex
+    // twin agree on BOTH engines (DuckDB's RE2 would have tokenized VT
+    // under [^\s])
+    val df = Seq("ab\u000Bcd", "x\u000B\u000B").toDF("t").select(
+      Tokenizer.tokens(col("t"), vocab).as("tok"),
+      Tokenizer.tokenCount(col("t"), vocab).as("n"),
+      size(regexp_extract_all(lower(col("t")), lit(pat), lit(0)))
+        .cast("long").as("re"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0).toList == List("ab", "cd"))
+    assert(rows(0).getLong(1) == 2L && rows(0).getLong(2) == 2L)
+    assert(rows(1).getSeq[String](0).toList == List("x"))
+    assert(rows(1).getLong(1) == 1L && rows(1).getLong(2) == 1L)
+  }
+
   test("guards: whitespace or regex-unsafe vocab entries are rejected") {
     intercept[IllegalArgumentException] {
       Seq("x").toDF("t")
