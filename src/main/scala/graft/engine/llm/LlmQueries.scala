@@ -493,13 +493,18 @@ object LlmQueries {
     "q112_vocab_pack",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val vocab = Tokenizer.trainWordVocab(docs, "text", 16)
+      // re-wired (VERDICT r10 item 4) to the TRUE BPE-trained vocabulary:
+      // pack boundaries land where the merge-trained tokenizer says the
+      // budget is spent — the production pairing (BPE tokenizer feeding
+      // context-window packing), with training still fully SQL-replayed
+      val vocab = Tokenizer.bpeVocab(
+        Tokenizer.trainBpeMerges(docs, "text", numMerges = 8))
       Curation.packSequences(docs, "doc_id", "text", budgetTokens = 1024L,
           shardCols = Seq("source"),
           tokenCounter = t => Tokenizer.tokenCount(t, vocab))
         .orderBy(col("source"), col("pack_id"))
     },
-    Some(s"""WITH ${Tokenizer.sqlVocabCtes(16)},
+    Some(s"""WITH ${Tokenizer.sqlBpeCtes(8)},
       t AS (SELECT source, doc_id,
         CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
           AS BIGINT) AS n_tokens FROM documents),
@@ -512,8 +517,39 @@ object LlmQueries {
         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         CAST(MIN(doc_id) AS BIGINT) AS first_doc
       FROM pk GROUP BY 1, 2 ORDER BY 1, 2"""),
-    doc = "token-budget packing under the learned vocabulary (1024/window " +
-      "sharded by source); oracle replays train + tokenize + prefix sums")
+    doc = "token-budget packing under the BPE-trained vocabulary " +
+      "(8 merges, 1024/window sharded by source); oracle replays merge " +
+      "training + tokenize + prefix sums")
+
+  /** q119 — TRUE BPE tokenization end to end (q113's successor, VERDICT
+    * r10 gap 3): the vocabulary comes from the iterative
+    * most-frequent-pair merge loop ([[Tokenizer.trainBpeMerges]] — real
+    * BPE training, not the one-pass n-gram frequency approximation),
+    * then the same greedy longest-match trie kernel tokenizes. The
+    * oracle replays the ENTIRE merge loop in DuckDB — 8 rounds of
+    * top-pair selection over current-piece bigrams and the leftmost
+    * fold rewrite (list_reduce with the identical tail-replace rule) —
+    * then the alternation tokenize, so a drift in ANY round's pair
+    * choice, the fold semantics, tie-breaking, or the tokenize breaks
+    * value equality on every row. q113 keeps the one-pass n-gram
+    * trainer as a separate (cheaper) capability. */
+  val q119 = GraftQuery(
+    "q119_bpe_tokens",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 8)
+      val vocab = Tokenizer.bpeVocab(merges)
+      docs.select(col("doc_id"),
+          Tokenizer.tokenCount(col("text"), vocab).as("n_tok_bpe"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${Tokenizer.sqlBpeCtes(8)}
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
+          AS BIGINT) AS n_tok_bpe
+      FROM documents ORDER BY doc_id"""),
+    doc = "BPE merge training (8 rounds) + greedy tokenize; oracle " +
+      "replays every merge round AND the tokenize in SQL")
 
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
@@ -792,16 +828,22 @@ object LlmQueries {
           ELSE list_transform(range(1, len(t) - 1),
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
         FROM tok),
-      d AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        ROUND(len(list_intersect(a.s, b.s))::DOUBLE
-          / len(list_distinct(a.s || b.s)), 6) AS jaccard
-      FROM d a JOIN d b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        / len(list_distinct(a.s || b.s)) >= 0.3
+      d AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+      e AS (SELECT doc_id, unnest(s) AS g FROM d),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(s) AS n FROM d)
+      SELECT ia AS id_a, ib AS id_b,
+        ROUND(ni::DOUBLE / (ca.n + cb.n - ni), 6) AS jaccard
+      FROM inter JOIN card ca ON ca.doc_id = inter.ia
+        JOIN card cb ON cb.doc_id = inter.ib
+      WHERE ni::DOUBLE / (ca.n + cb.n - ni) >= 0.3
       ORDER BY id_a, id_b"""),
     doc = "MinHash(32 hashes, 8 bands) + exact-Jaccard verify, value-checked " +
-      "against DuckDB's all-pairs exact-Jaccard twin (J >= 0.3 regime)")
+      "against DuckDB's exact-Jaccard twin over the shared-shingle inverted " +
+      "index (J >= 0.3 regime; equals all-pairs since J > 0 needs a shared " +
+      "shingle, and |A union B| = |A|+|B|-|A intersect B| on distinct sets)")
 
   /** X2b — SimHash near-dups, ORACLE-checked in the exact regime (the
     * q75/q78 pattern). maxHamming = 3 is the guaranteed-recall radius for
@@ -1263,10 +1305,15 @@ object LlmQueries {
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
         FROM tok),
       d AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
-      pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-        FROM d a JOIN d b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.s, b.s))::DOUBLE
-          / len(list_distinct(a.s || b.s)) >= 0.3),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM d),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      card AS (SELECT doc_id, len(s) AS n FROM d),
+      pairs AS (SELECT ia, ib FROM inter
+        JOIN card ca ON ca.doc_id = inter.ia
+        JOIN card cb ON cb.doc_id = inter.ib
+        WHERE ni::DOUBLE / (ca.n + cb.n - ni) >= 0.3),
       edges AS (SELECT ia AS src, ib AS dst FROM pairs
         UNION ALL SELECT ib, ia FROM pairs),
       nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -1280,7 +1327,9 @@ object LlmQueries {
       FROM documents LEFT JOIN lab l ON l.id = doc_id
       ORDER BY doc_id"""),
     doc = "near-dup pipeline pairs -> connected components -> representatives, " +
-      "value-checked against a recursive-CTE closure of the exact pair graph")
+      "value-checked against a recursive-CTE closure of the exact pair graph " +
+      "(pairs via the shared-shingle inverted index — equal to all-pairs, " +
+      "J > 0 needs a shared shingle — so the twin replays at sf0.1 too)")
 
   /** x51 — rolling-hash fingerprints (custom Catalyst expr), ORACLE-checked
     * at the VALUE level: the modular polynomial hash is replayed in DuckDB
@@ -2007,9 +2056,57 @@ object LlmQueries {
     doc = "incremental near-dup vs published signature snapshot; exact " +
       "regime: planted copies == est-1.0 cross-side pairs, recall pinned 1.0")
 
+  /** x49 — IVF on a PLANTED-CLUSTER corpus: the above-the-diagonal
+    * contract x47 cannot make. x47's isotropic corpus is the
+    * information-theoretic worst case for space partitioning (recall ≈
+    * scanned fraction — the diagonal), so its shipped floor is "no worse
+    * than random scanning": honest there, but vacuous as a deployment
+    * guarantee. Real embedding corpora are clustered, and BASELINE.md's
+    * deployment guidance rests on IVF landing far ABOVE the diagonal on
+    * such data. This row pins that claim on the deterministic seeded
+    * fixture ([[graft.tools.ClusteredVectors]] — bit-identical corpus on
+    * any partitioning/parallelism, so the booleans are reproducible
+    * anywhere): IVF at a 12.5% expected scan (nprobe/nlist = 4/32) must
+    * reach ≥ 4× the diagonal (recall ≥ 0.5; measures 1.00 on this
+    * fixture — the SimilaritySpec clustered gate promoted to the oracle
+    * registry, VERDICT r10 item 3). Contract-boolean oracle (q106
+    * pattern): the fixture's cardinalities are pinned constants the twin
+    * recomputes trivially, and a recall collapse (centroid-training
+    * drift, probe mis-assignment, candidate loss between stages) flips
+    * the hash. The corpus is generated in-query — sfDir is deliberately
+    * unused; scale sensitivity for IVF is x47's job, cluster-structure
+    * sensitivity is this row's. */
+  val x49 = GraftQuery(
+    "x49_ann_ivf_clustered",
+    (spark, sfDir) => {
+      val emb = graft.tools.ClusteredVectors.generate(spark, n = 1000L,
+          k = 10, sigma = 0.2, seed = 42L)
+        .select(col("vec_id"), col("embedding")).persist()
+      try {
+        val queries = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ivf = Similarity.ivfTopK(emb, queries, 5, nlist = 32, nprobe = 4)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = exact.intersect(ivf).size.toDouble /
+          math.max(exact.size, 1)
+        import spark.implicits._
+        Seq((1000L, exact.size.toLong, recall >= 0.5))
+          .toDF("n_corpus", "n_exact", "ivf_4x_diagonal_ok")
+      } finally emb.unpersist()
+    },
+    Some("""SELECT CAST(1000 AS BIGINT) AS n_corpus,
+        CAST(50 AS BIGINT) AS n_exact, TRUE AS ivf_4x_diagonal_ok"""),
+    doc = "IVF on the seeded planted-cluster corpus; contract oracle: " +
+      "recall >= 4x the scan-fraction diagonal (0.5 at 12.5% scan) — " +
+      "the above-the-diagonal guarantee isotropic x47 cannot make")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      q115, q116, q117, q118, x42, x43, x44, x45, x46, x47, x48, x51)
+      q115, q116, q117, q118, q119, x42, x43, x44, x45, x46, x47, x48, x49,
+      x51)
 }

@@ -106,6 +106,95 @@ object Tokenizer {
       .map(_.getString(0))
   }
 
+  /** TRUE BPE merge training (Sennrich et al. 2016): the iterative
+    * most-frequent-pair loop real LLM tokenizers train with, replacing
+    * the one-pass n-gram frequency approximation as the subword trainer
+    * (VERDICT r10 gap 3). Each round is ONE aggregation over the
+    * current-piece bigrams of the DISTINCT-WORD table: count adjacent
+    * piece pairs weighted by word frequency, take the top pair
+    * (freq desc, pair asc — total, deterministic), then rewrite every
+    * word's pieces by merging its leftmost non-overlapping occurrences.
+    *
+    * The leftmost rewrite is a fold (`functions.aggregate`): append each
+    * piece, except when the accumulator's LAST piece equals `a` and the
+    * incoming piece equals `b` — then replace the tail with `ab`. That
+    * single rule IS leftmost non-overlapping: a merge changes the last
+    * piece to `ab != a`, so an overlapping second occurrence can't fire,
+    * while a later disjoint occurrence can. TokenizerSpec pins the fold
+    * against a reference single-threaded BPE on planted fixtures
+    * (including the overlap run "aaaaa"), and the q119 oracle replays the
+    * whole loop in DuckDB (list_reduce with the same rule).
+    *
+    * Scale posture (100 TB lens): the corpus is scanned ONCE (word
+    * frequencies — the same partial-aggregated shuffle as
+    * [[trainWordVocab]]); every merge round then runs over the
+    * distinct-word table only (Heaps'-law bounded, millions of rows at
+    * web scale — executor-trivial), localCheckpoint'd per round so plans
+    * stay one fold deep instead of stacking `numMerges` nested lambdas
+    * into one codegen unit (the janino lesson). Driver holds only the
+    * merge list (`numMerges` string pairs). Real deployments train on a
+    * [[Curation.hashSample]]; merge counts are vocab-budget bounded.
+    */
+  def trainBpeMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): Array[(String, String)] = {
+    require(numMerges >= 1, "need at least one merge round")
+    var words = docs
+      .select(explode(regexp_extract_all(lower(col(textCol)), lit(wordRe),
+        lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("f"))
+      .select(col("f"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("p"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = words.filter(size(col("p")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(p) - 1), " +
+            "i -> struct(element_at(p, i) AS a, element_at(p, i + 1) AS b))"))
+          .as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(desc("c"), asc("a"), asc("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
+        merges += ((a, b))
+        val prev = words
+        words = words.select(col("f"),
+          aggregate(col("p"), array().cast("array<string>"),
+            (acc, x) =>
+              when(x === lit(b) && size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))).as("p"))
+          .localCheckpoint()
+        prev.unpersist()
+        r += 1
+      }
+    }
+    words.unpersist()
+    merges.toArray
+  }
+
+  /** The tokenizer vocabulary a merge sequence defines: the distinct
+    * merge OUTPUTS in merge order (single characters stay the implicit
+    * base vocab, exactly as in [[trainWordVocab]]'s greedy kernel).
+    * Inference is greedy longest-match through the same trie kernels —
+    * the WordPiece-style inference over a BPE-trained vocabulary
+    * (documented approximation: production BPE replays the merge order
+    * at inference; greedy longest-match keeps the operator
+    * SQL-replayable via [[alternationPattern]], and the pieces agree on
+    * text whose words the training corpus covers). */
+  def bpeVocab(merges: Array[(String, String)]): Array[String] =
+    merges.map { case (a, b) => a + b }.distinct
+
   /** Token count of `text` under `vocab` (greedy longest-match, implicit
     * single-char base vocab). Lowercases internally — same answer as the
     * alternation twin over `lower(text)`. */
@@ -162,6 +251,44 @@ object Tokenizer {
         WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT $size)),
       p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
         || '|[^ \\x09\\x0A\\x0B\\x0C\\x0D])' AS pat FROM v)"""
+
+  /** The DuckDB-replayable BPE-training CTE chain shared by the
+    * q119/q112 oracles — the full merge loop in SQL, one pair of CTEs per
+    * round: `b{r}` picks the top (freq desc, pair asc) adjacent-piece
+    * pair of round r, `s{r}` rewrites every word's pieces with the SAME
+    * leftmost fold rule as [[trainBpeMerges]] (list_reduce: append,
+    * except replace the tail when it equals `a` and the next piece is
+    * `b`). `v` collects the distinct merge outputs, `p` assembles the
+    * alternation pattern — same contract as [[sqlVocabCtes]], so the
+    * tokenize replay is unchanged. The LEFT JOIN ON TRUE keeps a round
+    * with no pairs left a no-op (NULL merge columns fail the CASE) rather
+    * than annihilating the word table. */
+  def sqlBpeCtes(numMerges: Int, where: String = ""): String = {
+    val rounds = (1 to numMerges).map { r =>
+      s"""b$r AS (SELECT a, b FROM (
+          SELECT p[i] AS a, p[i + 1] AS b, sum(f) AS c
+          FROM (SELECT f, p, unnest(range(1, len(p))) AS i FROM s${r - 1})
+          GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1)),
+        s$r AS (SELECT w, f, string_split(list_reduce(p,
+          (acc, x) -> CASE WHEN x = mb
+              AND (acc = ma OR ends_with(acc, ' ' || ma))
+            THEN acc || x ELSE acc || ' ' || x END), ' ') AS p
+          FROM s${r - 1} LEFT JOIN (SELECT a AS ma, b AS mb FROM b$r)
+            ON TRUE)"""
+    }.mkString(",\n      ")
+    val union = (1 to numMerges)
+      .map(r => s"SELECT a, b FROM b$r").mkString(" UNION ALL ")
+    s"""w0 AS (SELECT w, count(*) AS f FROM (
+        SELECT unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents$where)
+        WHERE length(w) >= 2 GROUP BY w),
+      s0 AS (SELECT w, f, list_transform(range(1, length(w) + 1),
+        i -> substr(w, CAST(i AS INT), 1)) AS p FROM w0),
+      $rounds,
+      v AS (SELECT DISTINCT a || b AS w FROM ($union)),
+      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
+        || '|[^ \\x09\\x0A\\x0B\\x0C\\x0D])' AS pat FROM v)"""
+  }
 
   /** The regex-alternation twin of the trie kernel: `(w1|…|wK|[^ …])`
     * with vocab sorted by (length desc, word asc). Applying

@@ -222,6 +222,90 @@ class AnnIndexSpec extends AnyFunSuite {
         r.getSeq[Int](2).toList)).toSet)
   }
 
+  test("torn append: a stream killed after staging but before the flip " +
+      "restarts to exactly-once — no duplicate, no lost batch, orphan " +
+      "staging reaped") {
+    val base = Files.createTempDirectory("graft_annidx_torn").toString
+    val (cents, books) = trained()
+    val codesRoot = s"$base/codes"
+    AnnIndex.publishCodes(emb.filter(col("vec_id") < 50), codesRoot,
+      cents, books, nBuckets = 4)
+    val v1 = SnapshotStore.currentVersion(codesRoot)
+    emb.filter(col("vec_id") >= 50).write.parquet(s"$base/in")
+    // the crash is planted INSIDE the real micro-batch: first attempt
+    // stages the encoded batch exactly as append would (bucket layout +
+    // tag file) and dies BEFORE the flip — the post-staging, pre-flip
+    // window a process kill can land in
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start(failFirst: Boolean) = spark.readStream.schema(emb.schema)
+      .parquet(s"$base/in")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (failFirst && crashed.compareAndSet(false, true)) {
+          val (keyCol, nBuckets) = SnapshotStore.readBucketSpec(codesRoot).get
+          val staging = java.nio.file.Paths.get(codesRoot,
+            s".staging-torn-${System.nanoTime()}")
+          Similarity.ivfPqEncode(batch, cents, books)
+            .withColumn("_bucket",
+              SnapshotStore.bucketExpr(keyCol, nBuckets))
+            .write.partitionBy("_bucket").parquet(staging.toString)
+          java.nio.file.Files.write(staging.resolve("_GRAFT_TAG"),
+            s"batch-$id".getBytes)
+          throw new RuntimeException(
+            "simulated crash: staged, not flipped")
+        }
+        AnnIndex.appendCodes(batch, codesRoot, cents, books,
+          tag = Some(s"batch-$id"))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val q1 = start(failFirst = true)
+    intercept[Throwable] { q1.processAllAvailable() }
+    q1.stop()
+    assert(crashed.get(), "the planted crash must have fired")
+    // nothing flipped: the store is still at the bootstrap version and
+    // the torn staging dir is on disk
+    assert(SnapshotStore.currentVersion(codesRoot) == v1)
+    val orphans = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(codesRoot))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".staging-torn-")).toList
+      } finally s.close()
+    }
+    assert(orphans.size == 1, s"expected the torn staging dir, got $orphans")
+    // restart over the same checkpoint: the SAME logical batch replays
+    // with the SAME tag and must apply exactly once
+    val q2 = start(failFirst = false)
+    try q2.processAllAvailable() finally q2.stop()
+    val v2 = SnapshotStore.currentVersion(codesRoot)
+    assert(v2 == v1 + 1, "exactly one version minted across the crash")
+    assert(SnapshotStore.versionTags(codesRoot).get(v2).contains("batch-0"))
+    val got = AnnIndex.readCodes(spark, codesRoot)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList))
+    assert(got.length == 100, s"exactly-once rows, got ${got.length}")
+    assert(got.toSet == Similarity.ivfPqEncode(emb, cents, books)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).toSet)
+    // the orphan never becomes a version; the staleness-gated reaper
+    // (vacuum) reclaims it and the store is unchanged afterwards
+    Thread.sleep(150)
+    SnapshotStore.vacuum(codesRoot, keep = 10, stagingStaleMs = 100L)
+    val after = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(codesRoot))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".staging-")).toList
+      } finally s.close()
+    }
+    assert(after.isEmpty, s"vacuum must reap the torn staging, left $after")
+    assert(AnnIndex.readCodes(spark, codesRoot).count() == 100L)
+  }
+
   test("append replay protection: a tagged batch applies once") {
     val root = freshRoot("tg")
     val (cents, books) = trained()

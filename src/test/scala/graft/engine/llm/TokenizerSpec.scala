@@ -122,6 +122,105 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  // single-threaded reference BPE: classic leftmost non-overlapping merge
+  private def refBpe(texts: Seq[String], n: Int): List[(String, String)] = {
+    def applyMerge(p: List[String], a: String, b: String): List[String] =
+      p match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    val wordRe = "[a-z]+|[0-9]+".r
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(t => wordRe.findAllIn(t.toLowerCase).filter(_.length >= 2)
+      .foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L))
+    var state = wf.toMap.map { case (w, f) => (w.map(_.toString).toList, f) }
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var r = 0
+    var done = false
+    while (r < n && !done) {
+      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (p, f) =>
+        p.zip(p.drop(1)).foreach(pr => cnt(pr) = cnt.getOrElse(pr, 0L) + f)
+      }
+      if (cnt.isEmpty) done = true
+      else {
+        val ((a, b), _) = cnt.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((a, b))
+        state = state.map { case (p, f) => (applyMerge(p, a, b), f) }
+        r += 1
+      }
+    }
+    out.toList
+  }
+
+  test("BPE merge training equals the single-threaded reference, " +
+      "including overlap runs and tie-breaks") {
+    // "aaaaa": merging (a,a) leftmost gives [aa,aa,a] — the fold's
+    // tail-replace rule must NOT re-merge the freshly produced piece;
+    // "banana": (a,n) vs (n,a) exercises the (freq desc, pair asc)
+    // tie-break; repeated docs weight the counts
+    val texts = Seq("aaaaa aaaa abab", "banana bandana", "abab ababab aa",
+      "aaaaa banana", "zz zz zz")
+    val df = texts.toDF("t")
+    val got = Tokenizer.trainBpeMerges(df, "t", 6).toList
+    val want = refBpe(texts, 6)
+    assert(got == want, s"distributed fold must equal reference BPE:" +
+      s"\n got $got\n want $want")
+    // determinism on re-run
+    assert(Tokenizer.trainBpeMerges(df, "t", 6).toList == got)
+    // vocab: distinct merge outputs, regex-safe, length >= 2
+    val vocab = Tokenizer.bpeVocab(got.toArray)
+    assert(vocab.distinct.toSeq == vocab.toSeq)
+    assert(vocab.forall(w => w.length >= 2 && w.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))))
+  }
+
+  test("BPE on the real corpus: deterministic, merge-prefix stable, " +
+      "trie == alternation twin under the merged vocab") {
+    val m8 = Tokenizer.trainBpeMerges(docs, "text", 8)
+    assert(m8.length == 8)
+    // fewer rounds = a prefix of more rounds (the merge loop is greedy
+    // and earlier rounds never depend on later ones)
+    val m4 = Tokenizer.trainBpeMerges(docs, "text", 4)
+    assert(m8.take(4).toSeq == m4.toSeq)
+    val vocab = Tokenizer.bpeVocab(m8)
+    val pat = Tokenizer.alternationPattern(vocab)
+    val both = docs.select(
+      Tokenizer.tokenCount(col("text"), vocab).as("trie"),
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        .cast("long").as("re"))
+    assert(both.filter(col("trie") =!= col("re")).count() == 0L)
+    // exhaustion: asking for more merges than the corpus supports stops
+    // cleanly instead of looping
+    val tiny = Seq("ab ab").toDF("t")
+    val m = Tokenizer.trainBpeMerges(tiny, "t", 10)
+    assert(m.toSeq == Seq(("a", "b")))
+  }
+
+  test("10^4-entry vocabulary: trie kernel stays correct and equal to " +
+      "the alternation twin (the SCALE.md large-vocab gate)") {
+    // synthetic vocab (real corpora here have < 10^4 distinct words):
+    // tok0..tok9999 plus the corpus-trained top words, deduped
+    val big = (Array.tabulate(10000)(i => s"tok$i") ++
+      Tokenizer.trainWordVocab(docs, "text", 64)).distinct
+    assert(big.length >= 10000)
+    val sample = docs.limit(100)
+    val pat = Tokenizer.alternationPattern(big)
+    val both = sample.select(
+      Tokenizer.tokenCount(col("text"), big).as("trie"),
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        .cast("long").as("re"),
+      Tokenizer.tokenCount(col("text"),
+        Tokenizer.trainWordVocab(docs, "text", 64)).as("small"))
+    assert(both.filter(col("trie") =!= col("re")).count() == 0L,
+      "trie must equal the 10^4-alternate regex twin")
+    // the 10^4 padding words never occur, so counts equal the 64-word
+    // vocab's — the big trie changes nothing but the lookup structure
+    assert(both.filter(col("trie") =!= col("small")).count() == 0L)
+  }
+
   test("vertical tab: kernel and alternation twin agree, and the emitted " +
       "pattern avoids \\s (RE2's \\s excludes U+000B, Java's includes it)") {
     val vocab = Array("ab", "cd")
