@@ -57,5 +57,22 @@ object GraftExtensions {
     "graft_vocab_token_count" -> (es =>
       VocabTokenCount(es(0), strArrayLit(es(1), "vocabulary"))),
     "graft_vocab_tokens" -> (es =>
-      VocabTokens(es(0), strArrayLit(es(1), "vocabulary"))))
+      VocabTokens(es(0), strArrayLit(es(1), "vocabulary"))),
+    "graft_bpe_token_count" -> (es =>
+      BpeTokenCount(es(0), mergesLit(es(1)))),
+    "graft_bpe_tokens" -> (es =>
+      BpeTokens(es(0), mergesLit(es(1)))))
+
+  /** SQL encoding of a BPE merge list: a constant array of "a b" strings
+    * (pieces are [a-z0-9]+ so the space is unambiguous), e.g.
+    * `graft_bpe_token_count(t, array('e r', 'i n', 'm er'))` applies the
+    * three merges in array order. */
+  private def mergesLit(e: Expression): Array[(String, String)] =
+    strArrayLit(e, "merge list").map { s =>
+      s.split(" ", -1) match {
+        case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
+        case _ => throw new IllegalArgumentException(
+          s"each merge must be 'a b' (two space-separated pieces), got '$s'")
+      }
+    }
 }

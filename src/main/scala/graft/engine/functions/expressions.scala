@@ -665,6 +665,132 @@ case class VocabTokens(child: Expression, vocab: Array[String])
     copy(child = newChild)
 }
 
+/** Shared kernel for TRUE BPE merge-order inference: tokenize by applying
+  * the trained merge sequence IN ORDER (Sennrich et al. 2016), not by
+  * greedy longest-match — the production-faithful semantics whose token
+  * counts equal what a real BPE tokenizer emits for the same merges.
+  *
+  * Pre-tokenization matches the training side exactly: maximal
+  * same-class runs of the (already lowercased) text — letter runs
+  * `[a-z]+` and digit runs `[0-9]+` — are words; whitespace
+  * (VocabTrie.isWs) separates; every other code point is one token.
+  * Each word starts as characters, then every merge (a, b) rewrites its
+  * leftmost non-overlapping occurrences to `ab` — the same tail-replace
+  * fold as Tokenizer.trainBpeMerges, so training and inference share ONE
+  * semantics and the DuckDB twin replays both with the same list_reduce
+  * rule (LlmQueries.q120).
+  *
+  * A per-expression-instance memo caches word → pieces (words repeat
+  * heavily under Zipf; the cache is capped and cleared at 64K entries so
+  * a pathological corpus cannot grow it unboundedly). */
+private[functions] final class BpeKernel(
+    merges: Array[(String, String)]) extends Serializable {
+  merges.foreach { case (a, b) =>
+    require(a.nonEmpty && b.nonEmpty &&
+      (a + b).forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"BPE merge pieces must be non-empty [a-z0-9]+, got ('$a','$b')")
+  }
+
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Array[String]]()
+
+  /** Apply the full merge sequence to one word. */
+  def encodeWord(w: String): Array[String] = {
+    val hit = memo.get(w)
+    if (hit != null) return hit
+    var pieces: Array[String] = Array.tabulate(w.length)(i => w.substring(i, i + 1))
+    merges.foreach { case (a, b) =>
+      if (pieces.length >= 2) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](pieces.length)
+        var i = 0
+        while (i < pieces.length) {
+          if (i + 1 < pieces.length && pieces(i) == a && pieces(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += pieces(i); i += 1 }
+        }
+        pieces = out.toArray
+      }
+    }
+    if (memo.size() >= 65536) memo.clear()
+    memo.put(w, pieces)
+    pieces
+  }
+
+  @inline private def isLetter(c: Char) = c >= 'a' && c <= 'z'
+  @inline private def isDigit(c: Char) = c >= '0' && c <= '9'
+
+  /** Walk the text, invoking `onWord` per same-class run and `onChar` per
+    * non-word non-whitespace code point (as its string). */
+  def scan(s: String)(onWord: String => Unit, onChar: String => Unit): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (VocabTrie.isWs(c)) i += 1
+      else if (isLetter(c) || isDigit(c)) {
+        val letters = isLetter(c)
+        var j = i + 1
+        while (j < s.length &&
+          (if (letters) isLetter(s.charAt(j)) else isDigit(s.charAt(j)))) j += 1
+        onWord(s.substring(i, j))
+        i = j
+      } else {
+        // code-point fallback — same surrogate-pair rule as VocabTokenCount
+        val len = Character.charCount(s.codePointAt(i))
+        onChar(s.substring(i, i + len))
+        i += len
+      }
+    }
+  }
+}
+
+/** TRUE BPE token COUNT: apply the merge sequence in order per word (see
+  * [[BpeKernel]]); count = Σ pieces per word + 1 per non-word code point.
+  * The budget/packing unit a production BPE tokenizer would report for
+  * the same merges — where [[VocabTokenCount]] is the greedy
+  * longest-match (WordPiece-inference) approximation over the merge
+  * OUTPUTS, this is the merge-order ground truth. */
+case class BpeTokenCount(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_token_count"
+
+  @transient private lazy val kernel = new BpeKernel(merges)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var n = 0L
+    kernel.scan(s)(w => n += kernel.encodeWord(w).length, _ => n += 1L)
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** TRUE BPE token pieces (ARRAY<STRING>) — [[BpeTokenCount]]'s
+  * materializing sibling: `size(bpeTokens(...)) == bpeTokenCount(...)`
+  * by construction, and concatenating the pieces restores the
+  * non-whitespace text (both TokenizerSpec-pinned). */
+case class BpeTokens(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+
+  @transient private lazy val kernel = new BpeKernel(merges)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    kernel.scan(s)(
+      w => kernel.encodeWord(w).foreach(p => out += UTF8String.fromString(p)),
+      c => out += UTF8String.fromString(c))
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL-registration surface for the custom expressions. */
 object F {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -689,6 +815,14 @@ object F {
   /** Greedy longest-match token pieces (ARRAY<STRING>). */
   def vocabTokens(text: Column, vocab: Array[String]): Column =
     Bridge.column(VocabTokens(Bridge.expression(text), vocab))
+
+  /** TRUE BPE merge-order token count. */
+  def bpeTokenCount(text: Column, merges: Array[(String, String)]): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(text), merges))
+
+  /** TRUE BPE merge-order token pieces (ARRAY<STRING>). */
+  def bpeTokens(text: Column, merges: Array[(String, String)]): Column =
+    Bridge.column(BpeTokens(Bridge.expression(text), merges))
 
   /** Per-table sign-LSH bucket ids as ARRAY<BIGINT> (index = table). */
   def signLshBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =

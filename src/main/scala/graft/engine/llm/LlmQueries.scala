@@ -551,6 +551,46 @@ object LlmQueries {
     doc = "BPE merge training (8 rounds) + greedy tokenize; oracle " +
       "replays every merge round AND the tokenize in SQL")
 
+  /** q120 — TRUE BPE merge-order INFERENCE end to end: where q119
+    * tokenizes the merge outputs by greedy longest-match (the
+    * WordPiece-inference approximation), this row applies the trained
+    * merge sequence IN ORDER per word ([[Tokenizer.bpeTokenCount]] — the
+    * production-faithful semantics whose counts equal what a real BPE
+    * tokenizer emits for the same merges). The oracle replays training
+    * (the same 8 merge-round CTEs) and then inference WITHOUT any regex
+    * tokenize: the trained word table s8 already carries every trained
+    * word's final pieces, so per-doc counts are a join (length-1 words
+    * count 1, non-word code points count 1 via the explicit
+    * punct-class). A drift between the kernel's run splitting, fold
+    * rule, or merge order and the SQL replay breaks every row. */
+  val q120 = GraftQuery(
+    "q120_bpe_true_tokens",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 8)
+      docs.select(col("doc_id"),
+          Tokenizer.bpeTokenCount(col("text"), merges).as("n_tok_bpe_true"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${Tokenizer.sqlBpeCtes(8)},
+      dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        '[a-z]+|[0-9]+')) AS w FROM documents),
+      wp AS (SELECT w, len(p) AS np FROM s8),
+      wt AS (SELECT doc_id,
+        SUM(CASE WHEN length(dw.w) = 1 THEN 1 ELSE wp.np END) AS n
+        FROM dw LEFT JOIN wp ON dw.w = wp.w GROUP BY doc_id),
+      pt AS (SELECT doc_id, len(regexp_extract_all(lower(text),
+        '[^a-z0-9 \\x09\\x0A\\x0B\\x0C\\x0D]', 0)) AS n FROM documents)
+      SELECT d.doc_id,
+        CAST(COALESCE(wt.n, 0) + pt.n AS BIGINT) AS n_tok_bpe_true
+      FROM documents d
+        LEFT JOIN wt ON wt.doc_id = d.doc_id
+        JOIN pt ON pt.doc_id = d.doc_id
+      ORDER BY d.doc_id"""),
+    doc = "TRUE BPE inference (merges applied in order per word); oracle " +
+      "replays training and counts from the trained word table — no " +
+      "regex-alternation approximation anywhere")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -2107,6 +2147,6 @@ object LlmQueries {
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, x42, x43, x44, x45, x46, x47, x48, x49,
-      x51)
+      q115, q116, q117, q118, q119, q120, x42, x43, x44, x45, x46, x47, x48,
+      x49, x51)
 }

@@ -201,6 +201,19 @@ object Tokenizer {
   def tokenCount(text: Column, vocab: Array[String]): Column =
     F.vocabTokenCount(lower(text), vocab)
 
+  /** TRUE BPE token count: apply `merges` IN ORDER per word (Sennrich et
+    * al. 2016 inference — the merge-order ground truth, where
+    * [[tokenCount]] over [[bpeVocab]] is the greedy longest-match
+    * approximation). Words are the same `[a-z]+|[0-9]+` runs training
+    * sees; other non-whitespace code points count 1 each. Lowercases
+    * internally. q120 replays training AND this inference in DuckDB. */
+  def bpeTokenCount(text: Column, merges: Array[(String, String)]): Column =
+    F.bpeTokenCount(lower(text), merges)
+
+  /** The TRUE-BPE pieces themselves (ARRAY<STRING>). */
+  def bpeTokens(text: Column, merges: Array[(String, String)]): Column =
+    F.bpeTokens(lower(text), merges)
+
   /** The token pieces themselves (ARRAY<STRING>), for vocabulary-hit
     * analysis and value-level verification. */
   def tokens(text: Column, vocab: Array[String]): Column =

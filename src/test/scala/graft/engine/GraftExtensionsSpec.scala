@@ -19,7 +19,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val fns = GraftExtensions.functions.toMap
     assert(fns.keySet == Set("graft_cosine", "graft_simhash64",
       "graft_rolling_hash", "graft_shingles", "graft_minhash",
-      "graft_vocab_token_count", "graft_vocab_tokens"))
+      "graft_vocab_token_count", "graft_vocab_tokens",
+      "graft_bpe_token_count", "graft_bpe_tokens"))
 
     val vc = fns("graft_vocab_token_count")(Seq(
       Literal(UTF8String.fromString("the theory x"), StringType),
@@ -57,6 +58,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
     val rh = fns("graft_rolling_hash")(Seq(Literal(UTF8String.fromString("ab"), StringType)))
     assert(rh.eval(null) == ('a' * 131L + 'b'))
+  }
+
+  test("BPE SQL surface: 'a b'-encoded merges apply in order; malformed " +
+      "merge strings are rejected") {
+    val fns = GraftExtensions.functions.toMap
+    // merges [(b,c), (a,b)]: merge-order gives [a, bc] on "abc" (the
+    // second merge finds no (a,b) adjacency once bc fused) — 2 tokens
+    val cnt = fns("graft_bpe_token_count")(Seq(
+      Literal(UTF8String.fromString("abc abc"), StringType),
+      strArray("b c", "a b")))
+    assert(cnt.eval(null) == 4L)
+    val toks = fns("graft_bpe_tokens")(Seq(
+      Literal(UTF8String.fromString("abc"), StringType),
+      strArray("b c", "a b")))
+    val arr = toks.eval(null).asInstanceOf[ArrayData]
+    assert((0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      == Seq("a", "bc"))
+    val ex = intercept[IllegalArgumentException] {
+      fns("graft_bpe_token_count")(Seq(
+        Literal(UTF8String.fromString("t"), StringType),
+        strArray("a b c")))
+    }
+    assert(ex.getMessage.contains("space-separated"))
   }
 
   test("NULL element in a constant vocabulary is rejected cleanly") {

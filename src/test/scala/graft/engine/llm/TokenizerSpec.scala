@@ -199,6 +199,51 @@ class TokenizerSpec extends AnyFunSuite {
     assert(m.toSeq == Seq(("a", "b")))
   }
 
+  test("TRUE BPE inference: merge-order semantics (not greedy), pieces " +
+      "partition the text, count == size(pieces) on the real corpus") {
+    // merge-order vs greedy divergence: merges [(b,c),(a,b)] on "abc" —
+    // (b,c) fuses first so (a,b) never applies → pieces [a, bc]; greedy
+    // over the merge OUTPUTS {bc, ab} picks "ab" at position 0 → [ab, c].
+    // Same count, DIFFERENT pieces: the kernel must follow merge order.
+    val m = Array(("b", "c"), ("a", "b"))
+    val row = Seq("abc").toDF("t").select(
+      Tokenizer.bpeTokens(col("t"), m).as("bpe"),
+      Tokenizer.tokens(col("t"), Tokenizer.bpeVocab(m)).as("greedy"))
+      .collect().head
+    assert(row.getSeq[String](0).toList == List("a", "bc"))
+    assert(row.getSeq[String](1).toList == List("ab", "c"))
+    // leftmost non-overlap inside inference too: (a,a) on "aaaaa"
+    val run = Seq("aaaaa").toDF("t")
+      .select(Tokenizer.bpeTokens(col("t"), Array(("a", "a"))))
+      .collect().head.getSeq[String](0).toList
+    assert(run == List("aa", "aa", "a"))
+    // run splitting + punctuation + whitespace: digits and letters are
+    // separate words; '-' counts one; uppercase lowers first
+    val mixed = Seq("AB12ab, cd\tab").toDF("t").select(
+      Tokenizer.bpeTokens(col("t"), Array(("a", "b"), ("c", "d"))).as("p"),
+      Tokenizer.bpeTokenCount(col("t"), Array(("a", "b"), ("c", "d"))).as("n"))
+      .collect().head
+    assert(mixed.getSeq[String](0).toList ==
+      List("ab", "1", "2", "ab", ",", "cd", "ab"))
+    assert(mixed.getLong(1) == 7L)
+    // corpus-wide invariants under trained merges: count == size(pieces),
+    // and pieces reassemble the non-whitespace text exactly
+    val merges = Tokenizer.trainBpeMerges(docs, "text", 8)
+    val inv = docs.select(
+      Tokenizer.bpeTokenCount(col("text"), merges).as("n"),
+      size(Tokenizer.bpeTokens(col("text"), merges)).cast("long").as("sz"),
+      concat_ws("", Tokenizer.bpeTokens(col("text"), merges)).as("joined"),
+      regexp_replace(lower(col("text")), "\\s", "").as("stripped"))
+    assert(inv.filter(col("n") =!= col("sz")).count() == 0L)
+    assert(inv.filter(col("joined") =!= col("stripped")).count() == 0L)
+    // true-BPE counts can differ from greedy counts on the same merges —
+    // but never on words the merges rebuild identically; just pin that
+    // both are total and positive on non-empty docs
+    val cmp = docs.filter(length(trim(col("text"))) > 0).select(
+      Tokenizer.bpeTokenCount(col("text"), merges).as("a"))
+    assert(cmp.filter(col("a") <= 0L).count() == 0L)
+  }
+
   test("10^4-entry vocabulary: trie kernel stays correct and equal to " +
       "the alternation twin (the SCALE.md large-vocab gate)") {
     // synthetic vocab (real corpora here have < 10^4 distinct words):
