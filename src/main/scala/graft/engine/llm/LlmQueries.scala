@@ -483,31 +483,43 @@ object LlmQueries {
       "replays featurization AND ranking from the raw text")
 
   /** q112 — context-window packing under the LEARNED tokenizer's budget
-    * (q62 re-wired per VERDICT r9 gap 4): pack boundaries land where the
-    * trained vocabulary says the token budget is spent, not where the
-    * regex proxy approximates it. Same sharded prefix-sum machinery
-    * (Curation.packSequences with the pluggable tokenCounter); the oracle
-    * replays vocab training, tokenization, and the windowed prefix sums
-    * end to end. */
+    * (q62 re-wired per VERDICT r9 gap 4, then r10 item 4): pack
+    * boundaries land where the TRUE BPE tokenizer (merge-order
+    * inference, q120's kernel) says the token budget is spent — not
+    * where the regex proxy, nor a greedy approximation, estimates it.
+    * Same sharded prefix-sum machinery (Curation.packSequences with the
+    * pluggable tokenCounter); the oracle replays merge training,
+    * merge-order inference (counts joined from the trained word table),
+    * and the windowed prefix sums end to end. */
   val q112 = GraftQuery(
     "q112_vocab_pack",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      // re-wired (VERDICT r10 item 4) to the TRUE BPE-trained vocabulary:
-      // pack boundaries land where the merge-trained tokenizer says the
-      // budget is spent — the production pairing (BPE tokenizer feeding
-      // context-window packing), with training still fully SQL-replayed
-      val vocab = Tokenizer.bpeVocab(
-        Tokenizer.trainBpeMerges(docs, "text", numMerges = 8))
+      // re-wired (VERDICT r10 item 4) to the TRUE BPE tokenizer: pack
+      // boundaries land where MERGE-ORDER inference (q120's kernel, the
+      // counts a production BPE tokenizer reports) says the budget is
+      // spent — the production pairing end to end, training and
+      // inference both SQL-replayed
+      val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 8)
       Curation.packSequences(docs, "doc_id", "text", budgetTokens = 1024L,
           shardCols = Seq("source"),
-          tokenCounter = t => Tokenizer.tokenCount(t, vocab))
+          tokenCounter = t => Tokenizer.bpeTokenCount(t, merges))
         .orderBy(col("source"), col("pack_id"))
     },
     Some(s"""WITH ${Tokenizer.sqlBpeCtes(8)},
-      t AS (SELECT source, doc_id,
-        CAST(len(regexp_extract_all(lower(text), (SELECT pat FROM p), 0))
-          AS BIGINT) AS n_tokens FROM documents),
+      dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        '[a-z]+|[0-9]+')) AS w FROM documents),
+      wp AS (SELECT w, len(p) AS np FROM s8),
+      wt AS (SELECT doc_id,
+        SUM(CASE WHEN length(dw.w) = 1 THEN 1 ELSE wp.np END) AS n
+        FROM dw LEFT JOIN wp ON dw.w = wp.w GROUP BY doc_id),
+      pt AS (SELECT doc_id, len(regexp_extract_all(lower(text),
+        '[^a-z0-9 \\x09\\x0A\\x0B\\x0C\\x0D]', 0)) AS n FROM documents),
+      t AS (SELECT d.source, d.doc_id,
+        CAST(COALESCE(wt.n, 0) + pt.n AS BIGINT) AS n_tokens
+        FROM documents d
+          LEFT JOIN wt ON wt.doc_id = d.doc_id
+          JOIN pt ON pt.doc_id = d.doc_id),
       pk AS (SELECT source, doc_id, n_tokens,
         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
@@ -517,9 +529,9 @@ object LlmQueries {
         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         CAST(MIN(doc_id) AS BIGINT) AS first_doc
       FROM pk GROUP BY 1, 2 ORDER BY 1, 2"""),
-    doc = "token-budget packing under the BPE-trained vocabulary " +
+    doc = "token-budget packing under TRUE BPE merge-order counts " +
       "(8 merges, 1024/window sharded by source); oracle replays merge " +
-      "training + tokenize + prefix sums")
+      "training + inference + prefix sums")
 
   /** q119 — TRUE BPE tokenization end to end (q113's successor, VERDICT
     * r10 gap 3): the vocabulary comes from the iterative
@@ -590,6 +602,56 @@ object LlmQueries {
     doc = "TRUE BPE inference (merges applied in order per word); oracle " +
       "replays training and counts from the trained word table — no " +
       "regex-alternation approximation anywhere")
+
+  /** q121 — PUBLISHED BPE merge lifecycle (q115's pattern for the real
+    * tokenizer): merges train on the frozen half only, publish as a
+    * versioned `(rank, a, b)` artifact, load back, and merge-order
+    * inference runs over the NEW batch — including words the training
+    * corpus never saw, which the trained-word-table shortcut (q120)
+    * cannot replay. The oracle therefore retrains on the frozen half in
+    * SQL AND re-applies the 8 merge tables to the new batch's distinct
+    * words with the same fold ([[Tokenizer.sqlBpeApplyCtes]]), so
+    * unseen-word decomposition, publish/load order (rank), and training
+    * leakage from the new batch are all value-checked. */
+  val q121 = GraftQuery(
+    "q121_published_bpe",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q121_merges_${ProcessHandle.current().pid()}/merges"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      val docs = Tables.documents(spark, sfDir)
+      val frozen = docs.filter(col("doc_id") < 250)
+      Tokenizer.publishMerges(spark, root,
+        Tokenizer.trainBpeMerges(frozen, "text", numMerges = 8))
+      val merges = Tokenizer.loadMerges(spark, root)
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"),
+          Tokenizer.bpeTokenCount(col("text"), merges).as("n_tok_bpe_true"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${Tokenizer.sqlBpeCtes(8, " WHERE doc_id < 250")},
+      a0 AS (SELECT DISTINCT w FROM (SELECT unnest(regexp_extract_all(
+        lower(text), '[a-z]+|[0-9]+')) AS w FROM documents
+        WHERE doc_id >= 250)),
+      ${Tokenizer.sqlBpeApplyCtes(8)},
+      dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        '[a-z]+|[0-9]+')) AS w FROM documents WHERE doc_id >= 250),
+      wt AS (SELECT doc_id, SUM(wpieces.np) AS n
+        FROM dw JOIN wpieces ON dw.w = wpieces.w GROUP BY doc_id),
+      pt AS (SELECT doc_id, len(regexp_extract_all(lower(text),
+        '[^a-z0-9 \\x09\\x0A\\x0B\\x0C\\x0D]', 0)) AS n
+        FROM documents WHERE doc_id >= 250)
+      SELECT d.doc_id,
+        CAST(COALESCE(wt.n, 0) + pt.n AS BIGINT) AS n_tok_bpe_true
+      FROM documents d
+        LEFT JOIN wt ON wt.doc_id = d.doc_id
+        JOIN pt ON pt.doc_id = d.doc_id
+      WHERE d.doc_id >= 250
+      ORDER BY d.doc_id"""),
+    doc = "published BPE merges: train on the frozen half, publish, load, " +
+      "merge-order inference on the new batch; oracle retrains AND " +
+      "re-applies the merges to unseen words")
 
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
@@ -2147,6 +2209,6 @@ object LlmQueries {
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, x42, x43, x44, x45, x46, x47, x48,
-      x49, x51)
+      q115, q116, q117, q118, q119, q120, q121, x42, x43, x44, x45, x46,
+      x47, x48, x49, x51)
 }

@@ -265,6 +265,32 @@ object Tokenizer {
       p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
         || '|[^ \\x09\\x0A\\x0B\\x0C\\x0D])' AS pat FROM v)"""
 
+  /** Publish a trained BPE merge sequence as the next version of a
+    * [[graft.engine.sources.SnapshotStore]] table `(rank, a, b)` — the
+    * merge ORDER is the tokenizer (inference applies merges in rank
+    * order), so it rides the same train-once/version-forever lifecycle
+    * as vocabularies ([[publishVocab]]) and ANN codebooks: a retrain is
+    * a new version a caller pins deliberately, never silent drift in
+    * what "n tokens" means across batches. */
+  def publishMerges(spark: org.apache.spark.sql.SparkSession, root: String,
+      merges: Array[(String, String)]): Long = {
+    require(merges.nonEmpty, "refusing to publish an empty merge list")
+    import spark.implicits._
+    graft.engine.sources.SnapshotStore.publish(
+      merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }.toSeq
+        .toDF("rank", "a", "b"), root)
+  }
+
+  /** Load a published merge sequence (0 = current) back in merge order.
+    * Bounded collect: the merge list IS the artifact. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Long = 0L): Array[(String, String)] =
+    graft.engine.sources.SnapshotStore.read(spark, root, version)
+      .orderBy(col("rank"))
+      .select(col("a"), col("b"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+
   /** The DuckDB-replayable BPE-training CTE chain shared by the
     * q119/q112 oracles — the full merge loop in SQL, one pair of CTEs per
     * round: `b{r}` picks the top (freq desc, pair asc) adjacent-piece
@@ -301,6 +327,29 @@ object Tokenizer {
       v AS (SELECT DISTINCT a || b AS w FROM ($union)),
       p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
         || '|[^ \\x09\\x0A\\x0B\\x0C\\x0D])' AS pat FROM v)"""
+  }
+
+  /** The INFERENCE companion of [[sqlBpeCtes]]: apply the trained merge
+    * tables `b1..bN` to an ARBITRARY word set — including words the
+    * training corpus never saw (exactly the frozen-tokenizer-meets-new-
+    * batch case q121 pins). Expects a CTE `a0(w)` of distinct words to
+    * encode; emits `a0p` (char pieces) through `a$numMerges` (final
+    * pieces) using the SAME list_reduce fold rule as training, and
+    * `wpieces(w, np)` with each word's final piece count. */
+  def sqlBpeApplyCtes(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      val prev = if (r == 1) "a0p" else s"a${r - 1}"
+      s"""a$r AS (SELECT w, string_split(list_reduce(p,
+          (acc, x) -> CASE WHEN x = mb
+              AND (acc = ma OR ends_with(acc, ' ' || ma))
+            THEN acc || x ELSE acc || ' ' || x END), ' ') AS p
+          FROM $prev LEFT JOIN (SELECT a AS ma, b AS mb FROM b$r)
+            ON TRUE)"""
+    }.mkString(",\n      ")
+    s"""a0p AS (SELECT w, list_transform(range(1, length(w) + 1),
+        i -> substr(w, CAST(i AS INT), 1)) AS p FROM a0),
+      $rounds,
+      wpieces AS (SELECT w, len(p) AS np FROM a$numMerges)"""
   }
 
   /** The regex-alternation twin of the trie kernel: `(w1|…|wK|[^ …])`

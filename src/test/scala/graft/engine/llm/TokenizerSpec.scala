@@ -199,6 +199,29 @@ class TokenizerSpec extends AnyFunSuite {
     assert(m.toSeq == Seq(("a", "b")))
   }
 
+  test("publish/load round-trips the merge sequence in merge order; " +
+      "versions pin; empty list refused") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_merges").toString + "/m"
+    val m8 = Tokenizer.trainBpeMerges(docs, "text", 8)
+    assert(Tokenizer.publishMerges(spark, root, m8) == 1L)
+    assert(Tokenizer.loadMerges(spark, root).toSeq == m8.toSeq,
+      "load must return the exact merge sequence, order included")
+    val m4 = Tokenizer.trainBpeMerges(docs, "text", 4)
+    assert(Tokenizer.publishMerges(spark, root, m4) == 2L)
+    assert(Tokenizer.loadMerges(spark, root).toSeq == m4.toSeq)
+    assert(Tokenizer.loadMerges(spark, root, version = 1L).toSeq == m8.toSeq)
+    intercept[IllegalArgumentException] {
+      Tokenizer.publishMerges(spark, root, Array.empty)
+    }
+    // the loaded merges tokenize identically to the trained ones
+    val both = docs.limit(50).select(
+      Tokenizer.bpeTokenCount(col("text"), m8).as("a"),
+      Tokenizer.bpeTokenCount(col("text"),
+        Tokenizer.loadMerges(spark, root, version = 1L)).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0L)
+  }
+
   test("TRUE BPE inference: merge-order semantics (not greedy), pieces " +
       "partition the text, count == size(pieces) on the real corpus") {
     // merge-order vs greedy divergence: merges [(b,c),(a,b)] on "abc" —
