@@ -167,6 +167,9 @@ object Tokenizer {
         val b = top.head.getString(1)
         merges += ((a, b))
         val prev = words
+        // fully-merged words (one piece) contribute no pairs and rewrite
+        // to themselves — drop them so the iterated table shrinks
+        // monotonically instead of re-checkpointing dead rows each round
         words = words.select(col("f"),
           aggregate(col("p"), array().cast("array<string>"),
             (acc, x) =>
@@ -174,6 +177,7 @@ object Tokenizer {
                   element_at(acc, -1) === lit(a),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
                 .otherwise(concat(acc, array(x)))).as("p"))
+          .filter(size(col("p")) >= 2)
           .localCheckpoint()
         prev.unpersist()
         r += 1
