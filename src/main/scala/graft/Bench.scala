@@ -22,6 +22,36 @@ object Bench {
     // scan so the first measured query doesn't absorb startup cost.
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // Warm MLlib too: the r10 adjudication showed ml_cv_rf reads 9-15 s
+    // cold vs 5.0 s warm on the same binary — the delta is MLlib/JVM
+    // class-load + JIT, not the data path. A 12-row RF fit absorbs it so
+    // the measured ml_* readings reflect the operators, not the first
+    // touch of the MLlib class graph.
+    try {
+      import org.apache.spark.ml.classification.RandomForestClassifier
+      import org.apache.spark.ml.linalg.Vectors
+      import spark.implicits._
+      val warm = (0 until 12).map(i =>
+        (i % 2, Vectors.dense(i.toDouble, (i % 3).toDouble)))
+        .toDF("label", "features")
+      new RandomForestClassifier().setNumTrees(2).setMaxDepth(2)
+        .setSeed(1L).fit(warm).transform(warm).count()
+      // ...and the CV + evaluator class graph (ml_cv_rf runs FIRST of the
+      // ml_* block in sort order, so it pays any remaining first-touch)
+      import org.apache.spark.ml.classification.GBTClassifier
+      import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+      import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+      val rf = new RandomForestClassifier().setNumTrees(2).setMaxDepth(2)
+        .setSeed(1L)
+      new CrossValidator().setEstimator(rf)
+        .setEvaluator(new MulticlassClassificationEvaluator()
+          .setMetricName("accuracy"))
+        .setEstimatorParamMaps(new ParamGridBuilder()
+          .addGrid(rf.maxDepth, Array(2)).build())
+        .setNumFolds(2).setSeed(1L).fit(warm)
+      new GBTClassifier().setMaxIter(2).setMaxDepth(2).setSeed(1L)
+        .fit(warm.filter("label < 2")).transform(warm).count()
+    } catch { case _: Throwable => () }
     val loadBefore = loadAvg()
     // Deterministic execution order → comparable per-query numbers across
     // rounds (Map iteration order varies with contents).
