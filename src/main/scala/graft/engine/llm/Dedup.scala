@@ -378,10 +378,30 @@ object Dedup {
     // pairs, where a collect_list-then-slice would buffer the FULL hot
     // bucket before capping; n_full still counts uncapped membership for
     // the truncation telemetry.
-    simHashBanded(df, textCol, idCol, maxHamming)
+    fingerprintBuckets(
+      simHashBanded(df, textCol, idCol, maxHamming), maxBucketSize)
+
+  /** The capped bucket aggregation over ANY banded fingerprint rows —
+    * shared by SimHash text dedup and pHash image dedup
+    * ([[Multimodal.imageNearDups]]). */
+  private[llm] def fingerprintBuckets(banded: DataFrame,
+      maxBucketSize: Int): DataFrame =
+    banded
       .groupBy(col("band_id"), col("band_val"))
       .agg(TopK.cappedIdSims(maxBucketSize, col("id"), col("sim")).as("rows"),
         count(lit(1)).cast(LongType).as("n_full"))
+
+  /** Hamming-banded near-dup pairs for ANY precomputed 64-bit
+    * fingerprint column: the SimHash pipeline with the fingerprint
+    * supplied by the caller (e.g. an image perceptual hash) instead of
+    * computed from text. Same banding pigeonhole, capped buckets, and
+    * verified pair expansion. */
+  def fingerprintNearDups(df: DataFrame, idCol: String, fp: Column,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simHashPairsFromBuckets(
+      fingerprintBuckets(
+        fingerprintBanded(df, idCol, fp, maxHamming), maxBucketSize),
+      maxHamming)
 
   /** Expand capped buckets into verified (id_a, id_b, hamming) pairs. */
   private[llm] def simHashPairsFromBuckets(buckets: DataFrame,
@@ -401,12 +421,17 @@ object Dedup {
     * 64-bit fingerprint split into `min(maxHamming + 1, 16)` contiguous
     * bands (pigeonhole: a pair within the radius shares a band). */
   private[llm] def simHashBanded(df: DataFrame, textCol: String,
-      idCol: String, maxHamming: Int): DataFrame = {
+      idCol: String, maxHamming: Int): DataFrame =
+    fingerprintBanded(df, idCol, F.simHash64(tokens(col(textCol))),
+      maxHamming)
+
+  /** [[simHashBanded]] for a caller-supplied 64-bit fingerprint. */
+  private[llm] def fingerprintBanded(df: DataFrame, idCol: String,
+      fp: Column, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
     val bands = math.min(maxHamming + 1, 16)
     val bounds = (0 to bands).map(b => b * 64 / bands)
-    val base = df.select(col(idCol).cast(LongType).as("id"),
-      F.simHash64(tokens(col(textCol))).as("sim"))
+    val base = df.select(col(idCol).cast(LongType).as("id"), fp.as("sim"))
     base.select(col("id"), col("sim"),
       explode(array((0 until bands).map { b =>
         val width = bounds(b + 1) - bounds(b)

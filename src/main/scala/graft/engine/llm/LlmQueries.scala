@@ -653,6 +653,49 @@ object LlmQueries {
       "merge-order inference on the new batch; oracle retrains AND " +
       "re-applies the merges to unseen words")
 
+  /** q122 — image perceptual-hash dedup over the REAL decode (the
+    * multimodal sibling of SimHash text dedup, q94 × q40): planted PNGs
+    * are decoded with ImageIO, each image gets a 64-bit aHash over an
+    * integer-sampled luminance grid plus an exact content key over the
+    * DECODED pixels, and duplicate pairs come from the scale-safe
+    * content-key join ([[Multimodal.imageExactDups]] — output-sensitive;
+    * never a pHash-bucket pair expansion, which degenerates when many
+    * distinct images share a hash). The synthetic corpus makes the
+    * ground truth ARITHMETIC: every pixel statistic is mod-256
+    * arithmetic over doc_id, so two planted images are pixel-identical
+    * IFF their source ids are congruent mod 256 (w, h, and both colors
+    * are all mod-256-determined; equal top color byte forces the
+    * congruence back). DuckDB recomputes exactly those pairs from id
+    * arithmetic — no codec needed — and pins `phash_hamming` 0 on every
+    * pair: identical pixels MUST produce identical hashes, so a
+    * nondeterministic decode or hash breaks the rows. The banded
+    * near-dup path over the same hash ([[Multimodal.imageNearDups]],
+    * Hamming radius) is MultimodalSpec-gated. */
+  val q122 = GraftQuery(
+    "q122_image_phash_dedup",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val media = Multimodal.syntheticImages(
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+      val corpus = media.unionByName(
+        media.filter(_.media_id % 25 == 0)
+          .map(m => m.copy(media_id = m.media_id + 100000)))
+      Multimodal.imageExactDups(corpus)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH ids AS (SELECT doc_id AS id, doc_id % 256 AS k
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, doc_id % 256 FROM documents
+        WHERE doc_id % 25 = 0)
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(0 AS BIGINT) AS phash_hamming
+      FROM ids a JOIN ids b ON a.k = b.k AND a.id < b.id
+      ORDER BY id_a, id_b"""),
+    doc = "decoded-pixel image dedup + perceptual-hash consistency: " +
+      "pairs == the mod-256 congruence classes of the planted corpus, " +
+      "pHash Hamming pinned 0 on every pixel-identical pair")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -2209,6 +2252,6 @@ object LlmQueries {
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, q121, x42, x43, x44, x45, x46,
-      x47, x48, x49, x51)
+      q115, q116, q117, q118, q119, q120, q121, q122, x42, x43, x44, x45,
+      x46, x47, x48, x49, x51)
 }

@@ -320,6 +320,100 @@ object Multimodal {
       .orderBy(col("media_id"), col("bin"))
   }
 
+  final case class ImageSig(media_id: Long, phash: Long, pixkey: String)
+
+  /** Per-image perceptual signature from the REAL decode: a 64-bit
+    * average-hash (aHash) over an 8×8 nearest-neighbor-sampled integer
+    * luminance grid (bit g set iff lum(g)·64 > Σlum — all-integer, so the
+    * hash is bit-deterministic across JVMs), plus an exact content key
+    * over the DECODED pixel grid (md5 of "w×h,rgb,rgb,…" — equality means
+    * pixel-identical images regardless of how the bytes were encoded,
+    * which raw-byte hashing cannot promise across encoders). Modeled on
+    * the public aHash/dHash family (the standard image near-dup blocking
+    * key); decode runs distributed in mapPartitions — the codec boundary,
+    * same posture as [[extractFeatures]]. */
+  def imageSignatures(media: Dataset[MediaRow]): Dataset[ImageSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        require(m.modality == "image", s"imageSignatures on ${m.modality}")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"undecodable image bytes for ${m.media_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val lums = new Array[Long](64)
+        var g = 0
+        var sum = 0L
+        while (g < 64) {
+          val px = img.getRGB((g % 8) * w / 8, (g / 8) * h / 8)
+          val lum = 299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
+            114L * (px & 0xff)
+          lums(g) = lum
+          sum += lum
+          g += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (lums(i) * 64L > sum) hash |= (1L << i)
+          i += 1
+        }
+        val sb = new java.lang.StringBuilder(w * h * 9 + 16)
+        sb.append(w).append('x').append(h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sb.append(',').append(img.getRGB(x, y) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        md.reset()
+        val key = md.digest(sb.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"${b & 0xff}%02x").mkString
+        ImageSig(m.media_id, hash, key)
+      }
+    }
+  }
+
+  /** EXACT image dedup pairs over the decoded-pixel content key — the
+    * scale-safe regime (one shuffle join on the key, output-sensitive;
+    * never a pHash-bucket pair expansion, which degenerates when many
+    * distinct images share a perceptual hash). Each emitted pair also
+    * carries the pair's pHash Hamming distance — provably 0 for
+    * pixel-identical images (same pixels → same integer grid → same
+    * hash), which is what the q122 oracle pins value-level. */
+  def imageExactDups(media: Dataset[MediaRow]): DataFrame = {
+    val sigs = imageSignatures(media).toDF()
+    val a = sigs.select(col("media_id").as("id_a"), col("phash").as("ph_a"),
+      col("pixkey"))
+    val b = sigs.select(col("media_id").as("id_b"), col("phash").as("ph_b"),
+      col("pixkey"))
+    a.join(b, Seq("pixkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+          .cast(org.apache.spark.sql.types.LongType).as("phash_hamming"))
+  }
+
+  /** NEAR-dup image pairs: Hamming-banded LSH over the perceptual hash
+    * ([[Dedup.fingerprintNearDups]] — the SimHash machinery with the
+    * fingerprint supplied by the image decode), verified here only by the
+    * Hamming radius. The pHash is a recall-oriented blocking key: callers
+    * wanting pixel-exactness filter the pairs through the content key
+    * (see [[imageExactDups]]); callers wanting perceptual closeness use
+    * the radius. Bucket caps + telemetry semantics are SimHash's. */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    Dedup.fingerprintNearDups(imageSignatures(media).toDF(), "media_id",
+      col("phash"), maxHamming, maxBucketSize)
+
   final case class AudioPin(media_id: Long, sample_rate: Long,
       n_frames: Long, sum_abs: Long, bin: Long, cnt: Long)
 

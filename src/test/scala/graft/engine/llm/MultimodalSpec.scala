@@ -277,4 +277,71 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- perceptual-hash image dedup (q122's machinery) --------------------
+
+  private def imgBytes(fmt: String, w: Int, h: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  private def mediaOf(rows: (Long, Array[Byte])*) = {
+    import graft.SparkTestSession.spark.implicits._
+    spark.createDataset(rows.map { case (id, bytes) =>
+      Multimodal.MediaRow(id, "image", bytes,
+        Multimodal.MediaMeta(0, 0, 0, 1)) })
+  }
+
+  test("imageSignatures: pixel-identical images hash identically even " +
+      "across encoders (PNG vs BMP); pixkey is over DECODED pixels") {
+    val grad = (x: Int, y: Int) => ((x * 30) << 16) | ((y * 30) << 8) | 40
+    val ds = mediaOf(
+      1L -> imgBytes("png", 8, 8, grad),
+      2L -> imgBytes("bmp", 8, 8, grad), // same pixels, different bytes
+      3L -> imgBytes("png", 8, 8, (x, y) => grad(x, y) ^ 0x00FFFFFF))
+    val sigs = Multimodal.imageSignatures(ds).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(sigs(1L).pixkey == sigs(2L).pixkey,
+      "content key must see through the container format")
+    assert(sigs(1L).phash == sigs(2L).phash)
+    assert(sigs(1L).pixkey != sigs(3L).pixkey)
+    // exact dedup finds the cross-encoder pair, Hamming pinned 0
+    val pairs = Multimodal.imageExactDups(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toList == List((1L, 2L, 0L)))
+  }
+
+  test("imageNearDups: a one-cell luminance flip lands within the " +
+      "banding radius; unrelated images do not pair") {
+    // base: mid-gray; neighbor: ONE sampled cell pushed far above the
+    // mean -> exactly one aHash bit differs; far: inverted-ramp image
+    val base = (_: Int, _: Int) => 0x808080
+    val oneCell = (x: Int, y: Int) =>
+      if (x == 0 && y == 0) 0xFFFFFF else 0x808080
+    val ramp = (x: Int, y: Int) =>
+      (((x + 8 * y) * 4) << 16) | (((x + 8 * y) * 4) << 8) | ((x + 8 * y) * 4)
+    val ds = mediaOf(
+      10L -> imgBytes("png", 8, 8, base),
+      11L -> imgBytes("png", 8, 8, oneCell),
+      12L -> imgBytes("png", 8, 8, ramp))
+    val sigs = Multimodal.imageSignatures(ds).collect()
+      .map(s => s.media_id -> s.phash).toMap
+    assert(java.lang.Long.bitCount(sigs(10L) ^ sigs(11L)) <= 3,
+      "one flipped cell must stay within the Hamming-3 radius")
+    val pairs = Multimodal.imageNearDups(ds, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)),
+      s"banding must surface the near-identical pair, got $pairs")
+    assert(!pairs.contains((10L, 12L)) && !pairs.contains((11L, 12L)),
+      "a structurally different image must not pair within the radius")
+    // determinism: same inputs, same signatures on a second pass
+    val again = Multimodal.imageSignatures(ds).collect()
+      .map(s => s.media_id -> s.phash).toMap
+    assert(again == sigs)
+  }
 }
