@@ -696,6 +696,38 @@ object LlmQueries {
       "pairs == the mod-256 congruence classes of the planted corpus, " +
       "pHash Hamming pinned 0 on every pixel-identical pair")
 
+  /** q123 — audio dedup over the REAL AudioSystem decode (q122's audio
+    * sibling, composing q107's decoder): planted WAVs + content-carried
+    * copies; pairs come from the decoded-SAMPLE content key join
+    * ([[Multimodal.audioExactDups]]). Unlike the image corpus, the
+    * planted PCM has NO organic cross-id collisions (sample i is
+    * (id·2654435761 + i·40503) mod 2¹⁶ — the multiplier is odd so equal
+    * sample streams force id congruence mod 2¹⁶, far beyond the corpus
+    * range; headers differ by id mod 8 besides), so the exact pair set
+    * is precisely the planted copies — which DuckDB enumerates from id
+    * arithmetic with no codec. `envhash_hamming` pinned 0 on every pair
+    * proves the envelope hash is a pure function of the decoded samples
+    * (decode nondeterminism or a hash drift breaks the rows). */
+  val q123 = GraftQuery(
+    "q123_audio_dedup",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val media = Multimodal.syntheticWavs(
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+      val corpus = media.unionByName(
+        media.filter(_.media_id % 25 == 0)
+          .map(m => m.copy(media_id = m.media_id + 100000)))
+      Multimodal.audioExactDups(corpus)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        CAST(0 AS BIGINT) AS envhash_hamming
+      FROM documents WHERE doc_id % 25 = 0
+      ORDER BY id_a, id_b"""),
+    doc = "decoded-sample audio dedup: pairs == exactly the planted " +
+      "copies (planted PCM provably collision-free across ids), " +
+      "envelope-hash Hamming pinned 0 on every sample-identical pair")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -2252,6 +2284,6 @@ object LlmQueries {
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, q121, q122, x42, x43, x44, x45,
-      x46, x47, x48, x49, x51)
+      q115, q116, q117, q118, q119, q120, q121, q122, q123, x42, x43, x44,
+      x45, x46, x47, x48, x49, x51)
 }

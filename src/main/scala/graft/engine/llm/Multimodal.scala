@@ -414,6 +414,91 @@ object Multimodal {
     Dedup.fingerprintNearDups(imageSignatures(media).toDF(), "media_id",
       col("phash"), maxHamming, maxBucketSize)
 
+  final case class AudioSig(media_id: Long, envhash: Long, pcmkey: String)
+
+  /** Per-clip audio signature from the REAL decode (the audio sibling of
+    * [[imageSignatures]]): a 64-bit amplitude-envelope hash (bit g set
+    * iff |sample at position g·n/64|·64 > Σ|sample| over the 64 sampled
+    * positions — all-integer, bit-deterministic) plus an exact content
+    * key over the DECODED samples ("rate,n,s0,s1,…" md5 — equality means
+    * sample-identical audio regardless of container: a WAV and an AIFF
+    * of the same PCM pair up, byte hashing cannot promise that). */
+  def audioSignatures(media: Dataset[MediaRow]): Dataset[AudioSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        require(m.modality == "audio", s"audioSignatures on ${m.modality}")
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        val (rate, samples) = try {
+          val fmt = in.getFormat
+          require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"unsupported audio format $fmt for ${m.media_id}")
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (fmt.isBigEndian)
+                (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+              else
+                (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+            i += 1
+          }
+          (math.round(fmt.getSampleRate), out)
+        } finally in.close()
+        val n = samples.length
+        val env = new Array[Long](64)
+        var sum = 0L
+        var g = 0
+        while (g < 64) {
+          val a = if (n == 0) 0L else math.abs(samples(g * n / 64)).toLong
+          env(g) = a
+          sum += a
+          g += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (env(i) * 64L > sum) hash |= (1L << i)
+          i += 1
+        }
+        val sb = new java.lang.StringBuilder(n * 7 + 16)
+        sb.append(rate).append(',').append(n)
+        var j = 0
+        while (j < n) { sb.append(',').append(samples(j)); j += 1 }
+        md.reset()
+        val key = md.digest(sb.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"${b & 0xff}%02x").mkString
+        AudioSig(m.media_id, hash, key)
+      }
+    }
+  }
+
+  /** EXACT audio dedup pairs over the decoded-sample content key — same
+    * scale posture as [[imageExactDups]] (one output-sensitive join; the
+    * envelope hash rides along, provably Hamming-0 on sample-identical
+    * clips — the q123 value pin). Near-dup over the envelope hash
+    * composes with [[Dedup.fingerprintNearDups]] exactly as images do. */
+  def audioExactDups(media: Dataset[MediaRow]): DataFrame = {
+    val sigs = audioSignatures(media).toDF()
+    val a = sigs.select(col("media_id").as("id_a"), col("envhash").as("eh_a"),
+      col("pcmkey"))
+    val b = sigs.select(col("media_id").as("id_b"), col("envhash").as("eh_b"),
+      col("pcmkey"))
+    a.join(b, Seq("pcmkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("eh_a").bitwiseXOR(col("eh_b")))
+          .cast(org.apache.spark.sql.types.LongType).as("envhash_hamming"))
+  }
+
   final case class AudioPin(media_id: Long, sample_rate: Long,
       n_frames: Long, sum_abs: Long, bin: Long, cnt: Long)
 

@@ -344,4 +344,47 @@ class MultimodalSpec extends AnyFunSuite {
       .map(s => s.media_id -> s.phash).toMap
     assert(again == sigs)
   }
+
+  test("audioSignatures: sample-identical clips pair across containers " +
+      "(WAV vs AIFF); different PCM does not") {
+    def clip(fmt: javax.sound.sampled.AudioFileFormat.Type, big: Boolean,
+        samples: Seq[Int]): Array[Byte] = {
+      val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, big)
+      val pcm = new Array[Byte](2 * samples.length)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        if (big) { pcm(2 * i) = ((v >> 8) & 0xff).toByte
+                   pcm(2 * i + 1) = (v & 0xff).toByte }
+        else     { pcm(2 * i) = (v & 0xff).toByte
+                   pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte }
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), af, samples.length.toLong),
+        fmt, baos)
+      baos.toByteArray
+    }
+    import graft.SparkTestSession.spark.implicits._
+    val samples = Seq(100, -2000, 30000, -1, 0, 512)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio",
+        clip(javax.sound.sampled.AudioFileFormat.Type.WAVE, big = false,
+          samples), Multimodal.MediaMeta(0, 0, 8000, samples.length)),
+      Multimodal.MediaRow(2L, "audio",
+        clip(javax.sound.sampled.AudioFileFormat.Type.AIFF, big = true,
+          samples), Multimodal.MediaMeta(0, 0, 8000, samples.length)),
+      Multimodal.MediaRow(3L, "audio",
+        clip(javax.sound.sampled.AudioFileFormat.Type.WAVE, big = false,
+          samples.map(_ / 2)), Multimodal.MediaMeta(0, 0, 8000,
+          samples.length))))
+    val sigs = Multimodal.audioSignatures(ds).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(sigs(1L).pcmkey == sigs(2L).pcmkey,
+      "content key must see through WAV vs AIFF containers")
+    assert(sigs(1L).envhash == sigs(2L).envhash)
+    assert(sigs(1L).pcmkey != sigs(3L).pcmkey)
+    val pairs = Multimodal.audioExactDups(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toList == List((1L, 2L, 0L)))
+  }
 }
