@@ -756,7 +756,100 @@ object StreamQueries {
     doc = "streaming ANN ingest: per-tick encode+append into the " +
       "published store == exact cosine ranking (shared q84 oracle)")
 
+  /** x63 — ALWAYS-ON multimodal ingestion dedup: the q68/q91 incremental
+    * posture applied to IMAGE blobs through the real decode. Bootstrap
+    * publishes the base corpus's decoded-pixel content keys as a
+    * pixkey-BUCKETED store; each micro-batch then (a) decodes and
+    * signature-hashes ITSELF ([[graft.engine.llm.Multimodal
+    * .imageSignatures]] — the codec boundary, batch-sized), (b) dedups
+    * within-batch by min media_id, (c) anti-joins the published key
+    * store (bucketed → the recurring probe reads stay pruned; history
+    * blobs are NEVER re-decoded — only their 16-byte keys live in the
+    * store), and (d) appends the surviving keys with a per-batch tag
+    * (exactly-once across restarts, the x62 discipline). Survivors are
+    * read back from the STORE — the maintained artifact is the answer.
+    *
+    * Determinism: the two stream batches carry disjoint pixel classes
+    * (ids 100–179 and 180–299: classes mod 256 never collide across
+    * them), so the survivor set is identical under any tick order or
+    * coalescing; planted duplicates are copies of BASE images (dropped
+    * against the store whatever the order) plus one within-batch copy
+    * (dropped by the min-id rule). The DuckDB twin enumerates survivors
+    * from the same mod-256 arithmetic as q122 — ids 100..255 exactly —
+    * and pins n_versions = 3 (bootstrap + one append per batch). */
+  val x63 = GraftQuery(
+    "x63_stream_media_dedup",
+    (spark, sfDir) => {
+      import graft.engine.llm.Multimodal
+      import graft.engine.sources.SnapshotStore
+      import spark.implicits._
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x63_media_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+      def media(lo: Long, hi: Long) = Multimodal.syntheticImages(
+        ids.filter(col("doc_id") >= lo && col("doc_id") < hi))
+      val keysRoot = s"$base/keys"
+      // bootstrap: base corpus keys, bucketed on the content key
+      SnapshotStore.publishBucketed(
+        Multimodal.imageSignatures(media(0L, 100L)).toDF()
+          .select(col("pixkey"), col("media_id")),
+        keysRoot, "pixkey", nBuckets = 4)
+      // two ingest files with disjoint pixel classes; the second also
+      // carries planted dups: copies of base images + one in-batch copy
+      media(100L, 180L).toDF().coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      media(180L, 300L).unionByName(
+          media(0L, 100L).filter(_.media_id % 25 == 0)
+            .map(m => m.copy(media_id = m.media_id + 100000)))
+        .unionByName(media(180L, 181L)
+          .map(m => m.copy(media_id = m.media_id + 100000)))
+        .toDF().coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val mediaSchema = media(0L, 1L).schema
+      val q = spark.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val sigs = Multimodal.imageSignatures(
+            batch.as[Multimodal.MediaRow]).toDF()
+          val withinBatch = sigs.groupBy(col("pixkey"))
+            .agg(min(col("media_id")).as("media_id"))
+            .localCheckpoint() // feeds the bucket probe AND the anti-join
+          // touched-bucket pruned history read (the IncrementalAgg
+          // idiom): the batch's keys name their buckets, the store scan
+          // reads ONLY those _bucket partitions — the 100 TB key history
+          // stays cold, and blobs are never re-decoded
+          val touched = withinBatch
+            .select(SnapshotStore.bucketExpr("pixkey", 4).as("_bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val fresh = withinBatch.join(
+            SnapshotStore.read(spark, keysRoot)
+              .filter(col("_bucket").isin(touched.map(Int.box): _*))
+              .select(col("pixkey")),
+            Seq("pixkey"), "left_anti")
+          SnapshotStore.append(fresh.select(col("pixkey"), col("media_id")),
+            keysRoot, tag = Some(s"batch-$batchId"))
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      SnapshotStore.read(spark, keysRoot)
+        .filter(col("media_id") >= 100L)
+        .select(col("media_id"))
+        .withColumn("n_versions", lit(SnapshotStore.currentVersion(keysRoot)))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id, CAST(3 AS BIGINT) AS n_versions
+      FROM documents WHERE doc_id >= 100 AND doc_id < 256
+      ORDER BY media_id"""),
+    doc = "streaming image-blob ingestion dedup: per-tick decode + " +
+      "within-batch min-id dedup + anti-join against the published " +
+      "bucketed key store + tagged append; survivors == the mod-256 " +
+      "first-seen classes, enumerated arithmetically by the twin")
+
   def queries: Seq[GraftQuery] =
-    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, q58, q80,
-      q94, q107)
+    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, q58,
+      q80, q94, q107)
 }
