@@ -50,6 +50,46 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(charCount == 5L)
   }
 
+  test("BPE kernels: null/empty/unicode text, empty merge list, empty " +
+      "training corpus") {
+    val merges = Array(("a", "b"), ("ab", "c"))
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, "   "), (4L, "\u65e5\u672c\u8a9e abcx"),
+      (5L, "ABCABX")).toDF("id", "t")
+      .select(col("id"), Tokenizer.bpeTokenCount(col("t"), merges).as("n"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(1), "null text -> null count (expression null)")
+    assert(rows(1).getLong(1) == 0L && rows(2).getLong(1) == 0L)
+    // 3 CJK single-code-point tokens + "abcx" -> [abc, x] = 2
+    assert(rows(3).getLong(1) == 5L)
+    // lowercased "abcabx": [abc][ab][x] under merge order
+    assert(rows(4).getLong(1) == 3L)
+    // empty merge list: pure per-word character counting
+    val n = Seq("abc de").toDF("t")
+      .select(Tokenizer.bpeTokenCount(col("t"),
+        Array.empty[(String, String)]))
+      .collect().head.getLong(0)
+    assert(n == 5L)
+    // empty training corpus -> no merges; publish refuses the empty list
+    assert(Tokenizer.trainBpeMerges(empty, "text", 4).isEmpty)
+    intercept[IllegalArgumentException] {
+      Tokenizer.publishMerges(spark, java.nio.file.Files
+        .createTempDirectory("graft_edge_merges").toString + "/m",
+        Array.empty)
+    }
+  }
+
+  test("image/audio signatures on empty media sets emit nothing; " +
+      "exact-dup joins stay empty") {
+    val noMedia = spark.emptyDataset[Multimodal.MediaRow](
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    assert(Multimodal.imageSignatures(noMedia).count() == 0)
+    assert(Multimodal.imageExactDups(noMedia).count() == 0)
+    assert(Multimodal.imageNearDups(noMedia).count() == 0)
+    assert(Multimodal.audioSignatures(noMedia).count() == 0)
+    assert(Multimodal.audioExactDups(noMedia).count() == 0)
+  }
+
   test("quantileFloor on empty and singleton groups") {
     val scored1 = one.withColumn("s", lit(1.0))
     assert(Curation.quantileFloor(empty.withColumn("s", lit(0.0)),
