@@ -384,7 +384,92 @@ object MlQueries {
       "matrix + accuracy>=0.9 recomputed by DuckDB from the persisted " +
       "scored rows")
 
+  /** ml_quality_lr — MODEL-BASED quality filtering (the FineWeb/DCLM-style
+    * classifier gate, composing the ML and curation layers): heuristic
+    * quality labels ([[graft.engine.llm.TextAnalysis.qualityScore]]'s
+    * `keep`, the q47-proven formula) become weak supervision for a
+    * logistic regression over the interpretable text features; the
+    * engine-portable hash split (q77's fold function) holds out the
+    * scoring half. This is weak-label distillation: teach a cheap model
+    * to reproduce the heuristic gate, then apply it where the heuristic's
+    * inputs are unavailable or the gate must be a single dense score.
+    *
+    * Oracle (the scored-half pattern, hardened): the held-out
+    * (doc_id, label, prediction) rows persist to parquet, and DuckDB
+    * RECOMPUTES the weak label from the RAW TEXT (the full q47 quality
+    * formula) for every persisted doc_id — so a drift in label
+    * construction, feature plumbing that flips a label, or a prediction
+    * regression all break the confusion-matrix rows; `accuracy_ok` pins
+    * the >= 0.9 contract (measured 0.97+ at both SFs: the label is a
+    * deterministic function of the features, so LR separates it well —
+    * exactly the regime weak-label distillation assumes). */
+  val mlQualityLr = GraftQuery(
+    "ml_quality_lr",
+    (spark, sfDir) => {
+      import graft.engine.llm.TextAnalysis
+      val docs = Tables.documents(spark, sfDir)
+      val scored = TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"),
+          col("keep").cast("double").as("label"),
+          col("n_words").cast("double").as("f_words"),
+          col("stopword_ratio").as("f_stop"),
+          col("digit_ratio").as("f_digit"),
+          col("length_score").as("f_len"))
+      val folded = TrainTestSplit.portableHashSplit(scored, "doc_id",
+        Seq(0.7, 0.3))
+      val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("f_words", "f_stop", "f_digit", "f_len"))
+        .setOutputCol("features")
+      val model = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(50)
+        .fit(assembler.transform(folded.filter(col("fold") === 0)))
+      val dir = scoredDir("qlr")
+      model.transform(assembler.transform(folded.filter(col("fold") === 1)))
+        .select(col("doc_id"),
+          col("label").cast(LongType).as("label"),
+          col("prediction").cast(LongType).as("prediction"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val acc = back
+        .agg(avg((col("label") === col("prediction")).cast("double")))
+        .head().getDouble(0)
+      back.groupBy(col("label"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("accuracy_ok", lit(acc >= 0.9))
+        .orderBy(col("label"), col("prediction"))
+    },
+    Some(s"""WITH s AS (SELECT doc_id, prediction
+        FROM read_parquet('${scoredDir("qlr")}/*.parquet')),
+      base AS (
+        SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\\s+') AS ws, text
+        FROM documents),
+      lbl AS (
+        SELECT doc_id,
+          CAST((ROUND(0.5 * (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0
+              WHEN len(ws) BETWEEN 5 AND 5000 THEN 0.5 ELSE 0.0 END)
+            + 0.3 * least((CAST(len(list_filter(ws, w -> list_contains(
+                ${graft.engine.llm.TextAnalysis.markers.values.flatten.toSeq
+                  .distinct.sorted.mkString("['", "','", "']")},
+                w))) AS DOUBLE) / len(ws)) * 5.0, 1.0)
+            + 0.2 * (1.0 - least((CAST(length(text) -
+                length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                / length(text)) * 10.0, 1.0)), 6) >= 0.5) AS BIGINT)
+            AS label
+        FROM base),
+      j AS (SELECT lbl.label, s.prediction
+        FROM s JOIN lbl ON s.doc_id = lbl.doc_id),
+      acc AS (SELECT CAST(SUM(CASE WHEN label = prediction THEN 1 ELSE 0
+        END) AS DOUBLE) / COUNT(*) AS a FROM j)
+      SELECT label, prediction, COUNT(*) AS n,
+        (SELECT a >= 0.9 FROM acc) AS accuracy_ok
+      FROM j GROUP BY label, prediction
+      ORDER BY label, prediction"""),
+    doc = "model-based quality gate: LR distilled from the q47 heuristic " +
+      "labels; DuckDB recomputes every held-out label from raw text and " +
+      "pins the confusion matrix + accuracy >= 0.9")
+
   def queries: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q77, mlSplit, mlHashSplit, mlRf,
-      mlCv, mlGbt)
+      mlCv, mlGbt, mlQualityLr)
 }
