@@ -728,6 +728,53 @@ object LlmQueries {
       "copies (planted PCM provably collision-free across ids), " +
       "envelope-hash Hamming pinned 0 on every sample-identical pair")
 
+  /** q125 — contrastive training-pair mining (X7 adjunct — the
+    * embedding-model training-data construction): planted duplicate
+    * classes yield (anchor, positive) pairs, and md5 arithmetic over
+    * (anchor, j) draws deterministic negatives that must exist and must
+    * not share the anchor's content class. EVERY step is relational
+    * arithmetic, so the oracle replays the whole construction — class
+    * building, representative choice, the negative draw (same md5-prefix
+    * integer the q116 featurizer proved engine-portable), and both
+    * negative-validity joins — value-level. Copies get DENSE ids
+    * (doc_id + corpus count) so the draw span stays the original id
+    * range and every candidate exists unless class-colliding. */
+  val q125 = GraftQuery(
+    "q125_contrastive_pairs",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + n).as("doc_id"), col("text")))
+      Curation.contrastivePairs(corpus, "text", "doc_id",
+          negativesPerAnchor = 2, negIdSpan = Some(n))
+        .orderBy(col("anchor_id"), col("j"), col("neg_id"))
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT n FROM n), text FROM documents
+        WHERE doc_id % 25 = 0),
+      k AS (SELECT doc_id AS id, md5(lower(trim(text))) AS ck FROM corpus),
+      reps AS (SELECT ck, MIN(id) AS pos_id, COUNT(*) AS cnt
+        FROM k GROUP BY ck),
+      anchors AS (SELECT k.id AS anchor_id, reps.pos_id, k.ck
+        FROM k JOIN reps USING (ck)
+        WHERE reps.cnt > 1 AND k.id <> reps.pos_id),
+      cand AS (SELECT anchor_id, pos_id, ck, j,
+          CAST('0x' || substr(md5(anchor_id || ':' || j), 1, 8) AS BIGINT)
+            % (SELECT n FROM n) AS neg_id
+        FROM anchors, (SELECT unnest([0, 1]) AS j))
+      SELECT anchor_id, pos_id, neg_id, CAST(j AS BIGINT) AS j
+      FROM cand JOIN k ON k.id = cand.neg_id
+      WHERE k.ck <> cand.ck
+      ORDER BY anchor_id, j, neg_id"""),
+    doc = "contrastive (anchor, positive, negative) mining: positives " +
+      "from duplicate classes, negatives by engine-portable md5 draw " +
+      "with existence + class-collision guards; fully value-replayed")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -2284,6 +2331,6 @@ object LlmQueries {
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, q121, q122, q123, x42, x43, x44,
-      x45, x46, x47, x48, x49, x51)
+      q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, x42, x43,
+      x44, x45, x46, x47, x48, x49, x51)
 }

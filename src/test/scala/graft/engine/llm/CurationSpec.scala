@@ -70,6 +70,51 @@ class CurationSpec extends AnyFunSuite {
       "-inf-style threshold keeps the covered group whole")
   }
 
+  test("contrastivePairs: anchors are the non-representative duplicates, " +
+      "negatives exist, never share the anchor's class, and re-draw " +
+      "identically") {
+    // ids 0..5; 3 and 4 duplicate 0's text; 5 duplicates 1's
+    val corpus = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"), (2L, "zeta eta"),
+      (3L, "alpha beta gamma"), (4L, "  ALPHA beta GAMMA  "),
+      (5L, "delta epsilon")).toDF("doc_id", "text")
+    val span = 6L
+    val pairs = Curation.contrastivePairs(corpus, "text", "doc_id",
+      negativesPerAnchor = 3, negIdSpan = Some(span)).cache()
+    try {
+      val rows = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // REFERENCE: replicate the documented construction exactly —
+      // md5("anchor:j") hex-prefix-8 as integer mod span, keep draws
+      // that exist and don't share the anchor's normalized content
+      val texts = corpus.collect()
+        .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase).toMap
+      def draw(anchor: Long, j: Int): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$anchor:$j".getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % span
+      }
+      val expected = (for {
+        (anchor, pos) <- Seq((3L, 0L), (4L, 0L), (5L, 1L))
+        j <- 0 until 3
+        neg = draw(anchor, j)
+        if texts.contains(neg) && texts(neg) != texts(anchor)
+      } yield (anchor, pos, neg, j.toLong)).sorted
+      assert(rows.sorted.toSeq == expected,
+        s"got ${rows.toList} want $expected")
+      assert(expected.nonEmpty, "fixture must yield at least one triple")
+      // deterministic re-draw
+      val again = Curation.contrastivePairs(corpus, "text", "doc_id",
+          negativesPerAnchor = 3, negIdSpan = Some(span)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.sorted.toSeq == again.sorted.toSeq)
+      // degenerate: no duplicate classes -> no pairs
+      assert(Curation.contrastivePairs(
+        corpus.filter(col("doc_id") < 3), "text", "doc_id").count() == 0L)
+    } finally pairs.unpersist()
+  }
+
   test("hashSample composes: sample(a ∪ b) == sample(a) ∪ sample(b)") {
     val a = docs.filter(col("doc_id") % 2 === 0)
     val b = docs.filter(col("doc_id") % 2 === 1)
