@@ -77,6 +77,12 @@ object AnnIndex {
       .map(r => r.getInt(2) -> r.getSeq[Double](3).toArray)
       .sortBy(_._1)
     require(cents.nonEmpty, s"no index published under $root")
+    // same partial-store hazard as the books below: a lost 'cent' row
+    // would silently shift cell assignment away from what history was
+    // encoded under — recall collapses with no error
+    require(cents.map(_._1).toSeq == (0 until cents.length),
+      s"coarse centroid ids must be contiguous 0..${cents.length - 1} " +
+        s"under $root, got ${cents.map(_._1).toSeq}")
     val grouped = rows.filter(_.getString(0) == "book").groupBy(_.getInt(1))
     require(grouped.nonEmpty, s"no PQ codebooks published under $root")
     // A partial/corrupt store must FAIL here, not decode against shifted

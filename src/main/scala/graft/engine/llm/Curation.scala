@@ -412,9 +412,12 @@ object Curation {
     import graft.engine.llm.Dedup
     val keyed = docs.select(col(idCol).cast(LongType).as("id"),
       Dedup.contentKey(col(textCol)).as("ck"))
-    val span = negIdSpan.getOrElse(
-      docs.agg(max(col(idCol).cast(LongType))).head().getLong(0) + 1L)
-    require(span >= 1, "empty corpus has no id span")
+    val span = negIdSpan.getOrElse {
+      val row = docs.agg(max(col(idCol).cast(LongType))).head()
+      require(!row.isNullAt(0), "empty corpus has no id span")
+      row.getLong(0) + 1L
+    }
+    require(span >= 1, "id span must be positive")
     val reps = keyed.groupBy(col("ck"))
       .agg(min(col("id")).as("pos_id"), count(lit(1)).as("n"))
     val anchors = keyed.join(reps.filter(col("n") > 1), Seq("ck"))

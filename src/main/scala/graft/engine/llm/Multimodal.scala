@@ -349,7 +349,9 @@ object Multimodal {
         var g = 0
         var sum = 0L
         while (g < 64) {
-          val px = img.getRGB((g % 8) * w / 8, (g / 8) * h / 8)
+          // long arithmetic: g * w overflows Int for ~34M-pixel rows
+          val px = img.getRGB(((g % 8).toLong * w / 8).toInt,
+            ((g / 8).toLong * h / 8).toInt)
           val lum = 299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
             114L * (px & 0xff)
           lums(g) = lum
@@ -362,21 +364,27 @@ object Multimodal {
           if (lums(i) * 64L > sum) hash |= (1L << i)
           i += 1
         }
-        val sb = new java.lang.StringBuilder(w * h * 9 + 16)
-        sb.append(w).append('x').append(h)
+        // stream the decoded pixel grid into the digest row by row —
+        // O(row) extra memory at any image size (a materialized decimal
+        // string would be ~9 chars/pixel: hundreds of MB on a real photo)
+        md.reset()
+        md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+        val row = new Array[Int](w)
+        val rowBytes = new Array[Byte](w * 3)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            sb.append(',').append(img.getRGB(x, y) & 0xffffff)
+            rowBytes(3 * x) = ((row(x) >> 16) & 0xff).toByte
+            rowBytes(3 * x + 1) = ((row(x) >> 8) & 0xff).toByte
+            rowBytes(3 * x + 2) = (row(x) & 0xff).toByte
             x += 1
           }
+          md.update(rowBytes)
           y += 1
         }
-        md.reset()
-        val key = md.digest(sb.toString.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          .map(b => f"${b & 0xff}%02x").mkString
+        val key = md.digest().map(b => f"${b & 0xff}%02x").mkString
         ImageSig(m.media_id, hash, key)
       }
     }
@@ -457,7 +465,11 @@ object Multimodal {
         var sum = 0L
         var g = 0
         while (g < 64) {
-          val a = if (n == 0) 0L else math.abs(samples(g * n / 64)).toLong
+          // long arithmetic: g * n overflows Int past ~34M samples
+          // (a ~13-minute 44.1 kHz clip)
+          val a =
+            if (n == 0) 0L
+            else math.abs(samples((g.toLong * n / 64).toInt)).toLong
           env(g) = a
           sum += a
           g += 1
@@ -468,14 +480,20 @@ object Multimodal {
           if (env(i) * 64L > sum) hash |= (1L << i)
           i += 1
         }
-        val sb = new java.lang.StringBuilder(n * 7 + 16)
-        sb.append(rate).append(',').append(n)
-        var j = 0
-        while (j < n) { sb.append(',').append(samples(j)); j += 1 }
+        // stream samples into the digest — O(1) extra memory at any
+        // clip length (see imageSignatures)
         md.reset()
-        val key = md.digest(sb.toString.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          .map(b => f"${b & 0xff}%02x").mkString
+        md.update(java.nio.ByteBuffer.allocate(12)
+          .putInt(rate).putLong(n.toLong).array())
+        val buf = java.nio.ByteBuffer.allocate(2 * 4096)
+        var j = 0
+        while (j < n) {
+          buf.clear()
+          val end = math.min(j + 4096, n)
+          while (j < end) { buf.putShort(samples(j).toShort); j += 1 }
+          md.update(buf.array(), 0, buf.position())
+        }
+        val key = md.digest().map(b => f"${b & 0xff}%02x").mkString
         AudioSig(m.media_id, hash, key)
       }
     }

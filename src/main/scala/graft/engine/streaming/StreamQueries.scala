@@ -819,9 +819,15 @@ object StreamQueries {
           // touched-bucket pruned history read (the IncrementalAgg
           // idiom): the batch's keys name their buckets, the store scan
           // reads ONLY those _bucket partitions — the 100 TB key history
-          // stays cold, and blobs are never re-decoded
+          // stays cold, and blobs are never re-decoded. Bucket count
+          // comes from the store's own BUCKETSPEC: a second literal
+          // would silently desynchronize the probe from the layout.
+          val (specKey, nb) = SnapshotStore.readBucketSpec(keysRoot)
+            .getOrElse(throw new IllegalStateException(
+              s"$keysRoot lost its bucket spec"))
+          require(specKey == "pixkey", s"unexpected bucket key $specKey")
           val touched = withinBatch
-            .select(SnapshotStore.bucketExpr("pixkey", 4).as("_bucket"))
+            .select(SnapshotStore.bucketExpr("pixkey", nb).as("_bucket"))
             .distinct().collect().map(_.getInt(0)).toSeq
           val fresh = withinBatch.join(
             SnapshotStore.read(spark, keysRoot)

@@ -132,45 +132,10 @@ class SparkPropertySpec extends AnyFunSuite {
       n <- Gen.choose(1, 6)
     } yield (ws.take(25), n)
 
-    // classic leftmost non-overlapping reference BPE (same rule as
-    // TokenizerSpec's fixture reference, over the generated corpus)
-    def ref(texts: Seq[String], n: Int): List[(String, String)] = {
-      def applyMerge(p: List[String], a: String, b: String): List[String] =
-        p match {
-          case x :: y :: rest if x == a && y == b =>
-            (a + b) :: applyMerge(rest, a, b)
-          case x :: rest => x :: applyMerge(rest, a, b)
-          case Nil => Nil
-        }
-      val wordRe = "[a-z]+|[0-9]+".r
-      val wf = scala.collection.mutable.Map.empty[String, Long]
-      texts.foreach(t => wordRe.findAllIn(t.toLowerCase)
-        .filter(_.length >= 2)
-        .foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L))
-      var state = wf.toMap.map { case (w, f) => (w.map(_.toString).toList, f) }
-      val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
-      var r = 0
-      var done = false
-      while (r < n && !done) {
-        val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
-        state.foreach { case (p, f) =>
-          p.zip(p.drop(1)).foreach(pr => cnt(pr) = cnt.getOrElse(pr, 0L) + f)
-        }
-        if (cnt.isEmpty) done = true
-        else {
-          val ((a, b), _) = cnt.minBy { case ((a, b), c) => (-c, a, b) }
-          out += ((a, b))
-          state = state.map { case (p, f) => (applyMerge(p, a, b), f) }
-          r += 1
-        }
-      }
-      out.toList
-    }
-
     samples(caseGen, 5).foreach { case (words, n) =>
       val df = Seq(words.mkString(" ")).toDF("t")
       val got = Tokenizer.trainBpeMerges(df, "t", n).toList
-      val want = ref(words, n)
+      val want = graft.engine.llm.BpeReference.train(words, n)
       assert(got == want, s"words=$words n=$n:\n got $got\n want $want")
     }
   }

@@ -122,39 +122,6 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
-  // single-threaded reference BPE: classic leftmost non-overlapping merge
-  private def refBpe(texts: Seq[String], n: Int): List[(String, String)] = {
-    def applyMerge(p: List[String], a: String, b: String): List[String] =
-      p match {
-        case x :: y :: rest if x == a && y == b =>
-          (a + b) :: applyMerge(rest, a, b)
-        case x :: rest => x :: applyMerge(rest, a, b)
-        case Nil => Nil
-      }
-    val wordRe = "[a-z]+|[0-9]+".r
-    val wf = scala.collection.mutable.Map.empty[String, Long]
-    texts.foreach(t => wordRe.findAllIn(t.toLowerCase).filter(_.length >= 2)
-      .foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L))
-    var state = wf.toMap.map { case (w, f) => (w.map(_.toString).toList, f) }
-    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    var r = 0
-    var done = false
-    while (r < n && !done) {
-      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
-      state.foreach { case (p, f) =>
-        p.zip(p.drop(1)).foreach(pr => cnt(pr) = cnt.getOrElse(pr, 0L) + f)
-      }
-      if (cnt.isEmpty) done = true
-      else {
-        val ((a, b), _) = cnt.minBy { case ((a, b), c) => (-c, a, b) }
-        out += ((a, b))
-        state = state.map { case (p, f) => (applyMerge(p, a, b), f) }
-        r += 1
-      }
-    }
-    out.toList
-  }
-
   test("BPE merge training equals the single-threaded reference, " +
       "including overlap runs and tie-breaks") {
     // "aaaaa": merging (a,a) leftmost gives [aa,aa,a] — the fold's
@@ -165,7 +132,7 @@ class TokenizerSpec extends AnyFunSuite {
       "aaaaa banana", "zz zz zz")
     val df = texts.toDF("t")
     val got = Tokenizer.trainBpeMerges(df, "t", 6).toList
-    val want = refBpe(texts, 6)
+    val want = BpeReference.train(texts, 6)
     assert(got == want, s"distributed fold must equal reference BPE:" +
       s"\n got $got\n want $want")
     // determinism on re-run
