@@ -51,6 +51,10 @@ object Bench {
         .setNumFolds(2).setSeed(1L).fit(warm)
       new GBTClassifier().setMaxIter(2).setMaxDepth(2).setSeed(1L)
         .fit(warm.filter("label < 2")).transform(warm).count()
+      // ...and LogisticRegression (ml_quality_lr's estimator: 3.5 s warm
+      // vs 5.3-5.9 s when it pays the L-BFGS/Breeze first touch)
+      import org.apache.spark.ml.classification.LogisticRegression
+      new LogisticRegression().setMaxIter(2).fit(warm).transform(warm).count()
     } catch { case _: Throwable => () }
     val loadBefore = loadAvg()
     // Deterministic execution order → comparable per-query numbers across
