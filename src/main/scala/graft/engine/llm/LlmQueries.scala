@@ -775,6 +775,122 @@ object LlmQueries {
       "from duplicate classes, negatives by engine-portable md5 draw " +
       "with existence + class-collision guards; fully value-replayed")
 
+  /** q126 — HYBRID retrieval: BM25 (lexical, q69's scorer) and dense
+    * cosine over the derived embeddings (q116's featurizer, q44's exact
+    * ranking) each produce a bounded top-100 candidate list, fused by
+    * reciprocal-rank fusion ([[Similarity.rrfFuse]] — the standard
+    * score-calibration-free combiner). Ranks come from
+    * [[Similarity.rankCandidates]] (broadcast inequality join over the
+    * candidate list — no window, no single-partition sort) and the
+    * partial-top-k aggregate's own rnk. The oracle replays EVERYTHING:
+    * BM25 (q69's proven SQL), the md5 featurization of corpus AND query
+    * text (q116/q117's), both rankings with the shared (score desc, id)
+    * tie-break, and the fusion arithmetic — value-level to the final
+    * top-10. */
+  val q126 = GraftQuery(
+    "q126_hybrid_retrieval",
+    (spark, sfDir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, sfDir)
+      val terms = Seq("join", "vector", "stream")
+      val lex = TextAnalysis.bm25(docs, "doc_id", "text", terms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("bm25").as("score"))
+      val lexRank = Similarity.rankCandidates(lex, "doc_id", "score")
+      val emb = TextAnalysis.embedText(docs, "doc_id", "text", dim = 32)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      // the query string goes through the SAME featurizer; vec_id = -1
+      // so the self-exclusion filter can never drop a real document
+      val qv = TextAnalysis.embedText(
+          Seq((-1L, terms.mkString(" "))).toDF("doc_id", "text"),
+          "doc_id", "text", dim = 32)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val denseRank = Similarity.bruteForceTopKAgg(emb, qv, k = 100)
+        .select(col("nid").as("doc_id"), col("rnk").as("rank"))
+      Similarity.rrfFuse(lexRank, denseRank, "doc_id", kRrf = 60, topK = 10)
+        .select(col("doc_id"), col("rank_a").as("rank_lex"),
+          col("rank_b").as("rank_dense"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl FROM docs),
+      hits AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS doclen,
+          unnest(ws) AS term FROM docs),
+      tf AS (SELECT doc_id, doclen, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM hits WHERE term IN ('join', 'vector', 'stream')
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1),
+      parts AS (SELECT tf.doc_id,
+          ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * tf.tf * (1.2 + 1.0)
+            / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.doclen / s.avgdl))
+            AS part
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats s),
+      bm AS (SELECT doc_id,
+          ROUND(CAST(SUM(CAST(part AS DECIMAL(27,6))) AS DOUBLE), 6)
+            AS bm25
+        FROM parts GROUP BY 1),
+      lex AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+      w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents),
+      s2 AS (SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 32
+            AS BIGINT) AS bucket,
+          CASE WHEN substr(md5(w), 5, 1) < '8' THEN 1 ELSE -1 END AS sgn
+        FROM w),
+      g AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+        FROM s2 GROUP BY 1, 2),
+      grid AS (SELECT d.doc_id, CAST(j.j AS BIGINT) AS pos
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS j) j),
+      e AS (SELECT grid.doc_id AS vec_id,
+          list(CAST(COALESCE(g.v, 0) AS DOUBLE) ORDER BY grid.pos) AS emb
+        FROM grid LEFT JOIN g
+          ON grid.doc_id = g.doc_id AND grid.pos = g.bucket
+        GROUP BY grid.doc_id),
+      qw AS (SELECT unnest(regexp_extract_all('join vector stream',
+          '[a-z]+|[0-9]+')) AS w),
+      qsg AS (SELECT
+          CAST(CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 32
+            AS BIGINT) AS bucket,
+          CASE WHEN substr(md5(w), 5, 1) < '8' THEN 1 ELSE -1 END AS sgn
+        FROM qw),
+      qg AS (SELECT bucket, CAST(SUM(sgn) AS BIGINT) AS v
+        FROM qsg GROUP BY 1),
+      qe AS (SELECT list(CAST(COALESCE(qg.v, 0) AS DOUBLE)
+          ORDER BY j.pos) AS qe
+        FROM (SELECT unnest(range(0, 32)) AS pos) j
+        LEFT JOIN qg ON qg.bucket = j.pos),
+      pairs AS (SELECT e.vec_id,
+          list_dot_product((SELECT qe FROM qe), e.emb) AS dot,
+          sqrt(list_dot_product((SELECT qe FROM qe), (SELECT qe FROM qe)))
+            * sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+        FROM e),
+      dense AS (SELECT vec_id AS doc_id,
+          ROW_NUMBER() OVER (ORDER BY
+            CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END DESC,
+            vec_id) AS rank_dense
+        FROM pairs
+        ORDER BY (CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END) DESC,
+          vec_id
+        LIMIT 100),
+      f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+          l.rank_lex, d.rank_dense,
+          ROUND(COALESCE(1.0 / (60 + l.rank_lex), 0)
+            + COALESCE(1.0 / (60 + d.rank_dense), 0), 6) AS rrf
+        FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id)
+      SELECT doc_id, rank_lex, rank_dense, rrf
+      FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""),
+    doc = "hybrid retrieval: BM25 top-100 + dense-cosine top-100 fused " +
+      "by reciprocal ranks (k=60); every stage replayed in SQL down to " +
+      "the fused top-10")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -2331,6 +2447,6 @@ object LlmQueries {
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
-      q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, x42, x43,
-      x44, x45, x46, x47, x48, x49, x51)
+      q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
+      x42, x43, x44, x45, x46, x47, x48, x49, x51)
 }

@@ -735,4 +735,44 @@ object Similarity {
         graft.engine.relational.Exact.davg(col("v").cast("double")).as("centroid_v"))
       .orderBy(col(groupCol), col("pos"))
   }
+
+  /** 1-based ranks for a SMALL candidate list (a retriever's top-N —
+    * bounded by construction, never corpus-sized): rank(x) = 1 + |rows
+    * strictly better than x| under (score desc, id asc) — a broadcast
+    * inequality join over N×N candidate rows, so no window (and no
+    * single-partition sort) ever touches the plan. Ties are impossible
+    * in the count because (score, id) is a total order. */
+  def rankCandidates(cands: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val better = broadcast(cands.select(col(idCol).as("_yid"),
+      col(scoreCol).as("_ys")))
+    cands.join(better,
+        col("_ys") > col(scoreCol) ||
+          (col("_ys") === col(scoreCol) && col("_yid") < col(idCol)),
+        "left")
+      .groupBy(col(idCol))
+      .agg((count(col("_yid")) + 1L).as("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked candidate lists (Cormack,
+    * Clarke & Buettcher 2009 — the standard hybrid-retrieval combiner:
+    * no score calibration needed, only ranks): fused(d) =
+    * Σ 1/(kRrf + rank_i(d)) over the lists that retrieved d, top-k by
+    * (fused desc, id asc). Inputs are (id, rank) frames — each a
+    * retriever's bounded top-N — so the full-outer join and the final
+    * TakeOrdered touch candidate-sized data only; at 100 TB the corpus
+    * cost lives inside the retrievers (BM25's hits-only shuffle, the
+    * ANN probe), never in the fusion. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(kRrf >= 1 && topK >= 1, "need kRrf >= 1 and topK >= 1")
+    val fa = a.select(col(idCol), col("rank").as("rank_a"))
+    val fb = b.select(col(idCol), col("rank").as("rank_b"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -438,4 +438,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(pq >= 0.9, f"clustered PQ re-rank@100 recall $pq%.2f")
     } finally emb.unpersist()
   }
+
+  test("rankCandidates + rrfFuse: pinned fixture, one-sided candidates, " +
+      "tie-breaks") {
+    import graft.SparkTestSession.spark.implicits._
+    // scores with a tie: ranks under (score desc, id asc) are
+    // 10->1, 11->2 (tie with 12, lower id wins), 12->3, 13->4
+    val lex = Seq((10L, 0.9), (11L, 0.5), (12L, 0.5), (13L, 0.1))
+      .toDF("doc_id", "score")
+    val ranked = Similarity.rankCandidates(lex, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranked == Map(10L -> 1L, 11L -> 2L, 12L -> 3L, 13L -> 4L))
+    // dense list shares 11 and brings a new candidate 99
+    val dense = Seq((11L, 1L), (99L, 2L)).toDF("doc_id", "rank")
+    val fused = Similarity.rrfFuse(
+      ranked.toSeq.toDF("doc_id", "rank"), dense, "doc_id",
+      kRrf = 60, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    def rr(r: Long) = 1.0 / (60 + r)
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    assert(fused(11L) == rnd(rr(2) + rr(1)), "both lists contribute")
+    assert(fused(10L) == rnd(rr(1)), "lex-only candidate keeps one term")
+    assert(fused(99L) == rnd(rr(2)), "dense-only candidate keeps one term")
+    // the doubly-retrieved candidate outranks every single-list one here
+    assert(fused(11L) > fused(10L))
+    // topK truncation honors (rrf desc, id asc)
+    val top2 = Similarity.rrfFuse(
+      ranked.toSeq.toDF("doc_id", "rank"), dense, "doc_id",
+      kRrf = 60, topK = 2).collect().map(_.getLong(0)).toList
+    assert(top2 == List(11L, 10L))
+  }
 }
