@@ -166,6 +166,28 @@ class TokenizerSpec extends AnyFunSuite {
     assert(m.toSeq == Seq(("a", "b")))
   }
 
+  test("BPE at 32 merge rounds: distributed trainer stays reference-equal " +
+      "on the real corpus (the SCALE.md merge-budget claim)") {
+    // 32 rounds = 64 small jobs over the shrinking distinct-word table;
+    // the reference replays the same loop in memory. Equality at this
+    // depth pins that per-round localCheckpoint + dead-word pruning
+    // change nothing semantically as the merge budget grows.
+    val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq
+    val got = Tokenizer.trainBpeMerges(docs, "text", 32).toList
+    val want = BpeReference.train(texts, 32)
+    assert(got == want,
+      s"divergence at depth ${got.zip(want).indexWhere(p => p._1 != p._2)}")
+    assert(got.length == 32)
+    // the merged vocab still tokenizes through the trie == twin
+    val vocab = Tokenizer.bpeVocab(got.toArray)
+    val pat = Tokenizer.alternationPattern(vocab)
+    val both = docs.limit(100).select(
+      Tokenizer.tokenCount(col("text"), vocab).as("trie"),
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        .cast("long").as("re"))
+    assert(both.filter(col("trie") =!= col("re")).count() == 0L)
+  }
+
   test("publish/load round-trips the merge sequence in merge order; " +
       "versions pin; empty list refused") {
     val root = java.nio.file.Files
