@@ -388,55 +388,6 @@ object Curation {
     * group they intend to keep, or union in a -inf threshold row per
     * extra group. CurationSpec pins this drop semantics explicitly.
     */
-  /** Contrastive training-pair mining for embedding models (the
-    * SimCSE/E5-style hard-example construction re-expressed as pure
-    * relational arithmetic): every duplicate-class member anchors one
-    * POSITIVE (its class representative = min id — the supervised signal
-    * near-dup detection gives for free) and `negativesPerAnchor`
-    * deterministic NEGATIVES drawn by md5 arithmetic over (anchor, j) —
-    * reproducible on any engine, no RNG state, composable across
-    * ingestion batches (the q60 hash-sampling argument). A drawn negative
-    * must EXIST in the corpus and must not share the anchor's content
-    * class — both enforced by joins, so a collision or gap drops the row
-    * identically on every engine.
-    *
-    * Scale: one shuffle on the content key (class building), one narrow
-    * explode (k rows per anchor), one join on neg_id (existence +
-    * class check) — anchors are |duplicates|-sized, never corpus-sized.
-    * `negIdSpan` bounds the draw range (defaults to max(id)+1; pass the
-    * dense-id span when the corpus carries sparse synthetic ids). */
-  def contrastivePairs(docs: DataFrame, textCol: String, idCol: String,
-      negativesPerAnchor: Int = 2,
-      negIdSpan: Option[Long] = None): DataFrame = {
-    require(negativesPerAnchor >= 1, "need at least one negative")
-    import graft.engine.llm.Dedup
-    val keyed = docs.select(col(idCol).cast(LongType).as("id"),
-      Dedup.contentKey(col(textCol)).as("ck"))
-    val span = negIdSpan.getOrElse {
-      val row = docs.agg(max(col(idCol).cast(LongType))).head()
-      require(!row.isNullAt(0), "empty corpus has no id span")
-      row.getLong(0) + 1L
-    }
-    require(span >= 1, "id span must be positive")
-    val reps = keyed.groupBy(col("ck"))
-      .agg(min(col("id")).as("pos_id"), count(lit(1)).as("n"))
-    val anchors = keyed.join(reps.filter(col("n") > 1), Seq("ck"))
-      .filter(col("id") =!= col("pos_id"))
-      .select(col("id").as("anchor_id"), col("pos_id"), col("ck"))
-    val cand = anchors
-      .select(col("anchor_id"), col("pos_id"), col("ck"),
-        explode(sequence(lit(0), lit(negativesPerAnchor - 1))).as("j"))
-      .withColumn("neg_id",
-        conv(substring(md5(concat(col("anchor_id").cast("string"),
-          lit(":"), col("j").cast("string")).cast("binary")), 1, 8), 16, 10)
-          .cast(LongType) % span)
-    cand.join(keyed.select(col("id").as("neg_id"), col("ck").as("neg_ck")),
-        Seq("neg_id"))
-      .filter(col("neg_ck") =!= col("ck"))
-      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
-        col("j").cast(LongType).as("j"))
-  }
-
   def quantileFloor(docs: DataFrame, groupCol: String, scoreCol: String,
       q: Double, k: Int,
       thresholds: Option[DataFrame] = None): DataFrame = {
@@ -451,5 +402,65 @@ object Curation {
     docs.join(broadcast(thr), groupCol)
       .filter(col(scoreCol) >= col("_thr"))
       .drop("_thr")
+  }
+
+  /** Contrastive training-pair mining for embedding models (the
+    * SimCSE/E5-style hard-example construction re-expressed as pure
+    * relational arithmetic): every duplicate-class member anchors one
+    * POSITIVE (its class representative = min id — the supervised signal
+    * near-dup detection gives for free) and `negativesPerAnchor`
+    * deterministic NEGATIVES drawn by md5 arithmetic over (anchor, j) —
+    * reproducible on any engine, no RNG state, composable across
+    * ingestion batches (the q60 hash-sampling argument). A drawn negative
+    * must EXIST in the corpus and must not share the anchor's content
+    * class — both enforced by joins, so a collision or gap drops the row
+    * identically on every engine.
+    *
+    * The draw takes the first 15 md5 hex digits (60 bits, non-negative in
+    * a Long) so spans up to 2^60 draw uniformly — an 8-digit (32-bit)
+    * prefix would silently never draw ids >= 2^32 at the documented
+    * 100 TB dense-id scale. Spans beyond 2^60 are rejected rather than
+    * biased.
+    *
+    * Scale: one shuffle on the content key (class building), one narrow
+    * explode (k rows per anchor), one join on neg_id (existence +
+    * class check) — anchors are |duplicates|-sized, never corpus-sized.
+    * `negIdSpan` bounds the draw range (defaults to max(id)+1; pass the
+    * dense-id span when the corpus carries sparse synthetic ids). For
+    * HARD negatives (ranked near the anchor in embedding space instead
+    * of drawn uniformly) see [[hardNegativePairs]]. */
+  def contrastivePairs(docs: DataFrame, textCol: String, idCol: String,
+      negativesPerAnchor: Int = 2,
+      negIdSpan: Option[Long] = None): DataFrame = {
+    require(negativesPerAnchor >= 1, "need at least one negative")
+    import graft.engine.llm.Dedup
+    val keyed = docs.select(col(idCol).cast(LongType).as("id"),
+      Dedup.contentKey(col(textCol)).as("ck"))
+    val span = negIdSpan.getOrElse {
+      val row = docs.agg(max(col(idCol).cast(LongType))).head()
+      require(!row.isNullAt(0), "empty corpus has no id span")
+      row.getLong(0) + 1L
+    }
+    require(span >= 1, "id span must be positive")
+    require(span <= (1L << 60),
+      s"negIdSpan $span exceeds the 60-bit md5 draw range (2^60); " +
+        "a larger span would bias the modulo and truncate the id space")
+    val reps = keyed.groupBy(col("ck"))
+      .agg(min(col("id")).as("pos_id"), count(lit(1)).as("n"))
+    val anchors = keyed.join(reps.filter(col("n") > 1), Seq("ck"))
+      .filter(col("id") =!= col("pos_id"))
+      .select(col("id").as("anchor_id"), col("pos_id"), col("ck"))
+    val cand = anchors
+      .select(col("anchor_id"), col("pos_id"), col("ck"),
+        explode(sequence(lit(0), lit(negativesPerAnchor - 1))).as("j"))
+      .withColumn("neg_id",
+        conv(substring(md5(concat(col("anchor_id").cast("string"),
+          lit(":"), col("j").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast(LongType) % span)
+    cand.join(keyed.select(col("id").as("neg_id"), col("ck").as("neg_ck")),
+        Seq("neg_id"))
+      .filter(col("neg_ck") =!= col("ck"))
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("j").cast(LongType).as("j"))
   }
 }

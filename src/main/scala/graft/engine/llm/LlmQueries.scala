@@ -764,7 +764,7 @@ object LlmQueries {
         FROM k JOIN reps USING (ck)
         WHERE reps.cnt > 1 AND k.id <> reps.pos_id),
       cand AS (SELECT anchor_id, pos_id, ck, j,
-          CAST('0x' || substr(md5(anchor_id || ':' || j), 1, 8) AS BIGINT)
+          CAST('0x' || substr(md5(anchor_id || ':' || j), 1, 15) AS BIGINT)
             % (SELECT n FROM n) AS neg_id
         FROM anchors, (SELECT unnest([0, 1]) AS j))
       SELECT anchor_id, pos_id, neg_id, CAST(j AS BIGINT) AS j

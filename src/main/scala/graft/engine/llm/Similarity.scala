@@ -741,14 +741,32 @@ object Similarity {
     * strictly better than x| under (score desc, id asc) — a broadcast
     * inequality join over N×N candidate rows, so no window (and no
     * single-partition sort) ever touches the plan. Ties are impossible
-    * in the count because (score, id) is a total order. */
+    * in the count because (score, id) is a total order.
+    *
+    * PRECONDITIONS, enforced in-plan because [[rrfFuse]] treats the
+    * ranks as trustworthy: scores must be non-null (a NULL compares
+    * false against everything, which would silently rank the row 1) and
+    * ids must be unique (a duplicate would merge in the groupBy and
+    * double the strictly-better counts). Both guards run inside one
+    * hash-agg over the candidate-sized frame — no extra job, no extra
+    * shuffle beyond the N-row aggregation — and raise instead of
+    * corrupting downstream fusion. */
   def rankCandidates(cands: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
-    val better = broadcast(cands.select(col(idCol).as("_yid"),
-      col(scoreCol).as("_ys")))
-    cands.join(better,
-        col("_ys") > col(scoreCol) ||
-          (col("_ys") === col(scoreCol) && col("_yid") < col(idCol)),
+    // min == max over a single row is the row itself; n > 1 or a null
+    // score (min of a lone null is null) trips the raise_error branch
+    val checked = cands.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), min(col(scoreCol)).as("_s"))
+      .select(col(idCol),
+        when(col("_n") === 1 && col("_s").isNotNull, col("_s"))
+          .otherwise(raise_error(concat(
+            lit("rankCandidates: duplicate id or null score for "),
+            col(idCol).cast("string")))).as("_score"))
+    val better = broadcast(checked.select(col(idCol).as("_yid"),
+      col("_score").as("_ys")))
+    checked.join(better,
+        col("_ys") > col("_score") ||
+          (col("_ys") === col("_score") && col("_yid") < col(idCol)),
         "left")
       .groupBy(col(idCol))
       .agg((count(col("_yid")) + 1L).as("rank"))

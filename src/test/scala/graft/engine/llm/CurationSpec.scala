@@ -85,14 +85,15 @@ class CurationSpec extends AnyFunSuite {
       val rows = pairs.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       // REFERENCE: replicate the documented construction exactly —
-      // md5("anchor:j") hex-prefix-8 as integer mod span, keep draws
-      // that exist and don't share the anchor's normalized content
+      // md5("anchor:j") hex-prefix-15 (60 bits) as integer mod span,
+      // keep draws that exist and don't share the anchor's normalized
+      // content
       val texts = corpus.collect()
         .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase).toMap
       def draw(anchor: Long, j: Int): Long = {
         val md = java.security.MessageDigest.getInstance("MD5")
         val hex = md.digest(s"$anchor:$j".getBytes("UTF-8"))
-          .map(b => f"${b & 0xff}%02x").mkString.take(8)
+          .map(b => f"${b & 0xff}%02x").mkString.take(15)
         java.lang.Long.parseLong(hex, 16) % span
       }
       val expected = (for {
