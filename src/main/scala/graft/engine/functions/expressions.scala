@@ -680,9 +680,22 @@ case class VocabTokens(child: Expression, vocab: Array[String])
   * semantics and the DuckDB twin replays both with the same list_reduce
   * rule (LlmQueries.q120).
   *
+  * Cost is INDEPENDENT of the merge budget: instead of scanning all
+  * `numMerges` rounds per word (10^4+ for a production vocabulary, with
+  * almost every round a no-op for any given word), the kernel indexes
+  * merges by pair and JUMPS to the next applicable rank — the word's
+  * pieces are constant between applications, so "smallest rank >= cursor
+  * among the word's current adjacencies" selects exactly the rounds the
+  * sequential fold would apply, in the same order. A word of p pieces
+  * pays O(p) hash probes per applied merge and at most p-1 merges apply,
+  * so inference is O(p^2) per distinct word whether the vocabulary holds
+  * 8 merges or 50k (TokenizerSpec's 10^4-merge gate measures it).
+  *
   * A per-expression-instance memo caches word → pieces (words repeat
-  * heavily under Zipf; the cache is capped and cleared at 64K entries so
-  * a pathological corpus cannot grow it unboundedly). */
+  * heavily under Zipf; the cache is an access-order LRU capped at 64K
+  * entries, so a pathological corpus with more distinct hot words evicts
+  * the coldest entry per insert instead of oscillating between an empty
+  * and a full cache on periodic wholesale clears). */
 private[functions] final class BpeKernel(
     merges: Array[(String, String)]) extends Serializable {
   merges.foreach { case (a, b) =>
@@ -692,26 +705,77 @@ private[functions] final class BpeKernel(
   }
 
   @transient private lazy val memo =
-    new java.util.HashMap[String, Array[String]]()
+    new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[String]]): Boolean =
+        size() > 65536
+    }
 
-  /** Apply the full merge sequence to one word. */
+  /** pair "a b" → ascending ranks where that pair is merged (a pair
+    * CAN recur in a merge list if later merges re-create its pieces, so
+    * the value is a rank array, not a single rank). */
+  @transient private lazy val ranksByPair: java.util.HashMap[String, Array[Int]] = {
+    val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    var r = 0
+    while (r < merges.length) {
+      val key = merges(r)._1 + " " + merges(r)._2
+      var buf = tmp.get(key)
+      if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Int]; tmp.put(key, buf) }
+      buf += r // ranks are visited in order, so each buffer is ascending
+      r += 1
+    }
+    val out = new java.util.HashMap[String, Array[Int]](tmp.size() * 2)
+    tmp.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  /** Smallest element >= cur in an ascending array, or -1. */
+  @inline private def firstAtLeast(rs: Array[Int], cur: Int): Int = {
+    var lo = 0
+    var hi = rs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (rs(mid) < cur) lo = mid + 1 else hi = mid
+    }
+    if (lo < rs.length) rs(lo) else -1
+  }
+
+  /** Apply the full merge sequence to one word — rank-jumping, exactly
+    * the sequential fold's answer (see the class doc). */
   def encodeWord(w: String): Array[String] = {
     val hit = memo.get(w)
     if (hit != null) return hit
     var pieces: Array[String] = Array.tabulate(w.length)(i => w.substring(i, i + 1))
-    merges.foreach { case (a, b) =>
-      if (pieces.length >= 2) {
+    var cur = 0
+    var done = pieces.length < 2
+    while (!done) {
+      // the smallest not-yet-passed rank applicable to ANY current
+      // adjacency — the exact next round the sequential loop would apply
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < pieces.length) {
+        val rs = ranksByPair.get(pieces(i) + " " + pieces(i + 1))
+        if (rs != null) {
+          val r = firstAtLeast(rs, cur)
+          if (r >= 0 && r < best) best = r
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best)
         val out = new scala.collection.mutable.ArrayBuffer[String](pieces.length)
-        var i = 0
-        while (i < pieces.length) {
-          if (i + 1 < pieces.length && pieces(i) == a && pieces(i + 1) == b) {
-            out += (a + b); i += 2
-          } else { out += pieces(i); i += 1 }
+        var j = 0
+        while (j < pieces.length) {
+          if (j + 1 < pieces.length && pieces(j) == a && pieces(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += pieces(j); j += 1 }
         }
         pieces = out.toArray
+        cur = best + 1
+        done = pieces.length < 2
       }
     }
-    if (memo.size() >= 65536) memo.clear()
     memo.put(w, pieces)
     pieces
   }

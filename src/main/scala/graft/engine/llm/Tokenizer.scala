@@ -187,6 +187,162 @@ object Tokenizer {
     merges.toArray
   }
 
+  /** PRODUCTION-BUDGET BPE training (VERDICT r11 item 1): same semantics
+    * as [[trainBpeMerges]] — same `[a-z]+|[0-9]+` length>=2 word
+    * extraction, same (freq desc, pair asc) tie-break, same leftmost
+    * non-overlapping rewrite — but the merge loop runs IN MEMORY over
+    * the collected distinct-word frequency table, so a real 30k–50k-merge
+    * vocabulary budget costs ONE Spark aggregation instead of one
+    * sequential Spark job per merge round (the one wrong-shape-at-scale
+    * operator the r11 verdict flagged).
+    *
+    * The collect is safe for exactly the reason [[trainWordVocab]]'s is:
+    * the distinct-word table is Heaps'-law bounded (millions of rows at
+    * web scale — driver-trivial next to the vocabulary collect every
+    * trainer here already performs), and real deployments train on a
+    * [[Curation.hashSample]] besides. The loop itself is the classic
+    * incremental trainer (subword-nmt's shape, Sennrich et al. 2016):
+    * pair counts are maintained by DELTA — a merge of (a,b) touches only
+    * the words currently containing that pair (tracked per pair) — and
+    * the round's argmax comes from a lazy-invalidation max-heap keyed
+    * (count desc, a asc, b asc), so total work is
+    * O(Σ rewritten-piece-lengths · log pairs), independent of the merge
+    * budget × corpus product the job-per-round loop pays.
+    *
+    * [[trainBpeMerges]] remains the distributed, oracle-replayable twin
+    * (q119/q120/q121 replay it merge-by-merge in DuckDB); TokenizerSpec
+    * pins this trainer equal to the single-threaded reference at a
+    * >=1000-merge budget and equal to the distributed fold at the
+    * 32-merge budget on the real corpus. SCALE.md records the crossover:
+    * use the distributed twin for oracle-sized budgets, this path for
+    * production vocabularies. */
+  def trainBpeMergesBudget(docs: DataFrame, textCol: String,
+      numMerges: Int): Array[(String, String)] = {
+    require(numMerges >= 1, "need at least one merge round")
+    val wf = docs
+      .select(explode(regexp_extract_all(lower(col(textCol)), lit(wordRe),
+        lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("f"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    bpeMergeLoop(wf, numMerges)
+  }
+
+  /** One leftmost non-overlapping merge pass — the in-memory twin of the
+    * distributed fold rule (append, except replace the tail when it
+    * equals `a` and the incoming piece is `b`). */
+  private def mergeLeftmost(p: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](p.length)
+    var j = 0
+    while (j < p.length) {
+      if (j + 1 < p.length && p(j) == a && p(j + 1) == b) {
+        out += (a + b); j += 2
+      } else { out += p(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** The in-memory incremental merge loop behind
+    * [[trainBpeMergesBudget]], package-visible so the spec can drive it
+    * with a hand-built frequency table. */
+  private[llm] def bpeMergeLoop(wordFreqs: Array[(String, Long)],
+      numMerges: Int): Array[(String, String)] = {
+    import scala.collection.mutable
+    val nw = wordFreqs.length
+    val pieces = new Array[Array[String]](nw)
+    val freq = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      val (w, f) = wordFreqs(i)
+      pieces(i) = Array.tabulate(w.length)(j => w.substring(j, j + 1))
+      freq(i) = f
+      i += 1
+    }
+    def pairsOf(p: Array[String]): mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var j = 0
+      while (j + 1 < p.length) {
+        val k = (p(j), p(j + 1))
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+        j += 1
+      }
+      m
+    }
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    i = 0
+    while (i < nw) {
+      pairsOf(pieces(i)).foreach { case (k, c) =>
+        pairCount.update(k, pairCount.getOrElse(k, 0L) + c * freq(i))
+        pairWords.getOrElseUpdate(k, mutable.HashSet.empty) += i
+      }
+      i += 1
+    }
+    // max-heap on (count desc, a asc, b asc) with LAZY invalidation: every
+    // count change pushes a fresh entry; a popped entry is live only if it
+    // still matches the current count (stale ones are simply discarded).
+    val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String),
+            y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2)
+            if (a != 0) a else y._3.compareTo(x._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    pairCount.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      var top: (String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (pairCount.get((a, b)).contains(c)) top = (a, b)
+      }
+      if (top == null) exhausted = true
+      else {
+        val (a, b) = top
+        merges += ((a, b))
+        val affected = pairWords.getOrElse((a, b), mutable.HashSet.empty)
+          .toArray
+        affected.foreach { wi =>
+          val oldP = pieces(wi)
+          val newP = mergeLeftmost(oldP, a, b)
+          val oldPairs = pairsOf(oldP)
+          val newPairs = pairsOf(newP)
+          (oldPairs.keySet ++ newPairs.keySet).foreach { k =>
+            val oc = oldPairs.getOrElse(k, 0L)
+            val nc = newPairs.getOrElse(k, 0L)
+            if (nc != oc) {
+              val updated = pairCount.getOrElse(k, 0L) + (nc - oc) * freq(wi)
+              if (updated <= 0L) pairCount.remove(k)
+              else {
+                pairCount.update(k, updated)
+                heap.enqueue((updated, k._1, k._2))
+              }
+            }
+            if (nc > 0L && oc == 0L)
+              pairWords.getOrElseUpdate(k, mutable.HashSet.empty) += wi
+            else if (nc == 0L && oc > 0L)
+              pairWords.get(k).foreach { s =>
+                s -= wi
+                if (s.isEmpty) pairWords.remove(k)
+              }
+          }
+          pieces(wi) = newP
+        }
+      }
+    }
+    merges.toArray
+  }
+
   /** The tokenizer vocabulary a merge sequence defines: the distinct
     * merge OUTPUTS in merge order (single characters stay the implicit
     * base vocab, exactly as in [[trainWordVocab]]'s greedy kernel).

@@ -309,4 +309,121 @@ class TokenizerSpec extends AnyFunSuite {
       Tokenizer.alternationPattern(Array("a.b"))
     }
   }
+
+  /** Deterministic synthetic corpus for deep-merge-budget gates: `n`
+    * distinct words over a small alphabet (base-`radix` digit strings —
+    * heavy pair sharing, like natural subword structure), each repeated
+    * (i % 3 + 1) times, bundled into 20-word texts. */
+  private def syntheticCorpus(n: Int, radix: Int, pad: Int): Seq[String] = {
+    val words = (0 until n).map { i =>
+      val s = java.lang.Integer.toString(i, radix)
+        .map(c => if (c <= '9') ('a' + (c - '0')).toChar
+                  else ('a' + (c - 'a') + 10).toChar)
+      ("a" * math.max(0, pad - s.length)) + s
+    }
+    words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(i % 3 + 1)(w) }
+      .grouped(20).map(_.mkString(" ")).toSeq
+  }
+
+  test("production-budget trainer: in-memory merge loop stays " +
+      "reference-equal at a >=1000-merge budget (VERDICT r12 item 1)") {
+    // a corpus rich enough to sustain >1000 merge rounds; the reference
+    // recounts every round, the budget trainer maintains deltas + a
+    // lazy-invalidation heap — equality pins the incremental accounting
+    // (stale-entry discard, membership updates, tie-breaks) at depth
+    val texts = syntheticCorpus(n = 900, radix = 6, pad = 9)
+    val df = texts.toDF("t")
+    val t0 = System.nanoTime()
+    val got = Tokenizer.trainBpeMergesBudget(df, "t", 1200).toList
+    val budgetSec = (System.nanoTime() - t0) / 1e9
+    val want = BpeReference.train(texts, 1200)
+    assert(got.length >= 1000,
+      s"fixture must sustain >=1000 merges, got ${got.length}")
+    assert(got == want,
+      s"divergence at depth ${got.zip(want).indexWhere(p => p._1 != p._2)}" +
+        s" of ${got.length}")
+    info(f"budget trainer: ${got.length} merges in $budgetSec%.2f s " +
+      "(one Spark aggregation + in-memory loop)")
+    // determinism on re-run
+    assert(Tokenizer.trainBpeMergesBudget(df, "t", 1200).toList == got)
+  }
+
+  test("production-budget trainer == distributed fold at the 32-merge " +
+      "budget on the real corpus") {
+    val dist = Tokenizer.trainBpeMerges(docs, "text", 32).toList
+    val mem = Tokenizer.trainBpeMergesBudget(docs, "text", 32).toList
+    assert(mem == dist,
+      s"divergence at depth ${mem.zip(dist).indexWhere(p => p._1 != p._2)}")
+    // exhaustion parity: both stop at the same point on a tiny corpus
+    val tiny = Seq("ab ab").toDF("t")
+    assert(Tokenizer.trainBpeMergesBudget(tiny, "t", 10).toSeq ==
+      Seq(("a", "b")))
+  }
+
+  test("BPE kernel at a 10^4-merge budget: inference stays correct and " +
+      "fast under the production merge count (SCALE.md gate)") {
+    // train a >=10^4-merge sequence on a deep synthetic corpus
+    val texts = syntheticCorpus(n = 12000, radix = 8, pad = 14)
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    val wordRe = "[a-z]+|[0-9]+".r
+    texts.foreach(t => wordRe.findAllIn(t.toLowerCase)
+      .filter(_.length >= 2)
+      .foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L))
+    val t0 = System.nanoTime()
+    val merges = Tokenizer.bpeMergeLoop(wf.toArray, 10000)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    assert(merges.length >= 10000,
+      s"fixture must sustain 10^4 merges, got ${merges.length}")
+    // the kernel applies all 10^4 merges per distinct word (memoized);
+    // correctness vs the reference merge application on the real
+    // corpus's distinct words, timing over the full documents table
+    val t1 = System.nanoTime()
+    val kernelCounts = docs.select(col("doc_id"),
+        Tokenizer.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inferSec = (System.nanoTime() - t1) / 1e9
+    info(f"10^4-merge gate: train $trainSec%.2f s, " +
+      f"kernel inference over ${kernelCounts.size} docs $inferSec%.2f s")
+    val sample = docs.filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text")).collect()
+    val mergeList = merges.toList
+    val memo = scala.collection.mutable.Map.empty[String, Long]
+    def refCount(text: String): Long = {
+      var n = 0L
+      var i = 0
+      val s = text.toLowerCase
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+            c == '\f' || c == '\r') i += 1
+        else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          val letters = c >= 'a' && c <= 'z'
+          var j = i
+          while (j < s.length && {
+            val d = s.charAt(j)
+            if (letters) d >= 'a' && d <= 'z' else d >= '0' && d <= '9'
+          }) j += 1
+          val w = s.substring(i, j)
+          n += memo.getOrElseUpdate(w, {
+            var p = w.map(_.toString).toList
+            mergeList.foreach { case (a, b) =>
+              p = BpeReference.applyMerge(p, a, b)
+            }
+            p.length.toLong
+          })
+          i = j
+        } else { n += 1; i += 1 }
+      }
+      n
+    }
+    sample.foreach { r =>
+      assert(kernelCounts(r.getLong(0)) == refCount(r.getString(1)),
+        s"kernel count diverges from 10^4-merge reference on doc " +
+          s"${r.getLong(0)}")
+    }
+    // the production inference cost must stay in the per-query budget
+    assert(inferSec < 30.0,
+      f"10^4-merge kernel inference took $inferSec%.1f s over 500 docs")
+  }
 }
