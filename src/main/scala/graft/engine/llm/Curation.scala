@@ -463,4 +463,64 @@ object Curation {
       .select(col("anchor_id"), col("pos_id"), col("neg_id"),
         col("j").cast(LongType).as("j"))
   }
+
+  /** The (anchor, positive, class-key) table both contrastive miners
+    * share: every duplicate-class member that is NOT its class
+    * representative (min id) anchors the representative as its positive.
+    * One shuffle on the content key; |duplicates|-sized output. */
+  def duplicateAnchors(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import graft.engine.llm.Dedup
+    val keyed = docs.select(col(idCol).cast(LongType).as("id"),
+      Dedup.contentKey(col(textCol)).as("ck"))
+    val reps = keyed.groupBy(col("ck"))
+      .agg(min(col("id")).as("pos_id"), count(lit(1)).as("n"))
+    keyed.join(reps.filter(col("n") > 1), Seq("ck"))
+      .filter(col("id") =!= col("pos_id"))
+      .select(col("id").as("anchor_id"), col("pos_id"), col("ck"))
+  }
+
+  /** HARD-negative contrastive mining (VERDICT r11 item 2 — the
+    * production successor of [[contrastivePairs]]' uniform draw):
+    * negatives are RANKED near the anchor in embedding space instead of
+    * drawn at random, which is what makes contrastive training data
+    * effective (the InfoNCE hard-negative literature: Robinson et al.
+    * 2021). Positives are the duplicate-class representatives
+    * ([[duplicateAnchors]]); `neighbors` is the anchors' candidate
+    * ranking — (qid, nid, cosine) with qid = anchor id — produced by
+    * probing a PUBLISHED ANN index ([[AnnIndex]], exact-regime settings
+    * when the ranking must be engine-replayable, q127's posture) or any
+    * of the [[Similarity]] top-k operators. Candidates sharing the
+    * anchor's content class are excluded (the anchor itself, its
+    * positive, and every other copy — a same-class "negative" would be a
+    * false negative in the loss), then the surviving candidates re-rank
+    * by (cosine desc, id asc) and the top `negativesPerAnchor` become
+    * the triple's negatives.
+    *
+    * Scale: anchors are |duplicates|-sized and `neighbors` is
+    * anchors × k — the expensive part (the ANN probe over the corpus)
+    * happens upstream at index-probe cost; everything here joins
+    * candidate-sized frames, and the window partitions by anchor over
+    * ≤ k rows per group. */
+  def hardNegativePairs(docs: DataFrame, textCol: String, idCol: String,
+      neighbors: DataFrame, negativesPerAnchor: Int): DataFrame = {
+    require(negativesPerAnchor >= 1, "need at least one negative")
+    import graft.engine.llm.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val anchors = duplicateAnchors(docs, textCol, idCol)
+    val keyed = docs.select(col(idCol).cast(LongType).as("neg_id"),
+      Dedup.contentKey(col(textCol)).as("neg_ck"))
+    val cand = neighbors
+      .select(col("qid").as("anchor_id"), col("nid").as("neg_id"),
+        col("cosine"))
+      .join(anchors, Seq("anchor_id"))
+      .join(keyed, Seq("neg_id"))
+      .filter(col("neg_ck") =!= col("ck"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    cand.withColumn("neg_rank", row_number().over(w).cast(LongType))
+      .filter(col("neg_rank") <= negativesPerAnchor)
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("neg_rank"), col("cosine"))
+  }
 }

@@ -891,6 +891,114 @@ object LlmQueries {
       "by reciprocal ranks (k=60); every stage replayed in SQL down to " +
       "the fused top-10")
 
+  /** q127 — HARD-negative contrastive mining (q125's production
+    * successor, VERDICT r11 item 2): negatives come from each anchor's
+    * ANN top-k against the PUBLISHED IVF-PQ index instead of a uniform
+    * md5 draw — the Robinson et al. 2021 hard-negative construction over
+    * the real index lifecycle (train → publish → load → encode → probe,
+    * q111's posture). Exact-regime settings (nprobe = nlist + exact
+    * re-rank over every probed candidate — the documented "rerank >=
+    * corpus recovers exactness under ANY codebooks" contract, since the
+    * derived embeddings carry zero subvectors that lossless-codebook
+    * identity encoding cannot represent) make the probe EQUAL the
+    * brute-force cosine ranking, so DuckDB replays everything from raw
+    * text: the md5 featurization (q116/q117's), the anchors' candidate
+    * ranking with the shared (cos desc, nid asc) tie-break, the
+    * class-collision exclusion (an anchor's copies must never surface as
+    * its negatives), and the (cosine desc, id) re-rank to the final
+    * `negativesPerAnchor` — ranking AND exclusion both value-replayed. */
+  val q127 = GraftQuery(
+    "q127_hard_negative_pairs",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q127_ann_${ProcessHandle.current().pid()}"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + n).as("doc_id"), col("text")))
+      val emb = TextAnalysis.embedText(corpus, "doc_id", "text", dim = 32)
+        .select(col("doc_id").as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .localCheckpoint() // feeds training, encoding, AND the probe
+      AnnIndex.publishIndex(spark, s"$root/index",
+        Similarity.ivfCentroids(emb, nlist = 4, iters = 1),
+        Similarity.pqTrain(emb, m = 4, k = 16, iters = 2))
+      val (cents, books) = AnnIndex.loadIndex(spark, s"$root/index")
+      AnnIndex.publishCodes(emb, s"$root/codes", cents, books, nBuckets = 4)
+      val anchors = Curation.duplicateAnchors(corpus, "text", "doc_id")
+      val anchorEmb = emb.join(
+        anchors.select(col("anchor_id").as("vec_id")), Seq("vec_id"))
+      val probed = Similarity.ivfPqTopK(emb, anchorEmb, k = 8,
+        cents, books, nprobe = 4, rerank = (n + n / 25 + 1).toInt,
+        codes = Some(AnnIndex.readCodes(spark, s"$root/codes")))
+      Curation.hardNegativePairs(corpus, "text", "doc_id", probed,
+          negativesPerAnchor = 2)
+        .orderBy(col("anchor_id"), col("neg_rank"))
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT n FROM n), text FROM documents
+        WHERE doc_id % 25 = 0),
+      k AS (SELECT doc_id AS id, md5(lower(trim(text))) AS ck FROM corpus),
+      reps AS (SELECT ck, MIN(id) AS pos_id, COUNT(*) AS cnt
+        FROM k GROUP BY ck),
+      anchors AS (SELECT k.id AS anchor_id, reps.pos_id, k.ck
+        FROM k JOIN reps USING (ck)
+        WHERE reps.cnt > 1 AND k.id <> reps.pos_id),
+      w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM corpus),
+      s AS (SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 32
+            AS BIGINT) AS bucket,
+          CASE WHEN substr(md5(w), 5, 1) < '8' THEN 1 ELSE -1 END AS sgn
+        FROM w),
+      g AS (SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+        FROM s GROUP BY 1, 2),
+      grid AS (SELECT d.doc_id, CAST(j.j AS BIGINT) AS pos
+        FROM (SELECT DISTINCT doc_id FROM corpus) d
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS j) j),
+      e AS (SELECT grid.doc_id AS vec_id,
+          list(CAST(COALESCE(g.v, 0) AS DOUBLE) ORDER BY grid.pos) AS emb
+        FROM grid LEFT JOIN g
+          ON grid.doc_id = g.doc_id AND grid.pos = g.bucket
+        GROUP BY grid.doc_id),
+      q AS (SELECT anchors.anchor_id AS qid, e.emb AS qe
+        FROM anchors JOIN e ON e.vec_id = anchors.anchor_id),
+      pairs AS (SELECT q.qid, e.vec_id AS nid,
+          list_dot_product(q.qe, e.emb) AS dot,
+          sqrt(list_dot_product(q.qe, q.qe)) *
+            sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+        FROM q, e WHERE e.vec_id <> q.qid),
+      ranked AS (SELECT qid, nid,
+          ROUND(CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END, 6) AS cosine,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END DESC,
+              nid ASC) AS rnk
+        FROM pairs),
+      excl AS (SELECT r.qid, r.nid, r.cosine
+        FROM ranked r
+        JOIN anchors a ON a.anchor_id = r.qid
+        JOIN k kn ON kn.id = r.nid
+        WHERE r.rnk <= 8 AND kn.ck <> a.ck),
+      rr AS (SELECT qid AS anchor_id, nid AS neg_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, nid ASC) AS neg_rank
+        FROM excl)
+      SELECT a.anchor_id, a.pos_id, rr.neg_id,
+        CAST(rr.neg_rank AS BIGINT) AS neg_rank, rr.cosine
+      FROM rr JOIN anchors a USING (anchor_id)
+      WHERE rr.neg_rank <= 2
+      ORDER BY anchor_id, neg_rank"""),
+    doc = "hard-negative contrastive mining: anchors' ANN top-8 against " +
+      "the published IVF-PQ index (exact regime), class-collision " +
+      "excluded, re-ranked to 2 negatives; ranking and exclusion both " +
+      "value-replayed from raw text")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -2448,5 +2556,5 @@ object LlmQueries {
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      x42, x43, x44, x45, x46, x47, x48, x49, x51)
+      q127, x42, x43, x44, x45, x46, x47, x48, x49, x51)
 }

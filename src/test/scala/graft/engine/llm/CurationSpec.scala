@@ -116,6 +116,38 @@ class CurationSpec extends AnyFunSuite {
     } finally pairs.unpersist()
   }
 
+  test("hardNegativePairs: class collisions excluded, re-rank by " +
+      "(cosine desc, id asc), top-n per anchor, anchors without " +
+      "candidates drop") {
+    // ids 0..5; 3 and 4 duplicate 0's text; 5 duplicates 1's
+    val corpus = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"), (2L, "zeta eta"),
+      (3L, "alpha beta gamma"), (4L, "  ALPHA beta GAMMA  "),
+      (5L, "delta epsilon")).toDF("doc_id", "text")
+    // anchors are 3, 4 (class of 0) and 5 (class of 1); hand-built probe
+    // rankings: anchor 3 sees its own class members 0 and 4 at cos 1.0
+    // (must be excluded), then 1, 2, 5; anchor 4 sees 2 and 5 tied (id
+    // tie-break); anchor 5 sees only same-class docs -> drops entirely
+    val neighbors = Seq(
+      (3L, 0L, 1.0), (3L, 4L, 1.0), (3L, 2L, 0.9), (3L, 1L, 0.8),
+      (3L, 5L, 0.8),
+      (4L, 2L, 0.7), (4L, 5L, 0.7),
+      (5L, 1L, 1.0)).toDF("qid", "nid", "cosine")
+    val got = Curation.hardNegativePairs(corpus, "text", "doc_id",
+        neighbors, negativesPerAnchor = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    // anchor 3 (pos 0): same-class 0 and 4 excluded; then 2 (0.9) rank 1,
+    // tie at 0.8 between 1 and 5 -> id asc keeps 1 at rank 2
+    // anchor 4 (pos 0): tie at 0.7 -> 2 then 5
+    // anchor 5 (pos 1): its only candidate 1 shares its class -> no rows
+    assert(got.toSeq == Seq(
+      (3L, 0L, 2L, 1L), (3L, 0L, 1L, 2L),
+      (4L, 0L, 2L, 1L), (4L, 0L, 5L, 2L)),
+      s"got ${got.toList}")
+  }
+
   test("hashSample composes: sample(a ∪ b) == sample(a) ∪ sample(b)") {
     val a = docs.filter(col("doc_id") % 2 === 0)
     val b = docs.filter(col("doc_id") % 2 === 1)
