@@ -2551,10 +2551,52 @@ object LlmQueries {
       "recall >= 4x the scan-fraction diagonal (0.5 at 12.5% scan) — " +
       "the above-the-diagonal guarantee isotropic x47 cannot make")
 
+  /** x50 — IVF-PQ on the PLANTED-CLUSTER corpus (x49's sibling for the
+    * PRODUCTION composition, VERDICT r11 item 4): `ivfPqTopK` — coarse
+    * cells AND 16-byte PQ codes, the Faiss IVFPQ shape q111/x62 publish —
+    * probed at the published re-rank operating point (m=16, k=32,
+    * re-rank@100) with nprobe/nlist = 4/32, must hold recall >= 4× the
+    * 12.5% scan-fraction diagonal on the seeded clustered fixture
+    * (measures 1.00). x49 pins the coarse quantizer alone; this row pins
+    * that STACKING the product quantizer's 16× compression on top — ADC
+    * candidate selection inside the probed cells, then the bounded exact
+    * re-rank — does not surrender the clustered-corpus advantage.
+    * Contract-boolean oracle (q106 pattern); corpus generated in-query,
+    * sfDir deliberately unused (scale sensitivity is x47/x48's job). */
+  val x50 = GraftQuery(
+    "x50_ann_ivfpq_clustered",
+    (spark, sfDir) => {
+      val emb = graft.tools.ClusteredVectors.generate(spark, n = 1000L,
+          k = 10, sigma = 0.2, seed = 42L)
+        .select(col("vec_id"), col("embedding")).persist()
+      try {
+        val queries = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val cents = Similarity.ivfCentroids(emb, nlist = 32)
+        val books = Similarity.pqTrain(emb, m = 16, k = 32, iters = 2)
+        val ivfpq = Similarity.ivfPqTopK(emb, queries, 5, cents, books,
+            nprobe = 4, rerank = 100)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = exact.intersect(ivfpq).size.toDouble /
+          math.max(exact.size, 1)
+        import spark.implicits._
+        Seq((1000L, exact.size.toLong, recall >= 0.5))
+          .toDF("n_corpus", "n_exact", "ivfpq_4x_diagonal_ok")
+      } finally emb.unpersist()
+    },
+    Some("""SELECT CAST(1000 AS BIGINT) AS n_corpus,
+        CAST(50 AS BIGINT) AS n_exact, TRUE AS ivfpq_4x_diagonal_ok"""),
+    doc = "IVF-PQ (the production composition: coarse cells + 16-byte " +
+      "codes + re-rank@100) on the seeded planted-cluster corpus; " +
+      "contract oracle: recall >= 4x the 12.5%-scan diagonal")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      q127, x42, x43, x44, x45, x46, x47, x48, x49, x51)
+      q127, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
 }
