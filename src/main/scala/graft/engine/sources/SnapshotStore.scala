@@ -705,6 +705,35 @@ object SnapshotStore {
     }
   }
 
+  /** [[append]] under WRITE CONTENTION: two always-on pipelines feeding
+    * one store (the x59/x63 deployment shape) race the optimistic base
+    * check — the loser's staging is discarded with a "stale append"
+    * error telling it to re-run against the new base. This wrapper IS
+    * that re-run loop: recompute-and-retry up to `maxRetries` times.
+    * Retries are safe exactly because appends are insert-only (the
+    * batch's rows don't depend on the base version's content — only the
+    * hardlink carryover does, and that is recomputed per attempt) and a
+    * `tag` makes a replayed win idempotent. Callers whose batch DOES
+    * read the store first (anti-join dedup, merge) must re-derive the
+    * batch per attempt — pass a thunk, not a cached frame. */
+  def appendContended(batch: () => DataFrame, root: String,
+      tag: Option[String] = None, maxRetries: Int = 16): Long = {
+    var attempt = 0
+    var last: IllegalStateException = null
+    while (attempt <= maxRetries) {
+      try return append(batch(), root, tag)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("stale append") =>
+          last = e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"append still stale after $maxRetries retries under $root", last)
+  }
+
   /** COMPACT a bucketed store's current version: rewrite only the buckets
     * whose file count exceeds `maxFilesPerBucket`, hardlink every other
     * bucket, and publish the result as a new version (content identical —

@@ -666,4 +666,174 @@ class StreamingSpec extends AnyFunSuite {
     assert(agg() == Map("x" -> ((2L, 11.5)), "y" -> ((2L, 2.5))))
     assert(SnapshotStore.currentVersion(root) == vAfter + 1)
   }
+
+  test("x63 media key store: a stream killed after staging but before " +
+      "the flip restarts to exactly-once — no duplicate key, no lost " +
+      "batch, orphan staging reaped (VERDICT r11 item 3)") {
+    import graft.engine.llm.Multimodal
+    import graft.engine.sources.SnapshotStore
+    val base = java.nio.file.Files.createTempDirectory("media_torn").toString
+    val keysRoot = s"$base/keys"
+    def media(lo: Long, hi: Long) = Multimodal.syntheticImages(
+      spark.range(lo, hi).select(col("id").as("doc_id")))
+    SnapshotStore.publishBucketed(
+      Multimodal.imageSignatures(media(0L, 100L)).toDF()
+        .select(col("pixkey"), col("media_id")),
+      keysRoot, "pixkey", nBuckets = 4)
+    val v1 = SnapshotStore.currentVersion(keysRoot)
+    // one ingest file: 50 fresh pixel classes plus a content-carried copy
+    // of base image 0 (must dedup against the STORE, not within-batch)
+    media(100L, 150L).unionByName(
+        media(0L, 1L).map(m => m.copy(media_id = m.media_id + 100000)))
+      .toDF().coalesce(1).write.mode("append").parquet(s"$base/in")
+    val mediaSchema = media(0L, 1L).schema
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the x63 micro-batch body: decode + within-batch min-id dedup +
+    // touched-bucket-pruned anti-join against the published keys
+    def freshKeys(batch: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val sigs = Multimodal.imageSignatures(
+        batch.as[Multimodal.MediaRow]).toDF()
+      val withinBatch = sigs.groupBy(col("pixkey"))
+        .agg(min(col("media_id")).as("media_id")).localCheckpoint()
+      val (_, nb) = SnapshotStore.readBucketSpec(keysRoot).get
+      val touched = withinBatch
+        .select(SnapshotStore.bucketExpr("pixkey", nb).as("_bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      withinBatch.join(
+        SnapshotStore.read(spark, keysRoot)
+          .filter(col("_bucket").isin(touched.map(Int.box): _*))
+          .select(col("pixkey")),
+        Seq("pixkey"), "left_anti")
+        .select(col("pixkey"), col("media_id"))
+    }
+    def start(failFirst: Boolean) = spark.readStream.schema(mediaSchema)
+      .parquet(s"$base/in")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val fresh = freshKeys(batch)
+        if (failFirst && crashed.compareAndSet(false, true)) {
+          // the crash is planted INSIDE the real micro-batch: stage the
+          // batch exactly as append would (bucket layout + tag file) and
+          // die BEFORE the flip — the post-staging, pre-flip window a
+          // process kill can land in
+          val (_, nb) = SnapshotStore.readBucketSpec(keysRoot).get
+          val staging = java.nio.file.Paths.get(keysRoot,
+            s".staging-torn-${System.nanoTime()}")
+          fresh.withColumn("_bucket",
+              SnapshotStore.bucketExpr("pixkey", nb))
+            .write.partitionBy("_bucket").parquet(staging.toString)
+          java.nio.file.Files.write(staging.resolve("_GRAFT_TAG"),
+            s"batch-$id".getBytes)
+          throw new RuntimeException("simulated crash: staged, not flipped")
+        }
+        SnapshotStore.append(fresh, keysRoot, tag = Some(s"batch-$id"))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val q1 = start(failFirst = true)
+    intercept[Throwable] { q1.processAllAvailable() }
+    q1.stop()
+    assert(crashed.get(), "the planted crash must have fired")
+    // nothing flipped: still the bootstrap version, torn staging on disk
+    assert(SnapshotStore.currentVersion(keysRoot) == v1)
+    // restart over the same checkpoint: the SAME logical batch replays
+    // with the SAME tag and must apply exactly once
+    val q2 = start(failFirst = false)
+    try q2.processAllAvailable() finally q2.stop()
+    val v2 = SnapshotStore.currentVersion(keysRoot)
+    assert(v2 == v1 + 1, "exactly one version minted across the crash")
+    assert(SnapshotStore.versionTags(keysRoot).get(v2).contains("batch-0"))
+    val ids = SnapshotStore.read(spark, keysRoot)
+      .select(col("media_id")).collect().map(_.getLong(0)).sorted.toSeq
+    // base classes once, the 50 fresh classes once, the planted copy
+    // deduped against the store — no duplicate, no lost batch
+    assert(ids == (0L until 150L).toSeq,
+      s"expected 150 exactly-once keys, got ${ids.length}")
+    // the orphan never becomes a version; the staleness-gated reaper
+    // reclaims it and the store is unchanged afterwards
+    Thread.sleep(150)
+    SnapshotStore.vacuum(keysRoot, keep = 10, stagingStaleMs = 100L)
+    val leftover = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(keysRoot))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".staging-")).toList
+      } finally s.close()
+    }
+    assert(leftover.isEmpty, s"vacuum must reap the torn staging, left $leftover")
+    assert(SnapshotStore.read(spark, keysRoot).count() == 150L)
+  }
+
+  test("two concurrent micro-batch writers against ONE store: the flip " +
+      "lock serializes appends under streaming cadence — version " +
+      "arithmetic exact, no lost batch, every row exactly once " +
+      "(VERDICT r11 item 6)") {
+    import graft.engine.sources.SnapshotStore
+    val base = java.nio.file.Files.createTempDirectory("two_writer").toString
+    val root = s"$base/store"
+    SnapshotStore.publishBucketed(
+      spark.range(0L, 10L).select(col("id")), root, "id", nBuckets = 4)
+    val v1 = SnapshotStore.currentVersion(root)
+    // two independent ingest dirs, three one-file ticks each, disjoint
+    // id ranges so exactly-once accounting is unambiguous
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/inA"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/inB"))
+    (0 until 3).foreach { i =>
+      spark.range(100L + i * 10, 110L + i * 10).select(col("id"))
+        .coalesce(1).write.mode("append").parquet(s"$base/inA")
+      spark.range(200L + i * 10, 210L + i * 10).select(col("id"))
+        .coalesce(1).write.mode("append").parquet(s"$base/inB")
+    }
+    val schema = spark.range(1L).select(col("id")).schema
+    def writer(tagPrefix: String, in: String, ckpt: String) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          // appendContended: the loser of the optimistic base-version
+          // race recomputes against the new base and retries — the
+          // documented two-writer contract (a bare append would abort
+          // the losing stream on "stale append")
+          val rows = b.select(col("id")).localCheckpoint()
+          SnapshotStore.appendContended(() => rows, root,
+            tag = Some(s"$tagPrefix-$id"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    // both queries run concurrently on the same session — their
+    // foreachBatch bodies contend for the SAME store's flip lock at
+    // micro-batch cadence (the x59/x63 deployment shape, two pipelines
+    // feeding one artifact)
+    val qa = writer("a", s"$base/inA", s"$base/ckptA")
+    val qb = writer("b", s"$base/inB", s"$base/ckptB")
+    try {
+      qa.processAllAvailable()
+      qb.processAllAvailable()
+      // a second wave lands while BOTH queries are live — genuine
+      // interleaved contention rather than sequential drains
+      spark.range(130L, 140L).select(col("id"))
+        .coalesce(1).write.mode("append").parquet(s"$base/inA")
+      spark.range(230L, 240L).select(col("id"))
+        .coalesce(1).write.mode("append").parquet(s"$base/inB")
+      qa.processAllAvailable()
+      qb.processAllAvailable()
+    } finally { qa.stop(); qb.stop() }
+    // 8 non-empty tagged appends == exactly 8 minted versions, in SOME
+    // interleaving — the lock admits one flip at a time, so the version
+    // counter is dense regardless of order
+    assert(SnapshotStore.currentVersion(root) == v1 + 8,
+      s"expected ${v1 + 8} versions, got ${SnapshotStore.currentVersion(root)}")
+    val tags = SnapshotStore.versionTags(root).values.toSet
+    assert(tags == (0 until 4).flatMap(i => Seq(s"a-$i", s"b-$i")).toSet,
+      s"every batch of both writers must have landed once, got $tags")
+    val ids = SnapshotStore.read(spark, root)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 10L) ++ (100L until 140L) ++
+        (200L until 240L)).toSeq,
+      s"exactly-once rows across both writers, got ${ids.length}")
+  }
 }
