@@ -896,11 +896,11 @@ object LlmQueries {
     * ANN top-k against the PUBLISHED IVF-PQ index instead of a uniform
     * md5 draw — the Robinson et al. 2021 hard-negative construction over
     * the real index lifecycle (train → publish → load → encode → probe,
-    * q111's posture). Exact-regime settings (nprobe = nlist + exact
-    * re-rank over every probed candidate — the documented "rerank >=
-    * corpus recovers exactness under ANY codebooks" contract, since the
-    * derived embeddings carry zero subvectors that lossless-codebook
-    * identity encoding cannot represent) make the probe EQUAL the
+    * q111's posture). Exact-regime settings (nprobe = nlist + the
+    * `rerank = Int.MaxValue` exact-selection sentinel — every probed
+    * candidate exact-scored in one pass over the vector table, the
+    * documented "rerank >= corpus recovers exactness under ANY
+    * codebooks" contract) make the probe EQUAL the
     * brute-force cosine ranking, so DuckDB replays everything from raw
     * text: the md5 featurization (q116/q117's), the anchors' candidate
     * ranking with the shared (cos desc, nid asc) tie-break, the
@@ -933,7 +933,7 @@ object LlmQueries {
       val anchorEmb = emb.join(
         anchors.select(col("anchor_id").as("vec_id")), Seq("vec_id"))
       val probed = Similarity.ivfPqTopK(emb, anchorEmb, k = 8,
-        cents, books, nprobe = 4, rerank = (n + n / 25 + 1).toInt,
+        cents, books, nprobe = 4, rerank = Int.MaxValue,
         codes = Some(AnnIndex.readCodes(spark, s"$root/codes")))
       Curation.hardNegativePairs(corpus, "text", "doc_id", probed,
           negativesPerAnchor = 2)

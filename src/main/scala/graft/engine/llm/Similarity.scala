@@ -590,19 +590,6 @@ object Similarity {
       top(adcScored, math.max(rerank, k)), k)
   }
 
-  /** IVF-PQ top-k — the production composition (the Faiss IVFPQ shape):
-    * the corpus is stored ONCE as (coarse cell, m-byte PQ code); a query
-    * probes its `nprobe` nearest cells and ADC-scores only those cells'
-    * codes, so a probe reads nprobe/nlist of a 16×-compressed corpus —
-    * the two approximations multiply and so do their savings. At scale
-    * `cell` is the storage partition key and the code column is the only
-    * thing a probe scans; float vectors surface solely for `rerank`'s
-    * O(queries·rerank) candidate re-scoring.
-    *
-    * Degrades to exact by composition: nprobe = nlist (IVF exact) +
-    * lossless codebooks (PQ exact) reproduces the brute-force ranking,
-    * and rerank >= corpus recovers exactness under ANY codebooks —
-    * both asserted in SimilaritySpec. */
   /** The IVF-PQ STORED representation of a corpus: (nid, cell, code) —
     * one narrow pass over the vectors assigning each to its coarse cell
     * and quantizing it to the m-subspace PQ code. This is the table a
@@ -617,6 +604,32 @@ object Similarity {
       ivfCell(col("embedding"), cents).as("cell"),
       F.pqEncode(col("embedding"), bareBooks(books)).as("code"))
 
+  /** IVF-PQ top-k — the production composition (the Faiss IVFPQ shape):
+    * the corpus is stored ONCE as (coarse cell, m-byte PQ code); a query
+    * probes its `nprobe` nearest cells and ADC-scores only those cells'
+    * codes, so a probe reads nprobe/nlist of a 16×-compressed corpus —
+    * the two approximations multiply and so do their savings. At scale
+    * `cell` is the storage partition key and the code column is the only
+    * thing a probe scans; float vectors surface solely for `rerank`'s
+    * O(queries·rerank) candidate re-scoring.
+    *
+    * Degrades to exact by composition: nprobe = nlist (IVF exact) +
+    * lossless codebooks (PQ exact) reproduces the brute-force ranking,
+    * and rerank >= corpus recovers exactness under ANY codebooks —
+    * both asserted in SimilaritySpec.
+    *
+    * EXACT-SELECTION SENTINEL: `rerank = Int.MaxValue` declares "keep
+    * EVERY probed candidate" (an oracle/adjudication regime, not a
+    * production operating point). Selecting top-MaxValue of the ADC
+    * ordering is the identity, so that path skips the ADC pass entirely
+    * — no code scan, no candidate-list materialization or broadcast —
+    * and exact-scores the probed cells in ONE pass over the vector
+    * table: cell from the codegen'd [[ivfCell]] (deterministic, the same
+    * expression that produced the stored cells), probe list + query
+    * vectors broadcast, partial top-k aggregate. The `codes` frame is
+    * unused there (its ordering would be discarded row-for-row). A
+    * finite `rerank` that merely happens to exceed the corpus still
+    * takes the literal ADC path. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: Array[(Int, Array[Double])],
       books: Seq[Array[(Int, Array[Double])]],
@@ -657,6 +670,26 @@ object Similarity {
       }.sortBy { case (cos, cid) => (-cos, -cid) }.take(nprobe)
       ranked.map { case (_, cid) => (qid, cid) }
     }.toSeq.toDF("qid", "cell")
+    if (rerank == Int.MaxValue) {
+      // exact-selection regime (see scaladoc): top-MaxValue of the ADC
+      // ordering keeps every probed candidate, so the ADC scores are dead
+      // work — exact-score the probed cells in one distributed pass over
+      // the vector table instead. Only the tiny probe list (q·nprobe
+      // rows) and the query vectors broadcast; the per-query partial
+      // top-k heap holds k entries, never a candidate list.
+      val qe = qRows.map { case (qid, qv) => (qid, qv.toSeq) }
+        .toSeq.toDF("qid", "qe")
+      val exact = corpus
+        .select(col("vec_id").as("nid"),
+          col("embedding").cast("array<double>").as("ne"))
+        .withColumn("cell", ivfCell(col("ne"), cents))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .join(broadcast(qe), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          F.cosineSimilarity(col("qe"), col("ne")).as("cos"))
+      return top(exact, k)
+    }
     // ADC score for a (qid, code) row through ONE native kernel node: the
     // qid resolves its LUT by binary search inside PqAdcScore (O(m + log q)
     // per row), replacing the per-query `when`-chain dispatch that put

@@ -345,6 +345,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("ivfPqTopK exact-selection sentinel (rerank = Int.MaxValue): " +
+      "row-for-row equal to the finite-rerank ADC path at full AND " +
+      "partial probe, with and without published codes") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.ivfCentroids(emb, nlist = 3, iters = 1)
+    // deliberately CRUDE codebooks: the sentinel's claim is that the ADC
+    // ordering is irrelevant when every candidate is kept, so equality
+    // must hold even when ADC would rank candidates badly
+    val books = Similarity.pqTrain(emb, m = 4, k = 2, iters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "rnk", "nid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    for (np <- Seq(1, 3)) {
+      // finite rerank >= sub-corpus: the literal ADC path (score every
+      // probed code, keep top-rerank, exact re-rank) — the slow twin
+      val literal = rows(Similarity.ivfPqTopK(emb, queries, 5, cents,
+        books, nprobe = np, rerank = 60))
+      val sentinel = rows(Similarity.ivfPqTopK(emb, queries, 5, cents,
+        books, nprobe = np, rerank = Int.MaxValue))
+      assert(sentinel == literal,
+        s"sentinel must equal the literal exact regime at nprobe=$np")
+      // codes-provided lifecycle (q127's shape): the sentinel ignores
+      // the codes frame but must still match, because the recomputed
+      // ivfCell assignment IS the stored assignment
+      val withCodes = rows(Similarity.ivfPqTopK(emb, queries, 5, cents,
+        books, nprobe = np, rerank = Int.MaxValue,
+        codes = Some(Similarity.ivfPqEncode(emb, cents, books))))
+      assert(withCodes == literal,
+        s"sentinel over published codes must match at nprobe=$np")
+    }
+    // full probe + sentinel == brute force (q127's oracle contract);
+    // ranking-only compare — brute force scores float32 arrays while
+    // ivfPqTopK casts to double, so 6-decimal cosines can differ in ulps
+    val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Similarity.ivfPqTopK(emb, queries, 5, cents, books,
+        nprobe = 3, rerank = Int.MaxValue)
+      .select("qid", "rnk", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact,
+      "full-probe sentinel must reproduce the brute-force ranking")
+  }
+
   test("pqTopK trained regime: planted duplicate vector is recovered at rank 1") {
     val emb = Tables.embeddings(spark, sfDir)
     val planted = emb.filter(col("vec_id") === 7)
