@@ -108,6 +108,81 @@ object Dedup {
       .filter(col("n_docs") >= 2)
   }
 
+  /** X1/X2 — character-granular EXACT-SUBSTRING repeated spans: the
+    * maximal-span form of Lee et al.'s ExactSubstr dedup (arXiv:2107.06499
+    * §4.1 — their suffix-array formulation doesn't distribute; sliding
+    * fixed-length windows + gaps-and-islands recovers the same maximal
+    * regions), completing the chunk-granular [[repeatedChunks]]. Every
+    * length-`minLen` character window whose text occurs >= 2 times
+    * corpus-wide (cross-doc OR self-repeat — Lee et al. count both) marks
+    * its start position; per document, marked positions merge into MAXIMAL
+    * spans wherever consecutive windows overlap or abut (next <= prev +
+    * minLen). Returns one row per span: (doc_id, span_start 0-based
+    * inclusive, span_end exclusive). Every char inside a span sits in some
+    * repeated window; span length >= minLen by construction.
+    *
+    * Scale posture: the window table is one row per character — the same
+    * O(corpus) row count the suffix-array tools pay, here as two shuffles
+    * (occurrence count + position semi-join) on the window key and one
+    * per-doc-bounded window for the island merge. At 100 TB the shuffle
+    * key becomes (64-bit rolling hash) with within-bucket text verify —
+    * the MinHash banding pattern ([[minHashNearDups]]) — so the wire
+    * carries 8-byte keys, not minLen-char substrings; hash keys are
+    * uniform so AQE skew handling is a safety net. Documents longer than
+    * the `sequence` array budget chunk first ([[TextAnalysis.chunkTokens]]
+    * with overlap >= minLen) — the q55 composition. */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 1, "minLen must be >= 1")
+    val win = df
+      .select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("_t")) - minLen)).as("pos"),
+        col("_t"))
+      .select(col("doc_id"), col("pos"),
+        col("_t").substr(col("pos") + 1, lit(minLen)).as("_w"))
+    val dup = win.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2)
+      .select(col("_w"))
+    val hits = win.join(dup, Seq("_w"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    hits
+      .withColumn("_prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col("pos") > col("_prev") + minLen, 1).otherwise(0))
+      .withColumn("_span", sum(col("_new")).over(byPos))
+      .groupBy(col("doc_id"), col("_span"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + minLen).cast(LongType).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document accounting over [[repeatedSpans]] — the curation signal
+    * ("how much of this document is boilerplate/copy") and the input to a
+    * drop-or-trim policy: (doc_id, n_spans, dup_chars, total_chars,
+    * dup_ratio), EVERY input document represented (zero rows for docs with
+    * no repeated span). dup_chars never double-counts — spans are disjoint
+    * by construction. */
+  def spanDupStats(df: DataFrame, textCol: String, idCol: String,
+      minLen: Int): DataFrame = {
+    val perDoc = repeatedSpans(df, textCol, idCol, minLen)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_spans"),
+        sum(col("span_end") - col("span_start")).cast(LongType)
+          .as("dup_chars"))
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+        length(col(textCol)).cast(LongType).as("total_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_chars"))
+      .withColumn("dup_ratio",
+        round(col("dup_chars").cast("double") / col("total_chars"), 6))
+      .select(col("doc_id"), col("n_spans"), col("dup_chars"),
+        col("total_chars"), col("dup_ratio"))
+  }
+
   /** k-token shingles (k-grams of the token stream) as strings; documents
     * shorter than k tokens collapse to a single whole-text shingle.
     * Native expression — single pass over the token array (the HOF

@@ -999,6 +999,107 @@ object LlmQueries {
       "excluded, re-ranked to 2 negatives; ranking and exclusion both " +
       "value-replayed from raw text")
 
+  /** q128 — character-granular EXACT-SUBSTRING span accounting (Lee et
+    * al. 2022's ExactSubstr signal at maximal-span grain — the upgrade
+    * over q82's chunk keys): 40-char sliding windows, corpus-wide
+    * occurrence >= 2, per-doc gaps-and-islands merge into maximal spans,
+    * per-doc (n_spans, dup_chars, dup_ratio) for EVERY document. Planted
+    * whole-document copies (the q82 fixture) must surface as one
+    * full-length span on both sides of each copy pair, on top of the
+    * corpus's organic repeats; DuckDB replays windows, the >=2 filter,
+    * the island merge, and the stats join independently. */
+  val q128 = GraftQuery(
+    "q128_exact_substring_spans",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.spanDupStats(corpus, "text", "doc_id", minLen = 40)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0),
+      w AS (SELECT doc_id, i AS pos, substr(text, i+1, 40) AS w
+        FROM corpus, UNNEST(generate_series(0, length(text)-40)) AS u(i)
+        WHERE length(text) >= 40),
+      d AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+      h AS (SELECT doc_id, pos FROM w SEMI JOIN d USING (w)),
+      isl AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              IS NULL
+            OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+            THEN 1 ELSE 0 END AS nw
+        FROM h),
+      sp AS (SELECT doc_id, pos,
+          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS s
+        FROM isl),
+      spans AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 40 AS en
+        FROM sp GROUP BY doc_id, s),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(en - st) AS BIGINT) AS dup_chars
+        FROM spans GROUP BY doc_id)
+      SELECT c.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+        COALESCE(a.dup_chars, 0) AS dup_chars,
+        CAST(length(c.text) AS BIGINT) AS total_chars,
+        ROUND(CAST(COALESCE(a.dup_chars, 0) AS DOUBLE)
+          / length(c.text), 6) AS dup_ratio
+      FROM corpus c LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""),
+    doc = "exact-substring repeated spans (Lee et al. ExactSubstr, " +
+      "maximal-span grain): 40-char windows, occurrence >= 2, " +
+      "gaps-and-islands merge, per-doc dup accounting — every stage " +
+      "DuckDB-replayed")
+
+  /** q129 — INCREMENTAL decontamination (q64's production successor):
+    * the benchmark suite's 13-grams freeze ONCE into a catalog
+    * bucketed+sorted table, and the ingest batch joins it with zero
+    * exchanges and zero sorts on the frozen side — the q91-banded /
+    * x63 published-artifact posture applied to eval-leakage gating
+    * (real gates accumulate benchmark suites past broadcast size and
+    * must not re-derive them per batch). Values must equal q64's
+    * broadcast formulation EXACTLY — the oracle IS q64's SQL — and the
+    * `published_side_shuffle_free` contract boolean pins that the only
+    * exchange in the join stage is the batch side. */
+  val q129 = GraftQuery(
+    "q129_incremental_decontamination",
+    (spark, sfDir) => {
+      import graft.engine.relational.Bucketed
+      val docs = Tables.documents(spark, sfDir)
+      val table = s"graft_q129_bench_${ProcessHandle.current().pid()}"
+      Curation.publishBenchmarkNgrams(
+        docs.filter(col("doc_id") < 25), "text", table, n = 13)
+      val bench = spark.table(table)
+      val batch = docs.filter(col("doc_id") >= 25)
+      val joined = Curation.contaminationJoin(
+        batch, bench, "text", "doc_id", n = 13)
+      val oneExchange = Bucketed.shuffleCount(joined) == 1
+      Curation.contaminationBucketed(batch, bench, "text", "doc_id", n = 13)
+        .withColumn("published_side_shuffle_free", lit(oneExchange))
+        .orderBy(col("doc_id"))
+        .limit(2000)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      ng AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+          ELSE list_transform(generate_series(1, len(ws) - 12),
+            i -> array_to_string(ws[i:i+12], ' ')) END)) AS ng
+        FROM t),
+      b AS (SELECT DISTINCT ng FROM ng WHERE doc_id < 25)
+      SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        CAST(COUNT(b.ng) AS BIGINT) AS n_contaminated,
+        ROUND(CAST(COUNT(b.ng) AS DOUBLE) / COUNT(*), 6) AS contamination,
+        TRUE AS published_side_shuffle_free
+      FROM ng LEFT JOIN b USING (ng) WHERE ng.doc_id >= 25
+      GROUP BY 1 ORDER BY 1 LIMIT 2000"""),
+    doc = "incremental decontamination vs a published bucketed benchmark " +
+      "n-gram table: values == q64's broadcast formulation, frozen side " +
+      "joins with zero exchanges (plan-contract boolean)")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -2598,5 +2699,5 @@ object LlmQueries {
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      q127, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
+      q127, q128, q129, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
 }

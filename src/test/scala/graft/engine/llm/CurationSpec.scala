@@ -270,6 +270,36 @@ class CurationSpec extends AnyFunSuite {
     assert(out(11L)._2 == 0L && out(11L)._3 == 0.0)
   }
 
+  test("contaminationBucketed == contamination on the real corpus, and " +
+      "the published benchmark side joins with exactly ONE exchange " +
+      "(the batch)") {
+    import graft.engine.relational.Bucketed
+    val docs = graft.engine.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val bench = docs.filter(col("doc_id") < 25)
+    val batch = docs.filter(col("doc_id") >= 25)
+    val table = s"graft_spec_benchng_${ProcessHandle.current().pid()}"
+    Curation.publishBenchmarkNgrams(bench, "text", table, n = 13)
+    try {
+      val published = spark.table(table)
+      val viaStore = Curation.contaminationBucketed(
+          batch, published, "text", "doc_id", n = 13)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val viaBroadcast = Curation.contamination(
+          batch, bench, "text", "doc_id", n = 13)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(viaStore == viaBroadcast,
+        "published-table variant must reproduce the broadcast answer")
+      // layout contract: the frozen side contributes no exchange — the
+      // join stage's only shuffle is the ingest batch
+      val joined = Curation.contaminationJoin(
+        batch, published, "text", "doc_id", n = 13)
+      assert(Bucketed.shuffleCount(joined) == 1,
+        "expected exactly the batch-side exchange")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("domainCap: never more than cap per domain, small domains intact, " +
       "survivor set repartition-stable") {
     val docs = graft.engine.Tables.documents(spark, graft.SparkTestSession.sfDir)

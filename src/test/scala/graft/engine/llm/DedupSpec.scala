@@ -192,6 +192,60 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.repeatedChunks(solo, "text", "doc_id", 3).count() == 0L)
   }
 
+  test("repeatedSpans: hand-built corpus — exact maximal-span boundaries " +
+      "for a shared mid-section, a self-repeat, a whole-doc copy, and a " +
+      "clean doc") {
+    // L = 10 keeps boundaries countable by hand. Unique filler characters
+    // guarantee no accidental repeats outside the planted regions.
+    val shared = "ABCDEFGHIJKLMNOPQRST" // 20 chars, planted in docs 0 and 1
+    val selfRep = "0123456789" // exactly L, repeated twice inside doc 2
+    val corpus = Seq(
+      (0L, "aaabbbcccd" + shared + "dcccbbbaaa"), // shared at [10, 30)
+      (1L, "zzzyyyxxxw" + shared + "wxxxyyyzzz"), // shared at [10, 30)
+      (2L, selfRep + "qqqrrrsssttt" + selfRep), // [0,10) and [22,32)
+      (3L, "every char here appears once: no span"),
+      (4L, "duplicate of this whole document body"),
+      (5L, "duplicate of this whole document body")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(corpus, "text", "doc_id", minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(spans == Set(
+      (0L, 10L, 30L), (1L, 10L, 30L), // maximal: 11 overlapping windows merge
+      (2L, 0L, 10L), (2L, 22L, 32L), // self-repeat counts, two disjoint spans
+      (4L, 0L, 37L), (5L, 0L, 37L) // whole-doc copies span end to end
+    ), s"got $spans")
+    val stats = Dedup.spanDupStats(corpus, "text", "doc_id", minLen = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(stats(0L) == ((1L, 20L, 40L, 0.5)))
+    assert(stats(2L) == ((2L, 20L, 32L, 0.625)))
+    assert(stats(3L) == ((0L, 0L, 37L, 0.0)), "clean doc must appear with zeros")
+    assert(stats(4L) == ((1L, 37L, 37L, 1.0)))
+    assert(stats.size == 6, "every input doc is represented")
+  }
+
+  test("repeatedSpans: abutting (non-overlapping) repeated windows merge " +
+      "into one span; a gap of one unrepeated char splits them") {
+    // docs 0/1 share BOTH 10-char blocks; in doc 0 they abut (one 20-char
+    // span), in doc 1 a unique char separates them (two 10-char spans)
+    val a = "ABCDEFGHIJ"
+    val b = "KLMNOPQRST"
+    val corpus = Seq(
+      (0L, a + b + "uvwxyz"), // abutting: [0, 20)
+      (1L, a + "!" + b + "%&#@+="), // split: [0, 10) and [11, 21)
+      (2L, "padpadpad1" + a + "2datdatdat"), // third occurrence of a
+      (3L, "padpadpad3" + b + "4datdatdat") // third occurrence of b
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(corpus, "text", "doc_id", minLen = 10)
+      .filter(col("doc_id") <= 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(spans == Set((0L, 0L, 20L), (1L, 0L, 10L), (1L, 11L, 21L)),
+      s"got $spans")
+  }
+
   test("simHash maxHamming=0 (one 64-bit band) still pairs exact dups") {
     // Regression: bands=1 ⇒ width=64, and 1L << 64 == 1L on the JVM, so an
     // unguarded (1L << width) - 1 mask is 0 — every fingerprint lands in
