@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -523,6 +523,56 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** ALL length-`len` sliding-window [[RollingHash]] fingerprints of a
+  * string in one O(n) pass (X1 exact-substring dedup's scale key): entry i
+  * equals `RollingHash(substring(s, i, len))` — same B = 131, M = 1e9+7
+  * polynomial over Unicode code points, maintained by the rolling update
+  * h' = ((h − cp_out·B^(len−1)) · B + cp_in) mod M instead of rehashing
+  * each window (the naive per-window fold is O(n·len)). Positions index
+  * CODE POINTS, matching SQL `substring` semantics. Strings shorter than
+  * `len` yield an empty array. Inherits RollingHash's collision caveat
+  * (~2^30 range): a consumer grouping for EQUALITY must verify matches on
+  * the actual window text — [[graft.engine.llm.Dedup.repeatedSpansHashed]]
+  * does, output-sensitively. */
+case class WindowHashes(child: Expression, len: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(len >= 1, "window length must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  private final val M = 1000000007L
+  private final val B = 131L
+  // B^(len-1) mod M — the leading coefficient the rolling update retires
+  @transient private lazy val powTop: Long = {
+    var p = 1L
+    var i = 0
+    while (i < len - 1) { p = p * B % M; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < len) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - len + 1)
+    var h = 0L
+    var i = 0
+    while (i < len) { h = (h * B + cps(i)) % M; i += 1 }
+    out(0) = h
+    var st = 1
+    while (st + len <= n) {
+      h = ((h - cps(st - 1) * powTop % M + M) % M * B + cps(st + len - 1)) % M
+      out(st) = h
+      st += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared trie for the vocabulary tokenizer expressions: greedy
   * longest-match against a fixed word vocabulary, with every single
   * non-whitespace character an implicit base token (so tokenization
@@ -871,6 +921,12 @@ object F {
 
   def rollingHash(s: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(s)))
+
+  /** All length-`len` sliding-window rolling-hash fingerprints
+    * (ARRAY<LONG>, one O(n) pass — entry i == rollingHash of the window
+    * starting at code point i). */
+  def windowHashes(s: Column, len: Int): Column =
+    Bridge.column(WindowHashes(Bridge.expression(s), len))
 
   /** Greedy longest-match token count against a fixed vocabulary. */
   def vocabTokenCount(text: Column, vocab: Array[String]): Column =

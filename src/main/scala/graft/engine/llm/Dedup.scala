@@ -148,6 +148,49 @@ object Dedup {
       .select(col("_w"))
     val hits = win.join(dup, Seq("_w"), "left_semi")
       .select(col("doc_id"), col("pos"))
+    mergeSpans(hits, minLen)
+  }
+
+  /** The 100 TB formulation of [[repeatedSpans]] — IDENTICAL output
+    * (DedupSpec pins equality), different wire: window keys are 8-byte
+    * rolling hashes from the O(n)-per-doc [[F.windowHashes]] kernel, so
+    * the occurrence-count shuffle carries (hash) instead of minLen-char
+    * substrings, and actual window text materializes only for CANDIDATE
+    * positions (hash occurs >= 2 times), where an exact-substring
+    * re-group discards collisions — the MinHash banded-candidates +
+    * verify decomposition ([[minHashNearDups]]), so the ~2^30 hash range
+    * costs time on collisions, never correctness. Every true repeat's
+    * occurrences all carry the same hash, hence all reach the verify
+    * stage, hence the verified count equals the global count — equality
+    * with the literal variant is structural, not probabilistic. */
+  def repeatedSpansHashed(df: DataFrame, textCol: String, idCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 1, "minLen must be >= 1")
+    val base = df
+      .select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= minLen)
+    val win = base.select(col("doc_id"), col("_t"),
+      posexplode(F.windowHashes(col("_t"), minLen)).as(Seq("pos", "_h")))
+    val dupH = win.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2)
+      .select(col("_h"))
+    // candidates only: the substring materializes after the hash semi-join
+    val cand = win.join(dupH, Seq("_h"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        col("_t").substr(col("pos") + 1, lit(minLen)).as("_w"))
+    val dupW = cand.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2)
+      .select(col("_w"))
+    val hits = cand.join(dupW, Seq("_w"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(hits, minLen)
+  }
+
+  /** Shared gaps-and-islands tail of the repeated-span variants: marked
+    * window positions → maximal disjoint spans (per-doc-bounded window). */
+  private def mergeSpans(hits: DataFrame, minLen: Int): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     hits
       .withColumn("_prev", lag(col("pos"), 1).over(byPos))
@@ -167,8 +210,11 @@ object Dedup {
     * no repeated span). dup_chars never double-counts — spans are disjoint
     * by construction. */
   def spanDupStats(df: DataFrame, textCol: String, idCol: String,
-      minLen: Int): DataFrame = {
-    val perDoc = repeatedSpans(df, textCol, idCol, minLen)
+      minLen: Int, hashedKeys: Boolean = false): DataFrame = {
+    val spans =
+      if (hashedKeys) repeatedSpansHashed(df, textCol, idCol, minLen)
+      else repeatedSpans(df, textCol, idCol, minLen)
+    val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(LongType).as("n_spans"),
         sum(col("span_end") - col("span_start")).cast(LongType)

@@ -1016,7 +1016,11 @@ object LlmQueries {
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      Dedup.spanDupStats(corpus, "text", "doc_id", minLen = 40)
+      // hashedKeys: the PRODUCTION key path (8-byte rolling-hash shuffle
+      // + output-sensitive substring verify) — provably equal to the
+      // literal formulation the DuckDB twin replays (DedupSpec pins it)
+      Dedup.spanDupStats(corpus, "text", "doc_id", minLen = 40,
+        hashedKeys = true)
         .orderBy(col("doc_id"))
     },
     Some("""WITH corpus AS (SELECT doc_id, text FROM documents

@@ -246,6 +246,34 @@ class DedupSpec extends AnyFunSuite {
       s"got $spans")
   }
 
+  test("repeatedSpansHashed == repeatedSpans on the real corpus with " +
+      "planted copies, and WindowHashes matches RollingHash per window") {
+    val docs = graft.engine.Tables
+      .documents(spark, graft.SparkTestSession.sfDir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val literal = rows(Dedup.repeatedSpans(corpus, "text", "doc_id", 40))
+    val hashed = rows(Dedup.repeatedSpansHashed(corpus, "text", "doc_id", 40))
+    assert(literal.nonEmpty, "fixture must produce spans")
+    assert(hashed == literal,
+      "hash-keyed + verify must reproduce the literal spans exactly")
+    // kernel contract: entry i of windowHashes == rollingHash of the
+    // substring starting at i — on real text, every window of every doc
+    val mism = docs.limit(50)
+      .select(col("doc_id"),
+        posexplode(graft.engine.functions.F.windowHashes(col("text"), 17))
+          .as(Seq("pos", "wh")),
+        col("text"))
+      .withColumn("rh", graft.engine.functions.F.rollingHash(
+        col("text").substr(col("pos") + 1, lit(17))))
+      .filter(col("wh") =!= col("rh")).count()
+    assert(mism == 0L, "rolling update must equal the per-window fold")
+  }
+
   test("simHash maxHamming=0 (one 64-bit band) still pairs exact dups") {
     // Regression: bands=1 ⇒ width=64, and 1L << 64 == 1L on the JVM, so an
     // unguarded (1L << width) - 1 mask is 0 — every fingerprint lands in
