@@ -116,6 +116,49 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(2) == 0L)
   }
 
+  test("repeatedSpans edge cases: empty corpus, minLen longer than every " +
+      "doc, minLen = 1, and the all-same-char hot-key doc") {
+    for (hashed <- Seq(false, true)) {
+      def spans(df: org.apache.spark.sql.DataFrame, l: Int) =
+        if (hashed) Dedup.repeatedSpansHashed(df, "text", "doc_id", l)
+        else Dedup.repeatedSpans(df, "text", "doc_id", l)
+      assert(spans(empty, 10).count() == 0, s"empty corpus (hashed=$hashed)")
+      val shorts = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
+      assert(spans(shorts, 10).count() == 0,
+        s"docs shorter than minLen contribute no windows (hashed=$hashed)")
+      // minLen = 1: every repeated CHARACTER marks; 'abab' + 'ba' share
+      // all their chars -> whole-doc spans
+      val chars = Seq((1L, "abab"), (2L, "ba")).toDF("doc_id", "text")
+      assert(spans(chars, 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set((1L, 0L, 4L), (2L, 0L, 2L)), s"minLen=1 (hashed=$hashed)")
+      // SCALE.md hot key: an all-same-char page duplicated — every window
+      // of both docs is the SAME key (maximal self-overlap), yet output
+      // stays one full-length span per doc
+      val aaaa = "a" * 200
+      val hot = Seq((1L, aaaa), (2L, aaaa), (3L, "b" * 150))
+        .toDF("doc_id", "text")
+      assert(spans(hot, 40).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set((1L, 0L, 200L), (2L, 0L, 200L), (3L, 0L, 150L)),
+        s"hot-key docs collapse to one span each (hashed=$hashed)")
+      // doc 3: 'b'*150 alone still spans fully — its windows repeat
+      // WITHIN the doc (self-overlap), the Lee et al. self-repeat case
+    }
+    assert(Dedup.spanDupStats(empty, "text", "doc_id", 10).count() == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.repeatedSpans(one, "text", "doc_id", 0)
+    }
+  }
+
+  test("contaminationBucketed with an empty ingest batch returns no rows") {
+    val table = s"graft_spec_edge_benchng_${ProcessHandle.current().pid()}"
+    Curation.publishBenchmarkNgrams(one, "text", table, n = 13)
+    try assert(Curation.contaminationBucketed(
+      empty, spark.table(table), "text", "doc_id").count() == 0)
+    finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("bm25 with query terms absent from the corpus returns empty, not NaN") {
     val out = TextAnalysis.bm25(one, "doc_id", "text", Seq("zzzqqq"))
     assert(out.count() == 0)
