@@ -158,6 +158,47 @@ object Curation {
         df(idCol).cast("string") === col("_keep_id"), "left_semi")
   }
 
+  /** Deterministic GLOBAL training shuffle + shard assignment — the last
+    * pipeline stage before a trainer reads the corpus (neighboring crawl
+    * documents correlate; trainers want them decorrelated and the corpus
+    * cut into equal-budget export shards). NO global sort and NO
+    * low-cardinality window anywhere:
+    *   - `shard_id` = 60-bit md5 prefix of the unit id, mod `nShards`
+    *     (the engine-portable draw arithmetic of [[contrastivePairs]]) —
+    *     uniform, so shard token budgets balance statistically;
+    *   - `shuffle_key` = md5(id) — the within-shard training ORDER. A
+    *     dense per-shard sequence number would route every unit of a
+    *     shard through one rank-window reducer (nShards is
+    *     low-cardinality by construction — the q65 scale killer);
+    *     [[writeShards]] instead writes each shard SORTED by this key,
+    *     which IS the training order with no rank ever materialized.
+    * Deterministic, repartition-stable, and replayable by any engine
+    * with md5 — re-running the export reproduces byte-identical shard
+    * membership and order ([[hashSample]]'s auditability argument). */
+  def shuffleShards(units: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    units
+      .withColumn("shuffle_key",
+        md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("shard_id",
+        conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast(LongType)
+          % nShards)
+  }
+
+  /** Materialize [[shuffleShards]]: one `shard_id=K/` parquet directory
+    * per shard, rows within each shard sorted by `shuffle_key` — the
+    * files a trainer streams IN ORDER, so the global shuffle costs one
+    * repartition + per-partition sort, never a total order. */
+  def writeShards(units: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    shuffleShards(units, idCol, nShards)
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("shuffle_key"))
+      .write.partitionBy("shard_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+
   /** Benchmark decontamination: for every corpus document, how many of its
     * distinct word n-grams appear anywhere in the benchmark set. The
     * standard eval-leakage check (n = 13 is the usual contamination

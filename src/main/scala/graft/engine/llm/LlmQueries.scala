@@ -1104,6 +1104,71 @@ object LlmQueries {
       "n-gram table: values == q64's broadcast formulation, frozen side " +
       "joins with zero exchanges (plan-contract boolean)")
 
+  /** q130 — deterministic GLOBAL training shuffle + sharding (the
+    * export stage between curation and the trainer): every doc gets an
+    * engine-portable md5 shard draw (60-bit prefix mod 8) and an
+    * md5 shuffle key; per shard the oracle replays unit/token budgets,
+    * the first-3 heads IN TRAINING ORDER (minK partial aggregate vs
+    * ROW_NUMBER — no low-cardinality rank window on the engine side),
+    * and the cross-shard token-balance spread. */
+  val q130 = GraftQuery(
+    "q130_shuffle_shards",
+    (spark, sfDir) => {
+      val units = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val sharded = Curation.shuffleShards(units, "doc_id", nShards = 8)
+        .localCheckpoint() // feeds stats, heads, AND the spread collect
+      val stats = sharded.groupBy(col("shard_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_units"),
+          sum(col("n_tokens")).cast(LongType).as("shard_tokens"))
+        .localCheckpoint() // bounded: nShards rows
+      val budgets = stats.select(col("shard_tokens"))
+        .collect().map(_.getLong(0))
+      val spread = (budgets.max - budgets.min).toDouble /
+        (budgets.sum.toDouble / budgets.length)
+      val heads = sharded
+        .select(col("shard_id"), col("shuffle_key").as("sortKey"),
+          col("doc_id").cast("string").as("id"))
+        .groupBy(col("shard_id"))
+        .agg(graft.engine.llm.TopK.minK(3).as("keep"))
+        .select(col("shard_id"), posexplode(col("keep")).as(Seq("h", "k")))
+        .select(col("shard_id"),
+          (col("h") + 1).cast(LongType).as("head_rank"),
+          col("k.id").as("head_id"))
+      stats.join(heads, Seq("shard_id"))
+        .withColumn("balance_spread",
+          lit(BigDecimal(spread).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .orderBy(col("shard_id"), col("head_rank"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))
+          AS n_tokens
+      FROM documents),
+      s AS (SELECT doc_id, n_tokens,
+          md5(CAST(doc_id AS VARCHAR)) AS sk,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 8 AS shard_id
+        FROM t),
+      st AS (SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_units,
+          CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        FROM s GROUP BY 1),
+      h AS (SELECT shard_id, CAST(doc_id AS VARCHAR) AS head_id,
+          ROW_NUMBER() OVER (PARTITION BY shard_id
+            ORDER BY sk, CAST(doc_id AS VARCHAR)) AS head_rank
+        FROM s),
+      b AS (SELECT ROUND((MAX(shard_tokens) - MIN(shard_tokens))
+          / AVG(shard_tokens), 6) AS balance_spread FROM st)
+      SELECT st.shard_id, st.n_units, st.shard_tokens,
+        CAST(h.head_rank AS BIGINT) AS head_rank, h.head_id,
+        (SELECT balance_spread FROM b) AS balance_spread
+      FROM st JOIN h USING (shard_id) WHERE h.head_rank <= 3
+      ORDER BY shard_id, head_rank"""),
+    doc = "deterministic global training shuffle: md5 shard draw + " +
+      "md5 training order, per-shard budgets/heads/balance all " +
+      "engine-replayed — no global sort, no low-cardinality rank window")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -2703,5 +2768,6 @@ object LlmQueries {
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      q127, q128, q129, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
+      q127, q128, q129, q130, x42, x43, x44, x45, x46, x47, x48, x49,
+      x50, x51)
 }

@@ -300,6 +300,39 @@ class CurationSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("shuffleShards: deterministic repartition-stable assignment; " +
+      "writeShards emits one sorted directory per shard whose membership " +
+      "matches the assignment") {
+    val docs = graft.engine.Tables
+      .documents(spark, graft.SparkTestSession.sfDir)
+      .select(col("doc_id"), col("text"))
+    val assigned = Curation.shuffleShards(docs, "doc_id", nShards = 4)
+      .select(col("doc_id"), col("shard_id"), col("shuffle_key"))
+    val a1 = assigned.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // repartition-stable: the assignment is a pure per-row function
+    val a2 = Curation.shuffleShards(docs.repartition(7), "doc_id", 4)
+      .select(col("doc_id"), col("shard_id"), col("shuffle_key"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(a1 == a2, "assignment must not depend on partitioning")
+    assert(a1.values.map(_._1).toSet.subsetOf((0L until 4L).toSet))
+    assert(a1.values.map(_._1).toSet.size == 4, "all shards populated")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Curation.writeShards(docs, "doc_id", nShards = 4, out)
+    (0L until 4L).foreach { s =>
+      val dir = s"$out/shard_id=$s"
+      val rows = spark.read.parquet(dir)
+        .select(col("doc_id"), col("shuffle_key")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.map(_._1).toSet ==
+        a1.filter(_._2._1 == s).keySet, s"shard $s membership")
+      // the directory IS the training order: file rows ascend by key
+      assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+        s"shard $s must be written sorted by shuffle_key")
+    }
+  }
+
   test("domainCap: never more than cap per domain, small domains intact, " +
       "survivor set repartition-stable") {
     val docs = graft.engine.Tables.documents(spark, graft.SparkTestSession.sfDir)
