@@ -188,6 +188,50 @@ object Dedup {
     mergeSpans(hits, minLen)
   }
 
+  /** The REMOVAL action over [[repeatedSpans]] — boilerplate stripping:
+    * cut every maximal repeated span out of every document (the
+    * headers/footers/license-block regime, where ALL occurrences of
+    * corpus-repeated text are noise; the keep-one-copy dedup regime is
+    * [[exactDedup]]-then-trim — compose, don't conflate). Returns every
+    * input row with `trimmed_text` (the non-span remainder, original
+    * order) and `n_trimmed_chars`; clean docs pass through verbatim.
+    *
+    * The splice is a per-row `aggregate` HOF over the doc's own sorted
+    * span list — spans are disjoint and per-doc-bounded (<=
+    * len/minLen + 1 of them), so the collected array is never more than
+    * a fraction of the text it annotates; nothing corpus-sized
+    * aggregates. */
+  def trimRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      minLen: Int, hashedKeys: Boolean = true): DataFrame = {
+    val spans =
+      if (hashedKeys) repeatedSpansHashed(df, textCol, idCol, minLen)
+      else repeatedSpans(df, textCol, idCol, minLen)
+    val perDoc = spans
+      .groupBy(col("doc_id").as("_span_doc"))
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("_spans"))
+    val t = col(textCol)
+    val spliced = aggregate(
+      col("_spans"),
+      struct(lit(0L).as("pos"), lit("").as("acc")),
+      (st, sp) => struct(
+        sp.getField("span_end").as("pos"),
+        concat(st.getField("acc"),
+          t.substr((st.getField("pos") + 1).cast("int"),
+            (sp.getField("span_start") - st.getField("pos")).cast("int")))
+          .as("acc")),
+      st => concat(st.getField("acc"),
+        t.substr((st.getField("pos") + 1).cast("int"),
+          (length(t).cast("long") - st.getField("pos")).cast("int"))))
+    df.join(perDoc,
+        df(idCol).cast(LongType) === col("_span_doc"), "left")
+      .withColumn("trimmed_text",
+        when(col("_spans").isNull, t).otherwise(spliced))
+      .withColumn("n_trimmed_chars",
+        (length(t) - length(col("trimmed_text"))).cast(LongType))
+      .drop("_span_doc", "_spans")
+  }
+
   /** Shared gaps-and-islands tail of the repeated-span variants: marked
     * window positions → maximal disjoint spans (per-doc-bounded window). */
   private def mergeSpans(hits: DataFrame, minLen: Int): DataFrame = {

@@ -1169,6 +1169,71 @@ object LlmQueries {
       "md5 training order, per-shard budgets/heads/balance all " +
       "engine-replayed — no global sort, no low-cardinality rank window")
 
+  /** q131 — the REMOVAL action over q128's spans (boilerplate strip):
+    * every maximal repeated span cut from every document, clean docs
+    * verbatim, planted whole-doc copies trimmed to empty on both sides.
+    * The engine splices per row with an `aggregate` HOF over the doc's
+    * sorted span list; DuckDB re-derives the spans (q128's CTEs) and
+    * splices independently via lag-gap kept-pieces + ordered
+    * string_agg — the full trimmed TEXT hash-compared, not just
+    * lengths. */
+  val q131 = GraftQuery(
+    "q131_trim_repeated_spans",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.trimRepeatedSpans(corpus, "text", "doc_id", minLen = 40)
+        .select(col("doc_id"), col("trimmed_text"), col("n_trimmed_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0),
+      w AS (SELECT doc_id, i AS pos, substr(text, i+1, 40) AS w
+        FROM corpus, UNNEST(generate_series(0, length(text)-40)) AS u(i)
+        WHERE length(text) >= 40),
+      d AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+      h AS (SELECT doc_id, pos FROM w SEMI JOIN d USING (w)),
+      isl AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              IS NULL
+            OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+            THEN 1 ELSE 0 END AS nw
+        FROM h),
+      sp AS (SELECT doc_id, pos,
+          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS s
+        FROM isl),
+      spans AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 40 AS en
+        FROM sp GROUP BY doc_id, s),
+      pieces AS (
+        SELECT doc_id,
+          COALESCE(lag(en) OVER (PARTITION BY doc_id ORDER BY st), 0)
+            AS ks, st AS ke
+        FROM spans
+        UNION ALL
+        SELECT sp2.doc_id, MAX(sp2.en) AS ks,
+          MAX(length(c.text)) AS ke
+        FROM spans sp2 JOIN corpus c USING (doc_id)
+        GROUP BY sp2.doc_id),
+      tr AS (SELECT p.doc_id,
+          string_agg(substr(c.text, p.ks + 1, p.ke - p.ks), ''
+            ORDER BY p.ks) AS trimmed
+        FROM pieces p JOIN corpus c USING (doc_id)
+        GROUP BY p.doc_id)
+      SELECT c.doc_id,
+        COALESCE(tr.trimmed, c.text) AS trimmed_text,
+        CAST(length(c.text) - length(COALESCE(tr.trimmed, c.text))
+          AS BIGINT) AS n_trimmed_chars
+      FROM corpus c LEFT JOIN tr USING (doc_id)
+      ORDER BY c.doc_id"""),
+    doc = "boilerplate strip: every maximal repeated span (40-char " +
+      "regime) cut from every doc — trimmed TEXT itself value-replayed " +
+      "via an independent SQL splice")
+
   /** q49 — X4 heuristic language-ID vs the labeled lang column. */
   val q49 = GraftQuery(
     "q49_langid",
@@ -2768,6 +2833,6 @@ object LlmQueries {
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      q127, q128, q129, q130, x42, x43, x44, x45, x46, x47, x48, x49,
-      x50, x51)
+      q127, q128, q129, q130, q131, x42, x43, x44, x45, x46, x47, x48,
+      x49, x50, x51)
 }

@@ -246,6 +246,34 @@ class DedupSpec extends AnyFunSuite {
       s"got $spans")
   }
 
+  test("trimRepeatedSpans: exact spliced text on the hand-built corpus — " +
+      "mid-section cut, two self-repeat cuts, whole-doc copies emptied, " +
+      "clean doc verbatim") {
+    val shared = "ABCDEFGHIJKLMNOPQRST"
+    val selfRep = "0123456789"
+    val corpus = Seq(
+      (0L, "aaabbbcccd" + shared + "dcccbbbaaa"),
+      (1L, "zzzyyyxxxw" + shared + "wxxxyyyzzz"),
+      (2L, selfRep + "qqqrrrsssttt" + selfRep),
+      (3L, "every char here appears once: no span"),
+      (4L, "duplicate of this whole document body"),
+      (5L, "duplicate of this whole document body")
+    ).toDF("doc_id", "text")
+    for (hashed <- Seq(false, true)) {
+      val out = Dedup.trimRepeatedSpans(corpus, "text", "doc_id",
+          minLen = 10, hashedKeys = hashed)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+      assert(out(0L) == (("aaabbbcccd" + "dcccbbbaaa", 20L)))
+      assert(out(1L) == (("zzzyyyxxxw" + "wxxxyyyzzz", 20L)))
+      assert(out(2L) == (("qqqrrrsssttt", 20L)))
+      assert(out(3L) == (("every char here appears once: no span", 0L)),
+        "clean doc must pass through verbatim")
+      assert(out(4L) == (("", 37L)), "whole-doc copy trims to empty")
+      assert(out(5L) == (("", 37L)))
+    }
+  }
+
   test("repeatedSpansHashed == repeatedSpans on the real corpus with " +
       "planted copies, and WindowHashes matches RollingHash per window") {
     val docs = graft.engine.Tables
