@@ -169,14 +169,22 @@ object Dedup {
     val base = df
       .select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) >= minLen)
-    val win = base.select(col("doc_id"), col("_t"),
+    // the window table deliberately DROPS the text: (doc_id, pos, hash)
+    // is 24 bytes/row, so neither the occurrence count nor the semi-join
+    // can ever shuffle a document once per window (text amplification —
+    // the trap if `_t` rode along and the repeated-hash set outgrew a
+    // broadcast, forcing a sort-merge semi-join of the text-bearing side)
+    val win = base.select(col("doc_id"),
       posexplode(F.windowHashes(col("_t"), minLen)).as(Seq("pos", "_h")))
     val dupH = win.groupBy(col("_h"))
       .agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2)
       .select(col("_h"))
-    // candidates only: the substring materializes after the hash semi-join
-    val cand = win.join(dupH, Seq("_h"), "left_semi")
+    val candPos = win.join(dupH, Seq("_h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // candidates re-acquire text by doc_id — one text transfer per doc
+    // WITH candidates (output-sensitive), never per window
+    val cand = candPos.join(base, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         col("_t").substr(col("pos") + 1, lit(minLen)).as("_w"))
     val dupW = cand.groupBy(col("_w"))
