@@ -256,24 +256,31 @@ object Curation {
   def publishBenchmarkNgrams(benchmark: DataFrame, textCol: String,
       table: String, n: Int = 13, numBuckets: Int = 32): Unit =
     benchmarkNgrams(benchmark, textCol, n)
+      // the store carries the 128-bit content key, not the ~13-word
+      // string: the recurring batch join shuffles 16-byte keys (the
+      // contentKey discipline every dedup operator here uses)
+      .select(md5(col("ng")).as("ng_key"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(numBuckets, "ng").sortBy("ng")
+      .bucketBy(numBuckets, "ng_key").sortBy("ng_key")
       .saveAsTable(table)
 
   /** The join stage of incremental decontamination: the ingest batch's
     * (doc_id, ng) pairs LEFT-joined against a PUBLISHED benchmark n-gram
     * table ([[publishBenchmarkNgrams]]; pass `spark.table(name)`). The
     * `merge` hint pins sort-merge so the layout contract is exercised —
-    * the published scan arrives hash-partitioned and sorted on `ng`, so
-    * the join's ONLY exchange is the (small) ingest batch
+    * the published scan arrives hash-partitioned and sorted on the
+    * 128-bit `ng_key`, so the join's ONLY exchange is the (small) batch
     * (`Bucketed.shuffleCount == 1`, q129's contract boolean and
     * CurationSpec's plan gate). Exposed separately so callers can audit
     * the plan before aggregating. */
   def contaminationJoin(batch: DataFrame, benchNg: DataFrame,
       textCol: String, idCol: String, n: Int = 13): DataFrame =
-    docNgrams(batch, textCol, idCol, n).join(
-      benchNg.select(col("ng")).withColumn("hit", lit(1L)).hint("merge"),
-      Seq("ng"), "left")
+    docNgrams(batch, textCol, idCol, n)
+      .select(col("doc_id"), md5(col("ng")).as("ng_key"))
+      .join(
+        benchNg.select(col("ng_key")).withColumn("hit", lit(1L))
+          .hint("merge"),
+        Seq("ng_key"), "left")
 
   /** [[contamination]] of an ingest batch against a PUBLISHED benchmark
     * n-gram table: identical per-doc answer (q64's oracle replays it
