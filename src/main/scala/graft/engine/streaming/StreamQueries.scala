@@ -855,7 +855,85 @@ object StreamQueries {
       "bucketed key store + tagged append; survivors == the mod-256 " +
       "first-seen classes, enumerated arithmetically by the twin")
 
+  /** x64 — ALWAYS-ON decontamination: q129's published-benchmark posture
+    * under the micro-batch engine. The benchmark 13-gram store freezes
+    * ONCE (catalog bucketed+sorted `ng_key` table); each streamed ingest
+    * file gates against it — the frozen side contributes zero exchanges
+    * per tick — and the per-doc flags land in a doc-bucketed SnapshotStore
+    * through the insert-only tagged append (documents never straddle
+    * ticks, so per-tick per-doc aggregation is complete and the appends
+    * are disjoint; the tag makes a replayed epoch a no-op). The union of
+    * the ticks must equal q64's one-shot batch answer — DuckDB replays it
+    * as the full-corpus contamination — and `n_versions` pins three
+    * one-file ticks = 3 real versions (the first tick bootstraps with
+    * the same tag, so its replay is the same no-op as an append's). */
+  val x64 = GraftQuery(
+    "x64_stream_decontamination",
+    (spark, sfDir) => {
+      import graft.engine.llm.Curation
+      import graft.engine.sources.SnapshotStore
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x64_decon_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val table = s"graft_x64_bench_${ProcessHandle.current().pid()}"
+      Curation.publishBenchmarkNgrams(
+        docs.filter(col("doc_id") < 25), "text", table, n = 13)
+      try {
+        val bench = spark.table(table)
+        // exactly three one-file ticks of the recurring ingest
+        docs.filter(col("doc_id") >= 25).repartition(3)
+          .write.mode("overwrite").parquet(s"$base/in")
+        val root = s"$base/store/flags"
+        val q = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val flags = Curation.contaminationBucketed(batch, bench,
+                "text", "doc_id", n = 13)
+              // first tick bootstraps the store (same tag, so a replayed
+              // first epoch is the same no-op as a replayed append)
+              if (SnapshotStore.currentVersion(root) == 0)
+                SnapshotStore.publishBucketed(flags, root, "doc_id",
+                  nBuckets = 8, tag = Some(s"batch-$batchId"))
+              else
+                SnapshotStore.append(flags, root,
+                  tag = Some(s"batch-$batchId"))
+              ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        SnapshotStore.read(spark, root)
+          .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+            col("contamination"))
+          .withColumn("n_versions",
+            lit(SnapshotStore.currentVersion(root)))
+          .orderBy(col("doc_id"))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      ng AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+          ELSE list_transform(generate_series(1, len(ws) - 12),
+            i -> array_to_string(ws[i:i+12], ' ')) END)) AS ng
+        FROM t),
+      b AS (SELECT DISTINCT ng FROM ng WHERE doc_id < 25)
+      SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        CAST(COUNT(b.ng) AS BIGINT) AS n_contaminated,
+        ROUND(CAST(COUNT(b.ng) AS DOUBLE) / COUNT(*), 6) AS contamination,
+        CAST(3 AS BIGINT) AS n_versions
+      FROM ng LEFT JOIN b USING (ng) WHERE ng.doc_id >= 25
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "always-on decontamination: per-tick gate vs the frozen " +
+      "benchmark n-gram table, flags into a doc-bucketed store via " +
+      "tagged appends; union of ticks == one-shot batch answer, " +
+      "n_versions pins bootstrap + 3 ticks")
+
   def queries: Seq[GraftQuery] =
-    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, q58,
-      q80, q94, q107)
+    Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
+      q58, q80, q94, q107)
 }
