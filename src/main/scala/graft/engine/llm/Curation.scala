@@ -551,11 +551,7 @@ object Curation {
     require(span <= (1L << 60),
       s"negIdSpan $span exceeds the 60-bit md5 draw range (2^60); " +
         "a larger span would bias the modulo and truncate the id space")
-    val reps = keyed.groupBy(col("ck"))
-      .agg(min(col("id")).as("pos_id"), count(lit(1)).as("n"))
-    val anchors = keyed.join(reps.filter(col("n") > 1), Seq("ck"))
-      .filter(col("id") =!= col("pos_id"))
-      .select(col("id").as("anchor_id"), col("pos_id"), col("ck"))
+    val anchors = duplicateAnchors(docs, textCol, idCol)
     val cand = anchors
       .select(col("anchor_id"), col("pos_id"), col("ck"),
         explode(sequence(lit(0), lit(negativesPerAnchor - 1))).as("j"))

@@ -118,7 +118,13 @@ object Dedup {
     * its start position; per document, marked positions merge into MAXIMAL
     * spans wherever consecutive windows overlap or abut (next <= prev +
     * minLen). Returns one row per span: (doc_id, span_start 0-based
-    * inclusive, span_end exclusive). Every char inside a span sits in some
+    * inclusive, span_end exclusive).
+    *
+    * PRECONDITION (whole span family, both key paths): `idCol` is UNIQUE.
+    * Duplicate ids merge two documents' positions into one island stream
+    * — and in [[repeatedSpansHashed]] cross-multiply the candidate
+    * re-acquisition join — producing spans neither document has. Run
+    * [[exactDedup]] (or any id-assigning ingest) first. Every char inside a span sits in some
     * repeated window; span length >= minLen by construction.
     *
     * Scale posture: the window table is one row per character — the same
@@ -262,7 +268,7 @@ object Dedup {
     * no repeated span). dup_chars never double-counts — spans are disjoint
     * by construction. */
   def spanDupStats(df: DataFrame, textCol: String, idCol: String,
-      minLen: Int, hashedKeys: Boolean = false): DataFrame = {
+      minLen: Int, hashedKeys: Boolean = true): DataFrame = {
     val spans =
       if (hashedKeys) repeatedSpansHashed(df, textCol, idCol, minLen)
       else repeatedSpans(df, textCol, idCol, minLen)

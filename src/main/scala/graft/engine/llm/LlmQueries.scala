@@ -1013,9 +1013,12 @@ object LlmQueries {
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
+      // count-based offset (q127's pattern): planted ids can never
+      // collide with real ids at ANY scale factor
+      val n = docs.count()
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .select((col("doc_id") + n).as("doc_id"), col("text")))
       // hashedKeys: the PRODUCTION key path (8-byte rolling-hash shuffle
       // + output-sensitive substring verify) — provably equal to the
       // literal formulation the DuckDB twin replays (DedupSpec pins it)
@@ -1023,9 +1026,10 @@ object LlmQueries {
         hashedKeys = true)
         .orderBy(col("doc_id"))
     },
-    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      corpus AS (SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        SELECT doc_id + (SELECT n FROM n) AS doc_id, text FROM documents
         WHERE doc_id % 25 = 0),
       w AS (SELECT doc_id, i AS pos, substr(text, i+1, 40) AS w
         FROM corpus, UNNEST(generate_series(0, length(text)-40)) AS u(i)
@@ -1078,13 +1082,19 @@ object LlmQueries {
         docs.filter(col("doc_id") < 25), "text", table, n = 13)
       val bench = spark.table(table)
       val batch = docs.filter(col("doc_id") >= 25)
-      val joined = Curation.contaminationJoin(
-        batch, bench, "text", "doc_id", n = 13)
-      val oneExchange = Bucketed.shuffleCount(joined) == 1
-      Curation.contaminationBucketed(batch, bench, "text", "doc_id", n = 13)
-        .withColumn("published_side_shuffle_free", lit(oneExchange))
-        .orderBy(col("doc_id"))
-        .limit(2000)
+      try {
+        val joined = Curation.contaminationJoin(
+          batch, bench, "text", "doc_id", n = 13)
+        val oneExchange = Bucketed.shuffleCount(joined) == 1
+        Curation.contaminationBucketed(batch, bench, "text", "doc_id",
+            n = 13)
+          .withColumn("published_side_shuffle_free", lit(oneExchange))
+          // materialize BEFORE the finally drops the catalog table the
+          // lazy plan reads — and so the table doesn't leak per pid
+          .localCheckpoint()
+          .orderBy(col("doc_id"))
+          .limit(2000)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
     },
     Some("""WITH t AS (SELECT doc_id,
         string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -1125,8 +1135,11 @@ object LlmQueries {
         .localCheckpoint() // bounded: nShards rows
       val budgets = stats.select(col("shard_tokens"))
         .collect().map(_.getLong(0))
-      val spread = (budgets.max - budgets.min).toDouble /
-        (budgets.sum.toDouble / budgets.length)
+      // degenerate corpora (no docs / all-empty texts) define spread 0
+      val spread =
+        if (budgets.isEmpty || budgets.sum == 0L) 0.0
+        else (budgets.max - budgets.min).toDouble /
+          (budgets.sum.toDouble / budgets.length)
       val heads = sharded
         .select(col("shard_id"), col("shuffle_key").as("sortKey"),
           col("doc_id").cast("string").as("id"))
@@ -1182,16 +1195,20 @@ object LlmQueries {
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
+      // count-based offset: planted ids collision-free at any SF, and
+      // doc_id uniqueness is a precondition of the span operators
+      val n = docs.count()
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .select((col("doc_id") + n).as("doc_id"), col("text")))
       Dedup.trimRepeatedSpans(corpus, "text", "doc_id", minLen = 40)
         .select(col("doc_id"), col("trimmed_text"), col("n_trimmed_chars"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      corpus AS (SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        SELECT doc_id + (SELECT n FROM n) AS doc_id, text FROM documents
         WHERE doc_id % 25 = 0),
       w AS (SELECT doc_id, i AS pos, substr(text, i+1, 40) AS w
         FROM corpus, UNNEST(generate_series(0, length(text)-40)) AS u(i)
