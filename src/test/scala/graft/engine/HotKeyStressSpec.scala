@@ -431,4 +431,53 @@ class HotKeyStressSpec extends AnyFunSuite {
       } finally { left.unpersist(); right.unpersist() }
     }
   }
+
+  test("repeatedSpansHashed on a 30k-doc template-heavy corpus with " +
+      "broadcast DISABLED: exact spans, bounded per-task shuffle " +
+      "(no text rides the window table)") {
+    // 10k of 30k docs embed the SAME 60-char template between unique
+    // md5 context — the boilerplate regime ExactSubstr exists for. The
+    // template's 21 window keys each occur 10k times (hot keys), and
+    // with broadcast off every join in the operator is forced to
+    // sort-merge — the exact regime where a text-bearing window table
+    // would shuffle each doc once per window.
+    withStressConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import graft.engine.llm.Dedup
+      val template = ("ThisTemplateBlockRepeats!" * 3).take(60)
+      val docs = spark.range(0L, 30000L)
+        .select(col("id").as("doc_id"),
+          concat(
+            md5(concat(lit("p"), col("id").cast("string"))),
+            when(col("id") % 3 === 0, lit(template))
+              .otherwise(md5(concat(lit("m"), col("id").cast("string")))),
+            md5(concat(lit("s"), col("id").cast("string")))).as("text"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      var got: Array[(Long, Long, Long)] = null
+      val maxBytes = maxTaskShuffleBytes {
+        got = Dedup.repeatedSpansHashed(docs, "text", "doc_id", 40)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // every carrier doc gets exactly ONE span containing the template
+      // region [32, 92). Boundaries BLEED a few chars into the md5
+      // context: 10k carriers share the 60-char core, so hex chars
+      // adjacent to it collide pairwise (16^-k per extra char — a
+      // birthday effect, not a bug; the reference formulation bleeds
+      // identically, as the property spec pins). Bleed beyond 12 chars
+      // has probability ~10^8 * 16^-12 — never.
+      assert(got.length == 10000, s"expected 10000 spans, got ${got.length}")
+      got.foreach { case (id, s, e) =>
+        assert(id % 3 == 0, s"non-carrier doc $id got a span")
+        assert(s <= 32 && e >= 92 && s >= 20 && e <= 104,
+          s"span ($s, $e) of doc $id should tightly contain the template")
+      }
+      // ~2.6M window rows x 24 bytes: a text-bearing window table would
+      // be an order of magnitude past this bound
+      assert(maxBytes < 96L * 1024 * 1024,
+        s"per-task shuffle $maxBytes exceeds the narrow-window-table bound")
+      info(f"30k docs / 10k-carrier template: $sec%.1f s, " +
+        f"max per-task shuffle ${maxBytes / 1024 / 1024} MiB")
+    }
+  }
 }

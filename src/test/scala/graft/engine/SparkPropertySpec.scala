@@ -139,4 +139,69 @@ class SparkPropertySpec extends AnyFunSuite {
       assert(got == want, s"words=$words n=$n:\n got $got\n want $want")
     }
   }
+
+  // single-threaded reference for the exact-substring span family:
+  // brute-force window counts -> marked positions -> island merge
+  private def refSpans(docs: Seq[(Long, String)],
+      l: Int): Set[(Long, Long, Long)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs if t.length >= l; i <- 0 to t.length - l) {
+      val w = t.substring(i, i + l)
+      counts(w) = counts.getOrElse(w, 0) + 1
+    }
+    docs.flatMap { case (id, t) =>
+      val hits =
+        if (t.length < l) Seq.empty
+        else (0 to t.length - l).filter(i => counts(t.substring(i, i + l)) >= 2)
+      val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var start = -1
+      var prev = -(l + 1)
+      for (p <- hits) {
+        if (start < 0) start = p
+        else if (p > prev + l) {
+          spans += ((start.toLong, (prev + l).toLong)); start = p
+        }
+        prev = p
+      }
+      if (start >= 0) spans += ((start.toLong, (prev + l).toLong))
+      spans.map { case (s, e) => (id, s, e) }
+    }.toSet
+  }
+
+  test("property: repeatedSpans (BOTH key paths) and trimRepeatedSpans " +
+      "match the single-threaded reference on random 2-letter corpora") {
+    // 2-letter alphabet, short docs, l = 3: dense organic repeats,
+    // overlap runs, self-repeats, and sub-l docs all arise naturally
+    val docGen = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val corpusGen = Gen.choose(2, 7).flatMap(k => Gen.listOfN(k, docGen))
+    val l = 3
+    samples(corpusGen, 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val want = refSpans(docs, l)
+      for (hashed <- Seq(false, true)) {
+        val got = (if (hashed) Dedup.repeatedSpansHashed(df, "text", "doc_id", l)
+                   else Dedup.repeatedSpans(df, "text", "doc_id", l))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(got == want,
+          s"hashed=$hashed texts=$texts:\n got $got\n want $want")
+      }
+      // trim: reference = drop every char covered by a reference span
+      val wantTrim = docs.map { case (id, t) =>
+        val covered = Array.fill(t.length)(false)
+        want.filter(_._1 == id).foreach { case (_, s, e) =>
+          (s.toInt until e.toInt).foreach(covered(_) = true)
+        }
+        id -> t.zipWithIndex.collect {
+          case (c, i) if !covered(i) => c
+        }.mkString
+      }.toMap
+      val gotTrim = Dedup.trimRepeatedSpans(df, "text", "doc_id", l)
+        .select(col("doc_id"), col("trimmed_text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(gotTrim == wantTrim, s"texts=$texts")
+    }
+  }
 }
