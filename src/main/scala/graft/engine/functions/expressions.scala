@@ -715,6 +715,48 @@ case class VocabTokens(child: Expression, vocab: Array[String])
     copy(child = newChild)
 }
 
+/** [[VocabTokens]]' ID form — the trainer-facing artifact: the SAME
+  * greedy longest-match walk, but each piece surfaces as its rank in the
+  * published vocabulary (0-based training order, [[graft.engine.llm
+  * .Tokenizer.publishVocab]]'s `rank` column), and every implicit
+  * single-code-point fallback token that is not itself a vocabulary
+  * entry surfaces as -1 (the UNK id). decode(ids) via the vocab array is
+  * exact wherever no -1 appears — the round-trip TokenizerSpec pins. */
+case class VocabTokenIds(child: Expression, vocab: Array[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_vocab_token_ids"
+
+  @transient private lazy val trie = new VocabTrie(vocab)
+  @transient private lazy val ranks: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.length * 2)
+    vocab.zipWithIndex.foreach { case (w, i) =>
+      m.putIfAbsent(w, java.lang.Long.valueOf(i.toLong)) // first wins, like the trie
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < s.length) {
+      if (VocabTrie.isWs(s.charAt(i))) i += 1
+      else {
+        val m = trie.longestMatch(s, i)
+        val len = if (m > 0) m else Character.charCount(s.codePointAt(i))
+        val id = ranks.get(s.substring(i, i + len))
+        out += (if (id == null) -1L else id.longValue())
+        i += len
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared kernel for TRUE BPE merge-order inference: tokenize by applying
   * the trained merge sequence IN ORDER (Sennrich et al. 2016), not by
   * greedy longest-match — the production-faithful semantics whose token
@@ -931,6 +973,11 @@ object F {
   /** Greedy longest-match token count against a fixed vocabulary. */
   def vocabTokenCount(text: Column, vocab: Array[String]): Column =
     Bridge.column(VocabTokenCount(Bridge.expression(text), vocab))
+
+  /** Greedy longest-match token IDS (ARRAY<LONG> of published-vocab
+    * ranks; -1 = single-char fallback outside the vocab). */
+  def vocabTokenIds(text: Column, vocab: Array[String]): Column =
+    Bridge.column(VocabTokenIds(Bridge.expression(text), vocab))
 
   /** Greedy longest-match token pieces (ARRAY<STRING>). */
   def vocabTokens(text: Column, vocab: Array[String]): Column =

@@ -347,6 +347,60 @@ object LlmQueries {
     doc = "published-vocabulary tokenize: train on the frozen half, " +
       "publish, load, tokenize the new batch; oracle retrains + replays")
 
+  /** q132 — token-ID ENCODING under the published vocabulary: the final
+    * artifact of the tokenizer lifecycle (a trainer consumes id
+    * sequences, not piece strings). Train on the frozen half, publish,
+    * load, encode the new batch — every id in every doc's sequence
+    * value-replayed: DuckDB retrains the ranked vocab, rebuilds the
+    * alternation (the trie's exact semantics, q109's contract), and maps
+    * each piece through the rank MAP with -1 for out-of-vocab
+    * single-char fallbacks. The order-sensitive ids_str pins sequence
+    * ORDER, not just membership. */
+  val q132 = GraftQuery(
+    "q132_token_ids",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q132_vocab_${ProcessHandle.current().pid()}/vocab"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      val docs = Tables.documents(spark, sfDir)
+      val frozen = docs.filter(col("doc_id") < 250)
+      Tokenizer.publishVocab(spark, root,
+        Tokenizer.trainWordVocab(frozen, "text", 16))
+      val vocab = Tokenizer.loadVocab(spark, root)
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"),
+          Tokenizer.tokenIds(col("text"), vocab).as("ids"))
+        .select(col("doc_id"),
+          expr("array_join(transform(ids, x -> cast(x as string)), ' ')")
+            .as("ids_str"),
+          size(col("ids")).cast(LongType).as("n_ids"),
+          expr("size(filter(ids, x -> x = -1L))").cast(LongType)
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents WHERE doc_id < 250),
+      vr AS (SELECT w,
+          CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) - 1 AS BIGINT) AS r
+        FROM (SELECT w, count(*) AS c FROM w
+          WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
+      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
+        || '|[^ \x09\x0A\x0B\x0C\x0D])' AS pat FROM vr),
+      m AS (SELECT MAP(list(w ORDER BY r), list(r ORDER BY r)) AS vm
+        FROM vr),
+      li AS (SELECT doc_id, list_transform(
+          regexp_extract_all(lower(text), (SELECT pat FROM p), 0),
+          t -> CAST(COALESCE((vm[t])[1], -1) AS BIGINT)) AS ids
+        FROM documents CROSS JOIN m WHERE doc_id >= 250)
+      SELECT doc_id, array_to_string(ids, ' ') AS ids_str,
+        CAST(len(ids) AS BIGINT) AS n_ids,
+        CAST(len(list_filter(ids, x -> x = -1)) AS BIGINT) AS n_unk
+      FROM li ORDER BY doc_id"""),
+    doc = "token-ID encoding under the published vocab: ids in sequence " +
+      "order + UNK accounting, every id value-replayed (ranked-vocab " +
+      "MAP over the trie-equivalent alternation)")
+
   /** q118 — incremental TOKEN ACCOUNTING under the published vocabulary:
     * the budget dashboard every training-data pipeline keeps (how many
     * tokens per source, updated per ingest batch, never a full re-scan).
@@ -2850,6 +2904,6 @@ object LlmQueries {
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      q127, q128, q129, q130, q131, x42, x43, x44, x45, x46, x47, x48,
-      x49, x50, x51)
+      q127, q128, q129, q130, q131, q132, x42, x43, x44, x45, x46, x47,
+      x48, x49, x50, x51)
 }

@@ -361,6 +361,15 @@ object Tokenizer {
   def tokenCount(text: Column, vocab: Array[String]): Column =
     F.vocabTokenCount(lower(text), vocab)
 
+  /** Greedy longest-match token IDS (ARRAY<LONG>) — the artifact a
+    * trainer actually consumes: each piece as its rank in the published
+    * vocabulary's training order ([[publishVocab]]'s `rank` column);
+    * single-char fallbacks outside the vocab surface as -1 (UNK).
+    * decode(ids) through the same vocab array is exact wherever no -1
+    * appears (TokenizerSpec round-trip). */
+  def tokenIds(text: Column, vocab: Array[String]): Column =
+    F.vocabTokenIds(lower(text), vocab)
+
   /** TRUE BPE token count: apply `merges` IN ORDER per word (Sennrich et
     * al. 2016 inference — the merge-order ground truth, where
     * [[tokenCount]] over [[bpeVocab]] is the greedy longest-match

@@ -63,6 +63,29 @@ class TokenizerSpec extends AnyFunSuite {
       "tokenization must partition the non-whitespace characters")
   }
 
+  test("token IDS align 1:1 with pieces; decode(ids) == pieces wherever " +
+      "the id is not UNK; UNK iff the piece is a fallback outside the " +
+      "vocab") {
+    val vocab = Tokenizer.trainWordVocab(docs, "text", 16)
+    val rows = docs.limit(200).select(
+        Tokenizer.tokens(col("text"), vocab).as("pieces"),
+        Tokenizer.tokenIds(col("text"), vocab).as("ids"))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getSeq[Long](1)))
+    val inVocab = vocab.toSet
+    assert(rows.nonEmpty)
+    rows.foreach { case (pieces, ids) =>
+      assert(pieces.length == ids.length, "one id per piece")
+      pieces.zip(ids).foreach { case (p, id) =>
+        if (id == -1L)
+          assert(!inVocab.contains(p),
+            s"piece '$p' is in the vocab but got UNK")
+        else assert(vocab(id.toInt) == p,
+          s"decode(${id}) = '${vocab(id.toInt)}' != piece '$p'")
+      }
+    }
+  }
+
   test("vocab coverage lowers the token count, never below word count") {
     val full = Tokenizer.trainWordVocab(docs, "text", 64)
     val none = docs.select(
