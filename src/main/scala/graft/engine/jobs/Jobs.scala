@@ -112,6 +112,18 @@ object CurateJob {
         Curation.contamination(docs,
           spark.read.parquet(Args.required(o, "benchmark")),
           "text", "doc_id", n = o.getOrElse("ngram", "13").toInt)
+      case "spans" =>
+        // per-doc exact-substring dup accounting (q128's operator)
+        graft.engine.llm.Dedup.spanDupStats(docs, "text", "doc_id",
+          minLen = o.getOrElse("min-len", "40").toInt)
+      case "trim-spans" =>
+        // boilerplate strip (q131's operator)
+        graft.engine.llm.Dedup.trimRepeatedSpans(docs, "text", "doc_id",
+          minLen = o.getOrElse("min-len", "40").toInt)
+      case "shard" =>
+        // deterministic global training shuffle (q130's operator)
+        Curation.shuffleShards(docs, "doc_id",
+          nShards = o.getOrElse("shards", "16").toInt)
       case m => throw new IllegalArgumentException(s"unknown --mode $m")
     }
   }

@@ -49,6 +49,24 @@ class CurateJobSpec extends AnyFunSuite {
     }
   }
 
+  test("spans / trim-spans / shard modes drive the round-12 operators") {
+    val n = spark.read.parquet(input).count()
+    val spans = CurateJob.run(spark,
+      Map("input" -> input, "mode" -> "spans", "min-len" -> "40"))
+    assert(spans.columns.toSeq == Seq("doc_id", "n_spans", "dup_chars",
+      "total_chars", "dup_ratio"))
+    assert(spans.count() == n, "every doc accounted, zeros included")
+    val trimmed = CurateJob.run(spark,
+      Map("input" -> input, "mode" -> "trim-spans", "min-len" -> "40"))
+    assert(trimmed.columns.contains("trimmed_text") && trimmed.count() == n)
+    val sharded = CurateJob.run(spark,
+      Map("input" -> input, "mode" -> "shard", "shards" -> "4"))
+    assert(sharded.columns.contains("shard_id") &&
+      sharded.columns.contains("shuffle_key"))
+    assert(sharded.select("shard_id").distinct().count() == 4)
+    assert(sharded.count() == n)
+  }
+
   test("unknown mode is rejected") {
     intercept[IllegalArgumentException] {
       CurateJob.run(spark, Map("input" -> input, "mode" -> "nope"))
