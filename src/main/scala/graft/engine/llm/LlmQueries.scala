@@ -401,6 +401,167 @@ object LlmQueries {
       "order + UNK accounting, every id value-replayed (ranked-vocab " +
       "MAP over the trie-equivalent alternation)")
 
+  /** q133 — the END-TO-END TRAINING-EXPORT pipeline (q88's sibling built
+    * from the round-12 stages, each individually oracle-verified):
+    * exact dedup FIRST (q40's operator — the hot-bucket design rule:
+    * identical docs collapse before any span machinery sees them; the
+    * planted whole-doc copies die here) → boilerplate strip over the
+    * SURVIVORS ([[Dedup.trimRepeatedSpans]], q131 — spans that still
+    * repeat across DISTINCT docs) → drop sub-40-char residues
+    * (fully-boilerplate docs) → incremental decontamination gate against
+    * the PUBLISHED benchmark n-gram store with a 0.5 contamination
+    * ceiling (q129) → learned token accounting under the PUBLISHED
+    * vocabulary (q115) → deterministic shuffle-shard export stats
+    * (q130). What this pins
+    * beyond the pieces: the schema handoffs (trimmed text feeds dedup's
+    * content key feeds the n-gram gate), artifact lifecycles inside a
+    * composition, and the funnel counts at every stage. DuckDB replays
+    * the ENTIRE chain from raw text. */
+  val q133 = GraftQuery(
+    "q133_training_export_e2e",
+    (spark, sfDir) => {
+      import graft.engine.sources.SnapshotStore
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q133_e2e_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val nDocs = docs.count()
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + nDocs).as("doc_id"), col("text")))
+      val table = s"graft_q133_bench_${ProcessHandle.current().pid()}"
+      Curation.publishBenchmarkNgrams(
+        docs.filter(col("doc_id") < 25), "text", table, n = 13)
+      Tokenizer.publishVocab(spark, s"$base/vocab",
+        Tokenizer.trainWordVocab(docs.filter(col("doc_id") < 250),
+          "text", 16))
+      val vocab = Tokenizer.loadVocab(spark, s"$base/vocab")
+      try {
+        // 1. exact dedup first (one cheap content-key shuffle) so
+        // identical docs can't masquerade as cross-doc repeated spans
+        val deduped = Dedup.exactDedup(corpus, "text", "doc_id")
+          .localCheckpoint()
+        // 2. boilerplate strip over the distinct survivors, then drop
+        // residues shorter than the span window (all-boilerplate docs)
+        val trimmed = Dedup
+          .trimRepeatedSpans(deduped, "text", "doc_id", minLen = 40)
+          .select(col("doc_id"), col("trimmed_text").as("text"))
+          .filter(length(col("text")) >= 40)
+          .localCheckpoint()
+        // 3. eval-leakage gate vs the frozen benchmark store
+        val flags = Curation.contaminationBucketed(
+          trimmed, spark.table(table), "text", "doc_id", n = 13)
+        val clean = trimmed.join(
+            flags.filter(col("contamination") <= 0.5).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        // 4. budgets in LEARNED tokens under the published vocabulary
+        val counted = clean.select(col("doc_id"),
+          Tokenizer.tokenCount(col("text"), vocab).as("n_tokens"))
+        // 5. deterministic shuffle-shard export
+        val sharded = Curation.shuffleShards(counted, "doc_id", nShards = 8)
+        sharded.groupBy(col("shard_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum(col("n_tokens")).cast(LongType).as("shard_tokens"))
+          .withColumn("n_corpus", lit(corpus.count()).cast(LongType))
+          .withColumn("n_after_dedup", lit(deduped.count()).cast(LongType))
+          .withColumn("n_after_trim", lit(trimmed.count()).cast(LongType))
+          .withColumn("n_after_gate", lit(clean.count()).cast(LongType))
+          .localCheckpoint() // materialize before the finally drops bench
+          .orderBy(col("shard_id"))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    },
+    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      corpus AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT n FROM nn) AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0),
+      dedup AS (SELECT doc_id, text FROM (
+          SELECT doc_id, text, ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+          FROM corpus) WHERE rn = 1),
+      w AS (SELECT doc_id, i AS pos, substr(text, i+1, 40) AS w
+        FROM dedup, UNNEST(generate_series(0, length(text)-40)) AS u(i)
+        WHERE length(text) >= 40),
+      d AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+      h AS (SELECT doc_id, pos FROM w SEMI JOIN d USING (w)),
+      isl AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              IS NULL
+            OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+            THEN 1 ELSE 0 END AS nw
+        FROM h),
+      sp AS (SELECT doc_id, pos,
+          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS s
+        FROM isl),
+      spans AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 40 AS en
+        FROM sp GROUP BY doc_id, s),
+      pieces AS (
+        SELECT doc_id,
+          COALESCE(lag(en) OVER (PARTITION BY doc_id ORDER BY st), 0)
+            AS ks, st AS ke
+        FROM spans
+        UNION ALL
+        SELECT sp2.doc_id, MAX(sp2.en) AS ks, MAX(length(c.text)) AS ke
+        FROM spans sp2 JOIN dedup c USING (doc_id)
+        GROUP BY sp2.doc_id),
+      tr AS (SELECT p.doc_id,
+          string_agg(substr(c.text, p.ks + 1, p.ke - p.ks), ''
+            ORDER BY p.ks) AS trimmed
+        FROM pieces p JOIN dedup c USING (doc_id)
+        GROUP BY p.doc_id),
+      kept1 AS (SELECT c.doc_id,
+          COALESCE(tr.trimmed, c.text) AS text
+        FROM dedup c LEFT JOIN tr USING (doc_id)
+        WHERE length(COALESCE(tr.trimmed, c.text)) >= 40),
+      tdd AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS ws FROM kept1),
+      ngd AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+          ELSE list_transform(generate_series(1, len(ws) - 12),
+            i -> array_to_string(ws[i:i+12], ' ')) END)) AS ng
+        FROM tdd),
+      tbb AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE doc_id < 25),
+      bset AS (SELECT DISTINCT ng FROM (SELECT unnest(list_distinct(
+          CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+          ELSE list_transform(generate_series(1, len(ws) - 12),
+            i -> array_to_string(ws[i:i+12], ' ')) END)) AS ng FROM tbb)),
+      cont AS (SELECT ngd.doc_id,
+          ROUND(CAST(COUNT(b.ng) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM ngd LEFT JOIN bset b USING (ng) GROUP BY 1),
+      clean AS (SELECT d.doc_id, d.text FROM kept1 d
+        JOIN cont ON cont.doc_id = d.doc_id WHERE cont.c <= 0.5),
+      wv AS (SELECT unnest(regexp_extract_all(lower(text),
+          '[a-z]+|[0-9]+')) AS w FROM documents WHERE doc_id < 250),
+      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM wv
+        WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
+      pt AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
+        || '|[^ \x09\x0A\x0B\x0C\x0D])' AS pat FROM v),
+      counted AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text),
+            (SELECT pat FROM pt), 0)) AS BIGINT) AS n_tokens
+        FROM clean),
+      sharded AS (SELECT doc_id, n_tokens,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 8 AS shard_id
+        FROM counted),
+      st AS (SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        FROM sharded GROUP BY 1)
+      SELECT st.shard_id, st.n_docs, st.shard_tokens,
+        CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_corpus,
+        CAST((SELECT COUNT(*) FROM dedup) AS BIGINT) AS n_after_dedup,
+        CAST((SELECT COUNT(*) FROM kept1) AS BIGINT) AS n_after_trim,
+        CAST((SELECT COUNT(*) FROM clean) AS BIGINT) AS n_after_gate
+      FROM st ORDER BY st.shard_id"""),
+    doc = "the END-TO-END training-export pipeline: boilerplate strip " +
+      "-> exact dedup on trimmed text -> published-store decontamination " +
+      "gate -> learned-token budgets -> shuffle-shard stats; full chain " +
+      "+ funnel counts DuckDB-replayed from raw text")
+
   /** q118 — incremental TOKEN ACCOUNTING under the published vocabulary:
     * the budget dashboard every training-data pipeline keeps (how many
     * tokens per source, updated per ingest batch, never a full re-scan).
@@ -2904,6 +3065,6 @@ object LlmQueries {
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      q127, q128, q129, q130, q131, q132, x42, x43, x44, x45, x46, x47,
-      x48, x49, x50, x51)
+      q127, q128, q129, q130, q131, q132, q133, x42, x43, x44, x45, x46,
+      x47, x48, x49, x50, x51)
 }
