@@ -84,4 +84,43 @@ object Metrics {
         .map(m => m -> ev.setMetricName(m).evaluate(cached)).toMap
     } finally { cached.unpersist() }
   }
+
+  /** EXACT binary ROC-AUC as a relational computation — the Mann-Whitney
+    * rank statistic with the standard tie correction
+    * (AUC = P(s₊ > s₋) + ½·P(s₊ = s₋)), computed WITHOUT a corpus sort:
+    * one aggregation keyed on the score VALUE (quantized to 6 dp — the
+    * same rounding every cross-engine float in this repo rides, so the
+    * distinct-score table is bounded at 2·10⁶ + 1 rows no matter the
+    * corpus), then one running-sum window over that bounded aggregated
+    * table (PlanAudit's bounded-window rule: aggregate below the window).
+    * All numerators/denominators accumulate as exact longs; only the
+    * final division is floating point, rounded to 6 dp.
+    *
+    * AUC = [ Σ_s n₊(s)·cumN₋(<s) + ½ Σ_s n₊(s)·n₋(s) ] / (N₊·N₋).
+    *
+    * `labelCol` must be 0/1. Returns ONE row (auc, n_pos, n_neg); a
+    * single-class input yields auc = NULL (undefined, the caller
+    * decides), never NaN. */
+  def binaryAuc(scored: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = scored
+      .groupBy(round(col(scoreCol).cast("double"), 6).as("s"))
+      .agg(sum(col(labelCol).cast(LongType)).as("np"),
+        sum(lit(1L) - col(labelCol).cast(LongType)).as("nn"))
+    val below = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cumnn", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(sum(col("np")).as("npos"), sum(col("nn")).as("nneg"),
+        sum(col("np") * col("cumnn")).as("u1"),
+        sum(col("np") * col("nn")).as("u2"))
+      .select(
+        when(col("npos") > 0 && col("nneg") > 0,
+          round((col("u1").cast("double") + col("u2").cast("double") / 2.0)
+            / (col("npos").cast("double") * col("nneg").cast("double")), 6))
+          .as("auc"),
+        col("npos").cast(LongType).as("n_pos"),
+        col("nneg").cast(LongType).as("n_neg"))
+  }
 }

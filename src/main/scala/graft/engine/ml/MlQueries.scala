@@ -384,6 +384,77 @@ object MlQueries {
       "matrix + accuracy>=0.9 recomputed by DuckDB from the persisted " +
       "scored rows")
 
+  /** ml_auc — EXACT binary ROC-AUC over the fitted pipeline's scores
+    * ([[Metrics.binaryAuc]] — Mann-Whitney with tie correction, no
+    * corpus sort: a score-value aggregation + one window over the
+    * bounded distinct-score table). One-vs-rest framing on the iris fit:
+    * positive class `versicolor` (the non-separable one — setosa would
+    * pin a vacuous 1.0), score = that class's probability slot, located
+    * through the PROVEN dictionary twin (StagesSpec pins parity with the
+    * fitted indexer). The scored half persists (y, score) and DuckDB
+    * recomputes the FULL rank statistic independently — every
+    * (distinct-score, n₊, n₋) bucket, the strict-below cumulative, the
+    * tie term, and the final ratio. `auc_ok` pins >= 0.9. */
+  val mlAuc = GraftQuery(
+    "ml_auc",
+    (spark, sfDir) => {
+      val data = IrisData.generate(spark)
+      val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
+      val model = Fit.pipelined(train)
+      val idx = Stages.labelDictionary(train, "species")
+        .filter(col("value") === "versicolor")
+        .head().getAs[Long]("code").toInt
+      val dir = scoredDir("auc")
+      // two measures: the MODEL's probability on the held-out half (the
+      // classifier evaluation — separable at 1.0 on this fixture, the
+      // >= 0.9 contract) and a RAW FEATURE over the full fixture (the
+      // feature-screening use — virginica-vs-rest on sepal_width is the
+      // one genuinely overlapping pair: AUC 0.68 with real score ties,
+      // so the cumulative + tie machinery is exercised on live data)
+      model.transform(test)
+        .select(lit("rf_prob").as("measure"),
+          (col("species") === "versicolor").cast(LongType).as("y"),
+          round(org.apache.spark.ml.functions.vector_to_array(
+            col("probability")).getItem(idx).cast("double"), 6).as("score"))
+        .unionByName(data.select(lit("sepal_width").as("measure"),
+          (col("species") === "virginica").cast(LongType).as("y"),
+          round(col("sepal_width").cast("double"), 6).as("score")))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      Seq("rf_prob", "sepal_width").map { m =>
+        Metrics.binaryAuc(back.filter(col("measure") === m), "y", "score")
+          .withColumn("measure", lit(m))
+      }.reduce(_ unionByName _)
+        .withColumn("auc_ok",
+          col("measure") =!= "rf_prob" || col("auc") >= 0.9)
+        .select(col("measure"), col("auc"), col("n_pos"), col("n_neg"),
+          col("auc_ok"))
+        .orderBy(col("measure"))
+    },
+    Some(s"""WITH s AS (SELECT measure, y, score
+        FROM read_parquet('${scoredDir("auc")}/*.parquet')),
+      g AS (SELECT measure, score AS sc, SUM(y) AS np, SUM(1 - y) AS nn
+        FROM s GROUP BY 1, 2),
+      c AS (SELECT measure, np, nn, COALESCE(SUM(nn) OVER (
+          PARTITION BY measure ORDER BY sc
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
+        FROM g),
+      agg AS (SELECT measure, SUM(np) AS npos, SUM(nn) AS nneg,
+          SUM(np * cumnn) AS u1, SUM(np * nn) AS u2
+        FROM c GROUP BY 1),
+      r AS (SELECT measure,
+          ROUND((CAST(u1 AS DOUBLE) + CAST(u2 AS DOUBLE) / 2)
+            / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6) AS auc,
+          CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg
+        FROM agg)
+      SELECT measure, auc, n_pos, n_neg,
+        (measure <> 'rf_prob' OR auc >= 0.9) AS auc_ok
+      FROM r ORDER BY measure"""),
+    doc = "exact binary ROC-AUC (Mann-Whitney with ties, no corpus " +
+      "sort): the fitted pipeline's versicolor probability (>= 0.9 " +
+      "contract) AND a raw-feature screening AUC with real ties; full " +
+      "rank statistic recomputed by DuckDB from the persisted scores")
+
   /** ml_quality_lr — MODEL-BASED quality filtering (the FineWeb/DCLM-style
     * classifier gate, composing the ML and curation layers): heuristic
     * quality labels ([[graft.engine.llm.TextAnalysis.qualityScore]]'s
@@ -471,5 +542,5 @@ object MlQueries {
 
   def queries: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q77, mlSplit, mlHashSplit, mlRf,
-      mlCv, mlGbt, mlQualityLr)
+      mlCv, mlGbt, mlAuc, mlQualityLr)
 }

@@ -52,4 +52,32 @@ class MetricsSpec extends AnyFunSuite {
       assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
     }
   }
+
+  test("binaryAuc: hand-computed fixture with ties, perfect and reversed " +
+      "separations, and single-class NULL") {
+    def auc(rows: Seq[(Long, Double)]): Option[Double] = {
+      val r = Metrics.binaryAuc(rows.toDF("y", "score"), "y", "score")
+        .collect()(0)
+      val out = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      assert(r.getLong(1) == rows.count(_._1 == 1L) &&
+        r.getLong(2) == rows.count(_._1 == 0L))
+      out
+    }
+    // pos scores {0.4, 0.8}, neg {0.1, 0.4}: wins 3, tie 1 of 4 pairs
+    // -> AUC = (3 + 0.5)/4 = 0.875
+    assert(auc(Seq((0L, 0.1), (0L, 0.4), (1L, 0.4), (1L, 0.8)))
+      .contains(0.875))
+    // perfect separation / full reversal / all-tied
+    assert(auc(Seq((0L, 0.1), (0L, 0.2), (1L, 0.7), (1L, 0.9)))
+      .contains(1.0))
+    assert(auc(Seq((1L, 0.1), (1L, 0.2), (0L, 0.7), (0L, 0.9)))
+      .contains(0.0))
+    assert(auc(Seq((0L, 0.5), (1L, 0.5), (0L, 0.5), (1L, 0.5)))
+      .contains(0.5))
+    // single-class inputs are undefined, surfaced as NULL not NaN
+    assert(auc(Seq((1L, 0.3), (1L, 0.9))).isEmpty)
+    assert(auc(Seq((0L, 0.3), (0L, 0.9))).isEmpty)
+    // quantization contract: sub-6dp differences collapse to a tie
+    assert(auc(Seq((0L, 0.50000004), (1L, 0.50000001))).contains(0.5))
+  }
 }
