@@ -591,8 +591,11 @@ private[functions] final class VocabTrie(vocab: Array[String]) extends Serializa
   // words — driver-built once per plan, shipped with the expression)
   private val children = scala.collection.mutable.ArrayBuffer(
     new java.util.HashMap[Char, Int]())
-  private val terminal = scala.collection.mutable.ArrayBuffer(false)
-  vocab.foreach { w =>
+  // terminal nodes carry the FIRST vocab index that ends there (-1 =
+  // not a word end) — the id the token-ID kernel surfaces, kept inside
+  // the walk so ids and pieces can never disagree on what matched
+  private val wordIdx = scala.collection.mutable.ArrayBuffer(-1)
+  vocab.zipWithIndex.foreach { case (w, wi) =>
     require(w.nonEmpty && w.forall(c => !VocabTrie.isWs(c)),
       s"vocab tokens must be non-empty and whitespace-free, got '$w'")
     var node = 0
@@ -603,26 +606,33 @@ private[functions] final class VocabTrie(vocab: Array[String]) extends Serializa
         if (children(node).containsKey(c)) children(node).get(c)
         else {
           children += new java.util.HashMap[Char, Int]()
-          terminal += false
+          wordIdx += -1
           children(node).put(c, children.size - 1)
           children.size - 1
         }
       i += 1
     }
-    terminal(node) = true
+    if (wordIdx(node) < 0) wordIdx(node) = wi // first entry wins
   }
 
   /** Longest vocab match starting at `pos` (0 = none). */
-  def longestMatch(s: String, pos: Int): Int = {
+  def longestMatch(s: String, pos: Int): Int =
+    (longestMatchWithId(s, pos) >>> 32).toInt
+
+  /** Longest vocab match starting at `pos`, with the matched word's
+    * vocab index, packed as (length << 32) | (index & 0xffffffff) —
+    * one walk, no per-token allocation. Length 0 / index -1 = no match. */
+  def longestMatchWithId(s: String, pos: Int): Long = {
     var node = 0
     var i = pos
-    var best = 0
+    var best = 0L
+    var bestIdx = -1L
     while (i < s.length && children(node).containsKey(s.charAt(i))) {
       node = children(node).get(s.charAt(i))
       i += 1
-      if (terminal(node)) best = i - pos
+      if (wordIdx(node) >= 0) { best = (i - pos).toLong; bestIdx = wordIdx(node) }
     }
-    best
+    (best << 32) | (bestIdx & 0xffffffffL)
   }
 }
 
@@ -728,13 +738,6 @@ case class VocabTokenIds(child: Expression, vocab: Array[String])
   override def prettyName: String = "graft_vocab_token_ids"
 
   @transient private lazy val trie = new VocabTrie(vocab)
-  @transient private lazy val ranks: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](vocab.length * 2)
-    vocab.zipWithIndex.foreach { case (w, i) =>
-      m.putIfAbsent(w, java.lang.Long.valueOf(i.toLong)) // first wins, like the trie
-    }
-    m
-  }
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
@@ -743,11 +746,17 @@ case class VocabTokenIds(child: Expression, vocab: Array[String])
     while (i < s.length) {
       if (VocabTrie.isWs(s.charAt(i))) i += 1
       else {
-        val m = trie.longestMatch(s, i)
-        val len = if (m > 0) m else Character.charCount(s.codePointAt(i))
-        val id = ranks.get(s.substring(i, i + len))
-        out += (if (id == null) -1L else id.longValue())
-        i += len
+        // one walk yields BOTH the match length and the vocab index —
+        // ids come from the trie terminal itself, never a parallel map
+        val packed = trie.longestMatchWithId(s, i)
+        val m = (packed >>> 32).toInt
+        if (m > 0) {
+          out += packed.toInt.toLong // sign-extends the index
+          i += m
+        } else {
+          out += -1L
+          i += Character.charCount(s.codePointAt(i))
+        }
       }
     }
     ArrayData.toArrayData(out.toArray)

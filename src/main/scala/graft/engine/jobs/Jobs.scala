@@ -90,6 +90,12 @@ object FitJob {
   *   --mode pack          token-budget sequence packing (--budget, sharded
   *                        by source)
   *   --mode decontaminate 13-gram overlap vs --benchmark parquet
+  *   --mode spans         per-doc exact-substring dup accounting
+  *                        (--min-len, default 40)
+  *   --mode trim-spans    boilerplate strip: every repeated span cut
+  *                        (--min-len)
+  *   --mode shard         deterministic global training shuffle:
+  *                        shard_id + shuffle_key columns (--shards)
   */
 object CurateJob {
   def run(spark: org.apache.spark.sql.SparkSession,

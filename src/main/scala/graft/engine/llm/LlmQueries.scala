@@ -379,16 +379,7 @@ object LlmQueries {
             .as("n_unk"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
-          '[a-z]+|[0-9]+')) AS w FROM documents WHERE doc_id < 250),
-      vr AS (SELECT w,
-          CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) - 1 AS BIGINT) AS r
-        FROM (SELECT w, count(*) AS c FROM w
-          WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
-      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
-        || '|[^ \x09\x0A\x0B\x0C\x0D])' AS pat FROM vr),
-      m AS (SELECT MAP(list(w ORDER BY r), list(r ORDER BY r)) AS vm
-        FROM vr),
+    Some(s"""WITH ${Tokenizer.sqlVocabRankedCtes(16, " WHERE doc_id < 250")},
       li AS (SELECT doc_id, list_transform(
           regexp_extract_all(lower(text), (SELECT pat FROM p), 0),
           t -> CAST(COALESCE((vm[t])[1], -1) AS BIGINT)) AS ids
@@ -472,7 +463,7 @@ object LlmQueries {
           .orderBy(col("shard_id"))
       } finally spark.sql(s"DROP TABLE IF EXISTS $table")
     },
-    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    Some(s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
       corpus AS (SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + (SELECT n FROM nn) AS doc_id, text FROM documents
@@ -516,14 +507,14 @@ object LlmQueries {
         FROM dedup c LEFT JOIN tr USING (doc_id)
         WHERE length(COALESCE(tr.trimmed, c.text)) >= 40),
       tdd AS (SELECT doc_id,
-          string_split_regex(lower(trim(text)), '\s+') AS ws FROM kept1),
+          string_split_regex(lower(trim(text)), '\\s+') AS ws FROM kept1),
       ngd AS (SELECT doc_id, unnest(list_distinct(
           CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
           ELSE list_transform(generate_series(1, len(ws) - 12),
             i -> array_to_string(ws[i:i+12], ' ')) END)) AS ng
         FROM tdd),
       tbb AS (SELECT doc_id,
-          string_split_regex(lower(trim(text)), '\s+') AS ws
+          string_split_regex(lower(trim(text)), '\\s+') AS ws
         FROM documents WHERE doc_id < 25),
       bset AS (SELECT DISTINCT ng FROM (SELECT unnest(list_distinct(
           CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
@@ -534,15 +525,10 @@ object LlmQueries {
         FROM ngd LEFT JOIN bset b USING (ng) GROUP BY 1),
       clean AS (SELECT d.doc_id, d.text FROM kept1 d
         JOIN cont ON cont.doc_id = d.doc_id WHERE cont.c <= 0.5),
-      wv AS (SELECT unnest(regexp_extract_all(lower(text),
-          '[a-z]+|[0-9]+')) AS w FROM documents WHERE doc_id < 250),
-      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM wv
-        WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT 16)),
-      pt AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
-        || '|[^ \x09\x0A\x0B\x0C\x0D])' AS pat FROM v),
+      ${Tokenizer.sqlVocabCtes(16, " WHERE doc_id < 250", "tk")},
       counted AS (SELECT doc_id,
           CAST(len(regexp_extract_all(lower(text),
-            (SELECT pat FROM pt), 0)) AS BIGINT) AS n_tokens
+            (SELECT pat FROM tkp), 0)) AS BIGINT) AS n_tokens
         FROM clean),
       sharded AS (SELECT doc_id, n_tokens,
           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)

@@ -426,13 +426,31 @@ object Tokenizer {
     * diverge from each other. Emits CTEs `w`/`v`/`p`; embed as
     * `s"WITH ${sqlVocabCtes(16)} SELECT ..."`. `where` scopes the
     * TRAINING corpus (e.g. the frozen half in q115). */
-  def sqlVocabCtes(size: Int, where: String = ""): String =
-    s"""w AS (SELECT unnest(regexp_extract_all(lower(text),
+  def sqlVocabCtes(size: Int, where: String = "",
+      prefix: String = ""): String =
+    s"""${prefix}w AS (SELECT unnest(regexp_extract_all(lower(text),
           '[a-z]+|[0-9]+')) AS w FROM documents$where),
-      v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w
+      ${prefix}v AS (SELECT w FROM (SELECT w, count(*) AS c FROM ${prefix}w
         WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT $size)),
-      p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
-        || '|[^ \\x09\\x0A\\x0B\\x0C\\x0D])' AS pat FROM v)"""
+      ${prefix}p AS (SELECT '(' || string_agg(w, '|' ORDER BY length(w) DESC, w)
+        || '|[^ \\x09\\x0A\\x0B\\x0C\\x0D])' AS pat FROM ${prefix}v)"""
+
+  /** [[sqlVocabCtes]]' RANKED extension for the token-ID oracles (q132):
+    * adds `${prefix}vr` (w, r — the 0-based TRAINING order, the id
+    * [[publishVocab]] assigns) and `${prefix}m` (the rank MAP a DuckDB
+    * lambda can index) on top of the same shared word-extraction CTE —
+    * so the id assignment cannot drift from the vocabulary replay. The
+    * top-K block intentionally mirrors `${prefix}v`'s, adjacent in this
+    * one definition site. */
+  def sqlVocabRankedCtes(size: Int, where: String = "",
+      prefix: String = ""): String =
+    s"""${sqlVocabCtes(size, where, prefix)},
+      ${prefix}vr AS (SELECT w,
+          CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) - 1 AS BIGINT) AS r
+        FROM (SELECT w, count(*) AS c FROM ${prefix}w
+          WHERE length(w) >= 2 GROUP BY w ORDER BY c DESC, w LIMIT $size)),
+      ${prefix}m AS (SELECT MAP(list(w ORDER BY r), list(r ORDER BY r))
+        AS vm FROM ${prefix}vr)"""
 
   /** Publish a trained BPE merge sequence as the next version of a
     * [[graft.engine.sources.SnapshotStore]] table `(rank, a, b)` — the

@@ -89,33 +89,57 @@ object Metrics {
     * rank statistic with the standard tie correction
     * (AUC = P(s₊ > s₋) + ½·P(s₊ = s₋)), computed WITHOUT a corpus sort:
     * one aggregation keyed on the score VALUE (quantized to 6 dp — the
-    * same rounding every cross-engine float in this repo rides, so the
-    * distinct-score table is bounded at 2·10⁶ + 1 rows no matter the
-    * corpus), then one running-sum window over that bounded aggregated
-    * table (PlanAudit's bounded-window rule: aggregate below the window).
+    * same rounding every cross-engine float in this repo rides), then
+    * one running-sum window over the aggregated distinct-score table
+    * (PlanAudit's bounded-window rule: aggregate below the window).
     * All numerators/denominators accumulate as exact longs; only the
     * final division is floating point, rounded to 6 dp.
     *
     * AUC = [ Σ_s n₊(s)·cumN₋(<s) + ½ Σ_s n₊(s)·n₋(s) ] / (N₊·N₋).
     *
+    * BOUNDEDNESS CONTRACT: the distinct-score table (and hence the one
+    * single-task window) is bounded by range·10⁶ — 2·10⁶ + 1 rows for
+    * probabilities/normalized scores, the intended input. A raw feature
+    * with an unbounded range must be normalized or coarser-quantized by
+    * the caller first, or the window degenerates into the global-sort
+    * shape this operator exists to avoid. NULL scores and NULL labels
+    * are EXCLUDED before anything counts (a NULL score ranks
+    * nondeterministically across engines — first in Spark, last in
+    * DuckDB — so admitting them would break the cross-engine replay);
+    * n_pos/n_neg reflect the scored rows only.
+    *
     * `labelCol` must be 0/1. Returns ONE row (auc, n_pos, n_neg); a
     * single-class input yields auc = NULL (undefined, the caller
     * decides), never NaN. */
   def binaryAuc(scored: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame =
+    binaryAucBy(scored.withColumn("_measure", lit("all")), "_measure",
+      labelCol, scoreCol).drop("measure")
+
+  /** [[binaryAuc]] for several measures in ONE pass — the evaluation
+    * dashboard shape (N models / N screening features over one scored
+    * table): the score aggregation and the running-sum window both
+    * partition by `measureCol`, so all measures cost one scan and one
+    * (per-measure-bounded) window, the exact plan the ml_auc oracle SQL
+    * writes. Same contracts as [[binaryAuc]], one row per measure. */
+  def binaryAucBy(scored: DataFrame, measureCol: String, labelCol: String,
       scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perScore = scored
-      .groupBy(round(col(scoreCol).cast("double"), 6).as("s"))
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(measureCol).as("measure"),
+        round(col(scoreCol).cast("double"), 6).as("s"))
       .agg(sum(col(labelCol).cast(LongType)).as("np"),
         sum(lit(1L) - col(labelCol).cast(LongType)).as("nn"))
-    val below = Window.orderBy(col("s").asc)
+    val below = Window.partitionBy(col("measure")).orderBy(col("s").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     perScore
       .withColumn("cumnn", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .groupBy(col("measure"))
       .agg(sum(col("np")).as("npos"), sum(col("nn")).as("nneg"),
         sum(col("np") * col("cumnn")).as("u1"),
         sum(col("np") * col("nn")).as("u2"))
-      .select(
+      .select(col("measure"),
         when(col("npos") > 0 && col("nneg") > 0,
           round((col("u1").cast("double") + col("u2").cast("double") / 2.0)
             / (col("npos").cast("double") * col("nneg").cast("double")), 6))

@@ -420,11 +420,9 @@ object MlQueries {
           (col("species") === "virginica").cast(LongType).as("y"),
           round(col("sepal_width").cast("double"), 6).as("score")))
         .coalesce(1).write.mode("overwrite").parquet(dir)
-      val back = spark.read.parquet(dir)
-      Seq("rf_prob", "sepal_width").map { m =>
-        Metrics.binaryAuc(back.filter(col("measure") === m), "y", "score")
-          .withColumn("measure", lit(m))
-      }.reduce(_ unionByName _)
+      // both measures in ONE scan + one partitioned window — the same
+      // plan the oracle SQL writes (PARTITION BY measure)
+      Metrics.binaryAucBy(spark.read.parquet(dir), "measure", "y", "score")
         .withColumn("auc_ok",
           col("measure") =!= "rf_prob" || col("auc") >= 0.9)
         .select(col("measure"), col("auc"), col("n_pos"), col("n_neg"),
