@@ -80,4 +80,23 @@ class MetricsSpec extends AnyFunSuite {
     // quantization contract: sub-6dp differences collapse to a tie
     assert(auc(Seq((0L, 0.50000004), (1L, 0.50000001))).contains(0.5))
   }
+
+  test("binaryAuc: NULL scores are excluded (not ranked), empty input " +
+      "yields one all-zero row, and binaryAucBy == per-measure calls") {
+    val withNulls = Seq((Some(0L), Some(0.1)), (Some(1L), None),
+        (Some(1L), Some(0.9)), (None, Some(0.4)))
+      .toDF("y", "score")
+    val r = Metrics.binaryAuc(withNulls, "y", "score").collect()(0)
+    // only (0, 0.1) and (1, 0.9) count -> AUC 1.0 over 1 pos / 1 neg
+    assert(r.getDouble(0) == 1.0 && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    val empty = Seq.empty[(Long, Double)].toDF("y", "score")
+    assert(Metrics.binaryAuc(empty, "y", "score").count() == 0L,
+      "no scored rows -> no measure row")
+    // grouped == per-measure filtering
+    val two = Seq(("a", 0L, 0.1), ("a", 1L, 0.9),
+        ("b", 1L, 0.2), ("b", 0L, 0.7)).toDF("m", "y", "score")
+    val grouped = Metrics.binaryAucBy(two, "m", "y", "score")
+      .collect().map(r2 => r2.getString(0) -> r2.getDouble(1)).toMap
+    assert(grouped == Map("a" -> 1.0, "b" -> 0.0))
+  }
 }
