@@ -173,4 +173,79 @@ class StreamingPlanAuditSpec extends AnyFunSuite {
       "second tick doc three"),
       s"cross-version dedup answer changed under pruning: $kept")
   }
+
+  test("x64-shaped streaming decontamination: every per-tick plan scans " +
+      "the frozen benchmark table BUCKETED, contributing no exchange " +
+      "(only the batch side and the per-doc agg shuffle)") {
+    import graft.engine.llm.Curation
+    val base = tmp("audit_decon")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"),
+      (4L, "totally fresh words appear here nothing benchmark related at all today ok fine")
+    ).toDF("doc_id", "text")
+    val table = s"audit_decon_bench_${System.nanoTime()}"
+    Curation.publishBenchmarkNgrams(docs.filter(col("doc_id") === 1L),
+      "text", table, n = 13)
+    // two one-file ticks of the "ingest"
+    docs.filter(col("doc_id") === 2L).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    docs.filter(col("doc_id") >= 3L).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    val root = s"$base/store/flags"
+    val (_, captured) = capturing {
+      val bench = spark.table(table)
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val flags = Curation.contaminationBucketed(b, bench,
+            "text", "doc_id", n = 13)
+          if (SnapshotStore.currentVersion(root) == 0)
+            SnapshotStore.publishBucketed(flags, root, "doc_id",
+              nBuckets = 4, tag = Some(s"b-$id"))
+          else SnapshotStore.append(flags, root, tag = Some(s"b-$id"))
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // every captured micro-batch plan that reads the frozen table must
+    // read it through the bucketed layout (no exchange on its side: at
+    // most the batch-ngram exchange + the per-doc agg exchange)
+    val benchPlans = captured.map(_._2.executedPlan.toString)
+      .filter(_.contains(table))
+    assert(benchPlans.nonEmpty,
+      "audit must observe the frozen-table scans (nothing captured = " +
+        "nothing gated)")
+    benchPlans.foreach { p =>
+      assert("Bucketed: true".r.findFirstIn(p).isDefined,
+        s"frozen benchmark scan lost its bucketed layout:\n$p")
+      // the join key is ng_key: a reshuffled frozen side would give each
+      // sort-merge join TWO ng_key exchanges. Exactly one per join =
+      // only the batch side pays the join shuffle. (The join subtree can
+      // legitimately appear more than once in a staged-write plan, and
+      // the per-doc agg / bucketed store write add doc_id exchanges —
+      // so neither a total bound nor a per-plan count of 1 is right.)
+      val nJoins = raw"SortMergeJoin \[ng_key".r.findAllIn(p).size
+      val ngKeyExchanges =
+        raw"Exchange hashpartitioning\(ng_key[^\]]*\[plan_id=(\d+)\]".r
+          .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(nJoins >= 1, s"expected the ng_key join in the plan:\n$p")
+      assert(ngKeyExchanges.size == nJoins,
+        s"expected ONE ng_key exchange per join (the batch side), got " +
+          s"${ngKeyExchanges.size} across $nJoins joins — the frozen " +
+          "side must not reshuffle")
+    }
+    // and the gate's values are right across ticks: doc 3 (benchmark
+    // copy) fully contaminated, docs 2/4 untouched
+    val flags = SnapshotStore.read(spark, root)
+      .select(col("doc_id"), col("contamination")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flags(3L) == 1.0 && flags(2L) == 0.0 && flags(4L) == 0.0,
+      s"per-tick contamination values drifted: $flags")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
