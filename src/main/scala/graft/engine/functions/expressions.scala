@@ -812,14 +812,17 @@ private[functions] final class BpeKernel(
         size() > 65536
     }
 
-  /** pair "a b" → ascending ranks where that pair is merged (a pair
-    * CAN recur in a merge list if later merges re-create its pieces, so
-    * the value is a rank array, not a single rank). */
+  /** pair "a" + NUL + "b" (the separator is an escaped unicode-zero in
+    * the string literals below — pieces are [a-z0-9] only, so NUL can
+    * never collide, and the escape keeps this file plain text for
+    * grep/diff tooling) → ascending ranks where that pair is merged (a
+    * pair CAN recur in a merge list if later merges re-create its
+    * pieces, so the value is a rank array, not a single rank). */
   @transient private lazy val ranksByPair: java.util.HashMap[String, Array[Int]] = {
     val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
     var r = 0
     while (r < merges.length) {
-      val key = merges(r)._1 + " " + merges(r)._2
+      val key = merges(r)._1 + "\u0000" + merges(r)._2
       var buf = tmp.get(key)
       if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Int]; tmp.put(key, buf) }
       buf += r // ranks are visited in order, so each buffer is ascending
@@ -855,7 +858,7 @@ private[functions] final class BpeKernel(
       var best = Int.MaxValue
       var i = 0
       while (i + 1 < pieces.length) {
-        val rs = ranksByPair.get(pieces(i) + " " + pieces(i + 1))
+        val rs = ranksByPair.get(pieces(i) + "\u0000" + pieces(i + 1))
         if (rs != null) {
           val r = firstAtLeast(rs, cur)
           if (r >= 0 && r < best) best = r

@@ -629,7 +629,18 @@ object Similarity {
     * vectors broadcast, partial top-k aggregate. The `codes` frame is
     * unused there (its ordering would be discarded row-for-row). A
     * finite `rerank` that merely happens to exceed the corpus still
-    * takes the literal ADC path. */
+    * takes the literal ADC path.
+    *
+    * PRECONDITION on `codes`: the published codes MUST have been encoded
+    * under the SAME `cents` (and `books`) passed here — the lifecycle
+    * contract [[AnnIndex]] versions exist to enforce (pin both to one
+    * index version). The sentinel path re-derives cells via
+    * `ivfCell(embedding, cents)` rather than reading `codes`, so codes
+    * encoded under older/different centroids would make the sentinel's
+    * candidate set silently diverge from the ADC path's instead of
+    * failing — a mismatched pairing is caller error in BOTH regimes
+    * (ADC scores under mismatched books are equally corrupt, just less
+    * visibly). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: Array[(Int, Array[Double])],
       books: Seq[Array[(Int, Array[Double])]],

@@ -217,16 +217,36 @@ object Tokenizer {
     * use the distributed twin for oracle-sized budgets, this path for
     * production vocabularies. */
   def trainBpeMergesBudget(docs: DataFrame, textCol: String,
-      numMerges: Int): Array[(String, String)] = {
+      numMerges: Int,
+      maxDistinctWords: Long = 20L * 1000 * 1000): Array[(String, String)] = {
     require(numMerges >= 1, "need at least one merge round")
-    val wf = docs
+    val agg = docs
       .select(explode(regexp_extract_all(lower(col(textCol)), lit(wordRe),
         lit(0))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("f"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      // materialize once (MEMORY_AND_DISK on the executors), so the
+      // guard's count and the collect don't re-run the corpus scan
+      .localCheckpoint()
+    // HARD GUARD on the driver collect (VERDICT r12): the Heaps'-law
+    // boundedness argument holds for natural-language corpora, but a
+    // pathological input — machine-generated unique tokens, hex dumps,
+    // base64 — breaks it SILENTLY into a driver OOM. Fail fast with the
+    // escape hatches named instead. 20M (word, count) rows is ~1 GB on
+    // the driver — comfortably under this session's heap and the same
+    // order as the vocabulary collect every trainer here performs.
+    val nWords = agg.count()
+    require(nWords <= maxDistinctWords,
+      s"trainBpeMergesBudget: corpus has $nWords distinct words, over " +
+        s"the $maxDistinctWords driver-collect cap — the input violates " +
+        "the Heaps'-law boundedness this in-memory trainer assumes. " +
+        "Either train on a Curation.hashSample of the corpus, pre-filter " +
+        "machine-generated tokens (TextAnalysis quality gates), raise " +
+        "maxDistinctWords deliberately, or use the distributed " +
+        "trainBpeMerges twin (no driver collect)")
+    val wf = agg.collect().map(r => (r.getString(0), r.getLong(1)))
+    agg.unpersist()
     bpeMergeLoop(wf, numMerges)
   }
 

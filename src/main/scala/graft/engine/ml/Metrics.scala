@@ -108,9 +108,12 @@ object Metrics {
     * DuckDB — so admitting them would break the cross-engine replay);
     * n_pos/n_neg reflect the scored rows only.
     *
-    * `labelCol` must be 0/1. Returns ONE row (auc, n_pos, n_neg); a
-    * single-class input yields auc = NULL (undefined, the caller
-    * decides), never NaN. */
+    * `labelCol` must be 0/1. Returns one row (auc, n_pos, n_neg) when
+    * any scored row survives the NULL exclusion; an EMPTY input (or one
+    * whose scores/labels are all NULL) returns an EMPTY frame — there is
+    * no population to evaluate, and a fabricated all-zero row would read
+    * as a measured 0. A single-class input yields auc = NULL (undefined,
+    * the caller decides), never NaN. */
   def binaryAuc(scored: DataFrame, labelCol: String,
       scoreCol: String): DataFrame =
     binaryAucBy(scored.withColumn("_measure", lit("all")), "_measure",

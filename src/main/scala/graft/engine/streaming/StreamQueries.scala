@@ -885,6 +885,25 @@ object StreamQueries {
         // exactly three one-file ticks of the recurring ingest
         docs.filter(col("doc_id") >= 25).repartition(3)
           .write.mode("overwrite").parquet(s"$base/in")
+        // n_versions below is oracle-pinned to 3 (bootstrap + 2 appends),
+        // which presumes repartition(3) landed three non-empty data files
+        // and maxFilesPerTrigger=1 made each its own tick. Assert the
+        // file-count premise HERE so a drift (a tiny SF emptying a
+        // partition, an engine change skipping empty files) fails naming
+        // the real cause instead of surfacing as an opaque oracle
+        // hash mismatch on the version constant.
+        val nTickFiles = {
+          val d = java.nio.file.Paths.get(s"$base/in")
+          val s = java.nio.file.Files.list(d)
+          try s.filter(p => p.getFileName.toString.startsWith("part-"))
+            .count()
+          finally s.close()
+        }
+        require(nTickFiles == 3,
+          s"x64 expects exactly 3 ingest tick files (one micro-batch " +
+            s"each, n_versions contract = 3); repartition(3) produced " +
+            s"$nTickFiles data files under $base/in — the engine or SF " +
+            "changed the file layout, re-derive the oracle constant")
         val root = s"$base/store/flags"
         val q = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$base/in")

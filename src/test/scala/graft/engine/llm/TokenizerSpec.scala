@@ -372,6 +372,27 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.trainBpeMergesBudget(df, "t", 1200).toList == got)
   }
 
+  test("production-budget trainer: Heaps-violating corpus fails the " +
+      "distinct-word cap FAST with the escape hatches named, never an " +
+      "unbounded driver collect (VERDICT r12 item 3)") {
+    // machine-generated unique tokens — the pathology that silently
+    // breaks the Heaps'-law boundedness the in-memory trainer assumes
+    val pathological = (0 until 5000)
+      .map(i => s"tok${i}a tok${i}b tok${i}c").toDF("t")
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.trainBpeMergesBudget(pathological, "t", 10,
+        maxDistinctWords = 1000L)
+    }
+    assert(e.getMessage.contains("distinct words") &&
+      e.getMessage.contains("hashSample") &&
+      e.getMessage.contains("trainBpeMerges"),
+      s"cap failure must name the count and the escape hatches: " +
+        s"${e.getMessage}")
+    // the same corpus under a sufficient cap trains normally
+    assert(Tokenizer.trainBpeMergesBudget(pathological, "t", 3,
+      maxDistinctWords = 20000L).nonEmpty)
+  }
+
   test("production-budget trainer == distributed fold at the 32-merge " +
       "budget on the real corpus") {
     val dist = Tokenizer.trainBpeMerges(docs, "text", 32).toList

@@ -82,7 +82,7 @@ class MetricsSpec extends AnyFunSuite {
   }
 
   test("binaryAuc: NULL scores are excluded (not ranked), empty input " +
-      "yields one all-zero row, and binaryAucBy == per-measure calls") {
+      "yields an empty frame, and binaryAucBy == per-measure calls") {
     val withNulls = Seq((Some(0L), Some(0.1)), (Some(1L), None),
         (Some(1L), Some(0.9)), (None, Some(0.4)))
       .toDF("y", "score")
