@@ -543,10 +543,87 @@ object LlmQueries {
         CAST((SELECT COUNT(*) FROM kept1) AS BIGINT) AS n_after_trim,
         CAST((SELECT COUNT(*) FROM clean) AS BIGINT) AS n_after_gate
       FROM st ORDER BY st.shard_id"""),
-    doc = "the END-TO-END training-export pipeline: boilerplate strip " +
-      "-> exact dedup on trimmed text -> published-store decontamination " +
-      "gate -> learned-token budgets -> shuffle-shard stats; full chain " +
-      "+ funnel counts DuckDB-replayed from raw text")
+    doc = "the END-TO-END training-export pipeline: exact dedup -> " +
+      "boilerplate strip over survivors -> published-store " +
+      "decontamination gate -> learned-token budgets -> shuffle-shard " +
+      "stats; full chain + funnel counts DuckDB-replayed from raw text")
+
+  /** q134 — the PACKED TRAINING SEQUENCES themselves (VERDICT r12 item
+    * 1): the artifact a causal-LM trainer actually reads, closing the
+    * last yard between q133's funnel stats and a trainer's input. Train
+    * + publish the vocabulary on the frozen half (q132's lifecycle),
+    * token-ID-encode the new batch, then
+    * [[Curation.packFixedSequences]]: q130's md5 shard draw + training
+    * order, documents' id arrays concatenated per shard and cut into
+    * EXACTLY 512-token sequences with document-boundary offsets
+    * (documents straddle boundaries; a shard's tail sequence is short).
+    * The oracle replays EVERYTHING at value level — ranked-vocab
+    * training, every packed id in sequence order, every boundary offset,
+    * every boundary's provenance doc — via the q132 ranked-vocab CTEs +
+    * q130's md5 arithmetic + the same slice algebra in DuckDB, so a
+    * drift in the order, the cut points, or a single token id breaks
+    * hash equality. */
+  val q134 = GraftQuery(
+    "q134_packed_sequences",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q134_vocab_${ProcessHandle.current().pid()}/vocab"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      val docs = Tables.documents(spark, sfDir)
+      Tokenizer.publishVocab(spark, root,
+        Tokenizer.trainWordVocab(docs.filter(col("doc_id") < 250),
+          "text", 16))
+      val vocab = Tokenizer.loadVocab(spark, root)
+      val ids = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"),
+          Tokenizer.tokenIds(col("text"), vocab).as("ids"))
+      Curation.packFixedSequences(ids, "doc_id", "ids",
+          nShards = 4, seqLen = 512)
+        .select(col("shard_id"), col("seq_idx"), col("n_tokens"),
+          expr("array_join(transform(token_ids, x -> cast(x as string)), ' ')")
+            .as("ids_str"),
+          expr("array_join(transform(doc_starts, x -> cast(x as string)), ' ')")
+            .as("starts_str"),
+          expr("array_join(transform(start_doc_ids, " +
+            "x -> cast(x as string)), ' ')").as("docs_str"))
+        .orderBy(col("shard_id"), col("seq_idx"))
+    },
+    Some(s"""WITH ${Tokenizer.sqlVocabRankedCtes(16, " WHERE doc_id < 250")},
+      li AS (SELECT doc_id, list_transform(
+          regexp_extract_all(lower(text), (SELECT pat FROM p), 0),
+          t -> CAST(COALESCE((vm[t])[1], -1) AS BIGINT)) AS ids
+        FROM documents CROSS JOIN m WHERE doc_id >= 250),
+      sh AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n,
+          md5(CAST(doc_id AS VARCHAR)) AS sk,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 4 AS shard_id
+        FROM li WHERE len(ids) > 0),
+      st AS (SELECT *, SUM(n) OVER (PARTITION BY shard_id ORDER BY sk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s
+        FROM sh),
+      ex AS (SELECT *, unnest(generate_series(
+          CAST(FLOOR(s / 512.0) AS BIGINT),
+          CAST(FLOOR((s + n - 1) / 512.0) AS BIGINT))) AS seq_idx
+        FROM st),
+      parts AS (SELECT shard_id, seq_idx, doc_id, s,
+          GREATEST(seq_idx * 512, s) AS f,
+          LEAST((seq_idx + 1) * 512, s + n) AS t,
+          ids[CAST(GREATEST(seq_idx * 512, s) - s + 1 AS BIGINT):
+              CAST(LEAST((seq_idx + 1) * 512, s + n) - s AS BIGINT)] AS sl
+        FROM ex)
+      SELECT shard_id, seq_idx, CAST(SUM(t - f) AS BIGINT) AS n_tokens,
+        string_agg(array_to_string(sl, ' '), ' ' ORDER BY f) AS ids_str,
+        COALESCE(string_agg(CASE WHEN s >= seq_idx * 512
+          THEN CAST(s - seq_idx * 512 AS VARCHAR) END, ' ' ORDER BY f),
+          '') AS starts_str,
+        COALESCE(string_agg(CASE WHEN s >= seq_idx * 512
+          THEN CAST(doc_id AS VARCHAR) END, ' ' ORDER BY f),
+          '') AS docs_str
+      FROM parts GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "fixed-length packed token-ID sequences (512/seq, 4 shards) " +
+      "with doc-boundary offsets under the published vocab + md5 " +
+      "training order; every id, cut point, and boundary DuckDB-replayed")
 
   /** q118 — incremental TOKEN ACCOUNTING under the published vocabulary:
     * the budget dashboard every training-data pipeline keeps (how many
@@ -3051,6 +3128,6 @@ object LlmQueries {
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      q127, q128, q129, q130, q131, q132, q133, x42, x43, x44, x45, x46,
+      q127, q128, q129, q130, q131, q132, q133, q134, x42, x43, x44, x45, x46,
       x47, x48, x49, x50, x51)
 }

@@ -333,6 +333,77 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packFixedSequences: single-shard pinned fixture — exact cuts, " +
+      "straddling doc boundaries, short tail, zero-token doc invisible") {
+    // md5 order of ids 1..4: md5('3')=ecc... > md5('2')=c81... >
+    // md5('4')=a87... > md5('1')=c4c... — compute the order here rather
+    // than hard-coding it, then pin the packed stream against it
+    val units = Seq(
+      (1L, Seq(10L, 11L, 12L)),          // 3 tokens
+      (2L, Seq(20L, 21L, 22L, 23L, 24L)), // 5 tokens — will straddle
+      (3L, Seq(30L)),                     // 1 token
+      (4L, Seq.empty[Long])               // zero tokens — invisible
+    ).toDF("doc_id", "ids")
+    val got = Curation.packFixedSequences(units, "doc_id", "ids",
+        nShards = 1, seqLen = 4)
+      .orderBy(col("seq_idx"))
+      .collect()
+    def md5of(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val order = Seq(1L, 2L, 3L).sortBy(md5of)
+    val byId = Map(1L -> Seq(10L, 11L, 12L), 2L -> Seq(20L, 21L, 22L, 23L, 24L),
+      3L -> Seq(30L))
+    val stream = order.flatMap(byId)
+    // 9 tokens at seqLen 4 -> sequences of 4, 4, 1
+    assert(got.length == 3)
+    val packedIds = got.map(_.getSeq[Long](2))
+    assert(packedIds.map(_.length).toSeq == Seq(4, 4, 1))
+    assert(packedIds.flatten.toSeq == stream, "shard stream must be the " +
+      "md5-ordered concatenation, cut at exact seqLen boundaries")
+    // boundary offsets: a doc starting at global position g appears in
+    // sequence g/4 at offset g%4; doc 4 (zero tokens) never appears
+    val starts = order.zip(order.scanLeft(0L)((a, d) => a + byId(d).length))
+    starts.foreach { case (d, g) =>
+      val row = got((g / 4).toInt)
+      val offs = row.getSeq[Long](3)
+      val dids = row.getSeq[Long](4)
+      val i = offs.indexOf(g % 4)
+      assert(i >= 0 && dids(i) == d, s"doc $d must start at offset ${g % 4} " +
+        s"of sequence ${g / 4}")
+    }
+    assert(!got.flatMap(_.getSeq[Long](4)).contains(4L),
+      "zero-token doc must be invisible in the artifact")
+    // a sequence wholly inside a straddling doc has no starts: none here
+    // (9 tokens, every seq has a start) — pin instead on the real corpus
+    val docs = Tables.documents(spark, sfDir)
+      .limit(60).select(col("doc_id"),
+        graft.engine.llm.Tokenizer.tokenIds(col("text"),
+          Array("the", "and")).as("ids"))
+    val packed = Curation.packFixedSequences(docs, "doc_id", "ids",
+      nShards = 2, seqLen = 128)
+    val perShard = packed.groupBy(col("shard_id"))
+      .agg(max(col("seq_idx")).as("mx"), count(lit(1)).as("n"),
+        sum(col("n_tokens")).cast("long").as("tok"),
+        sum(when(col("n_tokens") === 128L, 1L).otherwise(0L)).as("full"))
+      .collect()
+    val tokPerShard = Curation.shuffleShards(
+        docs.select(col("doc_id"), size(col("ids")).cast("long").as("n")),
+        "doc_id", 2)
+      .groupBy(col("shard_id")).agg(sum(col("n")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perShard.nonEmpty)
+    perShard.foreach { r =>
+      val (mx, n, tok, full) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mx == n - 1, "seq_idx must be contiguous 0..n-1 per shard")
+      assert(full >= n - 1,
+        "every sequence but a shard's tail must be exactly seqLen")
+      assert(tok == tokPerShard(r.getLong(0)),
+        "packing must conserve the shard's token mass")
+    }
+  }
+
   test("domainCap: never more than cap per domain, small domains intact, " +
       "survivor set repartition-stable") {
     val docs = graft.engine.Tables.documents(spark, graft.SparkTestSession.sfDir)
