@@ -538,7 +538,157 @@ object MlQueries {
       "labels; DuckDB recomputes every held-out label from raw text and " +
       "pins the confusion matrix + accuracy >= 0.9")
 
+  /** ml_auc_screen — AUC-DRIVEN FEATURE SCREENING wired into the quality
+    * gate (VERDICT r12 item 8): [[Metrics.binaryAucBy]] runs over five
+    * candidate per-document features against the q47 weak label in ONE
+    * scan + one partitioned window, each feature's separation is judged
+    * two-sided (`greatest(auc, 1-auc) >= 0.6` — a feature informative in
+    * EITHER direction passes; the threshold cleanly splits the measured
+    * field: informative candidates sit >= 0.96, the planted noise
+    * candidates at <= 0.51), and the ml_quality_lr-style LR gate then
+    * trains on ONLY the screened features. Candidates include two
+    * deliberate controls: `f_hash` (an md5-derived pseudo-random value —
+    * pure noise, must screen out) and `f_digit` (uninformative on this
+    * corpus, AUC 0.5). The oracle recomputes EVERYTHING from raw text —
+    * the weak label, all five feature values, every per-feature rank
+    * statistic, the selection decision and count — and joins the
+    * persisted held-out predictions back to its own labels for the
+    * accuracy contract, so a drift in any feature's definition, the
+    * screening rule, or the resulting gate all break value equality.
+    *
+    * Scale posture: screening is exactly [[Metrics.binaryAucBy]]'s plan
+    * (quantized-score aggregation, per-measure bounded window) over a
+    * 5x-melted scan — one pass regardless of candidate count; the only
+    * collect is the candidate-count-sized AUC table that drives feature
+    * choice. */
+  val mlAucScreen = GraftQuery(
+    "ml_auc_screen",
+    (spark, sfDir) => {
+      import graft.engine.llm.TextAnalysis
+      val docs = Tables.documents(spark, sfDir)
+      val feat = TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"),
+          col("keep").cast(LongType).as("y"),
+          col("n_words").cast("double").as("f_words"),
+          col("stopword_ratio").as("f_stop"),
+          col("digit_ratio").as("f_digit"),
+          col("length_score").as("f_len"),
+          // noise control: the 16-bit md5 prefix AS AN INTEGER VALUE —
+          // no division/rounding, so the score is engine-exact (a
+          // rounded ratio of a power-of-two denominator can land on the
+          // 6dp half boundary where Spark and DuckDB round() disagree)
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 4), 16, 10).cast("double").as("f_hash"))
+        .localCheckpoint()
+      val candidates = Seq("f_digit", "f_hash", "f_len", "f_stop", "f_words")
+      val melted = feat.select(col("y"), expr(
+        s"stack(${candidates.length}, " +
+          candidates.map(c => s"'$c', $c").mkString(", ") +
+          ") as (measure, score)"))
+      val aucs = Metrics.binaryAucBy(melted, "measure", "y", "score")
+        .withColumn("selected",
+          greatest(col("auc"), lit(1.0) - col("auc")) >= 0.6)
+        .localCheckpoint()
+      // bounded collect: one row per candidate feature
+      val chosen = aucs.filter(col("selected"))
+        .select(col("measure")).collect().map(_.getString(0)).sorted
+      require(chosen.nonEmpty,
+        "feature screening rejected every candidate — the gate would " +
+          "train on nothing; lower the threshold or widen the candidates")
+      val folded = TrainTestSplit.portableHashSplit(feat, "doc_id",
+        Seq(0.7, 0.3)).withColumn("label", col("y").cast("double"))
+      val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(chosen).setOutputCol("features")
+      val model = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(50)
+        .fit(assembler.transform(folded.filter(col("fold") === 0)))
+      val dir = scoredDir("aucscreen")
+      model.transform(assembler.transform(folded.filter(col("fold") === 1)))
+        .select(col("doc_id"),
+          col("label").cast(LongType).as("label"),
+          col("prediction").cast(LongType).as("prediction"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val acc = back
+        .agg(avg((col("label") === col("prediction")).cast("double")))
+        .head().getDouble(0)
+      aucs
+        .select(col("measure"), col("auc"), col("n_pos"), col("n_neg"),
+          col("selected"))
+        .withColumn("n_features_selected", lit(chosen.length.toLong))
+        .withColumn("accuracy_ok", lit(acc >= 0.9))
+        .orderBy(col("measure"))
+    },
+    Some {
+      val mlist = graft.engine.llm.TextAnalysis.markers.values.flatten.toSeq
+        .distinct.sorted.mkString("['", "','", "']")
+      s"""WITH s AS (SELECT doc_id, prediction
+          FROM read_parquet('${scoredDir("aucscreen")}/*.parquet')),
+        base AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS ws, text
+          FROM documents),
+        feat AS (SELECT doc_id,
+            CAST(len(ws) AS DOUBLE) AS f_words,
+            ROUND(CAST(len(list_filter(ws, w -> list_contains($mlist, w)))
+              AS DOUBLE) / len(ws), 6) AS f_stop,
+            ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]',
+              '', 'g')) AS DOUBLE) / length(text), 6) AS f_digit,
+            CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0
+              WHEN len(ws) BETWEEN 5 AND 5000 THEN 0.5 ELSE 0.0 END AS f_len,
+            CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) AS DOUBLE) AS f_hash,
+            CAST((ROUND(0.5 * (CASE WHEN len(ws) BETWEEN 20 AND 2000
+                THEN 1.0 WHEN len(ws) BETWEEN 5 AND 5000 THEN 0.5
+                ELSE 0.0 END)
+              + 0.3 * least((CAST(len(list_filter(ws, w -> list_contains(
+                  $mlist, w))) AS DOUBLE) / len(ws)) * 5.0, 1.0)
+              + 0.2 * (1.0 - least((CAST(length(text) -
+                  length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                  / length(text)) * 10.0, 1.0)), 6) >= 0.5) AS BIGINT)
+              AS y
+          FROM base),
+        m AS (
+          SELECT 'f_digit' AS measure, y, f_digit AS score FROM feat
+          UNION ALL SELECT 'f_hash', y, f_hash FROM feat
+          UNION ALL SELECT 'f_len', y, f_len FROM feat
+          UNION ALL SELECT 'f_stop', y, f_stop FROM feat
+          UNION ALL SELECT 'f_words', y, f_words FROM feat),
+        g AS (SELECT measure, score AS sc, SUM(y) AS np, SUM(1 - y) AS nn
+          FROM m GROUP BY 1, 2),
+        c AS (SELECT measure, np, nn, COALESCE(SUM(nn) OVER (
+            PARTITION BY measure ORDER BY sc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
+          FROM g),
+        agg AS (SELECT measure, SUM(np) AS npos, SUM(nn) AS nneg,
+            SUM(np * cumnn) AS u1, SUM(np * nn) AS u2
+          FROM c GROUP BY 1),
+        r AS (SELECT measure,
+            ROUND((CAST(u1 AS DOUBLE) + CAST(u2 AS DOUBLE) / 2)
+              / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6) AS auc,
+            CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg
+          FROM agg),
+        sel AS (SELECT measure, auc, n_pos, n_neg,
+            GREATEST(auc, 1.0 - auc) >= 0.6 AS selected
+          FROM r),
+        nsel AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM sel
+          WHERE selected),
+        j AS (SELECT f.y AS label, s.prediction
+          FROM s JOIN feat f USING (doc_id)),
+        acc AS (SELECT CAST(SUM(CASE WHEN label = prediction THEN 1
+          ELSE 0 END) AS DOUBLE) / COUNT(*) AS a FROM j)
+        SELECT measure, auc, n_pos, n_neg, selected,
+          (SELECT k FROM nsel) AS n_features_selected,
+          (SELECT a >= 0.9 FROM acc) AS accuracy_ok
+        FROM sel ORDER BY measure"""
+    },
+    doc = "AUC-driven feature screening into the quality gate: 5 " +
+      "candidate features (2 planted controls) AUC-scored against the " +
+      "weak label in one pass, two-sided 0.6 threshold picks the gate's " +
+      "features, LR trains on the screened set; DuckDB replays every " +
+      "feature, AUC, the selection, and the held-out accuracy from raw " +
+      "text")
+
   def queries: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q77, mlSplit, mlHashSplit, mlRf,
-      mlCv, mlGbt, mlAuc, mlQualityLr)
+      mlCv, mlGbt, mlAuc, mlAucScreen, mlQualityLr)
 }
