@@ -129,10 +129,75 @@ object AnnIndex {
 
   /** Read the current (or pinned) encoded corpus for probing. The
     * `_bucket` column is internal to the store layout; drop it so the
-    * frame matches [[Similarity.ivfPqEncode]]'s schema. */
+    * frame matches [[Similarity.ivfPqEncode]]'s schema. RAW read: any
+    * deletion tombstones ([[deleteCodes]]) surface as `code IS NULL`
+    * rows and their victims are still present — callers probing a store
+    * that may carry deletions use [[readCodesLive]]/[[probeCodes]]. */
   def readCodes(spark: SparkSession, root: String, version: Long = 0L): DataFrame =
     SnapshotStore.read(spark, root, version)
       .select(col("nid"), col("cell"), col("code"))
+
+  /** [[readCodes]] with deletions APPLIED: drops tombstone rows and
+    * every nid any tombstone names. The tombstone side is delete-batch
+    * sized (production deletes are a trickle next to the corpus), so the
+    * anti-join broadcasts — the store side never shuffles. */
+  def readCodesLive(spark: SparkSession, root: String,
+      version: Long = 0L): DataFrame = {
+    val all = readCodes(spark, root, version)
+    all.filter(col("code").isNotNull)
+      .join(broadcast(all.filter(col("code").isNull)
+        .select(col("nid")).distinct()), Seq("nid"), "left_anti")
+  }
+
+  /** DELETE documents from the encoded store (VERDICT r12 item 2 — the
+    * retraction dedup/curation removals need: without it a production
+    * index serves deleted docs until a full republish): append one
+    * TOMBSTONE row `(nid, cell, code = NULL)` per victim, where the cell
+    * comes from the victim's own live row — so the tombstone lands in
+    * the same cell bucket as its victim and every cell-pruned probe
+    * ([[probeCodes]]) sees the deletion without reading anything extra.
+    * Ids with no live row (never inserted, or already deleted) are
+    * silently skipped — deletion is idempotent.
+    *
+    * SEMANTICS: a tombstone is TERMINAL for its nid until a
+    * [[compactCodes]] rewrite removes it — re-appending a deleted nid
+    * before compaction stays dead (rows carry no per-row version, so
+    * tombstone-wins is the only order-free rule). Re-insert AFTER
+    * compaction behaves normally. `nid` uniqueness across ingest batches
+    * is the upstream contract ([[appendCodes]]).
+    *
+    * Scale posture: one scan of the store (filtered by the BROADCAST
+    * delete set — delete batches are small by regime) finds the victims'
+    * cells; the append writes only tombstone-bucket files with history
+    * hardlink-carried. Cost is O(store scan + tombstones), no shuffle of
+    * the store. Returns the new version (or the current one when nothing
+    * matched — an empty append mints no version). */
+  def deleteCodes(ids: DataFrame, root: String,
+      tag: Option[String] = None): Long = {
+    val spark = ids.sparkSession
+    val live = readCodesLive(spark, root)
+    val codeType = live.schema("code").dataType
+    val tombs = live
+      .join(broadcast(ids.select(col("nid")).distinct()), Seq("nid"),
+        "left_semi")
+      .select(col("nid"), col("cell"), lit(null).cast(codeType).as("code"))
+    SnapshotStore.append(tombs, root, tag)
+  }
+
+  /** Rewrite the encoded store WITHOUT its tombstones and their victims
+    * — the [[SnapshotStore.compact]] economics applied to deletions
+    * (q104's pattern: compaction is a deliberate full rewrite that buys
+    * back read amplification; history versions keep serving pinned
+    * readers). After compaction the raw read equals the live read and a
+    * previously-deleted nid may be re-inserted. Returns the new
+    * version. */
+  def compactCodes(spark: SparkSession, root: String,
+      tag: Option[String] = None): Long = {
+    val (keyCol, nBuckets) = SnapshotStore.readBucketSpec(root).getOrElse(
+      throw new IllegalStateException(s"$root is not a bucketed store"))
+    SnapshotStore.publishBucketed(readCodesLive(spark, root), root,
+      keyCol, nBuckets, tag)
+  }
 
   /** Probe-side PRUNED read: only the bucket directories holding the
     * given cells are listed and scanned (`_bucket` is a partition column
@@ -151,9 +216,16 @@ object AnnIndex {
     val bucketOf = cells.distinct.toDF("cell")
       .select(col("cell"), SnapshotStore.bucketExpr("cell", nBuckets).as("b"))
       .collect().map(_.getInt(1)).distinct.toSeq
-    SnapshotStore.read(spark, root, version)
+    val pruned = SnapshotStore.read(spark, root, version)
       .filter(col("_bucket").isin(bucketOf.map(Int.box): _*) &&
         col("cell").isin(cells.distinct.map(Int.box): _*))
       .select(col("nid"), col("cell"), col("code"))
+    // deletion-aware within the SAME pruned read: a tombstone lands in
+    // its victim's cell bucket (deleteCodes), so the probed file set
+    // already contains every deletion that could affect these cells —
+    // no extra IO, the anti-join side is tombstone-sized
+    pruned.filter(col("code").isNotNull)
+      .join(broadcast(pruned.filter(col("code").isNull)
+        .select(col("nid")).distinct()), Seq("nid"), "left_anti")
   }
 }

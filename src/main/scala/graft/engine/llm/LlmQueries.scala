@@ -625,6 +625,87 @@ object LlmQueries {
       "with doc-boundary offsets under the published vocab + md5 " +
       "training order; every id, cut point, and boundary DuckDB-replayed")
 
+  /** q135 — the ANN code-store DELETION lifecycle (VERDICT r12 item 2):
+    * q111's published-index flow extended with the retraction
+    * dedup/curation removals need. Bootstrap publish + insert-only
+    * append build the encoded corpus; [[AnnIndex.deleteCodes]] then
+    * tombstones a planted victim set (cell-bucketed NULL-code rows, so
+    * every cell-pruned probe sees its deletions for free);
+    * [[AnnIndex.compactCodes]] rewrites the store without tombstones or
+    * victims (q104's compaction economics). Pinned at value level: the
+    * live-read probe at exact settings (nprobe = nlist, lossless
+    * codebooks) equals DuckDB's brute-force cosine ranking over the
+    * SURVIVING vectors — a deleted doc appearing anywhere in any top-k
+    * breaks the rows — and three lifecycle contracts ride along:
+    * `n_versions` pins bootstrap → append → tombstone → compaction as 4
+    * real versions, `compact_invariant` pins the post-compaction probe
+    * row-identical to the pre-compaction one, `raw_equals_live` pins
+    * that compaction left no tombstones and no victims behind. */
+  val q135 = GraftQuery(
+    "q135_ann_code_deletion",
+    (spark, sfDir) => {
+      import graft.engine.sources.SnapshotStore
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q135_anndel_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+      AnnIndex.publishIndex(spark, s"$root/index",
+        Similarity.ivfCentroids(emb, nlist = 4, iters = 1),
+        Similarity.pqCodebooksExact(emb, m = 4))
+      val (cents, books) = AnnIndex.loadIndex(spark, s"$root/index")
+      val codesRoot = s"$root/codes"
+      AnnIndex.publishCodes(emb.filter(col("vec_id") < 50), codesRoot,
+        cents, books, nBuckets = 4)
+      AnnIndex.appendCodes(emb.filter(col("vec_id") >= 50), codesRoot,
+        cents, books)
+      // the removal set a dedup pass would emit: 12 planted victims
+      AnnIndex.deleteCodes(
+        emb.filter(col("vec_id") >= 20 && col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("nid")), codesRoot)
+      val queries = emb.filter(col("vec_id") < 10)
+      def probe(codes: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfPqTopK(emb, queries, 5, cents, books, nprobe = 4,
+            codes = Some(codes))
+          .select(col("qid"), col("rnk"), col("nid"))
+      val pre = probe(AnnIndex.readCodesLive(spark, codesRoot))
+        .localCheckpoint()
+      val vCompact = AnnIndex.compactCodes(spark, codesRoot)
+      val post = probe(AnnIndex.readCodes(spark, codesRoot))
+        .localCheckpoint()
+      val invariant = pre.exceptAll(post).isEmpty &&
+        post.exceptAll(pre).isEmpty
+      val raw = AnnIndex.readCodes(spark, codesRoot)
+      val rawEqLive = raw.filter(col("code").isNull).isEmpty &&
+        raw.count() == AnnIndex.readCodesLive(spark, codesRoot).count()
+      pre.withColumn("n_versions", lit(vCompact))
+        .withColumn("compact_invariant", lit(invariant))
+        .withColumn("raw_equals_live", lit(rawEqLive))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings WHERE vec_id < 100
+          AND NOT (vec_id >= 20 AND vec_id % 7 = 0)),
+      q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+      pairs AS (SELECT q.qid, e.vec_id AS nid,
+          list_dot_product(q.qe, e.emb) AS dot,
+          sqrt(list_dot_product(q.qe, q.qe))
+            * sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+        FROM q, e WHERE e.vec_id <> q.qid),
+      ranked AS (SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END DESC,
+              nid ASC) AS rnk
+        FROM pairs)
+      SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid,
+        CAST(4 AS BIGINT) AS n_versions,
+        TRUE AS compact_invariant, TRUE AS raw_equals_live
+      FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""),
+    doc = "ANN code-store deletions: tombstone append into the victims' " +
+      "cell buckets -> live probe == exact ranking over survivors -> " +
+      "compaction removes tombstones+victims with the probe invariant " +
+      "and version arithmetic pinned")
+
   /** q118 — incremental TOKEN ACCOUNTING under the published vocabulary:
     * the budget dashboard every training-data pipeline keeps (how many
     * tokens per source, updated per ingest batch, never a full re-scan).
@@ -3128,6 +3209,7 @@ object LlmQueries {
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      q127, q128, q129, q130, q131, q132, q133, q134, x42, x43, x44, x45, x46,
+      q127, q128, q129, q130, q131, q132, q133, q134, q135, x42, x43, x44,
+      x45, x46,
       x47, x48, x49, x50, x51)
 }

@@ -107,6 +107,52 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, root, v1).count() == 50L)
   }
 
+  test("deletion lifecycle: tombstones kill nids in live/probe reads, " +
+      "delete is idempotent, tombstone is terminal until compaction, " +
+      "compaction removes tombstones+victims, re-insert works after") {
+    val root = freshRoot("del")
+    val (cents, books) = trained()
+    AnnIndex.publishCodes(emb.filter(col("vec_id") < 50), root, cents,
+      books, nBuckets = 4)
+    AnnIndex.appendCodes(emb.filter(col("vec_id") >= 50), root, cents, books)
+    import spark.implicits._
+    val victims = Seq(3L, 7L, 42L)
+    val vDel = AnnIndex.deleteCodes(victims.toDF("nid"), root)
+    assert(vDel == 3, "bootstrap, append, tombstone append = 3 versions")
+    // raw read: victims still present plus 3 NULL-code tombstones;
+    // live read: victims and tombstones both gone
+    val raw = AnnIndex.readCodes(spark, root)
+    assert(raw.filter(col("code").isNull).count() == 3L)
+    val live = AnnIndex.readCodesLive(spark, root)
+    assert(live.filter(col("nid").isin(victims.map(Long.box): _*)).isEmpty)
+    assert(live.count() == emb.count() - 3)
+    // a victim is invisible to the cell-pruned probe of its OWN cell
+    // (the tombstone landed in that same bucket)
+    val vcell = raw.filter(col("nid") === 42L && col("code").isNotNull)
+      .head().getInt(1)
+    assert(!AnnIndex.probeCodes(spark, root, Seq(vcell))
+      .collect().map(_.getLong(0)).contains(42L))
+    // idempotence: deleting an already-dead or never-inserted nid finds
+    // no live row -> empty tombstone batch -> NO new version minted
+    assert(AnnIndex.deleteCodes(Seq(42L, 999999L).toDF("nid"), root) == vDel)
+    // tombstone is TERMINAL pre-compaction: re-appending the nid stays dead
+    AnnIndex.appendCodes(emb.filter(col("vec_id") === 42L), root, cents,
+      books)
+    assert(AnnIndex.readCodesLive(spark, root)
+      .filter(col("nid") === 42L).isEmpty)
+    // compaction: raw == live afterwards — no tombstones, no victims
+    val vc = AnnIndex.compactCodes(spark, root)
+    assert(vc == vDel + 2, "re-append + compaction = 2 more versions")
+    val raw2 = AnnIndex.readCodes(spark, root)
+    assert(raw2.filter(col("code").isNull).isEmpty)
+    assert(raw2.count() == emb.count() - 3)
+    // after compaction the tombstone is gone: re-insert is visible again
+    AnnIndex.appendCodes(emb.filter(col("vec_id") === 42L), root, cents,
+      books)
+    assert(AnnIndex.readCodesLive(spark, root)
+      .filter(col("nid") === 42L).count() == 1L)
+  }
+
   test("probeCodes reads only the probed cells' bucket directories") {
     val root = freshRoot("pr")
     val (cents, books) = trained()
