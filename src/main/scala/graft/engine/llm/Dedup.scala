@@ -216,10 +216,20 @@ object Dedup {
     * a fraction of the text it annotates; nothing corpus-sized
     * aggregates. */
   def trimRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
-      minLen: Int, hashedKeys: Boolean = true): DataFrame = {
-    val spans =
+      minLen: Int, hashedKeys: Boolean = true): DataFrame =
+    spliceSpans(df, textCol, idCol,
       if (hashedKeys) repeatedSpansHashed(df, textCol, idCol, minLen)
-      else repeatedSpans(df, textCol, idCol, minLen)
+      else repeatedSpans(df, textCol, idCol, minLen))
+
+  /** The splice tail shared by [[trimRepeatedSpans]] and
+    * [[trimAgainstPublished]]: cut the given disjoint `spans`
+    * (doc_id, span_start, span_end) out of every input row. The splice
+    * is a per-row `aggregate` HOF over the doc's own sorted span list —
+    * spans are disjoint and per-doc-bounded, so the collected array is
+    * never more than a fraction of the text it annotates; nothing
+    * corpus-sized aggregates. */
+  private[llm] def spliceSpans(df: DataFrame, textCol: String,
+      idCol: String, spans: DataFrame): DataFrame = {
     val perDoc = spans
       .groupBy(col("doc_id").as("_span_doc"))
       .agg(sort_array(collect_list(
@@ -244,6 +254,67 @@ object Dedup {
       .withColumn("n_trimmed_chars",
         (length(t) - length(col("trimmed_text"))).cast(LongType))
       .drop("_span_doc", "_spans")
+  }
+
+  /** Every window's 128-bit content key: (doc_id, pos, wk = md5 of the
+    * minLen-char window text). The md5 key is EXACT (the contentKey
+    * discipline — no verify stage needed), which is what a PUBLISHED
+    * store requires: a stored 8-byte rolling hash would need the
+    * reference TEXT retained for candidate verification on every later
+    * batch. Cost is O(n · minLen) hashing per doc — fine for the
+    * one-time reference publish and for ingest-tick-sized batches; a
+    * full-corpus one-shot pass stays on [[repeatedSpansHashed]]'s
+    * rolling-hash wire. */
+  private def windowKeys(df: DataFrame, textCol: String, idCol: String,
+      minLen: Int): DataFrame =
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("_t")) - minLen)).as("pos"),
+        col("_t"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("_t").substr(col("pos") + 1, lit(minLen))).as("wk"))
+
+  /** Freeze a reference corpus's BOILERPLATE MODEL as a catalog
+    * bucketed+sorted table: the md5 keys of every minLen-char window
+    * occurring >= 2 times in the reference (the q128/q131 duplicate-
+    * window definition). The [[graft.engine.llm.Curation.publishBenchmarkNgrams]]
+    * posture applied to spans: published once, every recurring ingest
+    * batch trims against it with ZERO exchanges and ZERO sorts on the
+    * frozen side (the store arrives hash-partitioned and sorted on the
+    * 16-byte `wk`); a refreshed reference is a republish, never an
+    * in-place mutation. The store carries only `wk` — 16 B/row, never
+    * window text. */
+  def publishBoilerplateWindows(reference: DataFrame, textCol: String,
+      idCol: String, table: String, minLen: Int,
+      numBuckets: Int = 32): Unit =
+    windowKeys(reference, textCol, idCol, minLen)
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2)
+      .select(col("wk"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(numBuckets, "wk").sortBy("wk")
+      .saveAsTable(table)
+
+  /** Trim an ingest batch against a PUBLISHED boilerplate model
+    * ([[publishBoilerplateWindows]]; pass `spark.table(name)`): mark
+    * every batch position whose window key is in the model, merge marked
+    * positions into maximal spans (the same gaps-and-islands rule as
+    * [[repeatedSpans]]), splice them out. Unlike [[trimRepeatedSpans]]
+    * — which defines boilerplate WITHIN the corpus it trims — the model
+    * here is frozen, so ticks of a stream can each trim independently
+    * and their union equals the one-shot batch answer (x65 pins both;
+    * a doc's spans depend only on its own text and the frozen model).
+    * The `merge` hint pins sort-merge so the frozen side's layout
+    * contract is exercised: its scan arrives bucketed+sorted on `wk`,
+    * contributing zero exchanges (x64's plan-gate pattern). */
+  def trimAgainstPublished(batch: DataFrame, model: DataFrame,
+      textCol: String, idCol: String, minLen: Int): DataFrame = {
+    val hits = windowKeys(batch, textCol, idCol, minLen)
+      .join(model.select(col("wk")).hint("merge"), Seq("wk"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    spliceSpans(batch, textCol, idCol, mergeSpans(hits, minLen))
   }
 
   /** Shared gaps-and-islands tail of the repeated-span variants: marked

@@ -952,7 +952,146 @@ object StreamQueries {
       "tagged appends; union of ticks == one-shot batch answer, " +
       "n_versions pins bootstrap + 3 ticks")
 
+  /** x65 — ALWAYS-ON boilerplate span-trim (VERDICT r12 item 4): the
+    * q128/q131 span machinery under the micro-batch engine, via the
+    * x64/q129 published-artifact posture. The boilerplate MODEL — md5
+    * keys of every 40-char window occurring >= 2 times in the frozen
+    * reference half — publishes ONCE as a catalog bucketed+sorted `wk`
+    * table ([[graft.engine.llm.Dedup.publishBoilerplateWindows]]); each
+    * streamed ingest file then trims itself against it
+    * ([[graft.engine.llm.Dedup.trimAgainstPublished]] — the frozen side
+    * contributes zero exchanges per tick, plan-gated in
+    * StreamingPlanAuditSpec) and appends (doc_id, trimmed_text,
+    * n_trimmed_chars) into a doc-bucketed store with tagged
+    * exactly-once appends. Because the model is frozen, a doc's spans
+    * depend only on its own text — so the union of the ticks MUST equal
+    * the one-shot batch trim (`union_eq_oneshot`, computed in-query),
+    * and DuckDB replays the whole thing from raw text: the planted
+    * boilerplate suffix (appended to every doc on both sides, so its
+    * internal windows repeat 250× in the reference) must come off every
+    * streamed doc, junction windows (doc text meets boilerplate —
+    * unique per doc) must NOT be trimmed, and the trimmed TEXT itself
+    * is value-compared. */
+  val x65 = GraftQuery(
+    "x65_stream_span_trim",
+    (spark, sfDir) => {
+      import graft.engine.llm.Dedup
+      import graft.engine.sources.SnapshotStore
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x65_trim_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val bp = " === subscribe to our newsletter for daily updates " +
+        "and exclusive offers === "
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), concat(col("text"), lit(bp)).as("text"))
+      val table = s"graft_x65_model_${ProcessHandle.current().pid()}"
+      Dedup.publishBoilerplateWindows(docs.filter(col("doc_id") < 250),
+        "text", "doc_id", table, minLen = 40)
+      try {
+        val model = spark.table(table)
+        val stream = docs.filter(col("doc_id") >= 250)
+        stream.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+        // same premise assert as x64: the oracle's n_versions = 3 rides
+        // on three non-empty one-file ticks
+        val nTickFiles = {
+          val d = java.nio.file.Paths.get(s"$base/in")
+          val s = java.nio.file.Files.list(d)
+          try s.filter(p => p.getFileName.toString.startsWith("part-"))
+            .count()
+          finally s.close()
+        }
+        require(nTickFiles == 3,
+          s"x65 expects exactly 3 ingest tick files, got $nTickFiles " +
+            s"under $base/in — re-derive the oracle constant")
+        val root = s"$base/store/trims"
+        val q = spark.readStream.schema(stream.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val trims = Dedup.trimAgainstPublished(batch, model,
+                  "text", "doc_id", minLen = 40)
+                .select(col("doc_id"), col("trimmed_text"),
+                  col("n_trimmed_chars"))
+              if (SnapshotStore.currentVersion(root) == 0)
+                SnapshotStore.publishBucketed(trims, root, "doc_id",
+                  nBuckets = 8, tag = Some(s"batch-$batchId"))
+              else
+                SnapshotStore.append(trims, root,
+                  tag = Some(s"batch-$batchId"))
+              ()
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val ticks = SnapshotStore.read(spark, root)
+          .select(col("doc_id"), col("trimmed_text"),
+            col("n_trimmed_chars"))
+        val oneShot = Dedup.trimAgainstPublished(stream, model,
+            "text", "doc_id", minLen = 40)
+          .select(col("doc_id"), col("trimmed_text"),
+            col("n_trimmed_chars"))
+        val eq = ticks.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(ticks).isEmpty
+        ticks
+          .withColumn("n_versions",
+            lit(SnapshotStore.currentVersion(root)))
+          .withColumn("union_eq_oneshot", lit(eq))
+          .orderBy(col("doc_id"))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    },
+    Some("""WITH bp AS (SELECT ' === subscribe to our newsletter for """ +
+      """daily updates and exclusive offers === ' AS b),
+      ref AS (SELECT doc_id, text || (SELECT b FROM bp) AS text
+        FROM documents WHERE doc_id < 250),
+      strm AS (SELECT doc_id, text || (SELECT b FROM bp) AS text
+        FROM documents WHERE doc_id >= 250),
+      rw AS (SELECT substr(text, i+1, 40) AS w
+        FROM ref, UNNEST(generate_series(0, length(text)-40)) AS u(i)
+        WHERE length(text) >= 40),
+      d AS (SELECT w FROM rw GROUP BY w HAVING count(*) >= 2),
+      sw AS (SELECT doc_id, i AS pos, substr(text, i+1, 40) AS w
+        FROM strm, UNNEST(generate_series(0, length(text)-40)) AS u(i)
+        WHERE length(text) >= 40),
+      h AS (SELECT doc_id, pos FROM sw SEMI JOIN d USING (w)),
+      isl AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              IS NULL
+            OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+            THEN 1 ELSE 0 END AS nw
+        FROM h),
+      sp AS (SELECT doc_id, pos,
+          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS s
+        FROM isl),
+      spans AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 40 AS en
+        FROM sp GROUP BY doc_id, s),
+      pieces AS (
+        SELECT doc_id,
+          COALESCE(lag(en) OVER (PARTITION BY doc_id ORDER BY st), 0)
+            AS ks, st AS ke
+        FROM spans
+        UNION ALL
+        SELECT sp2.doc_id, MAX(sp2.en) AS ks, MAX(length(c.text)) AS ke
+        FROM spans sp2 JOIN strm c USING (doc_id)
+        GROUP BY sp2.doc_id),
+      tr AS (SELECT p.doc_id,
+          string_agg(substr(c.text, p.ks + 1, p.ke - p.ks), ''
+            ORDER BY p.ks) AS trimmed
+        FROM pieces p JOIN strm c USING (doc_id)
+        GROUP BY p.doc_id)
+      SELECT c.doc_id,
+        COALESCE(tr.trimmed, c.text) AS trimmed_text,
+        CAST(length(c.text) - length(COALESCE(tr.trimmed, c.text))
+          AS BIGINT) AS n_trimmed_chars,
+        CAST(3 AS BIGINT) AS n_versions, TRUE AS union_eq_oneshot
+      FROM strm c LEFT JOIN tr USING (doc_id)
+      ORDER BY c.doc_id"""),
+    doc = "always-on boilerplate span-trim: frozen window-key model " +
+      "(catalog bucketed table) published once, each tick trims itself " +
+      "and appends into a doc-bucketed store; union of ticks == " +
+      "one-shot batch trim, trimmed text value-replayed from raw text")
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      q58, q80, q94, q107)
+      x65, q58, q80, q94, q107)
 }

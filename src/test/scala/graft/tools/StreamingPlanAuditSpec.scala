@@ -248,4 +248,89 @@ class StreamingPlanAuditSpec extends AnyFunSuite {
       s"per-tick contamination values drifted: $flags")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("x65-shaped streaming span-trim: every per-tick plan scans the " +
+      "frozen boilerplate-window table BUCKETED with no exchange on " +
+      "the frozen side, and the per-tick trims are right") {
+    import graft.engine.llm.Dedup
+    val base = tmp("audit_trim")
+    // 50-char boilerplate block shared by both reference docs (so its
+    // internal 40-char windows occur >= 2 times and enter the model);
+    // each doc's own tail is unique (junction windows occur once)
+    val bp = "x" * 25 + "y" * 25
+    // tails start with DISTINCT characters so every junction window
+    // (boilerplate meets tail) occurs exactly once and stays out of the
+    // model — the marked region is precisely the bp block [0, 50)
+    val docs = Seq(
+      (1L, bp + "A unique reference tail one abcdefghijklmnop"),
+      (2L, bp + "B other reference tail entirely different qrs"),
+      (3L, bp + "C streamed doc first with its own suffix here"),
+      (4L, "clean streamed doc with no boilerplate at all in it ok")
+    ).toDF("doc_id", "text")
+    val table = s"audit_trim_model_${System.nanoTime()}"
+    Dedup.publishBoilerplateWindows(docs.filter(col("doc_id") <= 2L),
+      "text", "doc_id", table, minLen = 40)
+    // two one-file ticks
+    docs.filter(col("doc_id") === 3L).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    docs.filter(col("doc_id") === 4L).coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    val root = s"$base/store/trims"
+    val (_, captured) = capturing {
+      val model = spark.table(table)
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val trims = Dedup.trimAgainstPublished(b, model, "text",
+              "doc_id", minLen = 40)
+            .select(col("doc_id"), col("trimmed_text"),
+              col("n_trimmed_chars"))
+          if (SnapshotStore.currentVersion(root) == 0)
+            SnapshotStore.publishBucketed(trims, root, "doc_id",
+              nBuckets = 4, tag = Some(s"b-$id"))
+          else SnapshotStore.append(trims, root, tag = Some(s"b-$id"))
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // every micro-batch plan reading the frozen model must read it
+    // through the bucketed layout with exactly one wk exchange per
+    // sort-merge join (the batch window-key side) — the x64 gate
+    // applied to the span family
+    val modelPlans = captured.map(_._2.executedPlan.toString)
+      .filter(_.contains(table))
+    assert(modelPlans.nonEmpty,
+      "audit must observe the frozen-model scans (nothing captured = " +
+        "nothing gated)")
+    modelPlans.foreach { p =>
+      assert("Bucketed: true".r.findFirstIn(p).isDefined,
+        s"frozen boilerplate-model scan lost its bucketed layout:\n$p")
+      val nJoins = raw"SortMergeJoin \[wk".r.findAllIn(p).size
+      val wkExchanges =
+        raw"Exchange hashpartitioning\(wk[^\]]*\[plan_id=(\d+)\]".r
+          .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(nJoins >= 1, s"expected the wk join in the plan:\n$p")
+      assert(wkExchanges.size == nJoins,
+        s"expected ONE wk exchange per join (the batch side), got " +
+          s"${wkExchanges.size} across $nJoins joins — the frozen side " +
+          "must not reshuffle")
+    }
+    // values: doc 3 loses exactly the 50-char boilerplate block (the
+    // maximal marked span is its windows' union [0, 50)), doc 4 is
+    // untouched
+    val trims = SnapshotStore.read(spark, root)
+      .select(col("doc_id"), col("trimmed_text"), col("n_trimmed_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(trims(3L)._1 == "C streamed doc first with its own suffix here"
+      && trims(3L)._2 == 50L,
+      s"doc 3 must lose exactly the boilerplate prefix: ${trims(3L)}")
+    assert(trims(4L)._2 == 0L &&
+      trims(4L)._1 == "clean streamed doc with no boilerplate at all in it ok",
+      s"doc 4 must pass through untouched: ${trims(4L)}")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
