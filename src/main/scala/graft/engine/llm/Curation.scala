@@ -338,6 +338,19 @@ object Curation {
       .bucketBy(numBuckets, "ng_key").sortBy("ng_key")
       .saveAsTable(table)
 
+  /** [[publishBenchmarkNgrams]] IF ABSENT: when `table` already exists
+    * in the catalog (a session-scoped content-keyed name —
+    * [[graft.engine.Artifacts.table]]), the publish is skipped entirely;
+    * the frozen n-gram set is a deterministic function of the benchmark
+    * frame, so the existing table IS what this call would have written.
+    * This is what lets q129, q133 and x64 share one benchmark store per
+    * session instead of each paying the cold catalog write. */
+  def ensureBenchmarkNgrams(spark: org.apache.spark.sql.SparkSession,
+      benchmark: DataFrame, textCol: String, table: String, n: Int = 13,
+      numBuckets: Int = 32): Unit =
+    if (!spark.catalog.tableExists(table))
+      publishBenchmarkNgrams(benchmark, textCol, table, n, numBuckets)
+
   /** The join stage of incremental decontamination: the ingest batch's
     * (doc_id, ng) pairs LEFT-joined against a PUBLISHED benchmark n-gram
     * table ([[publishBenchmarkNgrams]]; pass `spark.table(name)`). The

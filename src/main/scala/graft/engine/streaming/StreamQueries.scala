@@ -877,10 +877,11 @@ object StreamQueries {
       SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
-      val table = s"graft_x64_bench_${ProcessHandle.current().pid()}"
-      Curation.publishBenchmarkNgrams(
+      // session-shared with q129/q133 (Artifacts scaladoc)
+      val table = graft.engine.Artifacts.table("bench13", sfDir)
+      Curation.ensureBenchmarkNgrams(spark,
         docs.filter(col("doc_id") < 25), "text", table, n = 13)
-      try {
+      locally {
         val bench = spark.table(table)
         // exactly three one-file ticks of the recurring ingest
         docs.filter(col("doc_id") >= 25).repartition(3)
@@ -931,7 +932,7 @@ object StreamQueries {
           .withColumn("n_versions",
             lit(SnapshotStore.currentVersion(root)))
           .orderBy(col("doc_id"))
-      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
     },
     Some("""WITH t AS (SELECT doc_id,
         string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),

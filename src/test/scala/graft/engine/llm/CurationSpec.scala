@@ -333,6 +333,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureBenchmarkNgrams: an existing table is NOT re-published " +
+      "(publish-if-absent), an absent one is created") {
+    val table = s"ensure_bench_${System.nanoTime()}"
+    val a = Seq((1L, "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen")).toDF("doc_id", "text")
+    Curation.ensureBenchmarkNgrams(spark, a, "text", table, n = 13)
+    val first = spark.table(table).collect().map(_.getString(0)).toSet
+    assert(first.nonEmpty)
+    // a DIFFERENT benchmark frame must be ignored while the table exists
+    val b = Seq((2L, "totally different words in this benchmark doc here " +
+      "and more of them again ok")).toDF("doc_id", "text")
+    Curation.ensureBenchmarkNgrams(spark, b, "text", table, n = 13)
+    assert(spark.table(table).collect().map(_.getString(0)).toSet == first,
+      "existing table must be left untouched (the skip IS the contract)")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("packFixedSequences: single-shard pinned fixture — exact cuts, " +
       "straddling doc boundaries, short tail, zero-token doc invisible") {
     // md5 order of ids 1..4: md5('3')=ecc... > md5('2')=c81... >

@@ -372,6 +372,23 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.trainBpeMergesBudget(df, "t", 1200).toList == got)
   }
 
+  test("ensureVocab: first call trains+publishes, later calls load the " +
+      "stored version WITHOUT evaluating the training thunk") {
+    val root = java.nio.file.Files.createTempDirectory("ensvocab")
+      .toString + "/vocab"
+    val df = Seq("alpha beta beta gamma", "beta gamma gamma delta").toDF("t")
+    var trained = 0
+    def thunk: Array[String] = {
+      trained += 1
+      Tokenizer.trainWordVocab(df, "t", 3)
+    }
+    val v1 = Tokenizer.ensureVocab(spark, root)(thunk)
+    assert(trained == 1 && v1.nonEmpty)
+    val v2 = Tokenizer.ensureVocab(spark, root)(thunk)
+    assert(trained == 1, "present store must skip training entirely")
+    assert(v2.toSeq == v1.toSeq, "reuse must load the identical artifact")
+  }
+
   test("production-budget trainer: Heaps-violating corpus fails the " +
       "distinct-word cap FAST with the escape hatches named, never an " +
       "unbounded driver collect (VERDICT r12 item 3)") {
