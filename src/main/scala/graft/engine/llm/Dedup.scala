@@ -540,6 +540,17 @@ object Dedup {
       .sortBy("band_id", "band_hash")
       .saveAsTable(table)
 
+  /** [[publishBandedSignatures]] IF ABSENT (the
+    * [[Curation.ensureBenchmarkNgrams]] pattern): with a session-scoped
+    * content-keyed `table` name ([[graft.engine.Artifacts.table]]) the
+    * deterministic banded-signature table publishes once per session and
+    * later runs skip the cold catalog write. */
+  def ensureBandedSignatures(spark: org.apache.spark.sql.SparkSession,
+      sigs: DataFrame, table: String, numHashes: Int = 32, bands: Int = 8,
+      numBuckets: Int = 32): Unit =
+    if (!spark.catalog.tableExists(table))
+      publishBandedSignatures(sigs, table, numHashes, bands, numBuckets)
+
   /** [[incrementalMinHashNearDups]] against a bucketed band table written
     * by [[publishBandedSignatures]] (pass `spark.table(name)`): identical
     * answer, but the history side contributes ZERO exchanges to the

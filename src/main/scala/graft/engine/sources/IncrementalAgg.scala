@@ -63,9 +63,16 @@ object IncrementalAgg {
       case (v, vt) if vt == t => v
     })
     if (pre.isDefined) return pre.get // replayed epoch: skip the whole job
+    // materialize the per-key delta ONCE: it is distinct-key bounded
+    // (tiny by the quantized/low-cardinality key contract), but its
+    // lineage is the whole batch scan — without the checkpoint the
+    // touched-bucket collect AND the merge each re-scan and re-aggregate
+    // the batch (for a JSONL tick that means re-parsing the file per
+    // action; measured ~40% of x60's per-tick cost)
     val delta = batch.groupBy(col(keyCol))
       .agg(count(lit(1)).cast(LongType).as("n"),
         coalesce(sum(col(valueCol).cast(Dec)), lit(0)).cast(Dec).as("s"))
+      .localCheckpoint()
     if (SnapshotStore.currentVersion(root) == 0L)
       SnapshotStore.publishBucketed(delta, root, keyCol, nBuckets, tag = tag)
     else {
