@@ -273,6 +273,22 @@ object Curation {
       .withColumn("n_tokens", size(col("token_ids")).cast(LongType))
   }
 
+  /** Materialize [[packFixedSequences]] as the on-disk trainer input:
+    * one `shard_id=K/` parquet directory per shard, rows within each
+    * shard sorted by `seq_idx` — a trainer streams each shard's files
+    * in order and reads consecutive fixed-length sequences (the
+    * [[writeShards]] layout contract applied to the packed artifact).
+    * One repartition on shard_id + a per-partition sort; never a global
+    * order. */
+  def writePackedSequences(units: DataFrame, idCol: String, idsCol: String,
+      nShards: Int, seqLen: Int, path: String): Unit =
+    packFixedSequences(units, idCol, idsCol, nShards, seqLen)
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("seq_idx"))
+      .write.partitionBy("shard_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+
   /** Benchmark decontamination: for every corpus document, how many of its
     * distinct word n-grams appear anywhere in the benchmark set. The
     * standard eval-leakage check (n = 13 is the usual contamination

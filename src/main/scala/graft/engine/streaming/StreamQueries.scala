@@ -1095,7 +1095,124 @@ object StreamQueries {
       "and appends into a doc-bucketed store; union of ticks == " +
       "one-shot batch trim, trimmed text value-replayed from raw text")
 
+  /** x66 — ALWAYS-ON ANN ingest WITH DELETIONS (x62 + q135 composed
+    * under the micro-batch engine): the encoded-corpus store consumes a
+    * CDC-style stream of (op, vec_id, embedding) ticks — `add` ticks
+    * encode against the published codebooks and append (x62's
+    * insert-only wire), a `del` tick tombstones its victims into their
+    * own cell buckets ([[graft.engine.llm.AnnIndex.deleteCodes]]) —
+    * each under a per-batch tag so a replayed epoch is a no-op. The
+    * planted victims live in the BOOTSTRAP half, so tick order cannot
+    * change the outcome (adds are disjoint, the delete only touches
+    * pre-stream rows — the commutativity a file-source's
+    * timestamp-ordered-but-racy delivery requires). After the stream, a
+    * compaction rewrites the store without tombstones/victims; the live
+    * probe at exact settings (nprobe = nlist, lossless codebooks) must
+    * equal DuckDB's brute-force cosine ranking over the SURVIVORS, with
+    * the version arithmetic (bootstrap + 2 adds + tombstones +
+    * compaction = 5) and probe-invariance-across-compaction pinned
+    * in-query. */
+  val x66 = GraftQuery(
+    "x66_stream_ann_deletion",
+    (spark, sfDir) => {
+      import graft.engine.llm.{AnnIndex, Similarity}
+      import graft.engine.sources.SnapshotStore
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x66_anndel_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      AnnIndex.publishIndex(spark, s"$base/index",
+        Similarity.ivfCentroids(emb, nlist = 4, iters = 1),
+        Similarity.pqCodebooksExact(emb, m = 4))
+      val (cents, books) = AnnIndex.loadIndex(spark, s"$base/index")
+      val codesRoot = s"$base/codes"
+      AnnIndex.publishCodes(emb.filter(col("vec_id") < 40), codesRoot,
+        cents, books, nBuckets = 4)
+      // three CDC tick files: two disjoint adds + one delete of planted
+      // bootstrap-half victims (14, 21, 28, 35 — none of them a query)
+      def asOps(df: org.apache.spark.sql.DataFrame, op: String) =
+        df.select(lit(op).as("op"), col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val delIds = emb.filter(col("vec_id") % 7 === 0 &&
+          col("vec_id") >= 14 && col("vec_id") < 40)
+        .select(col("vec_id"))
+      asOps(emb.filter(col("vec_id") >= 40 && col("vec_id") < 70), "add")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      asOps(emb.filter(col("vec_id") >= 70), "add")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      delIds.select(lit("del").as("op"), col("vec_id"),
+          lit(null).cast("array<double>").as("embedding"))
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val adds = batch.filter(col("op") === "add")
+              .select(col("vec_id"), col("embedding"))
+            if (!adds.isEmpty)
+              AnnIndex.appendCodes(adds, codesRoot, cents, books,
+                tag = Some(s"add-$batchId"))
+            val dels = batch.filter(col("op") === "del")
+              .select(col("vec_id").as("nid"))
+            if (!dels.isEmpty)
+              AnnIndex.deleteCodes(dels, codesRoot,
+                tag = Some(s"del-$batchId"))
+            ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val queries = emb.filter(col("vec_id") < 10)
+      def probe(codes: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfPqTopK(emb, queries, 5, cents, books, nprobe = 4,
+            codes = Some(codes))
+          .select(col("qid"), col("rnk"), col("nid"))
+      val pre = probe(AnnIndex.readCodesLive(spark, codesRoot))
+        .localCheckpoint()
+      val vCompact = AnnIndex.compactCodes(spark, codesRoot)
+      val post = probe(AnnIndex.readCodes(spark, codesRoot))
+        .localCheckpoint()
+      val invariant = pre.exceptAll(post).isEmpty &&
+        post.exceptAll(pre).isEmpty
+      pre.withColumn("n_versions", lit(vCompact))
+        .withColumn("compact_invariant", lit(invariant))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings WHERE vec_id < 100
+          AND NOT (vec_id % 7 = 0 AND vec_id >= 14 AND vec_id < 40)),
+      q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+      pairs AS (SELECT q.qid, e.vec_id AS nid,
+          list_dot_product(q.qe, e.emb) AS dot,
+          sqrt(list_dot_product(q.qe, q.qe))
+            * sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+        FROM q, e WHERE e.vec_id <> q.qid),
+      ranked AS (SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY CASE WHEN nrm = 0 THEN 0.0 ELSE dot / nrm END DESC,
+              nid ASC) AS rnk
+        FROM pairs)
+      SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid,
+        CAST(5 AS BIGINT) AS n_versions, TRUE AS compact_invariant
+      FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""),
+    doc = "always-on ANN ingest with CDC deletions: add ticks append " +
+      "encoded codes, a delete tick tombstones bootstrap victims, " +
+      "compaction rewrites; live probe == exact ranking over survivors, " +
+      "5-version arithmetic + compaction invariance pinned")
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      x65, q58, q80, q94, q107)
+      x65, x66, q58, q80, q94, q107)
 }

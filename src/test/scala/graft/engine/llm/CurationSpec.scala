@@ -421,6 +421,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("writePackedSequences: one parquet directory per shard, rows in " +
+      "seq_idx order, contents == packFixedSequences") {
+    val docs = Tables.documents(spark, sfDir)
+      .limit(40).select(col("doc_id"),
+        graft.engine.llm.Tokenizer.tokenIds(col("text"),
+          Array("the", "and")).as("ids"))
+    val out = java.nio.file.Files.createTempDirectory("packed").toString
+    Curation.writePackedSequences(docs, "doc_id", "ids", nShards = 2,
+      seqLen = 64, out)
+    val expect = Curation.packFixedSequences(docs, "doc_id", "ids", 2, 64)
+      .select(col("shard_id"), col("seq_idx"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    (0L until 2L).foreach { sh =>
+      val rows = spark.read.parquet(s"$out/shard_id=$sh")
+        .select(col("seq_idx"), col("n_tokens")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq,
+        s"shard $sh files must hold sequences in seq_idx order")
+      rows.foreach { case (si, nt) => got += ((sh, si, nt)) }
+    }
+    assert(got.toSet == expect,
+      "written shard contents must equal the packFixedSequences rows")
+  }
+
   test("domainCap: never more than cap per domain, small domains intact, " +
       "survivor set repartition-stable") {
     val docs = graft.engine.Tables.documents(spark, graft.SparkTestSession.sfDir)
