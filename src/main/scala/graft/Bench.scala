@@ -88,43 +88,25 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
-    // The driver's scraper keeps only a ~2000-char TAIL of stdout, so the
-    // full ~6KB line above can never survive it intact (r11's BENCH json
-    // carried "parsed": null for exactly this reason). Emit a second,
-    // COMPACT line last — query keys shortened to their unique leading
-    // segment ("q01_pricing_summary" -> "q01"; ml_* names are already
-    // short and kept whole), values rounded to centiseconds — that fits
-    // the tail whole and parses. bench_out.json keeps full names and full
-    // precision; README documents the key scheme.
-    def prefixOf(k: String): String = {
-      val p = k.takeWhile(_ != '_')
-      if (p == "ml") k else p
-    }
-    // a colliding prefix (two registered queries sharing "q01") would
-    // silently drop a reading — keep the full name for both in that case
-    val prefixCount = results.groupBy { case (k, _) => prefixOf(k) }
-      .map { case (p, g) => p -> g.size }
-    def shortKey(k: String): String = {
-      val p = prefixOf(k)
-      if (prefixCount.getOrElse(p, 0) > 1) k else p
-    }
-    val compactQs = results.map { case (k, v) =>
-      "\"" + shortKey(k) + "\":" + (math.round(v * 100.0) / 100.0)
-    }.mkString("{", ",", "}")
+    // The driver's scraper keeps only a ~2000-char TAIL of stdout. At 161
+    // queries even a compacted per-query map is ~2.6KB, so any final line
+    // carrying it arrives FRONT-TRUNCATED and unparseable — r11-r13 all
+    // recorded "parsed": null this way. The final line therefore carries
+    // totals ONLY (~160 chars — physically unable to overflow the tail);
+    // the per-query map lives solely in bench_out.json (full names, full
+    // precision, load context), printed in full above as a courtesy.
     val compact =
       s"""{"metric":"total","value":${math.round(total * 10.0) / 10.0},""" +
-        s""""unit":"sec","queries":$compactQs,"failed":$failedJson,""" +
-        s""""sf":"$sfDir","n_queries":${results.size},""" +
-        s""""key_scheme":"prefix","full_output":"$outPath"}"""
+        s""""unit":"sec","n_queries":${results.size},""" +
+        s""""failed":$failedJson,"sf":"$sfDir",""" +
+        s""""full_output":"$outPath"}"""
     println(compact)
     // Stop the session BEFORE the final line: nothing (shutdown logging,
-    // executor teardown) may print after it. The driver's scraper keeps
-    // only a tail of stdout and has recorded "parsed": null for three
-    // rounds running, so the compact record goes out twice — once as a
-    // bare JSON line above (for a parse-any-JSON-line scraper) and once
-    // here as the ABSOLUTE LAST stdout line under the stable sentinel
-    // prefix "BENCHJSON " (for a grep-a-sentinel scraper). README §Bench
-    // documents both; bench_out.json remains the full-precision record.
+    // executor teardown) may print after it. The compact record goes out
+    // twice — once as a bare JSON line above (for a parse-any-JSON-line
+    // scraper) and once as the ABSOLUTE LAST stdout line under the stable
+    // sentinel prefix "BENCHJSON " (for a grep-a-sentinel scraper).
+    // README §Bench documents both.
     spark.stop()
     println("BENCHJSON " + compact)
   }

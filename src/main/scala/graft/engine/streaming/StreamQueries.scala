@@ -14,6 +14,39 @@ import graft.engine.{GraftQuery, Tables}
   */
 object StreamQueries {
 
+  /** Premise guard for the file-tick streaming queries (x64/x65): their
+    * oracle constant n_versions = `expected` presumes `repartition(n)`
+    * produced exactly `expected` NON-EMPTY data files (an empty parquet
+    * part file still triggers a micro-batch, but its empty append mints
+    * no store version). Counting part-* files alone would let the assert
+    * pass while the premise it documents fails, so each file's row count
+    * is checked too (3 tiny single-file count jobs, metadata-cheap). */
+  private def requireTickFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String, expected: Int, who: String): Unit = {
+    val files = {
+      val d = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .map(_.toString).toList
+      } finally s.close()
+    }
+    require(files.size == expected,
+      s"$who expects exactly $expected ingest tick files (one " +
+        s"micro-batch each, n_versions contract = $expected); got " +
+        s"${files.size} data files under $dir — the engine or SF " +
+        "changed the file layout, re-derive the oracle constant")
+    files.foreach { f =>
+      val n = spark.read.parquet(f).count()
+      require(n > 0,
+        s"$who tick file $f is EMPTY — an empty tick appends no store " +
+          s"version, breaking the n_versions = $expected oracle " +
+          "constant; re-derive it or re-balance the ingest repartition")
+    }
+  }
+
   /** X5 — tumbling-window streaming aggregation through the real
     * micro-batch engine (complete mode; the 20k-event cap bounds the
     * driver-side replay buffer, not the operator). */
@@ -892,22 +925,10 @@ object StreamQueries {
         // n_versions below is oracle-pinned to 3 (bootstrap + 2 appends),
         // which presumes repartition(3) landed three non-empty data files
         // and maxFilesPerTrigger=1 made each its own tick. Assert the
-        // file-count premise HERE so a drift (a tiny SF emptying a
-        // partition, an engine change skipping empty files) fails naming
-        // the real cause instead of surfacing as an opaque oracle
-        // hash mismatch on the version constant.
-        val nTickFiles = {
-          val d = java.nio.file.Paths.get(s"$base/in")
-          val s = java.nio.file.Files.list(d)
-          try s.filter(p => p.getFileName.toString.startsWith("part-"))
-            .count()
-          finally s.close()
-        }
-        require(nTickFiles == 3,
-          s"x64 expects exactly 3 ingest tick files (one micro-batch " +
-            s"each, n_versions contract = 3); repartition(3) produced " +
-            s"$nTickFiles data files under $base/in — the engine or SF " +
-            "changed the file layout, re-derive the oracle constant")
+        // premise HERE so a drift (a tiny SF emptying a partition, an
+        // engine change skipping empty files) fails naming the real cause
+        // instead of surfacing as an opaque oracle hash mismatch.
+        requireTickFiles(spark, s"$base/in", 3, "x64")
         val root = s"$base/store/flags"
         val q = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
@@ -997,16 +1018,7 @@ object StreamQueries {
         stream.repartition(3).write.mode("overwrite").parquet(s"$base/in")
         // same premise assert as x64: the oracle's n_versions = 3 rides
         // on three non-empty one-file ticks
-        val nTickFiles = {
-          val d = java.nio.file.Paths.get(s"$base/in")
-          val s = java.nio.file.Files.list(d)
-          try s.filter(p => p.getFileName.toString.startsWith("part-"))
-            .count()
-          finally s.close()
-        }
-        require(nTickFiles == 3,
-          s"x65 expects exactly 3 ingest tick files, got $nTickFiles " +
-            s"under $base/in — re-derive the oracle constant")
+        requireTickFiles(spark, s"$base/in", 3, "x65")
         val root = s"$base/store/trims"
         val q = spark.readStream.schema(stream.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
@@ -1028,13 +1040,19 @@ object StreamQueries {
           .option("checkpointLocation", s"$base/ckpt")
           .start()
         try q.processAllAvailable() finally q.stop()
+        // q135 pattern: materialize both sides once before the two
+        // exceptAll probes — otherwise the full md5-window trim
+        // pipeline re-executes for each exceptAll AND the returned
+        // frame (~4x total).
         val ticks = SnapshotStore.read(spark, root)
           .select(col("doc_id"), col("trimmed_text"),
             col("n_trimmed_chars"))
+          .localCheckpoint()
         val oneShot = Dedup.trimAgainstPublished(stream, model,
             "text", "doc_id", minLen = 40)
           .select(col("doc_id"), col("trimmed_text"),
             col("n_trimmed_chars"))
+          .localCheckpoint()
         val eq = ticks.exceptAll(oneShot).isEmpty &&
           oneShot.exceptAll(ticks).isEmpty
         ticks
