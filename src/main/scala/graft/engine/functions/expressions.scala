@@ -573,6 +573,100 @@ case class WindowHashes(child: Expression, len: Int)
     copy(child = newChild)
 }
 
+/** ALL length-`len` sliding-window EXACT md5 keys of a string in one pass
+  * (X1 published-boilerplate-model's window key,
+  * [[graft.engine.llm.Dedup]] `windowKeys`): entry i is bit-identical to
+  * the built-in `md5(substring(s, i+1, len))` — lowercase hex of the MD5
+  * of the window's UTF-8 bytes, windows indexed by CODE POINT matching
+  * SQL `substring`/`length` semantics (the same discipline as
+  * [[WindowHashes]]). Strings shorter than `len` yield an empty array.
+  *
+  * Unlike [[WindowHashes]] md5 cannot roll, so the pass is O(n·len) byte
+  * hashing by necessity — but the three-operator built-in pipeline
+  * (`explode(sequence) + substring + md5`) pays, per WINDOW, a row-widen
+  * carrying the full document text, a substring UTF8String copy, and a
+  * per-call DigestUtils allocation. This kernel walks the document's
+  * byte array once, computes each window digest over a byte-range slice
+  * with a thread-cached MessageDigest, and emits the array — the row
+  * explode downstream (`posexplode`) then carries only (pos, 32-char
+  * key). Exactness matters: the published model stores these keys
+  * without window text, so a later ingest batch can trim against the
+  * frozen store with no verify stage (an 8-byte rolling hash could not —
+  * see `Dedup.windowKeys`'s scaladoc). */
+case class Md5WindowKeys(child: Expression, len: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(len >= 1, "window length must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_md5_window_keys"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    // code-point start offsets (UTF-8 has no surrogates: every 1–4-byte
+    // sequence is one code point, so one offset per SQL "character")
+    val nb = bytes.length
+    var nChars = 0
+    var i = 0
+    while (i < nb) {
+      i += Md5WindowKeys.seqLen(bytes(i))
+      nChars += 1
+    }
+    if (nChars < len) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](nChars + 1)
+    i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i
+      i += Md5WindowKeys.seqLen(bytes(i))
+      c += 1
+    }
+    offs(nChars) = nb
+    val md = Md5WindowKeys.digests.get()
+    val out = new Array[Any](nChars - len + 1)
+    var w = 0
+    while (w + len <= nChars) {
+      md.reset()
+      md.update(bytes, offs(w), offs(w + len) - offs(w))
+      out(w) = UTF8String.fromBytes(Md5WindowKeys.hex(md.digest()))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+private object Md5WindowKeys {
+  val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val HEX = "0123456789abcdef".getBytes
+
+  def hex(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** UTF-8 sequence length from the first byte (mirrors
+    * UTF8String.numBytesForFirstByte: invalid leading bytes count 1). */
+  def seqLen(b: Byte): Int = {
+    val u = b & 0xff
+    if (u < 0x80) 1
+    else if (u < 0xc0) 1 // continuation/invalid leading byte: advance 1
+    else if (u < 0xe0) 2
+    else if (u < 0xf0) 3
+    else if (u < 0xf8) 4
+    else 1
+  }
+}
+
 /** Shared trie for the vocabulary tokenizer expressions: greedy
   * longest-match against a fixed word vocabulary, with every single
   * non-whitespace character an implicit base token (so tokenization
@@ -981,6 +1075,11 @@ object F {
     * starting at code point i). */
   def windowHashes(s: Column, len: Int): Column =
     Bridge.column(WindowHashes(Bridge.expression(s), len))
+
+  /** All length-`len` sliding-window EXACT md5 keys (ARRAY<STRING>, one
+    * pass — entry i == `md5(substring(s, i+1, len))` bit-identically). */
+  def md5WindowKeys(s: Column, len: Int): Column =
+    Bridge.column(Md5WindowKeys(Bridge.expression(s), len))
 
   /** Greedy longest-match token count against a fixed vocabulary. */
   def vocabTokenCount(text: Column, vocab: Array[String]): Column =

@@ -264,16 +264,20 @@ object Dedup {
     * batch. Cost is O(n · minLen) hashing per doc — fine for the
     * one-time reference publish and for ingest-tick-sized batches; a
     * full-corpus one-shot pass stays on [[repeatedSpansHashed]]'s
-    * rolling-hash wire. */
+    * rolling-hash wire. Keys come from the single-pass
+    * [[graft.engine.functions.Md5WindowKeys]] kernel (bit-identical to
+    * `md5(substring(_t, pos+1, minLen))`, pinned by Md5WindowKeysSpec);
+    * the built-in `explode(sequence) + substr + md5` three-operator
+    * formulation paid a per-window row-widen carrying the full document
+    * text plus a substring copy and digest allocation — measured 22 → 9 s
+    * on x65's trim pipeline at sf0.1 (the Shingles/MinHashSignature
+    * precedent). */
   private def windowKeys(df: DataFrame, textCol: String, idCol: String,
       minLen: Int): DataFrame =
     df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) >= minLen)
       .select(col("doc_id"),
-        explode(sequence(lit(0), length(col("_t")) - minLen)).as("pos"),
-        col("_t"))
-      .select(col("doc_id"), col("pos"),
-        md5(col("_t").substr(col("pos") + 1, lit(minLen))).as("wk"))
+        posexplode(F.md5WindowKeys(col("_t"), minLen)).as(Seq("pos", "wk")))
 
   /** Freeze a reference corpus's BOILERPLATE MODEL as a catalog
     * bucketed+sorted table: the md5 keys of every minLen-char window
@@ -296,6 +300,25 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(numBuckets, "wk").sortBy("wk")
       .saveAsTable(table)
+
+  /** [[publishBoilerplateWindows]] IF ABSENT (the
+    * [[ensureBandedSignatures]] / [[Curation.ensureBenchmarkNgrams]]
+    * pattern): with a session-scoped content-keyed `table` name
+    * ([[graft.engine.Artifacts.table]] over sfDir + minLen + the
+    * reference-half definition) the deterministic model — distinct md5
+    * window keys with count >= 2, a pure function of the frozen
+    * reference text — publishes once per session, and every later run
+    * (and every other query sharing the same reference) skips the cold
+    * catalog write. This is the production posture too: the reference
+    * corpus is frozen by definition, so its model is publish-once; a
+    * refreshed reference is a new content key, never an in-place
+    * mutation. */
+  def ensureBoilerplateModel(spark: org.apache.spark.sql.SparkSession,
+      reference: => DataFrame, textCol: String, idCol: String,
+      table: String, minLen: Int, numBuckets: Int = 32): Unit =
+    if (!spark.catalog.tableExists(table))
+      publishBoilerplateWindows(reference, textCol, idCol, table, minLen,
+        numBuckets)
 
   /** Trim an ingest batch against a PUBLISHED boilerplate model
     * ([[publishBoilerplateWindows]]; pass `spark.table(name)`): mark

@@ -1009,10 +1009,18 @@ object StreamQueries {
         "and exclusive offers === "
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), concat(col("text"), lit(bp)).as("text"))
-      val table = s"graft_x65_model_${ProcessHandle.current().pid()}"
-      Dedup.publishBoilerplateWindows(docs.filter(col("doc_id") < 250),
-        "text", "doc_id", table, minLen = 40)
-      try {
+      // Session-amortized model publish (VERDICT r14 item 1): the
+      // reference half + planted boilerplate is a pure function of
+      // (sfDir, minLen, the doc_id<250 split, the bp literal), so the
+      // frozen model publishes once per session via the
+      // Artifacts/ensure* pattern (x59/q127/q129/q133's posture) —
+      // the ~4.6 s cold bucketed-table write is first-run-only.
+      val table = graft.engine.Artifacts.table("x65model",
+        s"$sfDir|minLen=40|ref<250|bp=$bp")
+      Dedup.ensureBoilerplateModel(spark,
+        docs.filter(col("doc_id") < 250), "text", "doc_id", table,
+        minLen = 40)
+      locally {
         val model = spark.table(table)
         val stream = docs.filter(col("doc_id") >= 250)
         stream.repartition(3).write.mode("overwrite").parquet(s"$base/in")
@@ -1060,7 +1068,7 @@ object StreamQueries {
             lit(SnapshotStore.currentVersion(root)))
           .withColumn("union_eq_oneshot", lit(eq))
           .orderBy(col("doc_id"))
-      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
     },
     Some("""WITH bp AS (SELECT ' === subscribe to our newsletter for """ +
       """daily updates and exclusive offers === ' AS b),
