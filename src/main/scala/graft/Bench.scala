@@ -95,11 +95,17 @@ object Bench {
     // totals ONLY (~160 chars — physically unable to overflow the tail);
     // the per-query map lives solely in bench_out.json (full names, full
     // precision, load context), printed in full above as a courtesy.
+    // The compact line caps `failed` at 5 names + a count — a mass-failure
+    // run (the case where the record matters most) must not re-grow the
+    // line past the driver's ~2000-char stdout tail; the FULL failed list
+    // lives in bench_out.json above.
+    val failedCapped = failed.take(5).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${math.round(total * 10.0) / 10.0},""" +
         s""""unit":"sec","n_queries":${results.size},""" +
-        s""""failed":$failedJson,"sf":"$sfDir",""" +
-        s""""full_output":"$outPath"}"""
+        s""""n_failed":${failed.size},"failed":$failedCapped,""" +
+        s""""sf":"$sfDir","full_output":"$outPath"}"""
     println(compact)
     // Stop the session BEFORE the final line: nothing (shutdown logging,
     // executor teardown) may print after it. The compact record goes out

@@ -130,6 +130,17 @@ object CurateJob {
         // deterministic global training shuffle (q130's operator)
         Curation.shuffleShards(docs, "doc_id",
           nShards = o.getOrElse("shards", "16").toInt)
+      case "pack-fixed" =>
+        // fixed-length packed training sequences (q134's operator);
+        // input must carry a token-ID ARRAY column (--ids-col). main()
+        // materializes this mode through writePackedSequences so the
+        // on-disk artifact gets the trainer layout (shard_id=K/ dirs,
+        // seq_idx-sorted within), not a flat parquet dump.
+        Curation.packFixedSequences(docs,
+          o.getOrElse("id-col", "doc_id"),
+          o.getOrElse("ids-col", "token_ids"),
+          nShards = o.getOrElse("shards", "16").toInt,
+          seqLen = o.getOrElse("seq-len", "512").toInt)
       case m => throw new IllegalArgumentException(s"unknown --mode $m")
     }
   }
@@ -137,12 +148,21 @@ object CurateJob {
   def main(args: Array[String]): Unit = {
     val o = Args.parse(args)
     val spark = GraftSession.create("graft-curate")
-    try run(spark, o).write
-      .mode(if (o.getOrElse("overwrite", "false").toBoolean)
-              org.apache.spark.sql.SaveMode.Overwrite
-            else org.apache.spark.sql.SaveMode.ErrorIfExists)
-      .parquet(Args.required(o, "output"))
-    finally spark.stop()
+    try {
+      if (o.getOrElse("mode", "filter") == "pack-fixed")
+        graft.engine.llm.Curation.writePackedSequences(
+          spark.read.parquet(Args.required(o, "input")),
+          o.getOrElse("id-col", "doc_id"),
+          o.getOrElse("ids-col", "token_ids"),
+          nShards = o.getOrElse("shards", "16").toInt,
+          seqLen = o.getOrElse("seq-len", "512").toInt,
+          path = Args.required(o, "output"))
+      else run(spark, o).write
+        .mode(if (o.getOrElse("overwrite", "false").toBoolean)
+                org.apache.spark.sql.SaveMode.Overwrite
+              else org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(Args.required(o, "output"))
+    } finally spark.stop()
   }
 }
 

@@ -398,7 +398,11 @@ object LlmQueries {
     * the PUBLISHED benchmark n-gram store with a 0.5 contamination
     * ceiling (q129) → learned token accounting under the PUBLISHED
     * vocabulary (q115) → deterministic shuffle-shard export stats
-    * (q130). What this pins
+    * (q130) → the MATERIALIZED trainer artifact
+    * ([[Curation.ensurePackedSequences]], q134's packing in
+    * [[Curation.writePackedSequences]]'s shard layout, read back and
+    * pinned per shard: packed_tokens == shard_tokens and n_sequences ==
+    * ceil(shard_tokens/512) in DuckDB). What this pins
     * beyond the pieces: the schema handoffs (trimmed text feeds dedup's
     * content key feeds the n-gram gate), artifact lifecycles inside a
     * composition, and the funnel counts at every stage. DuckDB replays
@@ -446,9 +450,30 @@ object LlmQueries {
           Tokenizer.tokenCount(col("text"), vocab).as("n_tokens"))
         // 5. deterministic shuffle-shard export
         val sharded = Curation.shuffleShards(counted, "doc_id", nShards = 8)
+        // 6. the trainer-facing artifact itself (VERDICT r14 item 5):
+        // token-ID-encode the gated survivors and MATERIALIZE the packed
+        // 512-token sequences in writePackedSequences' shard layout —
+        // session-amortized (a frozen input's export is write-once; the
+        // ensure* posture every published artifact here follows). The
+        // read-back per-shard (n_sequences, packed_tokens) columns prove
+        // the artifact against the funnel's own token accounting: the
+        // same md5 shard draw means packed_tokens == shard_tokens and
+        // n_sequences == ceil(shard_tokens / 512), both DuckDB-pinned.
+        val packedRoot =
+          graft.engine.Artifacts.root("q133packed", sfDir) + "/packed"
+        Curation.ensurePackedSequences(
+          clean.select(col("doc_id"),
+            Tokenizer.tokenIds(col("text"), vocab).as("ids")),
+          "doc_id", "ids", nShards = 8, seqLen = 512, packedRoot)
+        val packed = spark.read.parquet(packedRoot)
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_sequences"),
+            sum(col("n_tokens")).cast(LongType).as("packed_tokens"))
         sharded.groupBy(col("shard_id"))
           .agg(count(lit(1)).cast(LongType).as("n_docs"),
             sum(col("n_tokens")).cast(LongType).as("shard_tokens"))
+          .join(packed, Seq("shard_id"), "left")
+          .na.fill(0L, Seq("n_sequences", "packed_tokens"))
           .withColumn("n_corpus", lit(corpus.count()).cast(LongType))
           .withColumn("n_after_dedup", lit(deduped.count()).cast(LongType))
           .withColumn("n_after_trim", lit(trimmed.count()).cast(LongType))
@@ -532,6 +557,10 @@ object LlmQueries {
           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
         FROM sharded GROUP BY 1)
       SELECT st.shard_id, st.n_docs, st.shard_tokens,
+        CASE WHEN st.shard_tokens = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(CEIL(st.shard_tokens / 512.0) AS BIGINT) END
+          AS n_sequences,
+        st.shard_tokens AS packed_tokens,
         CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_corpus,
         CAST((SELECT COUNT(*) FROM dedup) AS BIGINT) AS n_after_dedup,
         CAST((SELECT COUNT(*) FROM kept1) AS BIGINT) AS n_after_trim,
@@ -540,7 +569,9 @@ object LlmQueries {
     doc = "the END-TO-END training-export pipeline: exact dedup -> " +
       "boilerplate strip over survivors -> published-store " +
       "decontamination gate -> learned-token budgets -> shuffle-shard " +
-      "stats; full chain + funnel counts DuckDB-replayed from raw text")
+      "stats -> MATERIALIZED packed-sequence artifact (512-token " +
+      "trainer layout, read back and pinned per shard); full chain + " +
+      "funnel counts DuckDB-replayed from raw text")
 
   /** q134 — the PACKED TRAINING SEQUENCES themselves (VERDICT r12 item
     * 1): the artifact a causal-LM trainer actually reads, closing the

@@ -1238,7 +1238,98 @@ object StreamQueries {
       "compaction rewrites; live probe == exact ranking over survivors, " +
       "5-version arithmetic + compaction invariance pinned")
 
+  /** X5 — LATE-DATA DROP ACCOUNTING under the watermark: the contract
+    * x52–x58 leave unpinned. Windows/joins pin what the engine KEPT;
+    * a production pipeline must also account for what the watermark
+    * THREW AWAY (data-loss audits, SLA alerts on late upstreams). The
+    * harness replays the event stream out of order on purpose: batch 1
+    * carries the LATER half (by ts), advancing the watermark to
+    * max(batch1.ts) − 10 min; batch 2 then delivers the EARLIER half as
+    * late arrivals — every row whose 1 h window already closed
+    * (window end ≤ watermark, the engine's eviction predicate in
+    * event-time MILLISECONDS) is dropped by the stateful aggregation; a
+    * far-future sentinel then flushes every real window out of append
+    * mode. Pinned at value level: the surviving windowed aggregates AND
+    * `n_dropped_late` (input minus emitted mass — the loss ledger),
+    * both against DuckDB replaying the watermark algebra itself
+    * (max-eventtime-ms − delay, window-end comparison included);
+    * `engine_saw_drops` additionally ties the engine's own
+    * `numRowsDroppedByWatermark` telemetry to the ledger (boolean, not
+    * count: the metric counts post-partial-aggregation rows at the
+    * state store, a partitioning-dependent number — nonzero-ness is
+    * the deterministic contract; StreamingSpec pins the ms boundary
+    * rule with an exact-equality fixture). */
+  val x67 = GraftQuery(
+    "x67_stream_late_drop_accounting",
+    (spark, sfDir) => {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val events = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id")).limit(20000)
+        .as[Streaming.Event].collect()
+      val (early, onTime) = events.splitAt(events.length / 2)
+      val sentinel = Streaming.Event(-1L,
+        new java.sql.Timestamp(
+          events.last.ts.getTime + 30L * 24 * 3600 * 1000),
+        -1L, "sentinel", 0.0)
+      val stream = MemoryStream[Streaming.Event]
+      val name = s"x67_out_${System.nanoTime()}"
+      val q = Streaming.tumblingCounts(stream.toDF(),
+          watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 1: the LATER half — the watermark advances
+        stream.addData(onTime.toSeq); q.processAllAvailable()
+        // batch 2: the EARLIER half arrives late — closed windows drop
+        stream.addData(early.toSeq); q.processAllAvailable()
+        // flush: close every real window (append-mode emission); the
+        // sentinel's own window stays open and never reaches the sink
+        stream.addData(Seq(sentinel)); q.processAllAvailable()
+      } finally q.stop()
+      val engineDrops = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).map(_.toSeq).getOrElse(Nil))
+        .map(_.numRowsDroppedByWatermark).sum
+      val out = spark.table(name)
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      val emitted = out.agg(sum(col("n_events"))).head.getLong(0)
+      out
+        .withColumn("n_dropped_late", lit(events.length - emitted))
+        .withColumn("engine_saw_drops", lit(engineDrops > 0))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some(s"""WITH ev AS (SELECT ts, event_id, event_type, value
+        FROM events ORDER BY ts, event_id LIMIT 20000),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+        (SELECT COUNT(*) FROM ev) AS n FROM ev),
+      b1 AS (SELECT * FROM ranked WHERE rn > n // 2),
+      b2 AS (SELECT * FROM ranked WHERE rn <= n // 2),
+      wm AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS wm_ms FROM b1),
+      surv AS (SELECT * FROM b2
+        WHERE (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600)
+          * 1000 > (SELECT wm_ms FROM wm)),
+      keep AS (SELECT ts, event_type, value FROM b1
+        UNION ALL SELECT ts, event_type, value FROM surv),
+      agg AS (SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)
+          AS win_start, event_type, COUNT(*) AS n_events,
+          ${graft.engine.relational.Exact.sqlDsum("value")} AS sum_value
+        FROM keep GROUP BY 1, 2)
+      SELECT win_start, event_type, n_events, sum_value,
+        CAST((SELECT COUNT(*) FROM b2) - (SELECT COUNT(*) FROM surv)
+          AS BIGINT) AS n_dropped_late,
+        (SELECT COUNT(*) FROM b2) > (SELECT COUNT(*) FROM surv)
+          AS engine_saw_drops
+      FROM agg ORDER BY win_start, event_type"""),
+    doc = "late-data DROP accounting under the watermark: later half " +
+      "streams first, earlier half arrives late, closed windows drop " +
+      "their rows; survivors + the drop ledger + the engine's " +
+      "numRowsDroppedByWatermark signal, all DuckDB-replayed from the " +
+      "watermark algebra (max-eventtime-ms - delay)")
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      x65, x66, q58, q80, q94, q107)
+      x65, x66, x67, q58, q80, q94, q107)
 }

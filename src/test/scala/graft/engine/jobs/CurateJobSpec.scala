@@ -67,6 +67,35 @@ class CurateJobSpec extends AnyFunSuite {
     assert(sharded.count() == n)
   }
 
+  test("pack-fixed mode == packFixedSequences, and the main() write path " +
+      "lands the trainer layout (q134's artifact shape)") {
+    import graft.engine.llm.{Curation, Tokenizer}
+    // an ids-bearing input, the shape a tokenize step hands the job
+    val idsIn = Files.createTempDirectory("graft-packin").toString + "/ids"
+    spark.read.parquet(input).limit(40)
+      .select(col("doc_id"), Tokenizer.tokenIds(col("text"),
+        Array("the", "and")).as("token_ids"))
+      .write.parquet(idsIn)
+    val o = Map("input" -> idsIn, "mode" -> "pack-fixed",
+      "shards" -> "2", "seq-len" -> "64")
+    val run = CurateJob.run(spark, o)
+    assert(run.columns.toSeq == Seq("shard_id", "seq_idx", "token_ids",
+      "doc_starts", "start_doc_ids", "n_tokens"))
+    val expect = Curation.packFixedSequences(
+      spark.read.parquet(idsIn), "doc_id", "token_ids", 2, 64)
+    assert(run.exceptAll(expect).isEmpty && expect.exceptAll(run).isEmpty)
+    // the write path main() routes this mode through: shard_id=K/ dirs,
+    // seq_idx-sorted within — the layout a trainer streams in order
+    val out = Files.createTempDirectory("graft-packout").toString + "/p"
+    Curation.writePackedSequences(spark.read.parquet(idsIn),
+      "doc_id", "token_ids", 2, 64, out)
+    (0L until 2L).foreach { sh =>
+      val seqs = spark.read.parquet(s"$out/shard_id=$sh")
+        .select(col("seq_idx")).collect().map(_.getLong(0)).toSeq
+      assert(seqs == seqs.sorted && seqs.nonEmpty)
+    }
+  }
+
   test("unknown mode is rejected") {
     intercept[IllegalArgumentException] {
       CurateJob.run(spark, Map("input" -> input, "mode" -> "nope"))

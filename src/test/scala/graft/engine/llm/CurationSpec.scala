@@ -421,6 +421,53 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("shardOccupancy: a deliberately skewed corpus surfaces the whale — " +
+      "telemetry totals reconcile with the pack and name the oversize unit") {
+    // 99 one-token units + one 10_000-token whale: the md5 draw is
+    // uniform over UNITS, so the whale's shard dwarfs the rest — the
+    // exact situation the nShards sizing rule (shards ≈ corpus_tokens /
+    // target_shard_tokens) cannot fix and the telemetry must surface.
+    val units = spark.range(0, 100).select(col("id").as("uid"),
+      when(col("id") === 42L,
+          expr("array_repeat(7L, 10000)"))
+        .otherwise(array(lit(1L))).as("ids"))
+    val occ = Curation.shardOccupancy(units, "uid", "ids", nShards = 8)
+      .collect()
+    // one aggregation row per non-empty shard; totals conserve the corpus
+    assert(occ.map(_.getLong(1)).sum == 100L)
+    assert(occ.map(_.getLong(2)).sum == 10000L + 99L)
+    // heaviest-first ordering puts the whale's shard on top, and
+    // max_unit_tokens identifies the problem as ONE unit, not the draw
+    val top = occ.head
+    assert(top.getLong(2) >= 10000L && top.getLong(3) == 10000L,
+      "the whale's shard must lead the report with max_unit_tokens " +
+        "pinning the oversize unit")
+    assert(occ.tail.forall(_.getLong(3) <= 1L))
+    // the telemetry reconciles with what packFixedSequences would shuffle
+    val packedTokens = Curation
+      .packFixedSequences(units, "uid", "ids", nShards = 8, seqLen = 64)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(packedTokens == 10099L)
+  }
+
+  test("ensurePackedSequences: write-once per path — a second call with " +
+      "DIFFERENT input must not clobber the published artifact") {
+    val a = spark.range(0, 10).select(col("id").as("uid"),
+      expr("array_repeat(1L, 10)").as("ids"))
+    val b = spark.range(0, 20).select(col("id").as("uid"),
+      expr("array_repeat(2L, 10)").as("ids"))
+    val out = java.nio.file.Files.createTempDirectory("ensurepacked")
+      .toString + "/packed"
+    Curation.ensurePackedSequences(a, "uid", "ids", 2, 16, out)
+    val first = spark.read.parquet(out).agg(sum(col("n_tokens")))
+      .head.getLong(0)
+    Curation.ensurePackedSequences(b, "uid", "ids", 2, 16, out)
+    val second = spark.read.parquet(out).agg(sum(col("n_tokens")))
+      .head.getLong(0)
+    assert(first == 100L && second == 100L,
+      "publish-if-absent must skip the second write")
+  }
+
   test("writePackedSequences: one parquet directory per shard, rows in " +
       "seq_idx order, contents == packFixedSequences") {
     val docs = Tables.documents(spark, sfDir)

@@ -836,4 +836,45 @@ class StreamingSpec extends AnyFunSuite {
         (200L until 240L)).toSeq,
       s"exactly-once rows across both writers, got ${ids.length}")
   }
+
+  test("x67 watermark drop rule: a late row whose window end EQUALS the " +
+      "watermark is dropped (<= in ms), and the engine reports the drop") {
+    // batch 1: one event at exactly 02:10:00.000 → with a 10 min delay
+    // the watermark lands at exactly 02:00:00.000 — the END of the
+    // [01:00, 02:00) window. x67's oracle replays survivors as
+    // window_end_ms > wm_ms, i.e. the equality case must DROP.
+    def ev(id: Long, s: String) =
+      Streaming.Event(id, Timestamp.valueOf(s), 1L, "click", 1.0)
+    val stream = MemoryStream[Streaming.Event]
+    val name = s"t_x67_boundary_${System.nanoTime()}"
+    val q = Streaming.tumblingCounts(stream.toDF(),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(ev(1, "2024-01-01 02:10:00.0")))
+      q.processAllAvailable() // watermark := 02:00:00.000 exactly
+      stream.addData(Seq(
+        ev(2, "2024-01-01 01:30:00.0"),   // window end 02:00 == wm → drop
+        ev(3, "2024-01-01 01:59:59.999"), // same closed window → drop
+        ev(4, "2024-01-01 02:05:00.0")))  // open window [02:00,03:00) → keep
+      q.processAllAvailable()
+      stream.addData(Seq(ev(5, "2024-03-01 00:00:00.0"))) // flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val drops = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).map(_.toSeq).getOrElse(Nil))
+      .map(_.numRowsDroppedByWatermark).sum
+    val rows = spark.table(name)
+      .select(unix_timestamp(col("win_start")).as("s"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val h2 = Timestamp.valueOf("2024-01-01 02:00:00.0").getTime / 1000
+    val h1 = h2 - 3600
+    assert(!rows.contains(h1),
+      "the window ending exactly AT the watermark must have dropped " +
+        "its late rows and emitted nothing")
+    assert(rows.get(h2).contains(2L),
+      s"the open window must hold the on-time + late-but-open rows, got $rows")
+    assert(drops > 0, "numRowsDroppedByWatermark must report the drop")
+  }
 }
