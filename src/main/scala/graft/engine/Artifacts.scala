@@ -41,4 +41,47 @@ object Artifacts {
   def table(name: String, contentKey: String): String =
     s"graft_${name}_${ProcessHandle.current().pid()}_${jvmStart}_" +
       key8(contentKey)
+
+  /** Reclaim the on-disk leftovers of DEAD sessions. Session-scoped
+    * names are what make publish-if-absent safe, but they also mean no
+    * later JVM ever reuses — or cleans — a previous session's warehouse
+    * tables and tmp roots, so disk grows by one artifact set per session
+    * forever. Every `graft_…` directory embeds its owner's pid (the
+    * first all-digits underscore segment); at session start this sweeps
+    * the warehouse and tmp dirs and deletes entries whose owning process
+    * no longer exists. Conservative by construction: a live pid (ours,
+    * another running session, or even an unrelated process that recycled
+    * the number) is always kept — the cost of a false keep is bounded
+    * garbage, the cost of a false delete would be a live session's
+    * published artifact. */
+  def gcDeadSessions(): Unit = {
+    gcIn(java.nio.file.Paths.get(
+      new java.io.File("spark-warehouse").getAbsolutePath))
+    gcIn(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+  }
+
+  private[engine] def gcIn(parent: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.isDirectory(parent)) return
+    val self = ProcessHandle.current().pid()
+    val s = java.nio.file.Files.list(parent)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("graft_")) {
+          name.split("_").find(_.matches("\\d{1,18}"))
+            .flatMap(seg => scala.util.Try(seg.toLong).toOption)
+            .foreach { pid =>
+              val alive = pid == self || ProcessHandle.of(pid).isPresent
+              if (!alive)
+                // another session may be gc-ing concurrently; losing the
+                // race to delete the same dead dir is fine
+                try graft.engine.sources.SnapshotStore.deleteRecursively(p)
+                catch { case _: java.io.IOException => ()
+                  case _: java.io.UncheckedIOException => () }
+            }
+        }
+      }
+    } finally s.close()
+  }
 }

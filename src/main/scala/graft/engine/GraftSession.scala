@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   * 725 vs 3385 rows from exactly this).
   */
 object GraftSession {
-  def build(cpus: String): SparkSession =
+  def build(cpus: String): SparkSession = {
+    // reclaim dead sessions' published artifacts (warehouse tables, tmp
+    // stores) before this one starts adding its own
+    Artifacts.gcDeadSessions()
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,4 +23,5 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
 }

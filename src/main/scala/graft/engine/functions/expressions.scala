@@ -654,16 +654,20 @@ private object Md5WindowKeys {
     out
   }
 
-  /** UTF-8 sequence length from the first byte (mirrors
-    * UTF8String.numBytesForFirstByte: invalid leading bytes count 1). */
+  /** UTF-8 sequence length from the first byte — mirrors Spark's
+    * UTF8String.numBytesForFirstByte EXACTLY, including its treatment of
+    * invalid leading bytes as width 1: 0x80–0xBF (bare continuation),
+    * 0xC0/0xC1 (overlong-2-byte leads) and 0xF5–0xFF (beyond U+10FFFF)
+    * all advance one byte. Bit-identity with `length`/`substring` on
+    * MALFORMED input depends on these five edge values
+    * (Md5WindowKeysSpec pins them against the built-in expressions). */
   def seqLen(b: Byte): Int = {
     val u = b & 0xff
-    if (u < 0x80) 1
-    else if (u < 0xc0) 1 // continuation/invalid leading byte: advance 1
+    if (u < 0xc2) 1 // ASCII, continuation, or invalid 0xC0/0xC1
     else if (u < 0xe0) 2
     else if (u < 0xf0) 3
-    else if (u < 0xf8) 4
-    else 1
+    else if (u < 0xf5) 4
+    else 1 // invalid 0xF5-0xFF
   }
 }
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def create(appName: String): SparkSession = {
+    graft.engine.Artifacts.gcDeadSessions()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -136,31 +136,37 @@ object CurateJob {
         // materializes this mode through writePackedSequences so the
         // on-disk artifact gets the trainer layout (shard_id=K/ dirs,
         // seq_idx-sorted within), not a flat parquet dump.
-        Curation.packFixedSequences(docs,
-          o.getOrElse("id-col", "doc_id"),
-          o.getOrElse("ids-col", "token_ids"),
-          nShards = o.getOrElse("shards", "16").toInt,
-          seqLen = o.getOrElse("seq-len", "512").toInt)
+        val (idCol, idsCol, nShards, seqLen) = packFixedOpts(o)
+        Curation.packFixedSequences(docs, idCol, idsCol, nShards, seqLen)
       case m => throw new IllegalArgumentException(s"unknown --mode $m")
     }
   }
 
+  /** pack-fixed's option surface, parsed ONCE for both run() (the frame)
+    * and main() (the layout write) so the two paths can never drift. */
+  private def packFixedOpts(o: Map[String, String]): (String, String, Int, Int) =
+    (o.getOrElse("id-col", "doc_id"),
+      o.getOrElse("ids-col", "token_ids"),
+      o.getOrElse("shards", "16").toInt,
+      o.getOrElse("seq-len", "512").toInt)
+
   def main(args: Array[String]): Unit = {
     val o = Args.parse(args)
     val spark = GraftSession.create("graft-curate")
+    // every mode honors --overwrite the same way: default ErrorIfExists
+    val saveMode =
+      if (o.getOrElse("overwrite", "false").toBoolean)
+        org.apache.spark.sql.SaveMode.Overwrite
+      else org.apache.spark.sql.SaveMode.ErrorIfExists
     try {
-      if (o.getOrElse("mode", "filter") == "pack-fixed")
+      if (o.getOrElse("mode", "filter") == "pack-fixed") {
+        val (idCol, idsCol, nShards, seqLen) = packFixedOpts(o)
         graft.engine.llm.Curation.writePackedSequences(
           spark.read.parquet(Args.required(o, "input")),
-          o.getOrElse("id-col", "doc_id"),
-          o.getOrElse("ids-col", "token_ids"),
-          nShards = o.getOrElse("shards", "16").toInt,
-          seqLen = o.getOrElse("seq-len", "512").toInt,
-          path = Args.required(o, "output"))
-      else run(spark, o).write
-        .mode(if (o.getOrElse("overwrite", "false").toBoolean)
-                org.apache.spark.sql.SaveMode.Overwrite
-              else org.apache.spark.sql.SaveMode.ErrorIfExists)
+          idCol, idsCol, nShards, seqLen,
+          path = Args.required(o, "output"), mode = saveMode)
+      } else run(spark, o).write
+        .mode(saveMode)
         .parquet(Args.required(o, "output"))
     } finally spark.stop()
   }

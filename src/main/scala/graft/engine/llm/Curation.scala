@@ -281,12 +281,14 @@ object Curation {
     * One repartition on shard_id + a per-partition sort; never a global
     * order. */
   def writePackedSequences(units: DataFrame, idCol: String, idsCol: String,
-      nShards: Int, seqLen: Int, path: String): Unit =
+      nShards: Int, seqLen: Int, path: String,
+      mode: org.apache.spark.sql.SaveMode =
+        org.apache.spark.sql.SaveMode.Overwrite): Unit =
     packFixedSequences(units, idCol, idsCol, nShards, seqLen)
       .repartition(nShards, col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("seq_idx"))
       .write.partitionBy("shard_id")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .mode(mode)
       .parquet(path)
 
   /** [[writePackedSequences]] IF ABSENT (the [[ensureBenchmarkNgrams]] /
@@ -310,12 +312,16 @@ object Curation {
     * if the top shard here dwarfs the median, the md5 draw is NOT the
     * problem — a single unit bigger than a shard is, and it must be
     * split upstream (a document's ids land in ONE shard whole). Costs
-    * one aggregation over the same rows the pack would shuffle. */
+    * one aggregation over EXACTLY the units the pack would shuffle —
+    * the same zero-token/null-ids exclusion [[packFixedSequences]]
+    * applies, so n_units/shard_tokens are the pack's true reducer
+    * load, not an over-count. */
   def shardOccupancy(units: DataFrame, idCol: String, idsCol: String,
       nShards: Int): DataFrame =
     shuffleShards(
       units.select(col(idCol).cast(LongType).as("_uid"),
-        size(col(idsCol)).cast(LongType).as("_n")), "_uid", nShards)
+        size(col(idsCol)).cast(LongType).as("_n"))
+        .filter(col("_n") > 0), "_uid", nShards)
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).cast(LongType).as("n_units"),
         sum(col("_n")).cast(LongType).as("shard_tokens"),

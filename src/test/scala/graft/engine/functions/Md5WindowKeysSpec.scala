@@ -46,6 +46,34 @@ class Md5WindowKeysSpec extends AnyFunSuite {
     assert(!byDoc.contains(7L) && !byDoc.contains(8L) && byDoc(6L) == 1L)
   }
 
+  test("malformed UTF-8 leading bytes: kernel == Spark's own length/" +
+      "substring/md5 expressions (0xC0/0xC1 and 0xF5-0xFF advance 1 byte)") {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Length, Literal, Md5, Substring}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val wlen = 3
+    val cases: Seq[Array[Byte]] = Seq(
+      Array[Int](0xC0, 'a', 'b', 'c', 0xC1, 'd'), // overlong 2-byte leads
+      Array[Int](0xF5, 'x', 'y', 'z', 0xFF, 'w', 'v'), // beyond U+10FFFF
+      Array[Int]('a', 0x80, 'b', 'c', 'd'), // bare continuation byte
+      Array[Int](0xE2, 0x82, 0xAC, 'a', 'b', 'c') // valid 3-byte control
+    ).map(_.map(_.toByte))
+    cases.foreach { bytes =>
+      val lit = Literal(UTF8String.fromBytes(bytes), StringType)
+      val n = Length(lit).eval(null).asInstanceOf[Int]
+      val expected = (0 to n - wlen).map { pos =>
+        Md5(Cast(Substring(lit, Literal(pos + 1), Literal(wlen)),
+          BinaryType)).eval(null).asInstanceOf[UTF8String].toString
+      }
+      val arr = Md5WindowKeys(lit, wlen).eval(null).asInstanceOf[ArrayData]
+      val got = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      assert(got == expected,
+        s"diverged on bytes ${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    }
+  }
+
   test("window count is chars - len + 1 and keys are 32-char lowercase hex") {
     val out = Seq("abcdefghij").toDF("t")
       .select(F.md5WindowKeys($"t", 3).as("wks"))

@@ -427,13 +427,16 @@ class CurationSpec extends AnyFunSuite {
     // uniform over UNITS, so the whale's shard dwarfs the rest — the
     // exact situation the nShards sizing rule (shards ≈ corpus_tokens /
     // target_shard_tokens) cannot fix and the telemetry must surface.
-    val units = spark.range(0, 100).select(col("id").as("uid"),
-      when(col("id") === 42L,
-          expr("array_repeat(7L, 10000)"))
+    val units = spark.range(0, 101).select(col("id").as("uid"),
+      when(col("id") === 42L, expr("array_repeat(7L, 10000)"))
+        // unit 100 is ZERO-token: packFixedSequences excludes it, so the
+        // telemetry must too (it is not reducer load)
+        .when(col("id") === 100L, expr("array()").cast("array<long>"))
         .otherwise(array(lit(1L))).as("ids"))
     val occ = Curation.shardOccupancy(units, "uid", "ids", nShards = 8)
       .collect()
-    // one aggregation row per non-empty shard; totals conserve the corpus
+    // one aggregation row per non-empty shard; totals conserve the
+    // PACKABLE corpus (the zero-token unit is invisible, like the pack)
     assert(occ.map(_.getLong(1)).sum == 100L)
     assert(occ.map(_.getLong(2)).sum == 10000L + 99L)
     // heaviest-first ordering puts the whale's shard on top, and
