@@ -1329,7 +1329,143 @@ object StreamQueries {
       "numRowsDroppedByWatermark signal, all DuckDB-replayed from the " +
       "watermark algebra (max-eventtime-ms - delay)")
 
+  /** X5 — LATE-DATA QUARANTINE: the actionable complement of [[x67]]'s
+    * ledger. x67 pins how much the watermark throws away; a production
+    * pipeline must not lose that data — it reroutes it to a dead-letter
+    * store for reprocessing. Spark's stateful aggregation has no
+    * side-output, so the production shape is a `foreachBatch` split:
+    * per tick, rows whose window already closed (window-end ms ≤ the
+    * watermark REPLAYED by the engine's own algebra — max event-time ms
+    * of PRIOR ticks − delay, the rule x67 pins engine-side) append to a
+    * win_start-bucketed quarantine store (tagged: at-least-once replays
+    * are no-ops), while on-time rows fold window PARTIALS into the
+    * aggregate store (the x60 incremental-MV posture — partials merge
+    * by sum, no history rescan). Pinned at value level: the quarantined
+    * per-window masses against DuckDB replaying the same watermark
+    * algebra; `n_quarantine_versions` pins WHICH ticks produced
+    * quarantine rows (store-version arithmetic); `conservation_holds`
+    * pins that kept + quarantined == input from two INDEPENDENT stores
+    * — the no-silent-loss contract that is this operator's whole point.
+    * Scale posture: both stores are bucketed on win_start (a
+    * reprocessing consumer reads only its windows' buckets); per tick
+    * the quarantine append is O(late rows) and the agg append O(open
+    * windows), never corpus-sized. */
+  val x68 = GraftQuery(
+    "x68_stream_late_quarantine",
+    (spark, sfDir) => {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.engine.sources.SnapshotStore
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x68_quar_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val events = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id")).limit(20000)
+        .as[Streaming.Event].collect()
+      val (early, onTime) = events.splitAt(events.length / 2)
+      val (late1, late2) = early.splitAt(early.length / 2)
+      val quarRoot = s"$base/store/quarantine"
+      val aggRoot = s"$base/store/agg"
+      // the replayed watermark: max event-time ms seen in PRIOR ticks
+      // minus the 10 min delay (driver-side state — foreachBatch runs on
+      // the driver; production would checkpoint it with the query)
+      val wmMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+      val stream = MemoryStream[Streaming.Event]
+      val q = stream.toDF().writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val b = batch
+              .withColumn("win_start",
+                (floor(unix_timestamp(col("ts")) / 3600) * 3600)
+                  .cast("long"))
+              .localCheckpoint()
+            val wm = wmMs.get()
+            val late = b.filter(Streaming.lateFor(col("win_start"), wm))
+            val kept = b.filter(!Streaming.lateFor(col("win_start"), wm))
+            if (late.count() > 0) {
+              val rows = late.select(col("event_id"), col("win_start"),
+                col("event_type"), col("value"))
+              if (SnapshotStore.currentVersion(quarRoot) == 0)
+                SnapshotStore.publishBucketed(rows, quarRoot, "win_start",
+                  nBuckets = 4, tag = Some(s"batch-$batchId"))
+              else SnapshotStore.append(rows, quarRoot,
+                tag = Some(s"batch-$batchId"))
+            }
+            val partials = kept
+              .groupBy(col("win_start"), col("event_type"))
+              .agg(graft.engine.relational.Exact.lcount().as("n_events"),
+                sum(col("value").cast("decimal(38,6)")).as("sum_dec"))
+              .localCheckpoint()
+            if (partials.count() > 0) {
+              if (SnapshotStore.currentVersion(aggRoot) == 0)
+                SnapshotStore.publishBucketed(partials, aggRoot,
+                  "win_start", nBuckets = 4, tag = Some(s"batch-$batchId"))
+              else SnapshotStore.append(partials, aggRoot,
+                tag = Some(s"batch-$batchId"))
+            }
+            // advance AFTER routing: the cutoff for tick N is derived
+            // from ticks < N, exactly the engine's watermark timing
+            wmMs.set(Streaming.advanceWatermarkMs(wmMs.get(), b, "ts",
+              delayMs = 600000L))
+            ()
+        }.start()
+      try {
+        stream.addData(onTime.toSeq); q.processAllAvailable()
+        stream.addData(late1.toSeq); q.processAllAvailable()
+        stream.addData(late2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val nQuarVersions = SnapshotStore.currentVersion(quarRoot)
+      val quar = SnapshotStore.read(spark, quarRoot)
+        .select(col("event_id"), col("win_start"), col("event_type"),
+          col("value"))
+        .localCheckpoint()
+      val keptTotal = SnapshotStore.read(spark, aggRoot)
+        .agg(sum(col("n_events"))).head().getLong(0)
+      val nQuar = quar.count()
+      quar.groupBy(col("win_start"), col("event_type"))
+        .agg(graft.engine.relational.Exact.lcount().as("n_late_events"),
+          graft.engine.relational.Exact.dsum(col("value"))
+            .as("late_value"))
+        .withColumn("n_quarantined", lit(nQuar))
+        .withColumn("n_quarantine_versions", lit(nQuarVersions))
+        .withColumn("conservation_holds",
+          lit(keptTotal + nQuar == events.length.toLong))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some(s"""WITH ev AS (SELECT ts, event_id, event_type, value
+        FROM events ORDER BY ts, event_id LIMIT 20000),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+        (SELECT COUNT(*) FROM ev) AS n FROM ev),
+      b1 AS (SELECT * FROM ranked WHERE rn > n // 2),
+      wm AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS wm_ms FROM b1),
+      late AS (SELECT * FROM ranked WHERE rn <= n // 2
+        AND (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600)
+          * 1000 <= (SELECT wm_ms FROM wm)),
+      agg AS (SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)
+          AS win_start, event_type, COUNT(*) AS n_late_events,
+          ${graft.engine.relational.Exact.sqlDsum("value")} AS late_value
+        FROM late GROUP BY 1, 2)
+      SELECT win_start, event_type, n_late_events, late_value,
+        CAST((SELECT COUNT(*) FROM late) AS BIGINT) AS n_quarantined,
+        CAST((CASE WHEN EXISTS (SELECT 1 FROM late
+              WHERE rn <= (n // 2) // 2) THEN 1 ELSE 0 END)
+          + (CASE WHEN EXISTS (SELECT 1 FROM late
+              WHERE rn > (n // 2) // 2) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_quarantine_versions,
+        ((SELECT COUNT(*) FROM ranked) - (SELECT COUNT(*) FROM late))
+          + (SELECT COUNT(*) FROM late) = (SELECT COUNT(*) FROM ranked)
+          AS conservation_holds
+      FROM agg ORDER BY win_start, event_type"""),
+    doc = "late-data QUARANTINE (dead-letter reroute): per tick, rows " +
+      "whose window closed under the replayed watermark append to a " +
+      "bucketed quarantine store (tagged), on-time rows fold window " +
+      "partials into the aggregate store; quarantined masses, the " +
+      "tick-version arithmetic, and kept+quarantined==input all pinned " +
+      "(x67's ledger made actionable — nothing is silently lost)")
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      x65, x66, x67, q58, q80, q94, q107)
+      x65, x66, x67, x68, q58, q80, q94, q107)
 }

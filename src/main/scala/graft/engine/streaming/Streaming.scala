@@ -1,7 +1,7 @@
 package graft.engine.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -30,6 +30,27 @@ object Streaming {
     * generates Janino code against this class. */
   final case class SessionAcc(sessStart: Timestamp, sessLast: Timestamp,
       cnt: Long, total: Double)
+
+  /** The late predicate of x68's dead-letter router on 1 h tumbling
+    * windows, in the engine's own milliseconds algebra: a row is LATE iff
+    * its window END (ms) <= the watermark (ms) — the same `<=` eviction
+    * comparison the engine applies inside its stateful aggregation
+    * (x67's oracle replays it; StreamingSpec pins the router and the
+    * engine drop the SAME rows on an exact-boundary fixture). */
+  def lateFor(winStart: Column, wmMs: Long): Column =
+    (winStart + 3600L) * 1000L <= wmMs
+
+  /** Fold one tick into a REPLAYED watermark: max event-time ms seen so
+    * far minus the delay. Event times truncate to milliseconds exactly
+    * as the engine's event-time stats do; callers advance AFTER routing
+    * a tick, matching the engine's update timing (the watermark used for
+    * batch N derives from batches < N). */
+  def advanceWatermarkMs(prev: Long, batch: DataFrame, tsCol: String,
+      delayMs: Long): Long = {
+    val mx = batch.agg(max(floor(unix_micros(col(tsCol)) / 1000))
+      .cast("long")).head()
+    if (mx.isNullAt(0)) prev else math.max(prev, mx.getLong(0) - delayMs)
+  }
 
   /** Tumbling 1-hour counts per event type (streaming twin of q25). The
     * value sum goes through [[graft.engine.relational.Exact.dsum]] (decimal

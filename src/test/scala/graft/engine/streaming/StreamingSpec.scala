@@ -877,4 +877,55 @@ class StreamingSpec extends AnyFunSuite {
       s"the open window must hold the on-time + late-but-open rows, got $rows")
     assert(drops > 0, "numRowsDroppedByWatermark must report the drop")
   }
+
+  test("x68 router == the engine: the replayed-watermark late split " +
+      "quarantines EXACTLY the rows the stateful aggregation drops, " +
+      "including the exact-boundary case") {
+    // same exact-boundary fixture as the x67 rule test: tick 1 pushes
+    // the watermark to exactly 02:00:00.000; tick 2 carries two rows in
+    // the window ENDING at the watermark (engine: dropped) and one in
+    // the open window (engine: kept)
+    def ev(id: Long, s: String) =
+      Streaming.Event(id, Timestamp.valueOf(s), 1L, "click", 1.0)
+    val tick1 = Seq(ev(1, "2024-01-01 02:10:00.0"))
+    val tick2 = Seq(
+      ev(2, "2024-01-01 01:30:00.0"),
+      ev(3, "2024-01-01 01:59:59.999"),
+      ev(4, "2024-01-01 02:05:00.0"))
+    // engine side: run the real stateful aggregation and flush
+    val stream = MemoryStream[Streaming.Event]
+    val name = s"t_x68_engine_${System.nanoTime()}"
+    val q = Streaming.tumblingCounts(stream.toDF(),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      stream.addData(tick1); q.processAllAvailable()
+      stream.addData(tick2); q.processAllAvailable()
+      stream.addData(Seq(ev(5, "2024-03-01 00:00:00.0")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val engineKept = spark.table(name)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    // router side: the same ticks through lateFor/advanceWatermarkMs
+    var wm = Long.MinValue
+    val quarantined = scala.collection.mutable.ListBuffer.empty[Long]
+    var kept = 0L
+    Seq(tick1, tick2).foreach { tick =>
+      val b = tick.toDF()
+        .withColumn("win_start",
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long"))
+      quarantined ++= b.filter(Streaming.lateFor(col("win_start"), wm))
+        .select(col("event_id")).collect().map(_.getLong(0))
+      kept += b.filter(!Streaming.lateFor(col("win_start"), wm)).count()
+      wm = Streaming.advanceWatermarkMs(wm, b, "ts", delayMs = 600000L)
+    }
+    assert(quarantined.sorted == Seq(2L, 3L),
+      "the router must quarantine exactly the engine-dropped rows " +
+        "(window end == watermark included)")
+    // sentinel excluded from both sides: engine kept == router kept
+    assert(engineKept == kept,
+      s"engine kept $engineKept but the router kept $kept — the two " +
+        "watermark algebras diverged")
+  }
 }
