@@ -1329,45 +1329,30 @@ object StreamQueries {
       "numRowsDroppedByWatermark signal, all DuckDB-replayed from the " +
       "watermark algebra (max-eventtime-ms - delay)")
 
-  /** X5 — LATE-DATA QUARANTINE: the actionable complement of [[x67]]'s
-    * ledger. x67 pins how much the watermark throws away; a production
-    * pipeline must not lose that data — it reroutes it to a dead-letter
-    * store for reprocessing. Spark's stateful aggregation has no
-    * side-output, so the production shape is a `foreachBatch` split:
-    * per tick, rows whose window already closed (window-end ms ≤ the
-    * watermark REPLAYED by the engine's own algebra — max event-time ms
-    * of PRIOR ticks − delay, the rule x67 pins engine-side) append to a
-    * win_start-bucketed quarantine store (tagged: at-least-once replays
-    * are no-ops), while on-time rows fold window PARTIALS into the
-    * aggregate store (the x60 incremental-MV posture — partials merge
-    * by sum, no history rescan). Pinned at value level: the quarantined
-    * per-window masses against DuckDB replaying the same watermark
-    * algebra; `n_quarantine_versions` pins WHICH ticks produced
-    * quarantine rows (store-version arithmetic); `conservation_holds`
-    * pins that kept + quarantined == input from two INDEPENDENT stores
-    * — the no-silent-loss contract that is this operator's whole point.
-    * Scale posture: both stores are bucketed on win_start (a
-    * reprocessing consumer reads only its windows' buckets); per tick
-    * the quarantine append is O(late rows) and the agg append O(open
-    * windows), never corpus-sized. */
-  val x68 = GraftQuery(
-    "x68_stream_late_quarantine",
-    (spark, sfDir) => {
-      import spark.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      import graft.engine.sources.SnapshotStore
-      val base = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_x68_quar_${ProcessHandle.current().pid()}"
-      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
-      val events = Tables.events(spark, sfDir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .orderBy(col("ts"), col("event_id")).limit(20000)
-        .as[Streaming.Event].collect()
-      val (early, onTime) = events.splitAt(events.length / 2)
-      val (late1, late2) = early.splitAt(early.length / 2)
-      val quarRoot = s"$base/store/quarantine"
-      val aggRoot = s"$base/store/agg"
+  /** The x68/x69 harness: the 20k-event subset streamed as one on-time
+    * tick (the LATER half by ts) then two late ticks (the earlier half,
+    * split), through the dead-letter router — late rows into the
+    * quarantine store, on-time window PARTIALS into the aggregate store.
+    * Returns (n input events, quarantine root, aggregate root). Each
+    * caller gets its own pid+name-scoped stores, so x68 and x69 can run
+    * in the same session without interfering. */
+  private def lateRouterHarness(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, who: String): (Int, String, String) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.engine.sources.SnapshotStore
+    val base = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_${who}_quar_${ProcessHandle.current().pid()}"
+    SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")).limit(20000)
+      .as[Streaming.Event].collect()
+    val (early, onTime) = events.splitAt(events.length / 2)
+    val (late1, late2) = early.splitAt(early.length / 2)
+    val quarRoot = s"$base/store/quarantine"
+    val aggRoot = s"$base/store/agg"
       // the replayed watermark: max event-time ms seen in PRIOR ticks
       // minus the 10 min delay (driver-side state — foreachBatch runs on
       // the driver; production would checkpoint it with the query)
@@ -1411,11 +1396,41 @@ object StreamQueries {
               delayMs = 600000L))
             ()
         }.start()
-      try {
-        stream.addData(onTime.toSeq); q.processAllAvailable()
-        stream.addData(late1.toSeq); q.processAllAvailable()
-        stream.addData(late2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+    try {
+      stream.addData(onTime.toSeq); q.processAllAvailable()
+      stream.addData(late1.toSeq); q.processAllAvailable()
+      stream.addData(late2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    (events.length, quarRoot, aggRoot)
+  }
+
+  /** X5 — LATE-DATA QUARANTINE: the actionable complement of [[x67]]'s
+    * ledger. x67 pins how much the watermark throws away; a production
+    * pipeline must not lose that data — it reroutes it to a dead-letter
+    * store for reprocessing. Spark's stateful aggregation has no
+    * side-output, so the production shape is a `foreachBatch` split
+    * ([[lateRouterHarness]]): per tick, rows whose window already closed
+    * (window-end ms ≤ the watermark REPLAYED by the engine's own algebra
+    * — max event-time ms of PRIOR ticks − delay, the rule x67 pins
+    * engine-side) append to a win_start-bucketed quarantine store
+    * (tagged: at-least-once replays are no-ops), while on-time rows fold
+    * window PARTIALS into the aggregate store (the x60 incremental-MV
+    * posture — partials merge by sum, no history rescan). Pinned at
+    * value level: the quarantined per-window masses against DuckDB
+    * replaying the same watermark algebra; `n_quarantine_versions` pins
+    * WHICH ticks produced quarantine rows (store-version arithmetic);
+    * `conservation_holds` pins that kept + quarantined == input from two
+    * INDEPENDENT stores — the no-silent-loss contract that is this
+    * operator's whole point. Scale posture: both stores are bucketed on
+    * win_start (a reprocessing consumer reads only its windows'
+    * buckets); per tick the quarantine append is O(late rows) and the
+    * agg append O(open windows), never corpus-sized. */
+  val x68 = GraftQuery(
+    "x68_stream_late_quarantine",
+    (spark, sfDir) => {
+      import graft.engine.sources.SnapshotStore
+      val (nInput, quarRoot, aggRoot) =
+        lateRouterHarness(spark, sfDir, "x68")
       val nQuarVersions = SnapshotStore.currentVersion(quarRoot)
       val quar = SnapshotStore.read(spark, quarRoot)
         .select(col("event_id"), col("win_start"), col("event_type"),
@@ -1431,7 +1446,7 @@ object StreamQueries {
         .withColumn("n_quarantined", lit(nQuar))
         .withColumn("n_quarantine_versions", lit(nQuarVersions))
         .withColumn("conservation_holds",
-          lit(keptTotal + nQuar == events.length.toLong))
+          lit(keptTotal + nQuar == nInput.toLong))
         .orderBy(col("win_start"), col("event_type"))
     },
     Some(s"""WITH ev AS (SELECT ts, event_id, event_type, value
@@ -1465,7 +1480,64 @@ object StreamQueries {
       "tick-version arithmetic, and kept+quarantined==input all pinned " +
       "(x67's ledger made actionable — nothing is silently lost)")
 
+  /** X5 — LATE-DATA BACKFILL: the trilogy's closing contract. x67
+    * ledgers what the watermark drops, x68 captures it in the
+    * quarantine store, x69 folds it BACK: the quarantined rows
+    * aggregate into the same window partials the on-time path wrote and
+    * append to the aggregate store as one tagged correction batch (the
+    * classic speed-layer + batch-correction shape). The final merged
+    * aggregate must equal the PLAIN BATCH GROUP BY over the complete
+    * input — the eventual-consistency contract, pinned by the simplest
+    * possible oracle: no watermark CTEs, just `SELECT win_start,
+    * event_type, COUNT(*), SUM(value) FROM ev GROUP BY 1, 2`. A drift
+    * anywhere in the chain (routing predicate, partial merge, backfill
+    * fold) breaks value equality. `n_backfilled` (the correction batch
+    * size) rides along, replayed from the watermark algebra. Scale
+    * posture: the backfill is one aggregation over the quarantine store
+    * + one tagged append of window partials — O(late data), never a
+    * recomputation of history. */
+  val x69 = GraftQuery(
+    "x69_stream_late_backfill",
+    (spark, sfDir) => {
+      import graft.engine.sources.SnapshotStore
+      val (_, quarRoot, aggRoot) = lateRouterHarness(spark, sfDir, "x69")
+      val quar = SnapshotStore.read(spark, quarRoot)
+      val nBackfilled = quar.count()
+      // the correction batch: quarantine rows -> the SAME partial shape
+      // the on-time path wrote, folded in as one tagged append
+      SnapshotStore.append(
+        quar.groupBy(col("win_start"), col("event_type"))
+          .agg(graft.engine.relational.Exact.lcount().as("n_events"),
+            sum(col("value").cast("decimal(38,6)")).as("sum_dec")),
+        aggRoot, tag = Some("backfill"))
+      SnapshotStore.read(spark, aggRoot)
+        .groupBy(col("win_start"), col("event_type"))
+        .agg(sum(col("n_events")).cast("long").as("n_events"),
+          sum(col("sum_dec")).cast("double").as("sum_value"))
+        .withColumn("n_backfilled", lit(nBackfilled))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some(s"""WITH ev AS (SELECT ts, event_id, event_type, value
+        FROM events ORDER BY ts, event_id LIMIT 20000),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+        (SELECT COUNT(*) FROM ev) AS n FROM ev),
+      b1 AS (SELECT * FROM ranked WHERE rn > n // 2),
+      wm AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS wm_ms FROM b1),
+      late AS (SELECT * FROM ranked WHERE rn <= n // 2
+        AND (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600)
+          * 1000 <= (SELECT wm_ms FROM wm))
+      SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+        event_type, COUNT(*) AS n_events,
+        ${graft.engine.relational.Exact.sqlDsum("value")} AS sum_value,
+        CAST((SELECT COUNT(*) FROM late) AS BIGINT) AS n_backfilled
+      FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+    doc = "late-data BACKFILL: the quarantined rows fold back into the " +
+      "aggregate store as one tagged correction batch of window " +
+      "partials; the merged aggregate == the plain batch GROUP BY over " +
+      "the complete input (eventual consistency after x67's ledger and " +
+      "x68's capture)")
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      x65, x66, x67, x68, q58, q80, q94, q107)
+      x65, x66, x67, x68, x69, q58, q80, q94, q107)
 }
