@@ -32,6 +32,16 @@ object Exact {
   /** Order-independent sum of a double expression, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
 
+  /** [[dsum]]'s MERGEABLE partial: the exact decimal sum WITHOUT the
+    * final double cast, for incremental stores that persist per-batch
+    * window partials and merge them later (x68/x69). Storing the
+    * decimal keeps the merge exact and order-independent; the consumer
+    * applies the single double cast after the final merge, so
+    * `cast(sum(partials))` == `dsum(all rows)` bit-for-bit. Uses the
+    * same DECIMAL(27,6) input envelope as the SQL twin — a wider ad-hoc
+    * cast would diverge from the oracle's overflow behavior. */
+  def dsumPartial(c: Column): Column = sum(c.cast(Dec))
+
   /** Order-independent average (exact sum / exact count), rounded to 4dp. */
   def davg(c: Column): Column =
     round(sum(c.cast(Dec)).cast(DoubleType) / count(lit(1)), 4)

@@ -1259,16 +1259,42 @@ object StreamQueries {
     * state store, a partitioning-dependent number — nonzero-ness is
     * the deterministic contract; StreamingSpec pins the ms boundary
     * rule with an exact-equality fixture). */
+  /** The late-data trilogy's shared event subset: the 20k lowest
+    * (ts, event_id) events — the total order both the Scala splits and
+    * the oracles' ROW_NUMBER replay rank by. One definition for
+    * x67/x68/x69 so the three can never load different subsets. */
+  private def eventSubset(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Array[Streaming.Event] = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")).limit(20000)
+      .as[Streaming.Event].collect()
+  }
+
+  /** The trilogy's shared ORACLE prologue: the subset, its total-order
+    * rank, the on-time half (b1), the watermark it implies (ms algebra),
+    * and the LATE set (early-half rows whose window closed). ONE string
+    * so a change to the subset size, ordering, or watermark rule can
+    * never desynchronize the x67/x68/x69 oracles. */
+  private val lateCtePrologue: String =
+    """ev AS (SELECT ts, event_id, event_type, value
+        FROM events ORDER BY ts, event_id LIMIT 20000),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+        (SELECT COUNT(*) FROM ev) AS n FROM ev),
+      b1 AS (SELECT * FROM ranked WHERE rn > n // 2),
+      wm AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS wm_ms FROM b1),
+      late AS (SELECT * FROM ranked WHERE rn <= n // 2
+        AND (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600)
+          * 1000 <= (SELECT wm_ms FROM wm))"""
+
   val x67 = GraftQuery(
     "x67_stream_late_drop_accounting",
     (spark, sfDir) => {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val events = Tables.events(spark, sfDir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .orderBy(col("ts"), col("event_id")).limit(20000)
-        .as[Streaming.Event].collect()
+      val events = eventSubset(spark, sfDir)
       val (early, onTime) = events.splitAt(events.length / 2)
       val sentinel = Streaming.Event(-1L,
         new java.sql.Timestamp(
@@ -1301,16 +1327,9 @@ object StreamQueries {
         .withColumn("engine_saw_drops", lit(engineDrops > 0))
         .orderBy(col("win_start"), col("event_type"))
     },
-    Some(s"""WITH ev AS (SELECT ts, event_id, event_type, value
-        FROM events ORDER BY ts, event_id LIMIT 20000),
-      ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
-        (SELECT COUNT(*) FROM ev) AS n FROM ev),
-      b1 AS (SELECT * FROM ranked WHERE rn > n // 2),
-      b2 AS (SELECT * FROM ranked WHERE rn <= n // 2),
-      wm AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS wm_ms FROM b1),
-      surv AS (SELECT * FROM b2
-        WHERE (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600)
-          * 1000 > (SELECT wm_ms FROM wm)),
+    Some(s"""WITH $lateCtePrologue,
+      surv AS (SELECT * FROM ranked WHERE rn <= n // 2
+        AND event_id NOT IN (SELECT event_id FROM late)),
       keep AS (SELECT ts, event_type, value FROM b1
         UNION ALL SELECT ts, event_type, value FROM surv),
       agg AS (SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)
@@ -1318,10 +1337,8 @@ object StreamQueries {
           ${graft.engine.relational.Exact.sqlDsum("value")} AS sum_value
         FROM keep GROUP BY 1, 2)
       SELECT win_start, event_type, n_events, sum_value,
-        CAST((SELECT COUNT(*) FROM b2) - (SELECT COUNT(*) FROM surv)
-          AS BIGINT) AS n_dropped_late,
-        (SELECT COUNT(*) FROM b2) > (SELECT COUNT(*) FROM surv)
-          AS engine_saw_drops
+        CAST((SELECT COUNT(*) FROM late) AS BIGINT) AS n_dropped_late,
+        (SELECT COUNT(*) FROM late) > 0 AS engine_saw_drops
       FROM agg ORDER BY win_start, event_type"""),
     doc = "late-data DROP accounting under the watermark: later half " +
       "streams first, earlier half arrives late, closed windows drop " +
@@ -1344,58 +1361,55 @@ object StreamQueries {
     val base = s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft_${who}_quar_${ProcessHandle.current().pid()}"
     SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
-    val events = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .orderBy(col("ts"), col("event_id")).limit(20000)
-      .as[Streaming.Event].collect()
+    val events = eventSubset(spark, sfDir)
     val (early, onTime) = events.splitAt(events.length / 2)
     val (late1, late2) = early.splitAt(early.length / 2)
     val quarRoot = s"$base/store/quarantine"
     val aggRoot = s"$base/store/agg"
-      // the replayed watermark: max event-time ms seen in PRIOR ticks
-      // minus the 10 min delay (driver-side state — foreachBatch runs on
-      // the driver; production would checkpoint it with the query)
-      val wmMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-      val stream = MemoryStream[Streaming.Event]
-      val q = stream.toDF().writeStream.outputMode("append")
-        .foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            val b = batch
-              .withColumn("win_start",
-                (floor(unix_timestamp(col("ts")) / 3600) * 3600)
-                  .cast("long"))
-              .localCheckpoint()
-            val wm = wmMs.get()
-            val late = b.filter(Streaming.lateFor(col("win_start"), wm))
-            val kept = b.filter(!Streaming.lateFor(col("win_start"), wm))
-            if (late.count() > 0) {
-              val rows = late.select(col("event_id"), col("win_start"),
-                col("event_type"), col("value"))
-              if (SnapshotStore.currentVersion(quarRoot) == 0)
-                SnapshotStore.publishBucketed(rows, quarRoot, "win_start",
-                  nBuckets = 4, tag = Some(s"batch-$batchId"))
-              else SnapshotStore.append(rows, quarRoot,
-                tag = Some(s"batch-$batchId"))
-            }
-            val partials = kept
-              .groupBy(col("win_start"), col("event_type"))
-              .agg(graft.engine.relational.Exact.lcount().as("n_events"),
-                sum(col("value").cast("decimal(38,6)")).as("sum_dec"))
-              .localCheckpoint()
-            if (partials.count() > 0) {
-              if (SnapshotStore.currentVersion(aggRoot) == 0)
-                SnapshotStore.publishBucketed(partials, aggRoot,
-                  "win_start", nBuckets = 4, tag = Some(s"batch-$batchId"))
-              else SnapshotStore.append(partials, aggRoot,
-                tag = Some(s"batch-$batchId"))
-            }
-            // advance AFTER routing: the cutoff for tick N is derived
-            // from ticks < N, exactly the engine's watermark timing
-            wmMs.set(Streaming.advanceWatermarkMs(wmMs.get(), b, "ts",
-              delayMs = 600000L))
-            ()
-        }.start()
+    // the replayed watermark: max event-time ms seen in PRIOR ticks
+    // minus the 10 min delay (driver-side state — foreachBatch runs on
+    // the driver; production would checkpoint it with the query)
+    val wmMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val stream = MemoryStream[Streaming.Event]
+    val q = stream.toDF().writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val b = batch
+            .withColumn("win_start",
+              (floor(unix_timestamp(col("ts")) / 3600) * 3600)
+                .cast("long"))
+            .localCheckpoint()
+          val wm = wmMs.get()
+          val late = b.filter(Streaming.lateFor(col("win_start"), wm))
+          val kept = b.filter(!Streaming.lateFor(col("win_start"), wm))
+          if (!late.isEmpty) {
+            val rows = late.select(col("event_id"), col("win_start"),
+              col("event_type"), col("value"))
+            if (SnapshotStore.currentVersion(quarRoot) == 0)
+              SnapshotStore.publishBucketed(rows, quarRoot, "win_start",
+                nBuckets = 4, tag = Some(s"batch-$batchId"))
+            else SnapshotStore.append(rows, quarRoot,
+              tag = Some(s"batch-$batchId"))
+          }
+          val partials = kept
+            .groupBy(col("win_start"), col("event_type"))
+            .agg(graft.engine.relational.Exact.lcount().as("n_events"),
+              graft.engine.relational.Exact.dsumPartial(col("value"))
+                .as("sum_dec"))
+            .localCheckpoint()
+          if (!partials.isEmpty) {
+            if (SnapshotStore.currentVersion(aggRoot) == 0)
+              SnapshotStore.publishBucketed(partials, aggRoot,
+                "win_start", nBuckets = 4, tag = Some(s"batch-$batchId"))
+            else SnapshotStore.append(partials, aggRoot,
+              tag = Some(s"batch-$batchId"))
+          }
+          // advance AFTER routing: the cutoff for tick N is derived
+          // from ticks < N, exactly the engine's watermark timing
+          wmMs.set(Streaming.advanceWatermarkMs(wmMs.get(), b, "ts",
+            delayMs = 600000L))
+          ()
+      }.start()
     try {
       stream.addData(onTime.toSeq); q.processAllAvailable()
       stream.addData(late1.toSeq); q.processAllAvailable()
@@ -1432,9 +1446,17 @@ object StreamQueries {
       val (nInput, quarRoot, aggRoot) =
         lateRouterHarness(spark, sfDir, "x68")
       val nQuarVersions = SnapshotStore.currentVersion(quarRoot)
-      val quar = SnapshotStore.read(spark, quarRoot)
-        .select(col("event_id"), col("win_start"), col("event_type"),
-          col("value"))
+      // a subset whose splits produce zero late rows (possible at a tiny
+      // SF where the 20k events span under the watermark delay) leaves
+      // the quarantine store unbootstrapped — the honest answer is an
+      // EMPTY report, matching the oracle's empty `late` set
+      val quar = (if (nQuarVersions == 0) {
+          import spark.implicits._
+          Seq.empty[(Long, Long, String, Double)]
+            .toDF("event_id", "win_start", "event_type", "value")
+        } else SnapshotStore.read(spark, quarRoot)
+          .select(col("event_id"), col("win_start"), col("event_type"),
+            col("value")))
         .localCheckpoint()
       val keptTotal = SnapshotStore.read(spark, aggRoot)
         .agg(sum(col("n_events"))).head().getLong(0)
@@ -1449,15 +1471,7 @@ object StreamQueries {
           lit(keptTotal + nQuar == nInput.toLong))
         .orderBy(col("win_start"), col("event_type"))
     },
-    Some(s"""WITH ev AS (SELECT ts, event_id, event_type, value
-        FROM events ORDER BY ts, event_id LIMIT 20000),
-      ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
-        (SELECT COUNT(*) FROM ev) AS n FROM ev),
-      b1 AS (SELECT * FROM ranked WHERE rn > n // 2),
-      wm AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS wm_ms FROM b1),
-      late AS (SELECT * FROM ranked WHERE rn <= n // 2
-        AND (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600)
-          * 1000 <= (SELECT wm_ms FROM wm)),
+    Some(s"""WITH $lateCtePrologue,
       agg AS (SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)
           AS win_start, event_type, COUNT(*) AS n_late_events,
           ${graft.engine.relational.Exact.sqlDsum("value")} AS late_value
@@ -1501,15 +1515,22 @@ object StreamQueries {
     (spark, sfDir) => {
       import graft.engine.sources.SnapshotStore
       val (_, quarRoot, aggRoot) = lateRouterHarness(spark, sfDir, "x69")
-      val quar = SnapshotStore.read(spark, quarRoot)
-      val nBackfilled = quar.count()
-      // the correction batch: quarantine rows -> the SAME partial shape
-      // the on-time path wrote, folded in as one tagged append
-      SnapshotStore.append(
-        quar.groupBy(col("win_start"), col("event_type"))
-          .agg(graft.engine.relational.Exact.lcount().as("n_events"),
-            sum(col("value").cast("decimal(38,6)")).as("sum_dec")),
-        aggRoot, tag = Some("backfill"))
+      // no late rows (possible at a tiny SF) -> nothing to correct; the
+      // on-time aggregate already IS the batch answer
+      val nBackfilled =
+        if (SnapshotStore.currentVersion(quarRoot) == 0) 0L
+        else {
+          val quar = SnapshotStore.read(spark, quarRoot)
+          // the correction batch: quarantine rows -> the SAME partial
+          // shape the on-time path wrote, folded in as one tagged append
+          SnapshotStore.append(
+            quar.groupBy(col("win_start"), col("event_type"))
+              .agg(graft.engine.relational.Exact.lcount().as("n_events"),
+                graft.engine.relational.Exact.dsumPartial(col("value"))
+                  .as("sum_dec")),
+            aggRoot, tag = Some("backfill"))
+          quar.count()
+        }
       SnapshotStore.read(spark, aggRoot)
         .groupBy(col("win_start"), col("event_type"))
         .agg(sum(col("n_events")).cast("long").as("n_events"),
@@ -1517,15 +1538,7 @@ object StreamQueries {
         .withColumn("n_backfilled", lit(nBackfilled))
         .orderBy(col("win_start"), col("event_type"))
     },
-    Some(s"""WITH ev AS (SELECT ts, event_id, event_type, value
-        FROM events ORDER BY ts, event_id LIMIT 20000),
-      ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
-        (SELECT COUNT(*) FROM ev) AS n FROM ev),
-      b1 AS (SELECT * FROM ranked WHERE rn > n // 2),
-      wm AS (SELECT MAX(epoch_us(ts)) // 1000 - 600000 AS wm_ms FROM b1),
-      late AS (SELECT * FROM ranked WHERE rn <= n // 2
-        AND (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600)
-          * 1000 <= (SELECT wm_ms FROM wm))
+    Some(s"""WITH $lateCtePrologue
       SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
         event_type, COUNT(*) AS n_events,
         ${graft.engine.relational.Exact.sqlDsum("value")} AS sum_value,
