@@ -367,6 +367,67 @@ object SnapshotStore {
     }
   }
 
+  /** The rows ADDED strictly after `fromVersion`, as of `toVersion`
+    * (default: current) — the data files in `toVersion`'s manifest that
+    * `fromVersion`'s manifest does not list. Sound for APPEND-lineage
+    * stores: [[append]] carries every base file forward as a hardlink and
+    * never rewrites, so new files ≡ new rows; a [[merge]]/[[compact]] in
+    * the interval rewrites files and would make the file diff overcount —
+    * callers owning such stores should fall back to [[diff]]. Cost is
+    * O(delta) data read + O(manifest) metadata — the incremental-consumer
+    * primitive (a backfill or downstream sync reads only what it has not
+    * yet consumed, never the corpus). `fromVersion = 0` means "nothing
+    * consumed yet" and returns the full current snapshot. Returns None
+    * when the delta holds no files (no schema to read from zero files —
+    * the honest empty answer). */
+  def readSince(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long = 0L): Option[DataFrame] = {
+    val to = if (toVersion > 0) toVersion else currentVersion(root)
+    require(to > 0, s"no published version under $root")
+    if (fromVersion <= 0L) return Some(read(spark, root, to))
+    require(fromVersion <= to,
+      s"readSince from v$fromVersion > to v$to under $root")
+    if (fromVersion == to) return None
+    def files(v: Long) = manifestFiles(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"readSince needs a manifest on v$v under $root (pre-manifest " +
+          "versions cannot be delta-read)"))
+    val delta = files(to).diff(files(fromVersion))
+    if (delta.isEmpty) None
+    else {
+      val dir = s"$root/v$to"
+      Some(spark.read.option("basePath", dir)
+        .parquet(delta.map(f => s"$dir/$f"): _*))
+    }
+  }
+
+  /** Persisted per-consumer cursor: the highest version `consumer` has
+    * fully processed. The mark-consumed half of the dead-letter economics
+    * (VERDICT r15 item 5): a consumer folds `readSince(root, cursor)`,
+    * advances the cursor, and [[vacuum]] reclaims what nothing will read
+    * again. Written temp + atomic rename (the CURRENT discipline), so a
+    * crash between a consumer's fold and its cursor write replays the
+    * fold — which is why folds must also be [[versionTags]]-tagged: the
+    * tag makes the replayed WRITE a no-op, the cursor makes the replayed
+    * READ empty once advanced. Belt and suspenders, each covering the
+    * other's torn window. */
+  def consumedThrough(root: String, consumer: String): Long = {
+    val f = Paths.get(root, s"_CONSUMED_$consumer")
+    if (!Files.exists(f)) 0L
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Advance `consumer`'s cursor (monotonic: regressions are ignored so a
+    * replayed epoch can never un-consume). */
+  def setConsumedThrough(root: String, consumer: String,
+      version: Long): Unit = {
+    if (version <= consumedThrough(root, consumer)) return
+    val tmp = Paths.get(root, s"._CONSUMED_$consumer.tmp.${System.nanoTime()}")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, s"_CONSUMED_$consumer"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Row-level diff between two published versions: rows only in
     * `toVersion` come back tagged `added`, rows only in `fromVersion`
     * tagged `removed` (multiset semantics via EXCEPT ALL, so duplicate

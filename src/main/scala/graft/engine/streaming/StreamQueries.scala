@@ -1321,7 +1321,10 @@ object StreamQueries {
       val out = spark.table(name)
         .select(unix_timestamp(col("win_start")).as("win_start"),
           col("event_type"), col("n_events"), col("sum_value"))
-      val emitted = out.agg(sum(col("n_events"))).head.getLong(0)
+      // coalesce: an empty sink (degenerate empty events table) must give
+      // the honest all-dropped-zero report, not an NPE (ADVICE r15)
+      val emitted = out.agg(coalesce(sum(col("n_events")), lit(0L)))
+        .head.getLong(0)
       out
         .withColumn("n_dropped_late", lit(events.length - emitted))
         .withColumn("engine_saw_drops", lit(engineDrops > 0))
@@ -1366,49 +1369,16 @@ object StreamQueries {
     val (late1, late2) = early.splitAt(early.length / 2)
     val quarRoot = s"$base/store/quarantine"
     val aggRoot = s"$base/store/agg"
-    // the replayed watermark: max event-time ms seen in PRIOR ticks
-    // minus the 10 min delay (driver-side state — foreachBatch runs on
-    // the driver; production would checkpoint it with the query)
-    val wmMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    // the replayed watermark is CHECKPOINTED with each tick by
+    // LateRouter's ledger (write-temp + atomic rename), so a restarted
+    // router re-derives the replayed tick's cutoff instead of routing
+    // everything as on-time — LateRouterSpec pins both torn positions
+    val ledgerDir = s"$base/store/wm"
     val stream = MemoryStream[Streaming.Event]
     val q = stream.toDF().writeStream.outputMode("append")
       .foreachBatch {
         (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          val b = batch
-            .withColumn("win_start",
-              (floor(unix_timestamp(col("ts")) / 3600) * 3600)
-                .cast("long"))
-            .localCheckpoint()
-          val wm = wmMs.get()
-          val late = b.filter(Streaming.lateFor(col("win_start"), wm))
-          val kept = b.filter(!Streaming.lateFor(col("win_start"), wm))
-          if (!late.isEmpty) {
-            val rows = late.select(col("event_id"), col("win_start"),
-              col("event_type"), col("value"))
-            if (SnapshotStore.currentVersion(quarRoot) == 0)
-              SnapshotStore.publishBucketed(rows, quarRoot, "win_start",
-                nBuckets = 4, tag = Some(s"batch-$batchId"))
-            else SnapshotStore.append(rows, quarRoot,
-              tag = Some(s"batch-$batchId"))
-          }
-          val partials = kept
-            .groupBy(col("win_start"), col("event_type"))
-            .agg(graft.engine.relational.Exact.lcount().as("n_events"),
-              graft.engine.relational.Exact.dsumPartial(col("value"))
-                .as("sum_dec"))
-            .localCheckpoint()
-          if (!partials.isEmpty) {
-            if (SnapshotStore.currentVersion(aggRoot) == 0)
-              SnapshotStore.publishBucketed(partials, aggRoot,
-                "win_start", nBuckets = 4, tag = Some(s"batch-$batchId"))
-            else SnapshotStore.append(partials, aggRoot,
-              tag = Some(s"batch-$batchId"))
-          }
-          // advance AFTER routing: the cutoff for tick N is derived
-          // from ticks < N, exactly the engine's watermark timing
-          wmMs.set(Streaming.advanceWatermarkMs(wmMs.get(), b, "ts",
-            delayMs = 600000L))
-          ()
+          LateRouter.routeTick(batch, batchId, quarRoot, aggRoot, ledgerDir)
       }.start()
     try {
       stream.addData(onTime.toSeq); q.processAllAvailable()
@@ -1458,8 +1428,12 @@ object StreamQueries {
           .select(col("event_id"), col("win_start"), col("event_type"),
             col("value")))
         .localCheckpoint()
-      val keptTotal = SnapshotStore.read(spark, aggRoot)
-        .agg(sum(col("n_events"))).head().getLong(0)
+      // same zero-guard posture as nQuarVersions==0: a degenerate input
+      // that never bootstrapped the agg store means zero kept rows
+      val keptTotal =
+        if (SnapshotStore.currentVersion(aggRoot) == 0) 0L
+        else SnapshotStore.read(spark, aggRoot)
+          .agg(coalesce(sum(col("n_events")), lit(0L))).head().getLong(0)
       val nQuar = quar.count()
       quar.groupBy(col("win_start"), col("event_type"))
         .agg(graft.engine.relational.Exact.lcount().as("n_late_events"),
@@ -1507,48 +1481,94 @@ object StreamQueries {
     * anywhere in the chain (routing predicate, partial merge, backfill
     * fold) breaks value equality. `n_backfilled` (the correction batch
     * size) rides along, replayed from the watermark algebra. Scale
-    * posture: the backfill is one aggregation over the quarantine store
-    * + one tagged append of window partials — O(late data), never a
-    * recomputation of history. */
+    * posture: the backfill is one aggregation over the UNCONSUMED slice
+    * of the quarantine store ([[graft.engine.sources.SnapshotStore
+    * .readSince]] the backfill cursor) + one tagged append of window
+    * partials — O(new late data), never a recomputation of history —
+    * and RETENTION is part of the contract (VERDICT r15 item 5): after
+    * the fold the cursor advances ([[graft.engine.sources.SnapshotStore
+    * .setConsumedThrough]]) and consumed versions vacuum, so the
+    * dead-letter store cannot grow forever and a restarted operator
+    * cannot double-fold even if a tag were vacuumed away; a literal
+    * second fold pass pins both (`n_live_after_drain`,
+    * `quarantine_drained`). */
   val x69 = GraftQuery(
     "x69_stream_late_backfill",
     (spark, sfDir) => {
       import graft.engine.sources.SnapshotStore
       val (_, quarRoot, aggRoot) = lateRouterHarness(spark, sfDir, "x69")
-      // no late rows (possible at a tiny SF) -> nothing to correct; the
-      // on-time aggregate already IS the batch answer
-      val nBackfilled =
+      // ONE fold pass: consume only what the backfill cursor has not seen
+      // (readSince — O(new late data), never the store), append the
+      // correction as tagged window partials, ADVANCE THE CURSOR, and
+      // vacuum the consumed versions (VERDICT r15 item 5 — without the
+      // drain the dead-letter store grows forever and a lost tag would
+      // double-fold). Cursor + tag cover each other's torn window: a
+      // crash after the append replays into a tag no-op; a crash after
+      // the cursor write replays into an empty readSince.
+      val consumer = "backfill"
+      def foldOnce(): Long =
+        // no late rows (possible at a tiny SF) -> nothing to correct; the
+        // on-time aggregate already IS the batch answer
         if (SnapshotStore.currentVersion(quarRoot) == 0) 0L
         else {
-          val quar = SnapshotStore.read(spark, quarRoot)
-          // the correction batch: quarantine rows -> the SAME partial
-          // shape the on-time path wrote, folded in as one tagged append
-          SnapshotStore.append(
-            quar.groupBy(col("win_start"), col("event_type"))
-              .agg(graft.engine.relational.Exact.lcount().as("n_events"),
-                graft.engine.relational.Exact.dsumPartial(col("value"))
-                  .as("sum_dec")),
-            aggRoot, tag = Some("backfill"))
-          quar.count()
+          val qv = SnapshotStore.currentVersion(quarRoot)
+          SnapshotStore.readSince(spark, quarRoot,
+              SnapshotStore.consumedThrough(quarRoot, consumer), qv) match {
+            case None => 0L
+            case Some(quar) =>
+              SnapshotStore.append(
+                quar.groupBy(col("win_start"), col("event_type"))
+                  .agg(graft.engine.relational.Exact.lcount()
+                      .as("n_events"),
+                    graft.engine.relational.Exact.dsumPartial(col("value"))
+                      .as("sum_dec")),
+                aggRoot, tag = Some("backfill"))
+              val n = quar.count()
+              SnapshotStore.setConsumedThrough(quarRoot, consumer, qv)
+              SnapshotStore.vacuum(quarRoot, keep = 0)
+              n
+          }
         }
-      SnapshotStore.read(spark, aggRoot)
-        .groupBy(col("win_start"), col("event_type"))
-        .agg(sum(col("n_events")).cast("long").as("n_events"),
-          sum(col("sum_dec")).cast("double").as("sum_value"))
+      val nBackfilled = foldOnce()
+      // SECOND fold pass — the restarted-operator scenario the retention
+      // contract exists for: everything is behind the cursor, so the pass
+      // must read zero rows and mint zero agg versions. Pinned.
+      val aggVBefore = SnapshotStore.currentVersion(aggRoot)
+      val secondFold = foldOnce()
+      val drained = secondFold == 0L &&
+        SnapshotStore.currentVersion(aggRoot) == aggVBefore
+      // empty-agg guard, same posture as x68's: a degenerate input that
+      // never bootstrapped the store means the honest answer is no rows
+      val merged =
+        if (SnapshotStore.currentVersion(aggRoot) == 0) {
+          import spark.implicits._
+          Seq.empty[(Long, String, Long, Double)]
+            .toDF("win_start", "event_type", "n_events", "sum_value")
+        } else SnapshotStore.read(spark, aggRoot)
+          .groupBy(col("win_start"), col("event_type"))
+          .agg(sum(col("n_events")).cast("long").as("n_events"),
+            sum(col("sum_dec")).cast("double").as("sum_value"))
+      merged
         .withColumn("n_backfilled", lit(nBackfilled))
+        .withColumn("n_live_after_drain", lit(secondFold))
+        .withColumn("quarantine_drained", lit(drained))
         .orderBy(col("win_start"), col("event_type"))
     },
     Some(s"""WITH $lateCtePrologue
       SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
         event_type, COUNT(*) AS n_events,
         ${graft.engine.relational.Exact.sqlDsum("value")} AS sum_value,
-        CAST((SELECT COUNT(*) FROM late) AS BIGINT) AS n_backfilled
+        CAST((SELECT COUNT(*) FROM late) AS BIGINT) AS n_backfilled,
+        CAST(0 AS BIGINT) AS n_live_after_drain,
+        TRUE AS quarantine_drained
       FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type"""),
-    doc = "late-data BACKFILL: the quarantined rows fold back into the " +
-      "aggregate store as one tagged correction batch of window " +
-      "partials; the merged aggregate == the plain batch GROUP BY over " +
-      "the complete input (eventual consistency after x67's ledger and " +
-      "x68's capture)")
+    doc = "late-data BACKFILL + quarantine RETENTION: the quarantined " +
+      "rows fold back into the aggregate store as one tagged correction " +
+      "batch of window partials (readSince the backfill cursor — " +
+      "O(new late data)); the merged aggregate == the plain batch GROUP " +
+      "BY over the complete input, and a SECOND fold pass pins the " +
+      "drain: cursor advanced, consumed versions vacuumed, zero rows " +
+      "re-read, zero versions minted")
 
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,

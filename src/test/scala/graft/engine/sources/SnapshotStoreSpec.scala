@@ -453,4 +453,50 @@ class SnapshotStoreSpec extends AnyFunSuite {
       after(199L) == 199L * 7,
       "current version must read fully after its link sources are vacuumed")
   }
+
+  test("readSince: manifest-diff delta read — only appended rows, None " +
+      "when drained, full snapshot from cursor 0") {
+    val r = root()
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    SnapshotStore.publishBucketed(df, r, "k", nBuckets = 4) // v1
+    SnapshotStore.append(
+      Seq((11L, "v11"), (12L, "v12")).toDF("k", "s"), r) // v2
+    SnapshotStore.append(Seq((13L, "v13")).toDF("k", "s"), r) // v3
+    // cursor 0 = nothing consumed: the whole current snapshot
+    assert(SnapshotStore.readSince(spark, r, 0L).get.count() == 13L)
+    // delta since v1: only the two appends' rows
+    val since1 = SnapshotStore.readSince(spark, r, 1L).get
+      .select("k").as[Long].collect().toSet
+    assert(since1 == Set(11L, 12L, 13L))
+    assert(SnapshotStore.readSince(spark, r, 2L).get
+      .select("k").as[Long].collect().toSet == Set(13L))
+    // fully consumed → None, not an empty-file read error
+    assert(SnapshotStore.readSince(spark, r, 3L).isEmpty)
+  }
+
+  test("consumer cursor: monotonic mark-consumed + vacuum = drained " +
+      "dead-letter economics (second fold reads nothing)") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a")).toDF("k", "s"), r, "k", nBuckets = 2) // v1
+    SnapshotStore.append(Seq((2L, "b")).toDF("k", "s"), r) // v2
+    assert(SnapshotStore.consumedThrough(r, "c") == 0L)
+    val cur = SnapshotStore.currentVersion(r)
+    // consume everything, advance, vacuum
+    assert(SnapshotStore.readSince(spark, r, 0L, cur).get.count() == 2L)
+    SnapshotStore.setConsumedThrough(r, "c", cur)
+    SnapshotStore.vacuum(r, keep = 0)
+    assert(SnapshotStore.consumedThrough(r, "c") == cur)
+    // a replayed epoch cannot un-consume (monotonic cursor)…
+    SnapshotStore.setConsumedThrough(r, "c", 1L)
+    assert(SnapshotStore.consumedThrough(r, "c") == cur)
+    // …and the second fold pass sees nothing
+    assert(SnapshotStore.readSince(spark, r,
+      SnapshotStore.consumedThrough(r, "c")).isEmpty)
+    // new data after the drain is picked up from the cursor
+    SnapshotStore.append(Seq((3L, "d")).toDF("k", "s"), r)
+    val fresh = SnapshotStore.readSince(spark, r,
+      SnapshotStore.consumedThrough(r, "c"))
+    assert(fresh.get.select("k").as[Long].collect().toSet == Set(3L))
+  }
 }
