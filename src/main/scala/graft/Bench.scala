@@ -95,18 +95,27 @@ object Bench {
     // totals ONLY (~160 chars — physically unable to overflow the tail);
     // the per-query map lives solely in bench_out.json (full names, full
     // precision, load context), printed in full above as a courtesy.
-    // The compact line caps `failed` at 5 names + a count — a mass-failure
+    // The compact line carries a CAPPED 5-name sample — a mass-failure
     // run (the case where the record matters most) must not re-grow the
-    // line past the driver's ~2000-char stdout tail; the FULL failed list
-    // lives in bench_out.json above.
+    // line past the driver's ~2000-char stdout tail. The field is named
+    // `failed_sample` (not `failed`) so no consumer can mistake it for
+    // the complete list (ADVICE r15); the FULL list lives under `failed`
+    // in bench_out.json above, with `n_failed` as the authoritative count.
     val failedCapped = failed.take(5).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${math.round(total * 10.0) / 10.0},""" +
         s""""unit":"sec","n_queries":${results.size},""" +
-        s""""n_failed":${failed.size},"failed":$failedCapped,""" +
+        s""""n_failed":${failed.size},"failed_sample":$failedCapped,""" +
         s""""sf":"$sfDir","full_output":"$outPath"}"""
     println(compact)
+    // A decoration-free copy of the compact record at a FIXED path
+    // (VERDICT r15 item 7): any scraper that can read a file gets the
+    // record without fighting sbt's [info] stdout prefixes.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_compact.json"),
+      (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     // Stop the session BEFORE the final line: nothing (shutdown logging,
     // executor teardown) may print after it. The compact record goes out
     // twice — once as a bare JSON line above (for a parse-any-JSON-line

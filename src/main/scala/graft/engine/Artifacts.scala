@@ -46,18 +46,44 @@ object Artifacts {
     * names are what make publish-if-absent safe, but they also mean no
     * later JVM ever reuses — or cleans — a previous session's warehouse
     * tables and tmp roots, so disk grows by one artifact set per session
-    * forever. Every `graft_…` directory embeds its owner's pid (the
-    * first all-digits underscore segment); at session start this sweeps
+    * forever. Every `graft_…` directory embeds its owner's pid at a
+    * KNOWN position (see [[ownerPid]]); at session start this sweeps
     * the warehouse and tmp dirs and deletes entries whose owning process
     * no longer exists. Conservative by construction: a live pid (ours,
     * another running session, or even an unrelated process that recycled
     * the number) is always kept — the cost of a false keep is bounded
     * garbage, the cost of a false delete would be a live session's
-    * published artifact. */
+    * published artifact.
+    *
+    * NAMING CONVENTION (enforced by [[ownerPid]], ADVICE r15): every
+    * graft_* filesystem entry must carry its owner pid either as the
+    * LAST underscore segment (the query-scoped scratch shape,
+    * `graft_q95_snap_<pid>`) or in the [[root]]/[[table]] shape
+    * `graft_<name>_<pid>_<13-digit-jvmStart>_<key8>`. Any other shape —
+    * including a future name with a leading numeric segment like
+    * `graft_13_gram_tmp` — parses to NO owner and is kept forever,
+    * never misattributed to an unrelated (possibly dead) pid. */
   def gcDeadSessions(): Unit = {
     gcIn(java.nio.file.Paths.get(
       new java.io.File("spark-warehouse").getAbsolutePath))
     gcIn(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+  }
+
+  /** The owner pid of a graft_* entry name, per the convention in
+    * [[gcDeadSessions]] — positionally anchored, so an artifact name
+    * with an incidental numeric segment can never be parsed as a pid
+    * (the r15-advice live-deletion hazard). Linux pids are ≤ 7 digits
+    * (pid_max caps at 2^22); the 8-digit bound leaves headroom while
+    * excluding the 13-digit jvmStart and epoch-ish segments. */
+  private[engine] def ownerPid(name: String): Option[Long] = {
+    def isPidShaped(s: String) =
+      s.nonEmpty && s.length <= 8 && s.forall(_.isDigit)
+    val segs = name.split("_")
+    if (isPidShaped(segs.last)) segs.last.toLongOption
+    else if (segs.length >= 4 && segs(segs.length - 2).matches("\\d{12,14}")
+        && isPidShaped(segs(segs.length - 3)))
+      segs(segs.length - 3).toLongOption
+    else None
   }
 
   private[engine] def gcIn(parent: java.nio.file.Path): Unit = {
@@ -69,8 +95,7 @@ object Artifacts {
       s.iterator().asScala.foreach { p =>
         val name = p.getFileName.toString
         if (name.startsWith("graft_")) {
-          name.split("_").find(_.matches("\\d{1,18}"))
-            .flatMap(seg => scala.util.Try(seg.toLong).toOption)
+          ownerPid(name)
             .foreach { pid =>
               val alive = pid == self || ProcessHandle.of(pid).isPresent
               if (!alive)
