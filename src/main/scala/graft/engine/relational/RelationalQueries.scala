@@ -1196,8 +1196,134 @@ object RelationalQueries {
     doc = "JSONL write -> declared-schema PERMISSIVE read == parquet original, " +
       "value-level (corrupt lines surface as planted mismatch rows)")
 
+  /** q136 — SCHEMA EVOLUTION across store versions (VERDICT r16 item 3):
+    * the first time a crawler adds a field, a 100 TB ingest pipeline
+    * must widen the table WITHOUT rewriting the corpus. v1 publishes the
+    * even-doc half with the original 3 columns; v2 appends the odd half
+    * carrying a NEW `quality` column (`append(allowNewColumns = true)` —
+    * O(batch), zero existing files touched). The union read
+    * (`read(mergeSchema = true)`) surfaces `quality` as NULL for v1
+    * rows; the DuckDB twin is the prescribed UNION-with-NULL-fill.
+    * Time-travel schema arithmetic is pinned at value level: v1 read
+    * back (merging ON) still has 3 columns — a pinned pre-evolution
+    * version keeps its own schema — while the current version has 4.
+    * `n_with_quality` (COUNT over the nullable column) pins that
+    * exactly the post-evolution rows carry values. */
+  val q136 = GraftQuery(
+    "q136_schema_evolution",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q136_evo_${ProcessHandle.current().pid()}/tbl"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      // v1: the pre-evolution corpus — `quality` does not exist yet
+      SnapshotStore.publishBucketed(
+        docs.filter(col("doc_id") % 2 === 0), root, "doc_id", nBuckets = 8)
+      // v2: the crawler added a field — appended, nothing rewritten
+      SnapshotStore.append(
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("quality", (col("doc_id") % 7).cast("double")),
+        root, allowNewColumns = true)
+      val v1Cols = SnapshotStore.read(spark, root, 1L, mergeSchema = true)
+        .columns.count(_ != "_bucket")
+      val cur = SnapshotStore.read(spark, root, mergeSchema = true)
+      val v2Cols = cur.columns.count(_ != "_bucket")
+      cur.groupBy(col("source"))
+        .agg(lcount().as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          dsum(coalesce(col("quality"), lit(0.0))).as("sum_quality"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .withColumn("v1_n_cols", lit(v1Cols.toLong))
+        .withColumn("v2_n_cols", lit(v2Cols.toLong))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source, COUNT(*) AS n_docs,
+        COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_quality,
+        ${sqlDsum("CASE WHEN doc_id % 2 = 1 " +
+          "THEN CAST(doc_id % 7 AS DOUBLE) ELSE 0.0 END")} AS sum_quality,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(3 AS BIGINT) AS v1_n_cols, CAST(4 AS BIGINT) AS v2_n_cols
+      FROM documents GROUP BY source ORDER BY source"""),
+    doc = "store schema evolution: append a new column without rewriting " +
+      "(O(batch)); merged read NULL-fills old files, time travel keeps " +
+      "each version's own schema")
+
+  /** q137 — CDC UPSERT: re-crawled documents supersede their old rows
+    * (VERDICT r16 item 4 — x66 covers add/delete; this is the missing
+    * replace leg). Crawl 1 publishes the corpus; crawl 2 re-delivers
+    * ~10% of doc_ids with CHANGED content plus brand-new discoveries,
+    * merged by key: probes/reads must see EXACTLY ONE row per doc_id,
+    * with the newest crawl winning. The DuckDB twin ranks by
+    * (key, crawl version) with ROW_NUMBER() = 1 — the canonical CDC
+    * compaction. Pinned alongside the values: `one_row_per_key`
+    * (computed from the store, not assumed), `replay_noop` (the same
+    * tagged epoch merged twice returns the SAME version — the
+    * at-least-once contract), `n_versions` (exactly bootstrap + one
+    * upsert minted). Scale posture: merge rewrites only the buckets the
+    * batch touches and hardlinks the rest — cost ∝ re-crawled data,
+    * never corpus size (q95 pins the inode-level reuse). */
+  val q137 = GraftQuery(
+    "q137_cdc_upsert",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q137_cdc_${ProcessHandle.current().pid()}/tbl"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      SnapshotStore.publishBucketed(docs, root, "doc_id", nBuckets = 16)
+      // crawl 2: changed content for re-crawled keys + new discoveries
+      val recrawl = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") * 2 + 17).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 100 === 42)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+            col("n_chars")))
+      val v2 = SnapshotStore.merge(recrawl, root, tag = Some("crawl-2"))
+      // the at-least-once replay: same epoch tag -> same version back,
+      // nothing re-applied, nothing minted
+      val vReplay = SnapshotStore.merge(recrawl, root, tag = Some("crawl-2"))
+      val replayNoop = vReplay == v2 &&
+        SnapshotStore.currentVersion(root) == v2
+      val cur = SnapshotStore.read(spark, root)
+      val oneRowPerKey = cur.groupBy(col("doc_id")).count()
+        .filter(col("count") > 1).isEmpty
+      cur.groupBy(col("source"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .withColumn("one_row_per_key", lit(oneRowPerKey))
+        .withColumn("replay_noop", lit(replayNoop))
+        .withColumn("n_versions", lit(SnapshotStore.currentVersion(root)))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c1 AS (SELECT doc_id, source, n_chars, 1 AS crawl_v
+          FROM documents),
+      c2 AS (SELECT doc_id, source, n_chars * 2 + 17 AS n_chars,
+            2 AS crawl_v
+          FROM documents WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id + 5000000 AS doc_id, source, n_chars, 2 AS crawl_v
+          FROM documents WHERE doc_id % 100 = 42),
+      latest AS (
+        SELECT * FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY crawl_v DESC) = 1)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS one_row_per_key, TRUE AS replay_noop,
+        CAST(2 AS BIGINT) AS n_versions
+      FROM latest GROUP BY source ORDER BY source"""),
+    doc = "CDC upsert: re-crawled docs supersede by key (one row per key, " +
+      "newest crawl wins), tagged replay is a no-op, touched-bucket-only " +
+      "rewrite; oracle = ROW_NUMBER() OVER (key, version DESC) = 1")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
-    q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108)
+    q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
+    q137)
 }

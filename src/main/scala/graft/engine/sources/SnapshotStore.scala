@@ -354,16 +354,30 @@ object SnapshotStore {
     * the file-listing source of truth (see [[writeVersionManifest]] — no
     * directory enumeration on the read path); `basePath` keeps partition
     * columns (`_bucket=k/` paths) parsing exactly as a directory read
-    * would. Pre-manifest versions fall back to the directory read. */
-  def read(spark: SparkSession, root: String, version: Long = 0L): DataFrame = {
+    * would. Pre-manifest versions fall back to the directory read.
+    *
+    * `mergeSchema` is the read half of SCHEMA EVOLUTION (see
+    * [[append]]'s `allowNewColumns`): a version whose files straddle an
+    * evolution carries two physical schemas, and Spark's default
+    * pick-one-footer read would resolve the column set
+    * non-deterministically. With `mergeSchema = true` the scan takes the
+    * union schema and pre-evolution files read the new columns as NULL —
+    * the lakehouse contract. Time travel composes: a version pinned
+    * BEFORE the evolution only lists pre-evolution files, so it returns
+    * its own (narrower) schema whether or not merging is on. The cost is
+    * one footer read per file at planning time — the reason it is opt-in
+    * rather than the default (an un-evolved store pays nothing). */
+  def read(spark: SparkSession, root: String, version: Long = 0L,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = if (version > 0) version else currentVersion(root)
     require(v > 0, s"no published version under $root")
     val dir = s"$root/v$v"
+    val reader = spark.read.option("mergeSchema", mergeSchema.toString)
     manifestFiles(root, v) match {
       case Some(files) if files.nonEmpty =>
-        spark.read.option("basePath", dir)
+        reader.option("basePath", dir)
           .parquet(files.map(f => s"$dir/$f"): _*)
-      case _ => spark.read.parquet(dir)
+      case _ => reader.parquet(dir)
     }
   }
 
@@ -697,8 +711,21 @@ object SnapshotStore {
     * for at-least-once callers. Rows are APPENDED verbatim: if the batch
     * repeats a logical key the store now holds both rows — deduplication
     * is the upstream pipeline's contract (or use [[merge]], whose bucket
-    * key IS the row identity). Returns the published version. */
-  def append(batch: DataFrame, root: String, tag: Option[String] = None): Long = {
+    * key IS the row identity). Returns the published version.
+    *
+    * SCHEMA EVOLUTION (`allowNewColumns = true`): the batch may carry
+    * columns the store has never seen — the first time a crawler adds a
+    * field, a 100 TB ingest pipeline hits exactly this, and rewriting
+    * the corpus to add a NULL column is not an option. Additive only:
+    * the batch must still contain every existing column (dropping or
+    * retyping a column is a rewrite, not an append), the new files carry
+    * the wider schema, and NO existing file is touched — the evolution
+    * is O(batch) like any append. Readers opt into the union view with
+    * `read(mergeSchema = true)` (pre-evolution files surface the new
+    * columns as NULL); a time-traveled pre-evolution version keeps its
+    * own narrower schema. */
+  def append(batch: DataFrame, root: String, tag: Option[String] = None,
+      allowNewColumns: Boolean = false): Long = {
     val spark = batch.sparkSession
     val alreadyApplied = taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
@@ -708,9 +735,17 @@ object SnapshotStore {
     val base = currentVersion(root)
     require(base > 0, s"no published version under $root")
     val baseDf = read(spark, root, base)
-    require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
-      s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
-        s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
+    if (allowNewColumns)
+      require((baseDf.columns.toSet - "_bucket").subsetOf(batch.columns.toSet)
+          && !batch.columns.contains("_bucket"),
+        s"evolving batch columns ${batch.columns.sorted.mkString(",")} must " +
+          "be a SUPERSET of the store's " +
+          s"${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")} " +
+          "(schema evolution is additive; _bucket is reserved)")
+    else
+      require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
+        s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
+          s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
     if (batch.isEmpty) return base // no-op: nothing minted (see merge)
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")

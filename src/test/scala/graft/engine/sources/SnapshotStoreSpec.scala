@@ -499,4 +499,35 @@ class SnapshotStoreSpec extends AnyFunSuite {
       SnapshotStore.consumedThrough(r, "c"))
     assert(fresh.get.select("k").as[Long].collect().toSet == Set(3L))
   }
+
+  test("schema evolution: additive append widens, merged read NULL-fills " +
+      "old files, time travel keeps each version's own schema") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), r, "k", nBuckets = 2) // v1
+    // non-evolving append with an extra column must be rejected…
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(
+        Seq((3L, "c", 0.5)).toDF("k", "s", "q"), r)
+    }
+    // …and an evolving append that DROPS a column too (additive only)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(
+        Seq((3L, 0.5)).toDF("k", "q"), r, allowNewColumns = true)
+    }
+    SnapshotStore.append(
+      Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("k", "s", "q"),
+      r, allowNewColumns = true) // v2, wider
+    val cur = SnapshotStore.read(spark, r, mergeSchema = true)
+    assert(cur.columns.toSet == Set("k", "s", "q", "_bucket"))
+    val byK = cur.select(col("k"), col("q")).collect()
+      .map(rw => rw.getLong(0) -> (if (rw.isNullAt(1)) None
+        else Some(rw.getDouble(1)))).toMap
+    assert(byK == Map(1L -> None, 2L -> None,
+      3L -> Some(0.5), 4L -> Some(0.7)),
+      "pre-evolution rows must read the new column as NULL")
+    // time travel: v1 keeps its own 2-column schema even with merging on
+    assert(SnapshotStore.read(spark, r, 1L, mergeSchema = true)
+      .columns.toSet == Set("k", "s", "_bucket"))
+  }
 }
