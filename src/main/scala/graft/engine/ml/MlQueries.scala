@@ -352,7 +352,21 @@ object MlQueries {
     (spark, sfDir) => {
       val data = IrisData.generate(spark)
       val Array(train, test) = data.randomSplit(Array(0.7, 0.3), 42L)
-      val cv = Fit.crossValidated(train)
+      // The CV is 13 pipeline fits (4 grid points x 3 folds + refit) over
+      // a 150-row fixture: the cost is JOB MACHINERY, not data. A local
+      // Seq parallelizes over every core (32 near-empty partitions), so
+      // every internal MLlib job schedules 32 tasks x ~100 jobs; coalescing
+      // the fixture to ONE partition + persisting it turns each into a
+      // single-task job (parallelism=8 keeps 8 fits in flight across
+      // cores). Semantics unchanged: same rows in the same order feed
+      // kFold, and the oracle recomputes from the persisted scored rows.
+      // (At real scale this inverts — a big train set WANTS its
+      // partitions; this is a small-fixture scheduling fix, not a rule.)
+      val cvInput = train.coalesce(1).persist()
+      cvInput.count()
+      val cv =
+        try Fit.crossValidated(cvInput)
+        finally cvInput.unpersist()
       val dir = scoredDir("cv")
       cv.transform(test)
         .select(col("label").cast(LongType).as("label"),
