@@ -3229,12 +3229,118 @@ object LlmQueries {
       "codes + re-rank@100) on the seeded planted-cluster corpus; " +
       "contract oracle: recall >= 4x the 12.5%-scan diagonal")
 
+  /** q138 — RESUMABLE training export: the incremental leg of X7
+    * (VERDICT r15 item 8). q133's export is one-shot; a production
+    * trainer wants "export only what changed since the last export".
+    * The composition: the corpus lives in a versioned store; the export
+    * consumer's CURSOR ([[graft.engine.sources.SnapshotStore
+    * .consumedThrough]], consumer = "export") names the corpus version
+    * already exported; after an append-only corpus delta, `readSince`
+    * delivers ONLY the new docs (manifest-diff — O(delta) whatever the
+    * corpus size), which shard by the SAME md5 draw as the full export
+    * ([[Curation.shuffleShards]]) and APPEND to the shard-bucketed
+    * export store: affected shards gain files, every pre-existing export
+    * file carries over by hardlink, untouched shards see zero I/O.
+    * Pinned: the final export == a full recompute over the complete
+    * corpus (the DuckDB twin shards every doc from scratch);
+    * `no_rewrite` — every v1 export file is INODE-identical in v2 (the
+    * q95 observable: nothing was rewritten); `delta_only` — exactly the
+    * delta's rows were added; `n_export_versions` = 2 (one full, one
+    * incremental). The tagged append + cursor give the same torn-window
+    * coverage as x69's backfill. Repeated deltas fragment hot shards —
+    * `compact` (q104) is the standing maintenance contract; a corpus
+    * UPSERT (re-crawl, q137) breaks readSince's append-lineage
+    * soundness and needs the q89 diff leg instead — documented at
+    * [[graft.engine.sources.SnapshotStore.readSince]]. */
+  val q138 = GraftQuery(
+    "q138_resumable_export",
+    (spark, sfDir) => {
+      import graft.engine.sources.SnapshotStore
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q138_resume_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val corpusRoot = s"$base/corpus"
+      val exportRoot = s"$base/export"
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"))
+      def sharded(d: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        Curation.shuffleShards(d, "doc_id", nShards = 8)
+          .drop("shuffle_key")
+      // crawl 1 (4/5 of the corpus) -> corpus store v1
+      SnapshotStore.publishBucketed(
+        docs.filter(col("doc_id") % 5 =!= 0), corpusRoot, "doc_id", 8)
+      // FULL export v1, then record what it covered via the cursor
+      SnapshotStore.publishBucketed(
+        sharded(SnapshotStore.read(spark, corpusRoot).drop("_bucket")),
+        exportRoot, "shard_id", 8)
+      SnapshotStore.setConsumedThrough(corpusRoot, "export",
+        SnapshotStore.currentVersion(corpusRoot))
+      val v1Count = SnapshotStore.read(spark, exportRoot).count()
+      def inodes(v: Long): Map[String, Any] = {
+        val dir = java.nio.file.Paths.get(exportRoot, s"v$v")
+        val walk = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.filter { f =>
+            val n = f.getFileName.toString
+            java.nio.file.Files.isRegularFile(f) &&
+              n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".")
+          }.map(f => dir.relativize(f).toString ->
+            java.nio.file.Files.getAttribute(f, "unix:ino")).toMap
+        } finally walk.close()
+      }
+      val v1Files = inodes(1L)
+      // crawl 2: the append-only delta lands in the corpus store
+      SnapshotStore.append(
+        docs.filter(col("doc_id") % 5 === 0), corpusRoot)
+      // RESUMABLE export: readSince the cursor -> only the new docs
+      val cursor = SnapshotStore.consumedThrough(corpusRoot, "export")
+      val corpusV2 = SnapshotStore.currentVersion(corpusRoot)
+      val nDelta = SnapshotStore.readSince(spark, corpusRoot, cursor) match {
+        case None => 0L
+        case Some(delta) =>
+          val rows = sharded(delta.drop("_bucket")).localCheckpoint()
+          SnapshotStore.append(rows, exportRoot,
+            tag = Some(s"export-corpus-v$corpusV2"))
+          SnapshotStore.setConsumedThrough(corpusRoot, "export", corpusV2)
+          rows.count()
+      }
+      val v2Files = inodes(SnapshotStore.currentVersion(exportRoot))
+      val noRewrite = v1Files.nonEmpty && v1Files.forall {
+        case (rel, ino) => v2Files.get(rel).contains(ino) }
+      val cur = SnapshotStore.read(spark, exportRoot).localCheckpoint()
+      val deltaOnly = nDelta > 0L && cur.count() == v1Count + nDelta
+      cur.groupBy(col("shard_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("shard_chars"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("delta_only", lit(deltaOnly))
+        .withColumn("n_export_versions",
+          lit(SnapshotStore.currentVersion(exportRoot)))
+        .orderBy(col("shard_id"))
+    },
+    Some("""WITH sharded AS (SELECT doc_id, n_chars,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 8 AS shard_id
+        FROM documents)
+      SELECT shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+        TRUE AS no_rewrite, TRUE AS delta_only,
+        CAST(2 AS BIGINT) AS n_export_versions
+      FROM sharded GROUP BY shard_id ORDER BY shard_id"""),
+    doc = "resumable training export: consumer cursor + readSince find " +
+      "the corpus delta (O(delta)), which appends into the md5-sharded " +
+      "export store — zero rewrite of existing shards (inode-pinned), " +
+      "final export == full recompute over the complete corpus")
+
   def queries: Seq[GraftQuery] =
     Seq(q40, q41, q44, q46, q47, q48, q49, q50, q55, q56, q60, q61, q62,
       q63, q64, q65, q68, q69, q70, q71, q72, q73, q75, q76, q78, q81, q82,
       q83, q84, q85, q87, q88, q90, q91, q109, q111, q112, q113, q114,
       q115, q116, q117, q118, q119, q120, q121, q122, q123, q125, q126,
-      q127, q128, q129, q130, q131, q132, q133, q134, q135, x42, x43, x44,
-      x45, x46,
+      q127, q128, q129, q130, q131, q132, q133, q134, q135, q138, x42, x43,
+      x44, x45, x46,
       x47, x48, x49, x50, x51)
 }
