@@ -1570,7 +1570,136 @@ object StreamQueries {
       "drain: cursor advanced, consumed versions vacuumed, zero rows " +
       "re-read, zero versions minted")
 
+  /** X5/X7 — ALWAYS-ON RESUMABLE EXPORT, the streaming twin of q138:
+    * a crawler streams document batches into the corpus store (tagged
+    * per-tick appends), while the export consumer syncs on its OWN
+    * cadence — each sync reads `readSince(corpus, cursor)` (the
+    * manifest-diff delta, O(new docs) regardless of corpus size), shards
+    * by the q130/q138 md5 draw, appends into the shard-bucketed export
+    * store, and advances its persisted cursor. The harness runs two
+    * corpus ticks, sync 1 (bootstraps the export covering BOTH ticks —
+    * the cursor skips versions, not rows), a third corpus tick, then
+    * sync 2 (exactly the third tick's rows). Pinned: the final export ==
+    * a from-scratch md5-shard recompute over every streamed doc (DuckDB
+    * twin over the documents table); `n_sync2_delta` (the second sync
+    * moved exactly tick 3); `no_rewrite` (every sync-1 export file
+    * INODE-identical after sync 2 — incremental means zero rewrite);
+    * corpus/export version arithmetic (3 ticks / 2 syncs). Producer and
+    * consumer share NO state but the store + cursor — the decoupling
+    * that lets a 100 TB crawler and a trainer-export job run on
+    * different cadences without either rescanning history. */
+  val x70 = GraftQuery(
+    "x70_stream_resumable_export",
+    (spark, sfDir) => {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.engine.sources.SnapshotStore
+      import graft.engine.llm.Curation
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x70_resume_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val corpusRoot = s"$base/corpus"
+      val exportRoot = s"$base/export"
+      // bounded fixture (x56 precedent): the contract under test is the
+      // per-tick/per-sync SHAPE, not scan throughput
+      val docRows = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].collect()
+      val ticks = (0 until 3).map(r => docRows.filter(_._1 % 3 == r))
+      val stream = MemoryStream[(Long, Long)]
+      val q = stream.toDS().toDF("doc_id", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val b = batch.localCheckpoint()
+            if (!b.isEmpty) {
+              if (SnapshotStore.currentVersion(corpusRoot) == 0)
+                SnapshotStore.publishBucketed(b, corpusRoot, "doc_id",
+                  nBuckets = 8, tag = Some(s"batch-$batchId"))
+              else SnapshotStore.append(b, corpusRoot,
+                tag = Some(s"batch-$batchId"))
+            }
+            ()
+        }.start()
+      // the export consumer: cursor -> delta -> shard -> tagged append
+      def exportSync(): Long = {
+        val cv = SnapshotStore.currentVersion(corpusRoot)
+        val cursor = SnapshotStore.consumedThrough(corpusRoot, "export")
+        val moved = SnapshotStore.readSince(spark, corpusRoot, cursor, cv)
+          match {
+          case None => 0L
+          case Some(delta) =>
+            val rows = Curation
+              .shuffleShards(delta.drop("_bucket"), "doc_id", nShards = 8)
+              .drop("shuffle_key").localCheckpoint()
+            if (SnapshotStore.currentVersion(exportRoot) == 0)
+              SnapshotStore.publishBucketed(rows, exportRoot, "shard_id",
+                nBuckets = 8, tag = Some(s"export-v$cv"))
+            else SnapshotStore.append(rows, exportRoot,
+              tag = Some(s"export-v$cv"))
+            rows.count()
+        }
+        SnapshotStore.setConsumedThrough(corpusRoot, "export", cv)
+        moved
+      }
+      def exportInodes(v: Long): Map[String, Any] = {
+        val dir = java.nio.file.Paths.get(exportRoot, s"v$v")
+        val walk = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.filter { f =>
+            val n = f.getFileName.toString
+            java.nio.file.Files.isRegularFile(f) &&
+              n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".")
+          }.map(f => dir.relativize(f).toString ->
+            java.nio.file.Files.getAttribute(f, "unix:ino")).toMap
+        } finally walk.close()
+      }
+      val nSync2 =
+        try {
+          stream.addData(ticks(0).toSeq); q.processAllAvailable()
+          stream.addData(ticks(1).toSeq); q.processAllAvailable()
+          exportSync() // covers corpus v1+v2
+          stream.addData(ticks(2).toSeq); q.processAllAvailable()
+          exportSync() // exactly tick 3
+        } finally q.stop()
+      val v1Files = exportInodes(1L) // sync 1's files…
+      val v2Files = // …must reappear in sync 2's version as LINKS
+        exportInodes(SnapshotStore.currentVersion(exportRoot))
+      val noRewrite = v1Files.nonEmpty && v1Files.forall {
+        case (rel, ino) => v2Files.get(rel).contains(ino) }
+      SnapshotStore.read(spark, exportRoot)
+        .groupBy(col("shard_id"))
+        .agg(graft.engine.relational.Exact.lcount().as("n_docs"),
+          sum(col("n_chars")).cast("long").as("shard_chars"))
+        .withColumn("n_sync2_delta", lit(nSync2))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("n_corpus_versions",
+          lit(SnapshotStore.currentVersion(corpusRoot)))
+        .withColumn("n_export_versions",
+          lit(SnapshotStore.currentVersion(exportRoot)))
+        .orderBy(col("shard_id"))
+    },
+    Some("""WITH sharded AS (SELECT doc_id, n_chars,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 8 AS shard_id
+        FROM documents)
+      SELECT shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+        (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 2)
+          AS n_sync2_delta,
+        TRUE AS no_rewrite,
+        CAST(3 AS BIGINT) AS n_corpus_versions,
+        CAST(2 AS BIGINT) AS n_export_versions
+      FROM sharded GROUP BY shard_id ORDER BY shard_id"""),
+    doc = "always-on resumable export (q138's streaming twin): per-tick " +
+      "tagged corpus appends; the export consumer syncs on its own " +
+      "cadence via cursor + readSince (O(delta)), zero rewrite of " +
+      "existing export files (inode-pinned), final export == full " +
+      "recompute over every streamed doc")
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      x65, x66, x67, x68, x69, q58, q80, q94, q107)
+      x65, x66, x67, x68, x69, x70, q58, q80, q94, q107)
 }
