@@ -82,6 +82,19 @@ object SnapshotStore {
     }
 
   private val ManifestFile = "_GRAFT_MANIFEST"
+  private val KindFile = "_GRAFT_KIND"
+
+  /** How a version came to be — the lineage fact [[readSince]]'s
+    * soundness depends on: `base` (full publish/publishBucketed),
+    * `append` (fresh files only, every base file carried by link),
+    * `rewrite` (merge/compact replaced files, so a file diff across it
+    * no longer equals a row delta). None for pre-kind legacy versions.
+    * Written with the manifest, atomic with the version. */
+  def versionKind(root: String, version: Long): Option[String] = {
+    val f = Paths.get(root, s"v$version", KindFile)
+    if (!Files.exists(f)) None
+    else Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim)
+  }
 
   /** Write the per-version FILE MANIFEST into a staging dir: one relative
     * data-file path per line, sorted. Called after every data write /
@@ -94,8 +107,11 @@ object SnapshotStore {
     * manifest makes reads O(1) metadata fetches, with [[auditVersion]]
     * keeping `Files.walk` as a consistency AUDIT rather than the source
     * of truth. The one-time walk here is of the just-written staging dir
-    * — write-time cost, amortized over every later read. */
-  private def writeVersionManifest(staging: java.nio.file.Path): Unit = {
+    * — write-time cost, amortized over every later read. Each version
+    * also records its lineage KIND here (`_GRAFT_KIND`, [[versionKind]])
+    * so kind, manifest, and data become visible together or not at all. */
+  private def writeVersionManifest(staging: java.nio.file.Path,
+      kind: String): Unit = {
     val walk = Files.walk(staging)
     val rel =
       try {
@@ -108,6 +124,8 @@ object SnapshotStore {
       } finally walk.close()
     Files.write(staging.resolve(ManifestFile),
       rel.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(staging.resolve(KindFile),
+      kind.getBytes(StandardCharsets.UTF_8))
   }
 
   /** The data files of a published version AS ITS MANIFEST RECORDS THEM
@@ -185,7 +203,7 @@ object SnapshotStore {
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
-    writeVersionManifest(staging)
+    writeVersionManifest(staging, kind = "base")
     withFlipLock(root) {
       val next = maxVersion(root) + 1
       Files.move(staging, Paths.get(root, s"v$next"),
@@ -387,7 +405,12 @@ object SnapshotStore {
     * stores: [[append]] carries every base file forward as a hardlink and
     * never rewrites, so new files ≡ new rows; a [[merge]]/[[compact]] in
     * the interval rewrites files and would make the file diff overcount —
-    * callers owning such stores should fall back to [[diff]]. Cost is
+    * that is ENFORCED, not advised: every version in `(from, to]` must
+    * carry the `append` lineage kind ([[versionKind]], stamped by every
+    * writer since the kind was introduced), and a `rewrite`/`base`/
+    * legacy-unkinded version in the interval throws, directing the
+    * caller to [[diff]] — a silent overcount becomes a loud error.
+    * Cost is
     * O(delta) data read + O(manifest) metadata — the incremental-consumer
     * primitive (a backfill or downstream sync reads only what it has not
     * yet consumed, never the corpus). `fromVersion = 0` means "nothing
@@ -402,6 +425,16 @@ object SnapshotStore {
     require(fromVersion <= to,
       s"readSince from v$fromVersion > to v$to under $root")
     if (fromVersion == to) return None
+    (fromVersion + 1 to to).foreach { v =>
+      val kind = versionKind(root, v)
+      if (!kind.contains("append"))
+        throw new IllegalStateException(
+          s"readSince($fromVersion, $to) under $root is unsound: v$v has " +
+            s"lineage kind ${kind.getOrElse("<none>")} (a merge/compact/" +
+            "full-publish rewrites files, so the file diff no longer " +
+            "equals the row delta) — use diff() for row-level deltas " +
+            "across rewrites")
+    }
     def files(v: Long) = manifestFiles(root, v).getOrElse(
       throw new IllegalStateException(
         s"readSince needs a manifest on v$v under $root (pre-manifest " +
@@ -547,7 +580,7 @@ object SnapshotStore {
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
-    writeVersionManifest(staging)
+    writeVersionManifest(staging, kind = "base")
     withFlipLock(root) {
       taggedVersion(root, tag) match {
         case Some(v) => // a concurrent same-tag publisher won the race
@@ -663,7 +696,7 @@ object SnapshotStore {
         } finally stream.close()
       }
     }
-    writeVersionManifest(staging)
+    writeVersionManifest(staging, kind = "rewrite")
     withFlipLock(root) {
       taggedVersion(root, tag) match {
         case Some(v) => // a concurrent same-tag merger won the race
@@ -779,7 +812,7 @@ object SnapshotStore {
           } finally files.close()
         }
     } finally baseList.close()
-    writeVersionManifest(staging)
+    writeVersionManifest(staging, kind = "append")
     withFlipLock(root) {
       taggedVersion(root, tag) match {
         case Some(v) => // a concurrent same-tag appender won the race
@@ -917,7 +950,7 @@ object SnapshotStore {
         } finally stream.close()
       }
     }
-    writeVersionManifest(staging)
+    writeVersionManifest(staging, kind = "rewrite")
     withFlipLock(root) {
       val cur = currentVersion(root)
       if (cur != base) {

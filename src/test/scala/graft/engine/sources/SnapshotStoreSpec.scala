@@ -474,6 +474,26 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.readSince(spark, r, 3L).isEmpty)
   }
 
+  test("readSince REFUSES a rewrite in the interval (lineage kinds " +
+      "make the unsound file-diff a loud error, not an overcount)") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), r, "k", nBuckets = 4) // v1 base
+    SnapshotStore.append(Seq((3L, "c")).toDF("k", "s"), r) // v2 append
+    SnapshotStore.merge(Seq((1L, "A")).toDF("k", "s"), r) // v3 REWRITE
+    SnapshotStore.append(Seq((4L, "d")).toDF("k", "s"), r) // v4 append
+    assert(SnapshotStore.versionKind(r, 1L).contains("base"))
+    assert(SnapshotStore.versionKind(r, 2L).contains("append"))
+    assert(SnapshotStore.versionKind(r, 3L).contains("rewrite"))
+    // a delta window crossing the rewrite must throw…
+    val e = intercept[IllegalStateException](
+      SnapshotStore.readSince(spark, r, 1L))
+    assert(e.getMessage.contains("unsound"))
+    // …while a window starting AFTER the rewrite stays sound
+    assert(SnapshotStore.readSince(spark, r, 3L).get
+      .select("k").as[Long].collect().toSet == Set(4L))
+  }
+
   test("consumer cursor: monotonic mark-consumed + vacuum = drained " +
       "dead-letter economics (second fold reads nothing)") {
     val r = root()
