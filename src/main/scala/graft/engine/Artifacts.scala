@@ -73,16 +73,19 @@ object Artifacts {
     * [[gcDeadSessions]] — positionally anchored, so an artifact name
     * with an incidental numeric segment can never be parsed as a pid
     * (the r15-advice live-deletion hazard). Linux pids are ≤ 7 digits
-    * (pid_max caps at 2^22); the 8-digit bound leaves headroom while
-    * excluding the 13-digit jvmStart and epoch-ish segments. */
+    * (pid_max caps at 2^22): the bound is exactly 7, which also keeps
+    * an all-decimal 8-char key8 hash tail (probability (10/16)^8 ≈ 2.3%
+    * per content key) and the 13-digit jvmStart from ever reading as a
+    * pid. The `_pid_jvmStart_key8` shape is tried FIRST — its pid
+    * position is unambiguous — then the pid-last scratch shape. */
   private[engine] def ownerPid(name: String): Option[Long] = {
     def isPidShaped(s: String) =
-      s.nonEmpty && s.length <= 8 && s.forall(_.isDigit)
+      s.nonEmpty && s.length <= 7 && s.forall(_.isDigit)
     val segs = name.split("_")
-    if (isPidShaped(segs.last)) segs.last.toLongOption
-    else if (segs.length >= 4 && segs(segs.length - 2).matches("\\d{12,14}")
+    if (segs.length >= 4 && segs(segs.length - 2).matches("\\d{12,14}")
         && isPidShaped(segs(segs.length - 3)))
       segs(segs.length - 3).toLongOption
+    else if (isPidShaped(segs.last)) segs.last.toLongOption
     else None
   }
 

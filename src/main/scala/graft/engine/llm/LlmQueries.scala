@@ -3277,21 +3277,7 @@ object LlmQueries {
       SnapshotStore.setConsumedThrough(corpusRoot, "export",
         SnapshotStore.currentVersion(corpusRoot))
       val v1Count = SnapshotStore.read(spark, exportRoot).count()
-      def inodes(v: Long): Map[String, Any] = {
-        val dir = java.nio.file.Paths.get(exportRoot, s"v$v")
-        val walk = java.nio.file.Files.walk(dir)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.filter { f =>
-            val n = f.getFileName.toString
-            java.nio.file.Files.isRegularFile(f) &&
-              n.endsWith(".parquet") && !n.startsWith("_") &&
-              !n.startsWith(".")
-          }.map(f => dir.relativize(f).toString ->
-            java.nio.file.Files.getAttribute(f, "unix:ino")).toMap
-        } finally walk.close()
-      }
-      val v1Files = inodes(1L)
+      val v1Files = SnapshotStore.versionFileInodes(exportRoot, 1L)
       // crawl 2: the append-only delta lands in the corpus store
       SnapshotStore.append(
         docs.filter(col("doc_id") % 5 === 0), corpusRoot)
@@ -3307,7 +3293,8 @@ object LlmQueries {
           SnapshotStore.setConsumedThrough(corpusRoot, "export", corpusV2)
           rows.count()
       }
-      val v2Files = inodes(SnapshotStore.currentVersion(exportRoot))
+      val v2Files = SnapshotStore.versionFileInodes(exportRoot,
+        SnapshotStore.currentVersion(exportRoot))
       val noRewrite = v1Files.nonEmpty && v1Files.forall {
         case (rel, ino) => v2Files.get(rel).contains(ino) }
       val cur = SnapshotStore.read(spark, exportRoot).localCheckpoint()

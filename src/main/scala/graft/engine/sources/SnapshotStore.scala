@@ -158,6 +158,24 @@ object SnapshotStore {
     (listed.diff(onDisk), onDisk.diff(listed))
   }
 
+  /** (relative path → inode) of a version's data files — the hardlink-
+    * carryover observable the no-rewrite contract queries pin (q95's
+    * bucket listings, q138/x70's whole-version maps). Walk-based like
+    * [[auditVersion]]: an audit tool, not a read path. */
+  def versionFileInodes(root: String, version: Long): Map[String, Any] = {
+    val dir = Paths.get(root, s"v$version")
+    val walk = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.map(f => dir.relativize(f).toString ->
+        Files.getAttribute(f, "unix:ino")).toMap
+    } finally walk.close()
+  }
+
   /** Highest version present, whether or not CURRENT points at it. */
   private def maxVersion(root: String): Long = {
     val d = Paths.get(root)
@@ -439,11 +457,14 @@ object SnapshotStore {
       throw new IllegalStateException(
         s"readSince needs a manifest on v$v under $root (pre-manifest " +
           "versions cannot be delta-read)"))
-    val delta = files(to).diff(files(fromVersion))
+    val seen = files(fromVersion).toSet // Set: linear delta, not Seq#diff's O(n*m)
+    val delta = files(to).filterNot(seen)
     if (delta.isEmpty) None
     else {
       val dir = s"$root/v$to"
-      Some(spark.read.option("basePath", dir)
+      // mergeSchema: the delta's own appends may straddle an evolution
+      Some(spark.read.option("mergeSchema", "true")
+        .option("basePath", dir)
         .parquet(delta.map(f => s"$dir/$f"): _*))
     }
   }
@@ -644,7 +665,12 @@ object SnapshotStore {
         s"$root is not a bucketed store; bootstrap with publishBucketed"))
     val base = if (baseVersion > 0) baseVersion else currentVersion(root)
     require(base > 0, s"no published version under $root")
-    val baseDf = read(spark, root, base)
+    // mergeSchema: on an evolved store (append allowNewColumns) the files
+    // straddle two physical schemas — a pick-one-footer read would resolve
+    // the column set nondeterministically, making this require flaky and
+    // the survivors' rewrite silently narrow. The union schema costs one
+    // footer read per file at planning time, a maintenance-path price.
+    val baseDf = read(spark, root, base, mergeSchema = true)
     require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
       s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
         s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
@@ -767,7 +793,8 @@ object SnapshotStore {
         s"$root is not a bucketed store; bootstrap with publishBucketed"))
     val base = currentVersion(root)
     require(base > 0, s"no published version under $root")
-    val baseDf = read(spark, root, base)
+    // mergeSchema: see merge — deterministic union schema on evolved stores
+    val baseDf = read(spark, root, base, mergeSchema = true)
     if (allowNewColumns)
       require((baseDf.columns.toSet - "_bucket").subsetOf(batch.columns.toSet)
           && !batch.columns.contains("_bucket"),
@@ -929,7 +956,12 @@ object SnapshotStore {
     if (fragmented.isEmpty) return base
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    read(spark, root, base)
+    // mergeSchema: a fragmented bucket of an EVOLVED store holds files of
+    // both physical schemas; a pick-one-footer read could rewrite the
+    // bucket WITHOUT the evolved column — silent data loss in a "content
+    // identical" layout op. The union schema NULL-fills old files, which
+    // IS the store's read contract after an evolution.
+    read(spark, root, base, mergeSchema = true)
       .filter(col("_bucket").isin(fragmented.map(Int.box): _*))
       .repartition(fragmented.size, col("_bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")

@@ -1516,13 +1516,18 @@ object StreamQueries {
               SnapshotStore.consumedThrough(quarRoot, consumer), qv) match {
             case None => 0L
             case Some(quar) =>
+              // tag scoped to the quarantine version folded THROUGH: a
+              // replay of THIS fold no-ops, but a later fold with
+              // genuinely new late data (qv' > qv) mints a fresh tag —
+              // a static tag would no-op it while the cursor advanced,
+              // silently discarding the new rows
               SnapshotStore.append(
                 quar.groupBy(col("win_start"), col("event_type"))
                   .agg(graft.engine.relational.Exact.lcount()
                       .as("n_events"),
                     graft.engine.relational.Exact.dsumPartial(col("value"))
                       .as("sum_dec")),
-                aggRoot, tag = Some("backfill"))
+                aggRoot, tag = Some(s"backfill-v$qv"))
               val n = quar.count()
               SnapshotStore.setConsumedThrough(quarRoot, consumer, qv)
               SnapshotStore.vacuum(quarRoot, keep = 0)
@@ -1621,40 +1626,33 @@ object StreamQueries {
             }
             ()
         }.start()
-      // the export consumer: cursor -> delta -> shard -> tagged append
+      // the export consumer: cursor -> delta -> shard -> tagged append.
+      // cv == 0 guard: a corpus that never bootstrapped (degenerate
+      // empty input — the x68/x69 zero-guard posture) means nothing to
+      // sync, not a crash
       def exportSync(): Long = {
         val cv = SnapshotStore.currentVersion(corpusRoot)
-        val cursor = SnapshotStore.consumedThrough(corpusRoot, "export")
-        val moved = SnapshotStore.readSince(spark, corpusRoot, cursor, cv)
-          match {
-          case None => 0L
-          case Some(delta) =>
-            val rows = Curation
-              .shuffleShards(delta.drop("_bucket"), "doc_id", nShards = 8)
-              .drop("shuffle_key").localCheckpoint()
-            if (SnapshotStore.currentVersion(exportRoot) == 0)
-              SnapshotStore.publishBucketed(rows, exportRoot, "shard_id",
-                nBuckets = 8, tag = Some(s"export-v$cv"))
-            else SnapshotStore.append(rows, exportRoot,
-              tag = Some(s"export-v$cv"))
-            rows.count()
+        if (cv == 0) 0L
+        else {
+          val cursor = SnapshotStore.consumedThrough(corpusRoot, "export")
+          val moved =
+            SnapshotStore.readSince(spark, corpusRoot, cursor, cv) match {
+              case None => 0L
+              case Some(delta) =>
+                val rows = Curation
+                  .shuffleShards(delta.drop("_bucket"), "doc_id",
+                    nShards = 8)
+                  .drop("shuffle_key").localCheckpoint()
+                if (SnapshotStore.currentVersion(exportRoot) == 0)
+                  SnapshotStore.publishBucketed(rows, exportRoot,
+                    "shard_id", nBuckets = 8, tag = Some(s"export-v$cv"))
+                else SnapshotStore.append(rows, exportRoot,
+                  tag = Some(s"export-v$cv"))
+                rows.count()
+            }
+          SnapshotStore.setConsumedThrough(corpusRoot, "export", cv)
+          moved
         }
-        SnapshotStore.setConsumedThrough(corpusRoot, "export", cv)
-        moved
-      }
-      def exportInodes(v: Long): Map[String, Any] = {
-        val dir = java.nio.file.Paths.get(exportRoot, s"v$v")
-        val walk = java.nio.file.Files.walk(dir)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.filter { f =>
-            val n = f.getFileName.toString
-            java.nio.file.Files.isRegularFile(f) &&
-              n.endsWith(".parquet") && !n.startsWith("_") &&
-              !n.startsWith(".")
-          }.map(f => dir.relativize(f).toString ->
-            java.nio.file.Files.getAttribute(f, "unix:ino")).toMap
-        } finally walk.close()
       }
       val nSync2 =
         try {
@@ -1664,22 +1662,33 @@ object StreamQueries {
           stream.addData(ticks(2).toSeq); q.processAllAvailable()
           exportSync() // exactly tick 3
         } finally q.stop()
-      val v1Files = exportInodes(1L) // sync 1's files…
-      val v2Files = // …must reappear in sync 2's version as LINKS
-        exportInodes(SnapshotStore.currentVersion(exportRoot))
-      val noRewrite = v1Files.nonEmpty && v1Files.forall {
-        case (rel, ino) => v2Files.get(rel).contains(ino) }
-      SnapshotStore.read(spark, exportRoot)
-        .groupBy(col("shard_id"))
-        .agg(graft.engine.relational.Exact.lcount().as("n_docs"),
-          sum(col("n_chars")).cast("long").as("shard_chars"))
-        .withColumn("n_sync2_delta", lit(nSync2))
-        .withColumn("no_rewrite", lit(noRewrite))
-        .withColumn("n_corpus_versions",
-          lit(SnapshotStore.currentVersion(corpusRoot)))
-        .withColumn("n_export_versions",
-          lit(SnapshotStore.currentVersion(exportRoot)))
-        .orderBy(col("shard_id"))
+      if (SnapshotStore.currentVersion(exportRoot) == 0) {
+        // degenerate empty input: honest empty report (oracle is empty
+        // over an empty documents table too)
+        Seq.empty[(Long, Long, Long)]
+          .toDF("shard_id", "n_docs", "shard_chars")
+          .withColumn("n_sync2_delta", lit(0L))
+          .withColumn("no_rewrite", lit(true))
+          .withColumn("n_corpus_versions", lit(0L))
+          .withColumn("n_export_versions", lit(0L))
+      } else {
+        val v1Files = SnapshotStore.versionFileInodes(exportRoot, 1L)
+        val v2Files = SnapshotStore.versionFileInodes(exportRoot,
+          SnapshotStore.currentVersion(exportRoot)) // sync-1 files must
+        val noRewrite = v1Files.nonEmpty && v1Files.forall { // be LINKS
+          case (rel, ino) => v2Files.get(rel).contains(ino) }
+        SnapshotStore.read(spark, exportRoot)
+          .groupBy(col("shard_id"))
+          .agg(graft.engine.relational.Exact.lcount().as("n_docs"),
+            sum(col("n_chars")).cast("long").as("shard_chars"))
+          .withColumn("n_sync2_delta", lit(nSync2))
+          .withColumn("no_rewrite", lit(noRewrite))
+          .withColumn("n_corpus_versions",
+            lit(SnapshotStore.currentVersion(corpusRoot)))
+          .withColumn("n_export_versions",
+            lit(SnapshotStore.currentVersion(exportRoot)))
+          .orderBy(col("shard_id"))
+      }
     },
     Some("""WITH sharded AS (SELECT doc_id, n_chars,
           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
@@ -1690,8 +1699,18 @@ object StreamQueries {
         (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 2)
           AS n_sync2_delta,
         TRUE AS no_rewrite,
-        CAST(3 AS BIGINT) AS n_corpus_versions,
-        CAST(2 AS BIGINT) AS n_export_versions
+        CAST((CASE WHEN EXISTS (SELECT 1 FROM documents
+              WHERE doc_id % 3 = 0) THEN 1 ELSE 0 END)
+          + (CASE WHEN EXISTS (SELECT 1 FROM documents
+              WHERE doc_id % 3 = 1) THEN 1 ELSE 0 END)
+          + (CASE WHEN EXISTS (SELECT 1 FROM documents
+              WHERE doc_id % 3 = 2) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_corpus_versions,
+        CAST((CASE WHEN EXISTS (SELECT 1 FROM documents
+              WHERE doc_id % 3 < 2) THEN 1 ELSE 0 END)
+          + (CASE WHEN EXISTS (SELECT 1 FROM documents
+              WHERE doc_id % 3 = 2) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_export_versions
       FROM sharded GROUP BY shard_id ORDER BY shard_id"""),
     doc = "always-on resumable export (q138's streaming twin): per-tick " +
       "tagged corpus appends; the export consumer syncs on its own " +

@@ -58,5 +58,12 @@ class ArtifactsGcSpec extends AnyFunSuite {
     assert(Artifacts.ownerPid("graft_nopid_marker").isEmpty)
     // 13-digit tail (a jvmStart-like segment) is too long to be a pid
     assert(Artifacts.ownerPid("graft_thing_1786755665263").isEmpty)
+    // an ALL-DECIMAL key8 hash tail ((10/16)^8 of content keys) must
+    // resolve to the anchored pid, never be mistaken for one itself
+    assert(Artifacts.ownerPid(
+      "graft_vocab16f_4711_1786755665263_31415926").contains(4711L))
+    // …and an 8-digit tail with no jvmStart anchor is no pid at all
+    // (Linux pid_max is 2^22 = 7 digits)
+    assert(Artifacts.ownerPid("graft_thing_31415926").isEmpty)
   }
 }
