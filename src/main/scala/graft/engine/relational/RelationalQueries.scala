@@ -1321,9 +1321,72 @@ object RelationalQueries {
       "newest crawl wins), tagged replay is a no-op, touched-bucket-only " +
       "rewrite; oracle = ROW_NUMBER() OVER (key, version DESC) = 1")
 
+  /** q139 — BAD-PUBLISH ROLLBACK + REPUBLISH, the storage runbook leg
+    * the registry didn't pin (rollback was spec-only): an upstream bug
+    * publishes corrupted rows (negative n_chars) as v2; the operator
+    * rolls CURRENT back to v1 — a pointer flip, no data movement — while
+    * v2 STAYS ON DISK for the postmortem; the fixed batch then merges
+    * against the rolled-back base and lands as v3 (version numbers never
+    * reuse: the bad v2 and the fix coexist, which is what makes the
+    * forensic diff q89-able). Pinned at value level: the final per-source
+    * aggregate (fix applied, corruption gone) against the DuckDB twin,
+    * plus four honest observables — `bad_was_live` (v2 really served
+    * negatives while current), `rollback_clean` (post-rollback reads ==
+    * pre-bug content), `forensic_v2_readable` (time travel still reads
+    * the bad version after the fix), `n_versions` == 3. Scale posture:
+    * rollback is O(1) metadata regardless of table size — the whole
+    * argument for pointer-versioned publishes over in-place writes. */
+  val q139 = GraftQuery(
+    "q139_rollback_republish",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q139_rb_${ProcessHandle.current().pid()}/tbl"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      SnapshotStore.publishBucketed(docs, root, "doc_id", nBuckets = 8) // v1
+      // the bad publish: an upstream bug corrupts doc_id < 100
+      SnapshotStore.merge(docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"),
+          (-col("n_chars")).as("n_chars")), root) // v2, corrupted
+      val badWasLive = SnapshotStore.currentVersion(root) == 2L &&
+        SnapshotStore.read(spark, root)
+          .filter(col("n_chars") < 0).count() > 0
+      SnapshotStore.rollback(root, 1L) // pointer flip; v2 kept on disk
+      val rollbackClean = SnapshotStore.read(spark, root)
+        .filter(col("n_chars") < 0).isEmpty
+      // the fix merges against the ROLLED-BACK base and mints v3
+      SnapshotStore.merge(docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 1000L).as("n_chars")), root) // v3
+      val forensicReadable = SnapshotStore.read(spark, root, 2L)
+        .filter(col("n_chars") < 0).count() > 0
+      SnapshotStore.read(spark, root).groupBy(col("source"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .withColumn("bad_was_live", lit(badWasLive))
+        .withColumn("rollback_clean", lit(rollbackClean))
+        .withColumn("forensic_v2_readable", lit(forensicReadable))
+        .withColumn("n_versions",
+          lit(SnapshotStore.currentVersion(root)))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id < 100 THEN n_chars + 1000
+                      ELSE n_chars END) AS BIGINT) AS sum_chars,
+        TRUE AS bad_was_live, TRUE AS rollback_clean,
+        TRUE AS forensic_v2_readable, CAST(3 AS BIGINT) AS n_versions
+      FROM documents GROUP BY source ORDER BY source"""),
+    doc = "bad-publish runbook: corrupted v2 -> O(1) pointer rollback " +
+      "(v2 kept for forensics) -> fixed merge against the rolled-back " +
+      "base as v3; final values + liveness/cleanliness/forensic booleans " +
+      "all pinned")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
-    q137)
+    q137, q139)
 }

@@ -1001,7 +1001,21 @@ object SnapshotStore {
 
   /** Drop version dirs older than the newest `keep` versions behind the
     * current pointer (current itself always survives). Returns the dropped
-    * version numbers. Also reaps `.staging-*` dirs past the lock
+    * version numbers.
+    *
+    * `retainMs` is the TIME-TRAVEL RETENTION horizon (the lakehouse
+    * `VACUUM … RETAIN n HOURS` contract): when > 0, a version YOUNGER
+    * than the horizon survives even past the `keep` count, so readers
+    * pinned to a recent version (a running job that resolved CURRENT
+    * before this vacuum, an auditor time-traveling last night's publish)
+    * keep their snapshot; only versions both behind the keep window AND
+    * older than the horizon drop. Age is the version directory's OWN
+    * mtime — set once by the atomic staging rename at publish, never
+    * touched again (version dirs are immutable), so it IS the publish
+    * instant. The default 0 keeps the count-only behavior every
+    * existing caller pins.
+    *
+    * Also reaps `.staging-*` dirs past the lock
     * staleness horizon — a publisher that crashed (or a pre-fix merge
     * retry loop) strands its staged write there, and nothing else ever
     * deletes them. The age guard keeps a LIVE publisher's in-flight
@@ -1012,7 +1026,7 @@ object SnapshotStore {
     * reap a >60 s in-flight publish mid-write. The subtree walk is
     * bounded by the staged file count (a maintenance-path cost). */
   def vacuum(root: String, keep: Int = 1,
-      stagingStaleMs: Long = 60000L): Seq[Long] = {
+      stagingStaleMs: Long = 60000L, retainMs: Long = 0L): Seq[Long] = {
     val rootDir = Paths.get(root)
     def newestMtime(p: java.nio.file.Path): Long = {
       // a LIVE publisher's commit renames files out of _temporary/ while
@@ -1049,7 +1063,11 @@ object SnapshotStore {
     val cur = currentVersion(root)
     (1L until cur - keep).filter { v =>
       val dir = Paths.get(root, s"v$v")
-      if (Files.exists(dir) && v != cur) {
+      val pastRetention = retainMs <= 0L ||
+        (try System.currentTimeMillis() -
+          Files.getLastModifiedTime(dir).toMillis > retainMs
+        catch { case _: Exception => false }) // unreadable age -> keep
+      if (Files.exists(dir) && v != cur && pastRetention) {
         deleteRecursively(dir)
         true
       } else false

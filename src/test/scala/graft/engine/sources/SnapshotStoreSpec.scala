@@ -474,6 +474,29 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.readSince(spark, r, 3L).isEmpty)
   }
 
+  test("vacuum retainMs: a version inside the retention horizon " +
+      "survives the keep count (time-travel retention contract)") {
+    val r = root()
+    val df = Seq((1L, "a")).toDF("k", "s")
+    SnapshotStore.publish(df, r) // v1
+    SnapshotStore.publish(df, r) // v2
+    SnapshotStore.publish(df, r) // v3 (current)
+    // v1 published "10 days ago" (version dirs are immutable — their
+    // mtime IS the publish instant; the spec just backdates it)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(r, "v1"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    // keep=0 would drop v1 AND v2 — the 1 h retention horizon saves the
+    // freshly-published v2 for pinned readers, drops only the stale v1
+    val dropped = SnapshotStore.vacuum(r, keep = 0, retainMs = 3600000L)
+    assert(dropped == Seq(1L))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(r, "v2")),
+      "a version younger than the retention horizon must survive keep=0")
+    // default retainMs=0 keeps the count-only behavior
+    assert(SnapshotStore.vacuum(r, keep = 0) == Seq(2L))
+  }
+
   test("readSince REFUSES a rewrite in the interval (lineage kinds " +
       "make the unsound file-diff a loud error, not an overcount)") {
     val r = root()
