@@ -1384,9 +1384,109 @@ object RelationalQueries {
       "base as v3; final values + liveness/cleanliness/forensic booleans " +
       "all pinned")
 
+  /** q140 — TAKEDOWN PROPAGATION (right-to-be-forgotten): a deletion
+    * request must come OUT of every derived dataset, not just the
+    * corpus. Six doc_ids are deleted-by-key from the corpus store AND
+    * from the derived md5-sharded export store (both doc_id-bucketed;
+    * [[graft.engine.sources.SnapshotStore.deleteKeys]] rewrites only
+    * the ≤6 buckets the keys hash into, hardlinking the other ~58 —
+    * `untouched_reused` pins the inode-level reuse, `has_untouched`
+    * that the fixture really left buckets untouched). The tagged replay
+    * returns the same version (`replay_noop` — an at-least-once
+    * takedown worker can't double-mint). The honest lifecycle is
+    * pinned end to end: `pre_vacuum_forensic` — BEFORE vacuum, time
+    * travel still reads the deleted rows in v1 (deletion is not yet
+    * complete, the compliance caveat deleteKeys documents) —, then
+    * `vacuum(keep = 0)` on both stores, and `takedown_complete` — the
+    * v1 dirs are GONE, so no version serves the deleted keys anywhere.
+    * DuckDB twin: the export recomputed over `documents` minus the
+    * takedown set. */
+  val q140 = GraftQuery(
+    "q140_takedown_propagation",
+    (spark, sfDir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q140_rtbf_${ProcessHandle.current().pid()}"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
+      import graft.engine.sources.SnapshotStore
+      import graft.engine.llm.Curation
+      val corpusRoot = s"$base/corpus"
+      val exportRoot = s"$base/export"
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      SnapshotStore.publishBucketed(docs, corpusRoot, "doc_id", 64)
+      SnapshotStore.publishBucketed(
+        Curation.shuffleShards(docs, "doc_id", nShards = 8)
+          .drop("shuffle_key"),
+        exportRoot, "doc_id", 64)
+      // the takedown set: 6 fixed keys present at every SF
+      val takedown = docs
+        .filter(col("doc_id") % 17 === 3 && col("doc_id") < 100)
+        .select(col("doc_id"))
+      val v2c = SnapshotStore.deleteKeys(takedown, corpusRoot,
+        tag = Some("takedown-1"))
+      SnapshotStore.deleteKeys(takedown, exportRoot,
+        tag = Some("takedown-1"))
+      val replayNoop = SnapshotStore.deleteKeys(takedown, corpusRoot,
+        tag = Some("takedown-1")) == v2c &&
+        SnapshotStore.currentVersion(corpusRoot) == v2c
+      // touched-bucket census for the inode reuse pin
+      val touched = takedown
+        .withColumn("_b", SnapshotStore.bucketExpr("doc_id", 64))
+        .select("_b").distinct().collect().map(_.getInt(0)).toSet
+      def bucketOf(rel: String): Int =
+        rel.split('/').head.stripPrefix("_bucket=").toInt
+      val v1Inodes = SnapshotStore.versionFileInodes(corpusRoot, 1L)
+        .filterNot { case (rel, _) => touched(bucketOf(rel)) }
+      val v2Inodes = SnapshotStore.versionFileInodes(corpusRoot, 2L)
+      val untouchedReused = v1Inodes.forall { case (rel, ino) =>
+        v2Inodes.get(rel).contains(ino) }
+      val hasUntouched = v1Inodes.nonEmpty
+      def hasKeys(df: DataFrame): Boolean =
+        !df.join(takedown, Seq("doc_id"), "left_semi").isEmpty
+      val corpusClean = !hasKeys(SnapshotStore.read(spark, corpusRoot))
+      val exportClean = !hasKeys(SnapshotStore.read(spark, exportRoot))
+      // deletion completes at vacuum: v1 still serves the rows until…
+      val forensic = hasKeys(SnapshotStore.read(spark, corpusRoot, 1L))
+      SnapshotStore.vacuum(corpusRoot, keep = 0)
+      SnapshotStore.vacuum(exportRoot, keep = 0)
+      val complete = !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(corpusRoot, "v1")) &&
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(exportRoot, "v1"))
+      SnapshotStore.read(spark, exportRoot).groupBy(col("shard_id"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("shard_chars"))
+        .withColumn("corpus_clean", lit(corpusClean))
+        .withColumn("export_clean", lit(exportClean))
+        .withColumn("replay_noop", lit(replayNoop))
+        .withColumn("untouched_reused", lit(untouchedReused))
+        .withColumn("has_untouched", lit(hasUntouched))
+        .withColumn("pre_vacuum_forensic", lit(forensic))
+        .withColumn("takedown_complete", lit(complete))
+        .orderBy(col("shard_id"))
+    },
+    Some("""WITH kept AS (SELECT doc_id, n_chars FROM documents
+          WHERE NOT (doc_id % 17 = 3 AND doc_id < 100)),
+      sharded AS (SELECT doc_id, n_chars,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 8 AS shard_id
+        FROM kept)
+      SELECT shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+        TRUE AS corpus_clean, TRUE AS export_clean, TRUE AS replay_noop,
+        TRUE AS untouched_reused, TRUE AS has_untouched,
+        TRUE AS pre_vacuum_forensic, TRUE AS takedown_complete
+      FROM sharded GROUP BY shard_id ORDER BY shard_id"""),
+    doc = "right-to-be-forgotten: delete-by-key from the corpus AND the " +
+      "derived export (touched-bucket-only rewrite, inode-pinned reuse, " +
+      "tagged replay no-op), time travel serves v1 until vacuum, then " +
+      "the deletion is complete everywhere; oracle = export recomputed " +
+      "minus the takedown set")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
-    q137, q139)
+    q137, q139, q140)
 }

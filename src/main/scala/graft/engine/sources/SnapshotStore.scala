@@ -616,6 +616,38 @@ object SnapshotStore {
     }
   }
 
+  /** Hardlink every data file of `base`'s bucket directories into
+    * `staging`, except buckets where `skip(k)` — the metadata-only
+    * carryover shared by [[merge]]/[[append]]/[[compact]]/[[deleteKeys]].
+    * Falls back to a real copy wherever linking fails: filesystems
+    * without hardlink support surface FileSystemException (not just
+    * UnsupportedOperationException), e.g. cross-device links. NOTE the
+    * inode-equality audits (q95 reuse_ok, q138/x70 no_rewrite) assume
+    * the link path succeeded — true on POSIX-local storage; on a
+    * no-link fs the data stays correct, only the zero-copy claim
+    * degrades. */
+  private def carryoverBuckets(root: String, base: Long,
+      staging: java.nio.file.Path, nBuckets: Int,
+      skip: Int => Boolean): Unit =
+    (0 until nBuckets).filterNot(skip).foreach { k =>
+      val src = Paths.get(root, s"v$base", s"_bucket=$k")
+      if (Files.exists(src)) {
+        val dst = staging.resolve(s"_bucket=$k")
+        Files.createDirectories(dst)
+        val stream = Files.list(src)
+        try stream.iterator().forEachRemaining { f =>
+          if (!Files.isDirectory(f)) {
+            val t = dst.resolve(f.getFileName)
+            try Files.createLink(t, f)
+            catch {
+              case _: UnsupportedOperationException | _: java.io.IOException =>
+                Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        } finally stream.close()
+      }
+    }
+
   /** MERGE (upsert-by-key) a batch into a new version WITHOUT rewriting
     * unchanged partitions — the write side of the incremental-refresh
     * story (q89's diff is the read side). Semantics: rows of the current
@@ -698,30 +730,8 @@ object SnapshotStore {
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
-    // carry untouched buckets over as hardlinks (fall back to copy on
-    // filesystems without link support)
-    (0 until nBuckets).filterNot(touched).foreach { k =>
-      val src = Paths.get(root, s"v$base", s"_bucket=$k")
-      if (Files.exists(src)) {
-        val dst = staging.resolve(s"_bucket=$k")
-        Files.createDirectories(dst)
-        val stream = Files.list(src)
-        try stream.iterator().forEachRemaining { f =>
-          val t = dst.resolve(f.getFileName)
-          // fall back to a real copy wherever linking fails: filesystems
-          // without hardlink support surface FileSystemException (not
-          // just UnsupportedOperationException), e.g. cross-device links.
-          // NOTE q95's inode-equality audit (reuse_ok) assumes the link
-          // path succeeded — true on POSIX-local storage; on a no-link fs
-          // the data is still correct, only the zero-copy claim degrades
-          try Files.createLink(t, f)
-          catch {
-            case _: UnsupportedOperationException | _: java.io.IOException =>
-              Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
-          }
-        } finally stream.close()
-      }
-    }
+    // carry untouched buckets over as hardlinks ([[carryoverBuckets]])
+    carryoverBuckets(root, base, staging, nBuckets, skip = touched)
     writeVersionManifest(staging, kind = "rewrite")
     withFlipLock(root) {
       taggedVersion(root, tag) match {
@@ -739,6 +749,76 @@ object SnapshotStore {
             throw new IllegalStateException(
               s"stale merge: computed against v$base but CURRENT is v$cur " +
                 s"under $root; re-run the merge against the new base")
+          }
+          val next = maxVersion(root) + 1
+          Files.move(staging, Paths.get(root, s"v$next"),
+            StandardCopyOption.ATOMIC_MOVE)
+          advancePointerLocked(root, next)
+          next
+      }
+    }
+  }
+
+  /** DELETE-BY-KEY: remove every row whose key appears in `keys` and
+    * publish the result as a new version WITHOUT rewriting unchanged
+    * partitions — the takedown / right-to-be-forgotten primitive
+    * (q140). [[merge]]'s third leg (insert/replace/DELETE): only the
+    * buckets the key set hashes into are read and rewritten (cost ∝
+    * touched data, never table size), everything else hardlinks over.
+    *
+    * Deletion COMPLETES at [[vacuum]] time: older versions still hold
+    * the deleted rows for time travel until vacuumed past the retention
+    * horizon — the honest lakehouse contract, and why a compliance
+    * pipeline pairs every takedown with `vacuum(retainMs = <compliance
+    * window>)`. Lineage kind is `rewrite`, so a [[readSince]] window
+    * across a deletion refuses loudly instead of resurrecting rows.
+    * Same optimistic concurrency (stale-base abort under the flip lock)
+    * and `tag` replay protection as merge. `keys` must be the
+    * single-column frame of the store's bucket key. Returns the
+    * published version — the current one unchanged when `keys` is
+    * empty. */
+  def deleteKeys(keys: DataFrame, root: String,
+      tag: Option[String] = None): Long = {
+    val spark = keys.sparkSession
+    val alreadyApplied = taggedVersion(root, tag)
+    if (alreadyApplied.isDefined) return alreadyApplied.get
+    val (keyCol, nBuckets) = readBucketSpec(root).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
+    require(keys.columns.sameElements(Array(keyCol)),
+      s"keys must be the single-column frame of $keyCol; " +
+        s"got ${keys.columns.mkString(",")}")
+    val base = currentVersion(root)
+    require(base > 0, s"no published version under $root")
+    val keysB = keys.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+      .localCheckpoint(eager = false)
+    val touched = keysB.select(col("_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return base // empty key set: nothing minted
+    val baseDf = read(spark, root, base, mergeSchema = true)
+    val survivors = baseDf
+      .filter(col("_bucket").isin(touched.toSeq.map(Int.box): _*))
+      .join(keysB.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    survivors
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
+      .parquet(staging.toString)
+    tag.foreach(t => Files.write(staging.resolve(TagFile),
+      t.getBytes(StandardCharsets.UTF_8)))
+    carryoverBuckets(root, base, staging, nBuckets, skip = touched)
+    writeVersionManifest(staging, kind = "rewrite")
+    withFlipLock(root) {
+      taggedVersion(root, tag) match {
+        case Some(v) => // a concurrent same-tag deleter won the race
+          deleteRecursively(staging); v
+        case None =>
+          val cur = currentVersion(root)
+          if (cur != base) {
+            deleteRecursively(staging) // see merge: no staged leak
+            throw new IllegalStateException(
+              s"stale delete: computed against v$base but CURRENT is " +
+                s"v$cur under $root; re-run against the new base")
           }
           val next = maxVersion(root) + 1
           Files.move(staging, Paths.get(root, s"v$next"),
@@ -816,29 +896,7 @@ object SnapshotStore {
       t.getBytes(StandardCharsets.UTF_8)))
     // hardlink the ENTIRE base version's data into the staging dirs —
     // metadata-only carryover, fresh files and links merge per bucket dir
-    val baseDir = Paths.get(root, s"v$base")
-    val baseList = Files.list(baseDir)
-    try {
-      import scala.jdk.CollectionConverters._
-      baseList.iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
-          d.getFileName.toString.startsWith("_bucket="))
-        .foreach { src =>
-          val dst = staging.resolve(src.getFileName.toString)
-          Files.createDirectories(dst)
-          val files = Files.list(src)
-          try files.iterator().forEachRemaining { f =>
-            if (!Files.isDirectory(f)) {
-              val t = dst.resolve(f.getFileName)
-              try Files.createLink(t, f)
-              catch {
-                case _: UnsupportedOperationException | _: java.io.IOException =>
-                  Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
-              }
-            }
-          } finally files.close()
-        }
-    } finally baseList.close()
+    carryoverBuckets(root, base, staging, nBuckets, skip = _ => false)
     writeVersionManifest(staging, kind = "append")
     withFlipLock(root) {
       taggedVersion(root, tag) match {
@@ -966,22 +1024,8 @@ object SnapshotStore {
       .repartition(fragmented.size, col("_bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
-    (0 until nBuckets).filterNot(fragmented.contains).foreach { k =>
-      val src = Paths.get(root, s"v$base", s"_bucket=$k")
-      if (Files.exists(src)) {
-        val dst = staging.resolve(s"_bucket=$k")
-        Files.createDirectories(dst)
-        val stream = Files.list(src)
-        try stream.iterator().forEachRemaining { f =>
-          val t = dst.resolve(f.getFileName)
-          try Files.createLink(t, f)
-          catch {
-            case _: UnsupportedOperationException | _: java.io.IOException =>
-              Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
-          }
-        } finally stream.close()
-      }
-    }
+    carryoverBuckets(root, base, staging, nBuckets,
+      skip = fragmented.contains)
     writeVersionManifest(staging, kind = "rewrite")
     withFlipLock(root) {
       val cur = currentVersion(root)

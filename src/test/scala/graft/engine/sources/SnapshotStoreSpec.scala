@@ -474,6 +474,44 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.readSince(spark, r, 3L).isEmpty)
   }
 
+  test("deleteKeys: touched-bucket-only delete, rewrite lineage, " +
+      "empty/no-op and wrong-shape rejection") {
+    val r = root()
+    val df = (1L to 40L).map(k => (k, s"v$k")).toDF("k", "s")
+    SnapshotStore.publishBucketed(df, r, "k", nBuckets = 16) // v1
+    val keys = Seq(7L, 23L).toDF("k")
+    val v2 = SnapshotStore.deleteKeys(keys, r, tag = Some("td"))
+    assert(v2 == 2L)
+    val left = SnapshotStore.read(spark, r).select("k").as[Long]
+      .collect().toSet
+    assert(left == (1L to 40L).toSet -- Set(7L, 23L))
+    assert(SnapshotStore.versionKind(r, 2L).contains("rewrite"))
+    // untouched buckets carried by link (inode-identical)
+    val touched = keys.withColumn("_b", SnapshotStore.bucketExpr("k", 16))
+      .select("_b").distinct().collect().map(_.getInt(0)).toSet
+    def bucketOf(rel: String) =
+      rel.split('/').head.stripPrefix("_bucket=").toInt
+    val v1u = SnapshotStore.versionFileInodes(r, 1L)
+      .filterNot { case (rel, _) => touched(bucketOf(rel)) }
+    val v2i = SnapshotStore.versionFileInodes(r, 2L)
+    assert(v1u.nonEmpty && v1u.forall { case (rel, ino) =>
+      v2i.get(rel).contains(ino) })
+    // tagged replay: same version back, nothing minted
+    assert(SnapshotStore.deleteKeys(keys, r, tag = Some("td")) == 2L)
+    assert(SnapshotStore.currentVersion(r) == 2L)
+    // empty key set: no-op, no version
+    assert(SnapshotStore.deleteKeys(
+      Seq.empty[Long].toDF("k"), r) == 2L)
+    // wrong shape rejected
+    intercept[IllegalArgumentException] {
+      SnapshotStore.deleteKeys(Seq((1L, "x")).toDF("k", "s"), r)
+    }
+    // a readSince window across the deletion refuses (rewrite lineage)
+    val e = intercept[IllegalStateException](
+      SnapshotStore.readSince(spark, r, 1L))
+    assert(e.getMessage.contains("unsound"))
+  }
+
   test("vacuum retainMs: a version inside the retention horizon " +
       "survives the keep count (time-travel retention contract)") {
     val r = root()
