@@ -1389,7 +1389,7 @@ object RelationalQueries {
     * corpus. Six doc_ids are deleted-by-key from the corpus store AND
     * from the derived md5-sharded export store (both doc_id-bucketed;
     * [[graft.engine.sources.SnapshotStore.deleteKeys]] rewrites only
-    * the ≤6 buckets the keys hash into, hardlinking the other ~58 —
+    * the ≤6 buckets the keys hash into, hardlinking the other ~26 —
     * `untouched_reused` pins the inode-level reuse, `has_untouched`
     * that the fixture really left buckets untouched). The tagged replay
     * returns the same version (`replay_noop` — an at-least-once
@@ -1414,11 +1414,14 @@ object RelationalQueries {
       val exportRoot = s"$base/export"
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("n_chars"))
-      SnapshotStore.publishBucketed(docs, corpusRoot, "doc_id", 64)
+      // 32 buckets: enough spread that the 6-key takedown leaves >=26
+      // buckets untouched (the reuse pin stays non-vacuous) without
+      // paying 64 dirs x 2 stores of tiny-file machinery at harness SF
+      SnapshotStore.publishBucketed(docs, corpusRoot, "doc_id", 32)
       SnapshotStore.publishBucketed(
         Curation.shuffleShards(docs, "doc_id", nShards = 8)
           .drop("shuffle_key"),
-        exportRoot, "doc_id", 64)
+        exportRoot, "doc_id", 32)
       // the takedown set: 6 fixed keys present at every SF
       val takedown = docs
         .filter(col("doc_id") % 17 === 3 && col("doc_id") < 100)
@@ -1432,7 +1435,7 @@ object RelationalQueries {
         SnapshotStore.currentVersion(corpusRoot) == v2c
       // touched-bucket census for the inode reuse pin
       val touched = takedown
-        .withColumn("_b", SnapshotStore.bucketExpr("doc_id", 64))
+        .withColumn("_b", SnapshotStore.bucketExpr("doc_id", 32))
         .select("_b").distinct().collect().map(_.getInt(0)).toSet
       def bucketOf(rel: String): Int =
         rel.split('/').head.stripPrefix("_bucket=").toInt
