@@ -83,6 +83,7 @@ object SnapshotStore {
 
   private val ManifestFile = "_GRAFT_MANIFEST"
   private val KindFile = "_GRAFT_KIND"
+  private val SchemaFile = "_GRAFT_SCHEMA"
 
   /** How a version came to be — the lineage fact [[readSince]]'s
     * soundness depends on: `base` (full publish/publishBucketed),
@@ -110,8 +111,26 @@ object SnapshotStore {
     * — write-time cost, amortized over every later read. Each version
     * also records its lineage KIND here (`_GRAFT_KIND`, [[versionKind]])
     * so kind, manifest, and data become visible together or not at all. */
+
+  /** The READ schema a version was written with (including `_bucket` for
+    * bucketed stores), recorded so a version holding ZERO data files —
+    * a full takedown ([[deleteKeys]] of every key) legitimately produces
+    * one — stays readable: with no footers to infer from, the sidecar is
+    * the only schema source. None for pre-sidecar legacy versions. */
+  def versionSchema(root: String, version: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = Paths.get(root, s"v$version", SchemaFile)
+    if (!Files.exists(f)) None
+    else org.apache.spark.sql.types.DataType.fromJson(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8)) match {
+      case st: org.apache.spark.sql.types.StructType => Some(st)
+      case _ => None
+    }
+  }
+
   private def writeVersionManifest(staging: java.nio.file.Path,
-      kind: String): Unit = {
+      kind: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val walk = Files.walk(staging)
     val rel =
       try {
@@ -126,6 +145,8 @@ object SnapshotStore {
       rel.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.write(staging.resolve(KindFile),
       kind.getBytes(StandardCharsets.UTF_8))
+    Files.write(staging.resolve(SchemaFile),
+      schema.json.getBytes(StandardCharsets.UTF_8))
   }
 
   /** The data files of a published version AS ITS MANIFEST RECORDS THEM
@@ -221,7 +242,7 @@ object SnapshotStore {
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
-    writeVersionManifest(staging, kind = "base")
+    writeVersionManifest(staging, kind = "base", schema = df.schema)
     withFlipLock(root) {
       val next = maxVersion(root) + 1
       Files.move(staging, Paths.get(root, s"v$next"),
@@ -413,6 +434,18 @@ object SnapshotStore {
       case Some(files) if files.nonEmpty =>
         reader.option("basePath", dir)
           .parquet(files.map(f => s"$dir/$f"): _*)
+      case Some(_) =>
+        // a version with ZERO data files (a full-takedown deleteKeys is
+        // the legitimate producer) has no footers to infer from; the
+        // schema sidecar keeps the store readable — and therefore
+        // merge/append-able again — instead of bricked
+        val schema = versionSchema(root, v).getOrElse(
+          throw new IllegalStateException(
+            s"v$v under $root has an empty manifest and no schema " +
+              "sidecar (pre-sidecar legacy version?) — cannot read an " +
+              "empty version without a recorded schema"))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       case _ => reader.parquet(dir)
     }
   }
@@ -596,12 +629,13 @@ object SnapshotStore {
     writeBucketSpec(root, keyCol, nBuckets)
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    df.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+    val bucketed = df.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+    bucketed
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
-    writeVersionManifest(staging, kind = "base")
+    writeVersionManifest(staging, kind = "base", schema = bucketed.schema)
     withFlipLock(root) {
       taggedVersion(root, tag) match {
         case Some(v) => // a concurrent same-tag publisher won the race
@@ -645,6 +679,58 @@ object SnapshotStore {
             }
           }
         } finally stream.close()
+      }
+    }
+
+  /** Shared-column TYPE equality between a batch and the store — the
+    * name-only checks let a retyped column through, and both failure
+    * modes are silent: a mistyped KEY hashes to the wrong buckets
+    * (xxhash64 is type-sensitive), a mistyped value column straddles
+    * the version's files with two physical types. Evolution may ADD
+    * columns ([[append]] `allowNewColumns`), never retype one.
+    * Compared via the SQL type string, which deliberately IGNORES
+    * nullability (containsNull/nullable routinely differ between a
+    * freshly-built batch and a parquet read-back and are harmless to
+    * the hash and the file schema alike). */
+  private def requireMatchingTypes(batch: DataFrame, baseDf: DataFrame,
+      what: String): Unit = {
+    val baseTypes = baseDf.schema.fields
+      .filterNot(_.name == "_bucket").map(f => f.name -> f.dataType).toMap
+    batch.schema.fields.foreach { f =>
+      baseTypes.get(f.name).foreach { t =>
+        require(f.dataType.sql == t.sql,
+          s"$what column ${f.name} is ${f.dataType.sql} but the " +
+            s"store has ${t.sql}: cast the batch to the store's " +
+            "types first (bucketing and file schemas are type-sensitive)")
+      }
+    }
+  }
+
+  /** Commit a fully-staged version under the flip lock — the shared
+    * tail of [[merge]]/[[deleteKeys]]/[[append]]/[[compact]]: re-check
+    * the idempotence tag (a concurrent same-tag writer may have won),
+    * abort on a stale base (staging cleaned up, so a retrying caller
+    * leaks nothing per attempt), else claim max+1, move the staging dir
+    * in atomically, and advance the pointer. */
+  private def commitStaged(root: String, staging: java.nio.file.Path,
+      base: Long, tag: Option[String], op: String): Long =
+    withFlipLock(root) {
+      taggedVersion(root, tag) match {
+        case Some(v) => // a concurrent same-tag writer won the race
+          deleteRecursively(staging); v
+        case None =>
+          val cur = currentVersion(root)
+          if (cur != base) {
+            deleteRecursively(staging)
+            throw new IllegalStateException(
+              s"stale $op: computed against v$base but CURRENT is v$cur " +
+                s"under $root; re-run the $op against the new base")
+          }
+          val next = maxVersion(root) + 1
+          Files.move(staging, Paths.get(root, s"v$next"),
+            StandardCopyOption.ATOMIC_MOVE)
+          advancePointerLocked(root, next)
+          next
       }
     }
 
@@ -706,6 +792,7 @@ object SnapshotStore {
     require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
       s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
         s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
+    requireMatchingTypes(batch, baseDf, "merge batch")
     // one compute feeding bucket census, anti-join, and write; non-eager so
     // materialization folds into the first consumer's job
     val batchB = batch.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
@@ -725,38 +812,16 @@ object SnapshotStore {
       .join(batchB.select(col(keyCol)), Seq(keyCol), "left_anti")
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    survivors.unionByName(batchB)
+    val merged = survivors.unionByName(batchB)
+    merged
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
     // carry untouched buckets over as hardlinks ([[carryoverBuckets]])
     carryoverBuckets(root, base, staging, nBuckets, skip = touched)
-    writeVersionManifest(staging, kind = "rewrite")
-    withFlipLock(root) {
-      taggedVersion(root, tag) match {
-        case Some(v) => // a concurrent same-tag merger won the race
-          deleteRecursively(staging); v
-        case None =>
-          val cur = currentVersion(root)
-          if (cur != base) {
-            // clean the staged rewrite up BEFORE rethrowing: a retrying
-            // caller (e.g. a streaming compactEvery path racing an
-            // external writer) would otherwise leak one full staged
-            // rewrite per aborted attempt; vacuum additionally reaps any
-            // .staging-* a crash strands
-            deleteRecursively(staging)
-            throw new IllegalStateException(
-              s"stale merge: computed against v$base but CURRENT is v$cur " +
-                s"under $root; re-run the merge against the new base")
-          }
-          val next = maxVersion(root) + 1
-          Files.move(staging, Paths.get(root, s"v$next"),
-            StandardCopyOption.ATOMIC_MOVE)
-          advancePointerLocked(root, next)
-          next
-      }
-    }
+    writeVersionManifest(staging, kind = "rewrite", schema = merged.schema)
+    commitStaged(root, staging, base, tag, op = "merge")
   }
 
   /** DELETE-BY-KEY: remove every row whose key appears in `keys` and
@@ -790,12 +855,22 @@ object SnapshotStore {
         s"got ${keys.columns.mkString(",")}")
     val base = currentVersion(root)
     require(base > 0, s"no published version under $root")
+    val baseDf = read(spark, root, base, mergeSchema = true)
+    // TYPE check, not just name: xxhash64 bucketing is type-sensitive
+    // (xxhash64(3: Int) != xxhash64(3L)), so an Int keys frame against a
+    // Long-keyed store would census the WRONG buckets and "delete"
+    // nothing while returning success — a silent takedown failure
+    require( // .sql comparison: ignore nullability (see requireMatchingTypes)
+      keys.schema.head.dataType.sql == baseDf.schema(keyCol).dataType.sql,
+      s"keys column $keyCol is ${keys.schema.head.dataType.sql} " +
+        s"but the store's key is " +
+        s"${baseDf.schema(keyCol).dataType.sql}: bucketing is " +
+        "type-sensitive — cast the keys to the store's type first")
     val keysB = keys.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
       .localCheckpoint(eager = false)
     val touched = keysB.select(col("_bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return base // empty key set: nothing minted
-    val baseDf = read(spark, root, base, mergeSchema = true)
     val survivors = baseDf
       .filter(col("_bucket").isin(touched.toSeq.map(Int.box): _*))
       .join(keysB.select(col(keyCol)), Seq(keyCol), "left_anti")
@@ -807,26 +882,9 @@ object SnapshotStore {
     tag.foreach(t => Files.write(staging.resolve(TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
     carryoverBuckets(root, base, staging, nBuckets, skip = touched)
-    writeVersionManifest(staging, kind = "rewrite")
-    withFlipLock(root) {
-      taggedVersion(root, tag) match {
-        case Some(v) => // a concurrent same-tag deleter won the race
-          deleteRecursively(staging); v
-        case None =>
-          val cur = currentVersion(root)
-          if (cur != base) {
-            deleteRecursively(staging) // see merge: no staged leak
-            throw new IllegalStateException(
-              s"stale delete: computed against v$base but CURRENT is " +
-                s"v$cur under $root; re-run against the new base")
-          }
-          val next = maxVersion(root) + 1
-          Files.move(staging, Paths.get(root, s"v$next"),
-            StandardCopyOption.ATOMIC_MOVE)
-          advancePointerLocked(root, next)
-          next
-      }
-    }
+    writeVersionManifest(staging, kind = "rewrite",
+      schema = survivors.schema)
+    commitStaged(root, staging, base, tag, op = "delete")
   }
 
   /** APPEND (insert-only) a batch into a new version WITHOUT rewriting
@@ -886,10 +944,12 @@ object SnapshotStore {
       require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
         s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
           s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
+    requireMatchingTypes(batch, baseDf, "append batch")
     if (batch.isEmpty) return base // no-op: nothing minted (see merge)
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    batch.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+    val batchB = batch.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+    batchB
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
@@ -897,26 +957,14 @@ object SnapshotStore {
     // hardlink the ENTIRE base version's data into the staging dirs —
     // metadata-only carryover, fresh files and links merge per bucket dir
     carryoverBuckets(root, base, staging, nBuckets, skip = _ => false)
-    writeVersionManifest(staging, kind = "append")
-    withFlipLock(root) {
-      taggedVersion(root, tag) match {
-        case Some(v) => // a concurrent same-tag appender won the race
-          deleteRecursively(staging); v
-        case None =>
-          val cur = currentVersion(root)
-          if (cur != base) {
-            deleteRecursively(staging) // see merge: no staged leak
-            throw new IllegalStateException(
-              s"stale append: computed against v$base but CURRENT is v$cur " +
-                s"under $root; re-run the append against the new base")
-          }
-          val next = maxVersion(root) + 1
-          Files.move(staging, Paths.get(root, s"v$next"),
-            StandardCopyOption.ATOMIC_MOVE)
-          advancePointerLocked(root, next)
-          next
-      }
-    }
+    // the widest schema wins: an evolving append records the batch's
+    // union-compatible schema; a plain append records the base's
+    writeVersionManifest(staging, kind = "append",
+      schema = if (allowNewColumns) org.apache.spark.sql.types.StructType(
+          batchB.schema.fields ++ baseDf.schema.fields.filterNot(f =>
+            batchB.schema.fieldNames.contains(f.name)))
+        else baseDf.schema)
+    commitStaged(root, staging, base, tag, op = "append")
   }
 
   /** [[append]] under WRITE CONTENTION: two always-on pipelines feeding
@@ -1019,28 +1067,17 @@ object SnapshotStore {
     // bucket WITHOUT the evolved column — silent data loss in a "content
     // identical" layout op. The union schema NULL-fills old files, which
     // IS the store's read contract after an evolution.
-    read(spark, root, base, mergeSchema = true)
+    val compacted = read(spark, root, base, mergeSchema = true)
       .filter(col("_bucket").isin(fragmented.map(Int.box): _*))
+    compacted
       .repartition(fragmented.size, col("_bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
     carryoverBuckets(root, base, staging, nBuckets,
       skip = fragmented.contains)
-    writeVersionManifest(staging, kind = "rewrite")
-    withFlipLock(root) {
-      val cur = currentVersion(root)
-      if (cur != base) {
-        deleteRecursively(staging) // see merge: no staged-rewrite leak
-        throw new IllegalStateException(
-          s"stale compact: computed against v$base but CURRENT is v$cur " +
-            s"under $root; re-run against the new base")
-      }
-      val next = maxVersion(root) + 1
-      Files.move(staging, Paths.get(root, s"v$next"),
-        StandardCopyOption.ATOMIC_MOVE)
-      advancePointerLocked(root, next)
-      next
-    }
+    writeVersionManifest(staging, kind = "rewrite",
+      schema = compacted.schema)
+    commitStaged(root, staging, base, tag = None, op = "compact")
   }
 
   /** Drop version dirs older than the newest `keep` versions behind the

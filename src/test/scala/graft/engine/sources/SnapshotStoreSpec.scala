@@ -510,6 +510,29 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](
       SnapshotStore.readSince(spark, r, 1L))
     assert(e.getMessage.contains("unsound"))
+    // TYPE mismatch is a loud error, not a silent no-delete: an Int
+    // keys frame hashes to different buckets than the Long-keyed store
+    val te = intercept[IllegalArgumentException] {
+      SnapshotStore.deleteKeys(Seq(7, 23).toDF("k"), r)
+    }
+    assert(te.getMessage.contains("type-sensitive"))
+  }
+
+  test("deleteKeys FULL takedown: the emptied version reads back via " +
+      "the schema sidecar and the store stays writable") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), r, "k", nBuckets = 2)
+    SnapshotStore.deleteKeys(Seq(1L, 2L).toDF("k"), r) // everything gone
+    val empty = SnapshotStore.read(spark, r)
+    assert(empty.count() == 0L,
+      "a fully-taken-down store must read as zero rows, not throw")
+    assert(empty.columns.toSet == Set("k", "s", "_bucket"),
+      "the sidecar must preserve the store's schema")
+    // …and the store is not bricked: later writes see the empty base
+    SnapshotStore.append(Seq((3L, "c")).toDF("k", "s"), r)
+    assert(SnapshotStore.read(spark, r).select("k").as[Long]
+      .collect().toSet == Set(3L))
   }
 
   test("vacuum retainMs: a version inside the retention horizon " +
