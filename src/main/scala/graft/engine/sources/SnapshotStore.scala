@@ -239,6 +239,13 @@ object SnapshotStore {
     * A publisher that dies mid-write leaves only an ignored `.staging-*`
     * dir — CURRENT still resolves to the last good version. */
   def publish(df: DataFrame, root: String): Long = {
+    // a plain publish on a BUCKETED store would flip CURRENT to a version
+    // without _bucket and wedge every later merge/append/compact with a
+    // misleading column-mismatch error — refuse at the right moment
+    require(readBucketSpec(root).isEmpty,
+      s"$root is a bucketed store (publishBucketed/merge/append/" +
+        "deleteKeys are its writers); a plain publish would strip the " +
+        "_bucket layout and wedge incremental writers")
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
@@ -294,8 +301,15 @@ object SnapshotStore {
     * `staleMs` must exceed the worst-case critical-section pause; the
     * section itself is a dir rename + pointer write (milliseconds), and
     * [[advancePointerLocked]]'s forward-only check backstops publish even
-    * if a pathological pause defeats the lease. Package-private so the spec
-    * can drive the ownership-loss path directly. */
+    * if a pathological pause defeats the lease.
+    *
+    * KNOWN CONSTRAINT: the lease duration is a WAITER-side parameter and
+    * is not advertised in the lock file, so every writer of one root
+    * must use the same `staleMs` — a short-lease contender would break a
+    * healthy long-lease holder (ZOrder's 600 s writers and the 60 s
+    * default never share a root today; advertising the lease in the
+    * lock file is the upgrade path if they ever do). Package-private so
+    * the spec can drive the ownership-loss path directly. */
   private[sources] def withFlipLock[A](root: String, staleMs: Long = 60000L)(body: => A): A =
     withFlipLockRenewable(root, staleMs)(_ => body)
 
@@ -332,42 +346,79 @@ object SnapshotStore {
       if (!readLockToken(lock).contains(token)) lost()
     }
     var waitedMs = 0L
-    while (true) {
-      var acquired = false
-      while (!acquired) {
-        try {
-          Files.createFile(lock) // atomic create-no-overwrite
-          Files.write(lock, token.getBytes(StandardCharsets.UTF_8))
-          // confirm the stamp stuck (a breaker could have renamed the
-          // not-yet-stamped file away between create and write)
-          acquired = readLockToken(lock).contains(token)
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            val observed = readLockToken(lock)
-            val age = try System.currentTimeMillis() -
-              Files.getLastModifiedTime(lock).toMillis
-            catch { case _: java.nio.file.NoSuchFileException => 0L }
-            if (age > staleMs) breakStaleLock(lock, observed)
-            else {
-              Thread.sleep(10)
-              waitedMs += 10
-              require(waitedMs < staleMs * 2, s"could not acquire flip lock $lock")
-            }
-        }
-      }
-      // last-moment ownership check: if we paused long enough to be broken
-      // between stamping and here, another writer may hold the lock now —
-      // re-enter the acquire loop rather than flip under a lock we lost
-      if (readLockToken(lock).contains(token)) {
-        try return body(renew)
-        finally {
-          // release only what we still own; deleting a successor's fresh
-          // lock would let a third writer in alongside them
-          if (readLockToken(lock).contains(token)) Files.deleteIfExists(lock)
-        }
+    // the lock exists and is someone else's: age it, maybe break it,
+    // else back off (shared by the primary and degraded acquire paths)
+    def contend(): Unit = {
+      val observed = readLockToken(lock)
+      val age = try System.currentTimeMillis() -
+        Files.getLastModifiedTime(lock).toMillis
+      catch { case _: java.nio.file.NoSuchFileException => 0L }
+      if (age > staleMs) breakStaleLock(lock, observed)
+      else {
+        Thread.sleep(10)
+        waitedMs += 10
+        require(waitedMs < staleMs * 2, s"could not acquire flip lock $lock")
       }
     }
-    throw new IllegalStateException("unreachable")
+    // STAMP-AT-BIRTH: the token is written to a private tmp file and the
+    // lock CREATED as an atomic hardlink to it, so (a) the lock never
+    // exists empty (the old create-then-stamp protocol had an unstamped
+    // window a breaker could misjudge) and (b) this writer never write()s
+    // into the shared lock path at all — a writer that stalled past its
+    // lease and was broken could otherwise TRUNCATE the successor's live
+    // lock with its own late stamp, silently re-admitting itself into a
+    // critical section the successor already occupies (the
+    // mutual-exclusion hole the r16 review found).
+    val stampTmp = lock.resolveSibling(s".CURRENT.lock.stamp.$token")
+    try {
+      Files.write(stampTmp, token.getBytes(StandardCharsets.UTF_8))
+      while (true) {
+        var acquired = false
+        while (!acquired) {
+          try {
+            Files.createLink(lock, stampTmp) // atomic create-no-overwrite
+            acquired = readLockToken(lock).contains(token)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => contend()
+            case _: UnsupportedOperationException |
+                _: java.nio.file.FileSystemException =>
+              // no hardlink support: degraded two-step create+stamp. The
+              // stamp opens WRITE-only (no CREATE), so a lock broken and
+              // re-created by a successor between the two steps makes
+              // the late stamp THROW instead of clobbering it (the
+              // clobber window narrows to the successor re-creating the
+              // path between our createFile and write — microseconds,
+              // and only on filesystems without hardlinks)
+              try {
+                Files.createFile(lock)
+                try Files.write(lock,
+                  token.getBytes(StandardCharsets.UTF_8),
+                  java.nio.file.StandardOpenOption.WRITE,
+                  java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+                catch { case _: java.nio.file.NoSuchFileException => () }
+                acquired = readLockToken(lock).contains(token)
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  contend()
+              }
+          }
+        }
+        // last-moment ownership check: if we paused long enough to be
+        // broken between stamping and here, another writer may hold the
+        // lock now — re-enter the acquire loop rather than flip under a
+        // lock we lost
+        if (readLockToken(lock).contains(token)) {
+          try return body(renew)
+          finally {
+            // release only what we still own; deleting a successor's
+            // fresh lock would let a third writer in alongside them
+            if (readLockToken(lock).contains(token))
+              Files.deleteIfExists(lock)
+          }
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally Files.deleteIfExists(stampTmp)
   }
 
   private def readLockToken(lock: java.nio.file.Path): Option[String] =
@@ -472,7 +523,11 @@ object SnapshotStore {
       toVersion: Long = 0L): Option[DataFrame] = {
     val to = if (toVersion > 0) toVersion else currentVersion(root)
     require(to > 0, s"no published version under $root")
-    if (fromVersion <= 0L) return Some(read(spark, root, to))
+    // mergeSchema for the same reason as the delta branch below: a new
+    // consumer of an EVOLVED store must bootstrap with the union schema,
+    // not one sampled footer's
+    if (fromVersion <= 0L)
+      return Some(read(spark, root, to, mergeSchema = true))
     require(fromVersion <= to,
       s"readSince from v$fromVersion > to v$to under $root")
     if (fromVersion == to) return None
@@ -518,15 +573,23 @@ object SnapshotStore {
     else new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
   }
 
-  /** Advance `consumer`'s cursor (monotonic: regressions are ignored so a
-    * replayed epoch can never un-consume). */
+  /** Advance `consumer`'s cursor (monotonic: regressions are ignored so
+    * a replayed epoch can never un-consume). The check-then-write runs
+    * under the root's flip lock: two instances of the same consumer (a
+    * replayed epoch racing a live one) could otherwise interleave
+    * check/rename and regress the cursor — which, after a vacuum, would
+    * wedge every later fold on readSince's lineage check. Cursor writes
+    * are rare maintenance-path events; the lock is O(1). */
   def setConsumedThrough(root: String, consumer: String,
-      version: Long): Unit = {
-    if (version <= consumedThrough(root, consumer)) return
-    val tmp = Paths.get(root, s"._CONSUMED_$consumer.tmp.${System.nanoTime()}")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(root, s"_CONSUMED_$consumer"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      version: Long): Unit = withFlipLock(root) {
+    if (version <= consumedThrough(root, consumer)) ()
+    else {
+      val tmp =
+        Paths.get(root, s"._CONSUMED_$consumer.tmp.${System.nanoTime()}")
+      Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(root, s"_CONSUMED_$consumer"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Row-level diff between two published versions: rows only in
@@ -543,10 +606,25 @@ object SnapshotStore {
     * key+content-hash projection instead of full rows. */
   def diff(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
-    val from = read(spark, root, fromVersion)
-    val to = read(spark, root, toVersion)
-    to.exceptAll(from).withColumn("change", lit("added"))
-      .unionByName(from.exceptAll(to).withColumn("change", lit("removed")))
+    // mergeSchema + column alignment: across a schema evolution the two
+    // versions have different column sets — without alignment exceptAll
+    // either throws (widths differ) or, with a narrow footer sample,
+    // silently compares minus the evolved column; NULL-filling the
+    // missing side makes "this row gained a value in the new column"
+    // surface as added+removed, which IS the honest row-level diff
+    val from = read(spark, root, fromVersion, mergeSchema = true)
+    val to = read(spark, root, toVersion, mergeSchema = true)
+    val fieldByName = (to.schema.fields ++ from.schema.fields)
+      .groupBy(_.name).map { case (n, fs) => n -> fs.head.dataType }
+    val names = (to.columns ++ from.columns).distinct.toSeq
+    def align(df: DataFrame): DataFrame =
+      df.select(names.map(n =>
+        if (df.columns.contains(n)) col(n)
+        else lit(null).cast(fieldByName(n)).as(n)): _*)
+    val f = align(from)
+    val t = align(to)
+    t.exceptAll(f).withColumn("change", lit("added"))
+      .unionByName(f.exceptAll(t).withColumn("change", lit("removed")))
   }
 
   // ---- bucketed layout + MERGE (incremental corpus refresh) --------------
@@ -636,18 +714,10 @@ object SnapshotStore {
     tag.foreach(t => Files.write(staging.resolve(TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
     writeVersionManifest(staging, kind = "base", schema = bucketed.schema)
-    withFlipLock(root) {
-      taggedVersion(root, tag) match {
-        case Some(v) => // a concurrent same-tag publisher won the race
-          deleteRecursively(staging); v
-        case None =>
-          val next = maxVersion(root) + 1
-          Files.move(staging, Paths.get(root, s"v$next"),
-            StandardCopyOption.ATOMIC_MOVE)
-          advancePointerLocked(root, next)
-          next
-      }
-    }
+    // base = -1: a full publish claims max+1 unconditionally (two racing
+    // bucketed publishers land DISTINCT versions by design); the shared
+    // tail still gives the tag re-check and the staging integrity fence
+    commitStaged(root, staging, base = -1L, tag, op = "bucketed publish")
   }
 
   /** Hardlink every data file of `base`'s bucket directories into
@@ -720,11 +790,31 @@ object SnapshotStore {
           deleteRecursively(staging); v
         case None =>
           val cur = currentVersion(root)
-          if (cur != base) {
+          if (base >= 0 && cur != base) {
             deleteRecursively(staging)
-            throw new IllegalStateException(
+            throw new StalePublishException(
               s"stale $op: computed against v$base but CURRENT is v$cur " +
                 s"under $root; re-run the $op against the new base")
+          }
+          // integrity fence against the staging reaper: a vacuum that
+          // misjudged this staging as abandoned (e.g. while we waited on
+          // a contended lock longer than its stagingStaleMs) may have
+          // half-deleted it — verify every manifest-listed file still
+          // exists BEFORE making it a version, or every read of the new
+          // CURRENT would throw FileNotFound
+          val mf = staging.resolve(ManifestFile)
+          val missing =
+            if (!Files.exists(mf)) Seq(ManifestFile)
+            else new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+              .split('\n').toSeq.filter(_.nonEmpty)
+              .filterNot(rel => Files.exists(staging.resolve(rel)))
+          if (missing.nonEmpty) {
+            deleteRecursively(staging)
+            throw new IllegalStateException(
+              s"staged $op under $root lost files before commit (likely " +
+                "reaped as stale by a concurrent vacuum — raise its " +
+                s"stagingStaleMs above the lock wait): " +
+                s"${missing.take(3).mkString(",")}; re-run the $op")
           }
           val next = maxVersion(root) + 1
           Files.move(staging, Paths.get(root, s"v$next"),
@@ -985,9 +1075,11 @@ object SnapshotStore {
     while (attempt <= maxRetries) {
       try return append(batch(), root, tag)
       catch {
-        case e: IllegalStateException
-            if e.getMessage != null &&
-              e.getMessage.startsWith("stale append") =>
+        // the TYPE is the retry protocol (not message-sniffing): only a
+        // lost optimistic base race is safe to re-run — the store's other
+        // IllegalStateExceptions (lost lock, unsound readSince, reaped
+        // staging) must propagate
+        case e: StalePublishException =>
           last = e
           attempt += 1
       }
@@ -1104,10 +1196,19 @@ object SnapshotStore {
     * the staging subtree, because a running Spark write lands part-files
     * under `_temporary/` task directories without ever touching the
     * top-level dir's mtime — aging by the top-level mtime alone would
-    * reap a >60 s in-flight publish mid-write. The subtree walk is
-    * bounded by the staged file count (a maintenance-path cost). */
+    * reap a long in-flight publish mid-write. The subtree walk is
+    * bounded by the staged file count (a maintenance-path cost).
+    * `stagingStaleMs` must exceed the longest time a FINISHED staging
+    * can sit waiting on a contended flip lock (the acquire loop allows
+    * 2x the lock's staleMs, i.e. 120 s at defaults — hence the 300 s
+    * default with margin): a reap racing a waiting publisher would
+    * half-delete a dir the publisher is about to commit.
+    * [[commitStaged]] backstops even that misconfiguration — it
+    * re-verifies every manifest-listed file exists under the lock
+    * before the move, so the worst case is a loud aborted publish,
+    * never a published version with missing files. */
   def vacuum(root: String, keep: Int = 1,
-      stagingStaleMs: Long = 60000L, retainMs: Long = 0L): Seq[Long] = {
+      stagingStaleMs: Long = 300000L, retainMs: Long = 0L): Seq[Long] = {
     val rootDir = Paths.get(root)
     def newestMtime(p: java.nio.file.Path): Long = {
       // a LIVE publisher's commit renames files out of _temporary/ while
@@ -1155,3 +1256,12 @@ object SnapshotStore {
     }
   }
 }
+
+/** A staged write lost the optimistic base check: a concurrent writer
+  * advanced CURRENT past the version this write was computed against.
+  * The ONE retryable condition in the store — [[SnapshotStore
+  * .appendContended]] catches exactly this type, so the unrelated
+  * IllegalStateExceptions (lost lock, unsound readSince, missing
+  * manifest) can never be retried into corruption by message-sniffing. */
+final class StalePublishException(msg: String)
+  extends IllegalStateException(msg)

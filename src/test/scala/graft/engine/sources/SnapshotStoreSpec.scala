@@ -518,6 +518,45 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(te.getMessage.contains("type-sensitive"))
   }
 
+  test("a plain publish on a bucketed store is refused (it would strip " +
+      "the _bucket layout and wedge incremental writers)") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a")).toDF("k", "s"), r, "k", nBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.publish(Seq((2L, "b")).toDF("k", "s"), r)
+    }
+    assert(e.getMessage.contains("bucketed store"))
+  }
+
+  test("diff across a schema evolution NULL-aligns the columns instead " +
+      "of throwing or silently dropping the evolved column") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), r, "k", nBuckets = 2) // v1
+    SnapshotStore.append(Seq((3L, "c", 0.5)).toDF("k", "s", "q"),
+      r, allowNewColumns = true) // v2, wider
+    val d = SnapshotStore.diff(spark, r, 1L, 2L)
+    assert(d.columns.contains("q"), "the evolved column must survive")
+    val added = d.filter(col("change") === "added")
+      .select("k").as[Long].collect().toSet
+    assert(added == Set(3L), s"only the appended row is added, got $added")
+    assert(d.filter(col("change") === "removed").isEmpty)
+  }
+
+  test("readSince from cursor 0 returns the UNION schema of an evolved " +
+      "store (a new consumer must not bootstrap narrow)") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a")).toDF("k", "s"), r, "k", nBuckets = 2)
+    SnapshotStore.append(Seq((2L, "b", 0.7)).toDF("k", "s", "q"),
+      r, allowNewColumns = true)
+    val boot = SnapshotStore.readSince(spark, r, 0L).get
+    assert(boot.columns.contains("q"),
+      "cursor-0 bootstrap must carry the evolved column")
+    assert(boot.count() == 2L)
+  }
+
   test("deleteKeys FULL takedown: the emptied version reads back via " +
       "the schema sidecar and the store stays writable") {
     val r = root()
