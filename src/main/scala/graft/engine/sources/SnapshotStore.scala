@@ -376,6 +376,18 @@ object SnapshotStore {
         var acquired = false
         while (!acquired) {
           try {
+            // re-stamp the inode's mtime at EVERY attempt: link(2) copies
+            // the inode (whose mtime was set when stampTmp was written,
+            // possibly up to 2*staleMs ago after a long contention wait),
+            // so without this a winner that waited W ms would acquire a
+            // lock already W ms into its lease — immediately breakable by
+            // the next contender while the winner is inside its critical
+            // section (mutual-exclusion hole). Touching stampTmp just
+            // before the link makes the lease start at acquisition, same
+            // as the degraded createFile path and renew().
+            Files.setLastModifiedTime(stampTmp,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis()))
             Files.createLink(lock, stampTmp) // atomic create-no-overwrite
             acquired = readLockToken(lock).contains(token)
           } catch {
@@ -615,7 +627,20 @@ object SnapshotStore {
     val from = read(spark, root, fromVersion, mergeSchema = true)
     val to = read(spark, root, toVersion, mergeSchema = true)
     val fieldByName = (to.schema.fields ++ from.schema.fields)
-      .groupBy(_.name).map { case (n, fs) => n -> fs.head.dataType }
+      .groupBy(_.name).map { case (n, fs) =>
+        // a shared column whose type DIFFERS across the two versions
+        // (possible via a full republish that retyped a column on an
+        // unbucketed store) has no honest alignment: picking either side
+        // makes exceptAll throw or silently coerce the other. Fail with
+        // the retype named, matching requireMatchingTypes' posture.
+        val types = fs.map(_.dataType).distinct
+        require(types.length == 1,
+          s"diff($fromVersion, $toVersion) at $root: column '$n' was " +
+            s"retyped between the two versions (${types.mkString(" vs ")})" +
+            " — a row-level diff across a retype is not well-defined; " +
+            "diff within each type era, or republish with a cast first")
+        n -> types.head
+      }
     val names = (to.columns ++ from.columns).distinct.toSeq
     def align(df: DataFrame): DataFrame =
       df.select(names.map(n =>
@@ -1172,9 +1197,47 @@ object SnapshotStore {
     commitStaged(root, staging, base, tag = None, op = "compact")
   }
 
+  /** Every registered consumer cursor under `root` (consumer name →
+    * consumed-through version). An unreadable cursor file maps to 0 —
+    * the conservative floor that makes [[vacuum]] retain everything
+    * rather than reap a version a consumer whose cursor we cannot parse
+    * might still need. In-flight `._CONSUMED_*.tmp.*` writes are dotted
+    * and excluded. */
+  def consumers(root: String): Map[String, Long] = {
+    val d = Paths.get(root)
+    if (!Files.exists(d)) Map.empty
+    else {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.flatMap { p =>
+          val n = p.getFileName.toString
+          if (!n.startsWith("_CONSUMED_")) None
+          else Some(n.stripPrefix("_CONSUMED_") ->
+            (try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+              .trim.toLong
+            catch { case _: Exception => 0L }))
+        }.toMap
+      } finally s.close()
+    }
+  }
+
   /** Drop version dirs older than the newest `keep` versions behind the
     * current pointer (current itself always survives). Returns the dropped
     * version numbers.
+    *
+    * CONSUMER-AWARE: the reap horizon is additionally floored at
+    * `min(consumedThrough)` over every registered [[consumers]] cursor —
+    * a consumer at cursor c needs v_c to SURVIVE (its manifest is the
+    * base of the next [[readSince]] file-diff) plus everything after it,
+    * so only versions strictly below every cursor are reapable. Without
+    * the floor, an aggressive vacuum reaps a slow q138/x70 consumer's
+    * cursor version and its next readSince throws ("needs a manifest on
+    * v_from") forcing a full resync — loud, but the store was already
+    * persisting exactly the retention floor the consumer needed.
+    * `ignoreConsumers` is the escape hatch for ABANDONED cursors: named
+    * consumers are excluded from the floor (and an operator should then
+    * delete the stale `_CONSUMED_<name>` file outright).
     *
     * `retainMs` is the TIME-TRAVEL RETENTION horizon (the lakehouse
     * `VACUUM … RETAIN n HOURS` contract): when > 0, a version YOUNGER
@@ -1208,7 +1271,8 @@ object SnapshotStore {
     * before the move, so the worst case is a loud aborted publish,
     * never a published version with missing files. */
   def vacuum(root: String, keep: Int = 1,
-      stagingStaleMs: Long = 300000L, retainMs: Long = 0L): Seq[Long] = {
+      stagingStaleMs: Long = 300000L, retainMs: Long = 0L,
+      ignoreConsumers: Set[String] = Set.empty): Seq[Long] = {
     val rootDir = Paths.get(root)
     def newestMtime(p: java.nio.file.Path): Long = {
       // a LIVE publisher's commit renames files out of _temporary/ while
@@ -1243,7 +1307,11 @@ object SnapshotStore {
       } finally s.close()
     }
     val cur = currentVersion(root)
-    (1L until cur - keep).filter { v =>
+    // consumer floor: v_cursor itself must survive (readSince's diff base)
+    val cursorFloor = consumers(root)
+      .filterNot { case (c, _) => ignoreConsumers(c) }
+      .values.foldLeft(Long.MaxValue)(math.min)
+    (1L until math.min(cur - keep, cursorFloor)).filter { v =>
       val dir = Paths.get(root, s"v$v")
       val pastRetention = retainMs <= 0L ||
         (try System.currentTimeMillis() -

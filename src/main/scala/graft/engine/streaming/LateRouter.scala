@@ -61,10 +61,18 @@ object LateRouter {
     val f = ledgerFile(ledgerDir)
     if (!Files.exists(f)) None
     else {
-      val Array(b, w0, w1) =
-        new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-          .trim.split("\\s+")
-      Some(WmRecord(b.toLong, w0.toLong, w1.toLong))
+      val raw = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val parts = raw.trim.split("\\s+")
+      // loud failure on a malformed ledger (matches wmFor's over-horizon
+      // posture): a bare MatchError/NumberFormatException here would hide
+      // WHICH file is corrupt and what it held. The write path is
+      // tmp+atomic-rename so this indicates external damage, not a torn
+      // write — refuse rather than guess a watermark.
+      if (parts.length != 3 || !parts.forall(_.matches("-?\\d+")))
+        throw new IllegalStateException(
+          s"late-router ledger $f is corrupt: expected '<batchId> " +
+            s"<wmBefore> <wmAfter>', found '${raw.trim.take(200)}'")
+      Some(WmRecord(parts(0).toLong, parts(1).toLong, parts(2).toLong))
     }
   }
 

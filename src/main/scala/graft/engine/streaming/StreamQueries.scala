@@ -1530,7 +1530,16 @@ object StreamQueries {
                 aggRoot, tag = Some(s"backfill-v$qv"))
               val n = quar.count()
               SnapshotStore.setConsumedThrough(quarRoot, consumer, qv)
-              SnapshotStore.vacuum(quarRoot, keep = 0)
+              // keep = 1, NOT 0: the quarantine versions carry the
+              // router's per-batch idempotence tags (batch-<id>), and a
+              // drain that runs concurrently with a LIVE router must not
+              // reap the newest tag-bearing version inside the one-epoch
+              // replay horizon — a replayed foreachBatch epoch whose tag
+              // was vacuumed away would re-append its late rows as a new
+              // version ABOVE the cursor and the next fold would
+              // double-count them. versionTags' own contract: "any
+              // keep >= 1 horizon is safe in practice".
+              SnapshotStore.vacuum(quarRoot, keep = 1)
               n
           }
         }

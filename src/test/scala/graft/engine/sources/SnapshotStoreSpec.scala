@@ -643,6 +643,34 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(fresh.get.select("k").as[Long].collect().toSet == Set(3L))
   }
 
+  test("cursor-aware vacuum: a slow consumer's cursor version survives an " +
+      "aggressive vacuum; ignoreConsumers overrides an abandoned cursor") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a")).toDF("k", "s"), r, "k", nBuckets = 2) // v1
+    SnapshotStore.append(Seq((2L, "b")).toDF("k", "s"), r) // v2
+    SnapshotStore.append(Seq((3L, "c")).toDF("k", "s"), r) // v3
+    SnapshotStore.append(Seq((4L, "d")).toDF("k", "s"), r) // v4
+    SnapshotStore.setConsumedThrough(r, "slow", 2L)
+    assert(SnapshotStore.consumers(r) == Map("slow" -> 2L))
+    // keep = 0 would reap v1..v3 — the floor holds it at the cursor:
+    // v2 itself must survive (it is the next readSince's diff base)
+    val dropped = SnapshotStore.vacuum(r, keep = 0)
+    assert(dropped == Seq(1L), s"got $dropped")
+    // the slow consumer resumes exactly where it left off, no resync
+    val delta = SnapshotStore.readSince(spark, r, 2L)
+    assert(delta.get.select("k").as[Long].collect().toSet == Set(3L, 4L))
+    // abandoned-cursor escape hatch: excluded from the floor, the reap
+    // proceeds past it…
+    val dropped2 =
+      SnapshotStore.vacuum(r, keep = 0, ignoreConsumers = Set("slow"))
+    assert(dropped2 == Seq(2L, 3L), s"got $dropped2")
+    // …and the abandoned consumer then fails LOUDLY, never silently
+    intercept[IllegalStateException] {
+      SnapshotStore.readSince(spark, r, 2L)
+    }
+  }
+
   test("schema evolution: additive append widens, merged read NULL-fills " +
       "old files, time travel keeps each version's own schema") {
     val r = root()
