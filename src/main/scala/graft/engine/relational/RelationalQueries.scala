@@ -1487,9 +1487,149 @@ object RelationalQueries {
       "the deletion is complete everywhere; oracle = export recomputed " +
       "minus the takedown set")
 
+  /** q141 — INCREMENTAL EXPORT RESYNC ACROSS A REWRITE (VERDICT r16
+    * item 2, the last documented caveat in the resumable-export story):
+    * q138's `readSince` leg is sound only over append lineage — a CDC
+    * upsert (q137) or takedown (q140) in the interval REWRITES files,
+    * readSince refuses loudly, and until now no registered query pinned
+    * what the consumer does NEXT. This is that path: the export consumer
+    * wakes at cursor c, finds rewrite-kind versions above it, and
+    * resyncs via [[graft.engine.sources.SnapshotStore.diff]] — the
+    * ROW-level delta between its cursor version and current —
+    * `removed` rows [[graft.engine.sources.SnapshotStore.deleteKeys]]
+    * out of the derived export (a changed doc deletes its OLD row;
+    * delete runs FIRST so the new content survives), `added` rows shard
+    * by the same md5 draw and append. Tagged, so an at-least-once
+    * resync worker can't double-apply. Pinned: `readsince_refused` (the
+    * lineage guard really fired), `one_row_per_key`,
+    * `export_matches_full` (exceptAll both ways against a from-scratch
+    * recompute of the final corpus — the eventual-consistency contract),
+    * `replay_noop`, `n_export_versions` == 4 (full, append-sync, resync
+    * delete, resync append — never a rebuild). Scale posture: the diff
+    * is one hash shuffle of two corpus snapshots (the resync is RARE —
+    * the routine path is q138's O(delta) readSince); applying it costs
+    * O(touched buckets) + O(added rows), never an export rebuild. */
+  val q141 = GraftQuery(
+    "q141_export_resync_rewrite",
+    (spark, sfDir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q141_resync_${ProcessHandle.current().pid()}"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
+      import graft.engine.sources.SnapshotStore
+      import graft.engine.llm.Curation
+      val corpusRoot = s"$base/corpus"
+      val exportRoot = s"$base/export"
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"))
+      def sharded(d: DataFrame): DataFrame =
+        Curation.shuffleShards(d, "doc_id", nShards = 8)
+          .drop("shuffle_key")
+      // crawl 1 (4/5 of the corpus) -> corpus v1; full export v1; cursor
+      SnapshotStore.publishBucketed(
+        docs.filter(col("doc_id") % 5 =!= 0), corpusRoot, "doc_id", 32)
+      SnapshotStore.publishBucketed(
+        sharded(SnapshotStore.read(spark, corpusRoot).drop("_bucket")),
+        exportRoot, "doc_id", 32)
+      SnapshotStore.setConsumedThrough(corpusRoot, "export", 1L)
+      // crawl 2 (append-only): the ROUTINE q138 sync still works…
+      SnapshotStore.append(
+        docs.filter(col("doc_id") % 5 === 0), corpusRoot) // corpus v2
+      SnapshotStore.readSince(spark, corpusRoot, 1L).foreach { delta =>
+        SnapshotStore.append(
+          sharded(delta.drop("_bucket")).localCheckpoint(),
+          exportRoot, tag = Some("sync-v2")) // export v2
+      }
+      SnapshotStore.setConsumedThrough(corpusRoot, "export", 2L)
+      // …then a CDC re-crawl (changed content + discoveries, q137 shape)
+      // and a takedown REWRITE the corpus past the consumer's cursor
+      SnapshotStore.merge(docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), (col("n_chars") * 2 + 17).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 100 === 42)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            col("n_chars"))),
+        corpusRoot) // corpus v3 (rewrite kind)
+      SnapshotStore.deleteKeys(
+        docs.filter(col("doc_id") % 17 === 3 && col("doc_id") < 100)
+          .select(col("doc_id")), corpusRoot) // corpus v4 (rewrite kind)
+      // the lineage guard refuses the unsound file-diff…
+      val cursor = SnapshotStore.consumedThrough(corpusRoot, "export")
+      val corpusV = SnapshotStore.currentVersion(corpusRoot)
+      val refused =
+        try { SnapshotStore.readSince(spark, corpusRoot, cursor); false }
+        catch { case _: IllegalStateException => true }
+      // …so the consumer resyncs on the ROW-level diff instead
+      val delta = SnapshotStore.diff(spark, corpusRoot, cursor, corpusV)
+        .localCheckpoint()
+      val removedKeys = delta.filter(col("change") === "removed")
+        .select(col("doc_id")).distinct().localCheckpoint()
+      val added = delta.filter(col("change") === "added")
+        .drop("change", "_bucket").localCheckpoint()
+      // delete FIRST: a changed doc is removed+added under the same key,
+      // and the delete must not eat the freshly-appended new content
+      val vDel = SnapshotStore.deleteKeys(removedKeys, exportRoot,
+        tag = Some(s"resync-del-v$corpusV")) // export v3
+      SnapshotStore.append(sharded(added), exportRoot,
+        tag = Some(s"resync-add-v$corpusV")) // export v4
+      SnapshotStore.setConsumedThrough(corpusRoot, "export", corpusV)
+      // at-least-once worker: both tagged steps replay as no-ops
+      val replayNoop =
+        SnapshotStore.deleteKeys(removedKeys, exportRoot,
+          tag = Some(s"resync-del-v$corpusV")) == vDel &&
+        SnapshotStore.append(sharded(added), exportRoot,
+          tag = Some(s"resync-add-v$corpusV")) ==
+          SnapshotStore.currentVersion(exportRoot)
+      val cur = SnapshotStore.read(spark, exportRoot)
+        .drop("_bucket").localCheckpoint()
+      val full = sharded(
+        SnapshotStore.read(spark, corpusRoot).drop("_bucket"))
+      val matchesFull =
+        cur.exceptAll(full).isEmpty && full.exceptAll(cur).isEmpty
+      val oneRowPerKey = cur.groupBy(col("doc_id")).count()
+        .filter(col("count") > 1).isEmpty
+      cur.groupBy(col("shard_id"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("shard_chars"))
+        .withColumn("readsince_refused", lit(refused))
+        .withColumn("one_row_per_key", lit(oneRowPerKey))
+        .withColumn("export_matches_full", lit(matchesFull))
+        .withColumn("replay_noop", lit(replayNoop))
+        .withColumn("n_export_versions",
+          lit(SnapshotStore.currentVersion(exportRoot)))
+        .orderBy(col("shard_id"))
+    },
+    Some("""WITH c1 AS (SELECT doc_id, n_chars, 1 AS v FROM documents),
+      c2 AS (SELECT doc_id, n_chars * 2 + 17 AS n_chars, 2 AS v
+          FROM documents WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id + 5000000 AS doc_id, n_chars, 2 AS v
+          FROM documents WHERE doc_id % 100 = 42),
+      latest AS (
+        SELECT * FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY v DESC) = 1),
+      kept AS (SELECT doc_id, n_chars FROM latest
+        WHERE NOT (doc_id % 17 = 3 AND doc_id < 100)),
+      sharded AS (SELECT doc_id, n_chars,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 8 AS shard_id
+        FROM kept)
+      SELECT shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+        TRUE AS readsince_refused, TRUE AS one_row_per_key,
+        TRUE AS export_matches_full, TRUE AS replay_noop,
+        CAST(4 AS BIGINT) AS n_export_versions
+      FROM sharded GROUP BY shard_id ORDER BY shard_id"""),
+    doc = "incremental export resync across a CDC rewrite: readSince " +
+      "refuses the rewrite-kind interval (pinned), the consumer falls " +
+      "back to the row-level diff — removed keys deleteKey out of the " +
+      "derived export, added rows shard-append — tagged replay no-ops, " +
+      "final export == full recompute; oracle = ROW_NUMBER-latest minus " +
+      "takedowns, md5-sharded")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
-    q137, q139, q140)
+    q137, q139, q140, q141)
 }
