@@ -654,24 +654,71 @@ object SnapshotStore {
 
   // ---- bucketed layout + MERGE (incremental corpus refresh) --------------
 
+  /** The columns of a bucket-key spec: a COMPOSITE identity is spelled
+    * as a comma-separated list ("doc_id,lang") — recorded verbatim in
+    * BUCKETSPEC, split here everywhere the store needs the columns.
+    * Single-column specs (every pre-composite store) split to
+    * themselves, so the on-disk format and the hash are both unchanged
+    * for them. */
+  def bucketKeyCols(keySpec: String): Seq[String] =
+    keySpec.split(',').map(_.trim).toSeq
+
   /** The stable key→bucket assignment shared by [[publishBucketed]] and
     * [[merge]] — both sides MUST compute it identically or merge would
-    * rewrite the wrong partitions. Null keys hash deterministically (to
-    * the hash seed's bucket); upserting by a null key is the caller's
+    * rewrite the wrong partitions. A composite key hashes all its
+    * columns in ONE xxhash64 (order-sensitive, matching the spec's
+    * column order) — NOT a caller-side concat, which would defeat the
+    * per-column type checks. Null keys hash deterministically (to the
+    * hash seed's bucket); upserting by a null key is the caller's
     * modeling error, not a crash. */
-  def bucketExpr(keyCol: String, nBuckets: Int): Column =
-    pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int")
+  def bucketExpr(keySpec: String, nBuckets: Int): Column =
+    pmod(xxhash64(bucketKeyCols(keySpec).map(col): _*),
+      lit(nBuckets.toLong)).cast("int")
 
   private def specPath(root: String) = Paths.get(root, "BUCKETSPEC")
 
-  /** (keyCol, nBuckets) recorded at bootstrap, None for a plain store. */
-  def readBucketSpec(root: String): Option[(String, Int)] = {
-    val p = specPath(root)
-    if (!Files.exists(p)) None
+  /** Per-version bucket-spec sidecar (like the schema sidecar): every
+    * bucketed writer records the (keySpec, nBuckets) it wrote under, so
+    * a [[rebucket]] can change the layout without rewriting history —
+    * each version keeps ITS OWN assignment and time travel stays
+    * coherent. Underscore-prefixed: parquet readers ignore it. */
+  private val SpecSidecarFile = "_GRAFT_BUCKETSPEC"
+
+  private def writeSpecSidecar(staging: java.nio.file.Path,
+      keySpec: String, nBuckets: Int): Unit =
+    Files.write(staging.resolve(SpecSidecarFile),
+      s"$keySpec\n$nBuckets".getBytes(StandardCharsets.UTF_8))
+
+  private def parseSpec(bytes: Array[Byte]): (String, Int) = {
+    val Array(k, n) =
+      new String(bytes, StandardCharsets.UTF_8).trim.split('\n')
+    (k, n.toInt)
+  }
+
+  /** The bucket spec version `version` was WRITTEN under: its sidecar,
+    * falling back to the root BUCKETSPEC for pre-sidecar versions.
+    * Writers resolve their spec HERE, from the same base version their
+    * optimistic-concurrency check pins — so a concurrent [[rebucket]]
+    * can never make a writer census old data with a new spec (the
+    * stale-base abort fires first). */
+  def bucketSpecAt(root: String, version: Long): Option[(String, Int)] = {
+    val sc = Paths.get(root, s"v$version", SpecSidecarFile)
+    if (Files.exists(sc)) Some(parseSpec(Files.readAllBytes(sc)))
     else {
-      val Array(k, n) =
-        new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.split('\n')
-      Some((k, n.toInt))
+      val p = specPath(root)
+      if (!Files.exists(p)) None else Some(parseSpec(Files.readAllBytes(p)))
+    }
+  }
+
+  /** The CURRENT (keySpec, nBuckets), None for a plain store: the
+    * current version's sidecar when present (tracks [[rebucket]]),
+    * else the bootstrap record at the root. */
+  def readBucketSpec(root: String): Option[(String, Int)] = {
+    val cur = currentVersion(root)
+    if (cur > 0) bucketSpecAt(root, cur)
+    else {
+      val p = specPath(root)
+      if (!Files.exists(p)) None else Some(parseSpec(Files.readAllBytes(p)))
     }
   }
 
@@ -725,7 +772,8 @@ object SnapshotStore {
   def publishBucketed(df: DataFrame, root: String, keyCol: String,
       nBuckets: Int, tag: Option[String] = None): Long = {
     require(nBuckets > 0, "nBuckets must be positive")
-    require(df.columns.contains(keyCol), s"missing key column $keyCol")
+    bucketKeyCols(keyCol).foreach(k =>
+      require(df.columns.contains(k), s"missing key column $k"))
     require(!df.columns.contains("_bucket"), "_bucket is reserved")
     val alreadyApplied = taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
@@ -738,6 +786,7 @@ object SnapshotStore {
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
+    writeSpecSidecar(staging, keyCol, nBuckets)
     writeVersionManifest(staging, kind = "base", schema = bucketed.schema)
     // base = -1: a full publish claims max+1 unconditionally (two racing
     // bucketed publishers land DISTINCT versions by design); the shared
@@ -893,11 +942,15 @@ object SnapshotStore {
     val spark = batch.sparkSession
     val alreadyApplied = taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
-    val (keyCol, nBuckets) = readBucketSpec(root).getOrElse(
-      throw new IllegalStateException(
-        s"$root is not a bucketed store; bootstrap with publishBucketed"))
     val base = if (baseVersion > 0) baseVersion else currentVersion(root)
     require(base > 0, s"no published version under $root")
+    // spec FROM the base version (see bucketSpecAt): pinned together with
+    // the optimistic-concurrency base, so a concurrent rebucket aborts
+    // this merge as stale rather than mis-censusing buckets
+    val (keyCol, nBuckets) = bucketSpecAt(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
+    val keyColumns = bucketKeyCols(keyCol)
     // mergeSchema: on an evolved store (append allowNewColumns) the files
     // straddle two physical schemas — a pick-one-footer read would resolve
     // the column set nondeterministically, making this require flaky and
@@ -913,7 +966,7 @@ object SnapshotStore {
     val batchB = batch.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
       .localCheckpoint(eager = false)
     if (!keysAreDistinct)
-      require(batchB.groupBy(col(keyCol)).count()
+      require(batchB.groupBy(keyColumns.map(col): _*).count()
           .filter(col("count") > 1).isEmpty,
         "batch has duplicate keys: ambiguous upsert")
     val touched = batchB.select(col("_bucket")).distinct()
@@ -924,7 +977,7 @@ object SnapshotStore {
     if (touched.isEmpty) return base
     val survivors = baseDf
       .filter(col("_bucket").isin(touched.toSeq.map(Int.box): _*))
-      .join(batchB.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(batchB.select(keyColumns.map(col): _*), keyColumns, "left_anti")
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     val merged = survivors.unionByName(batchB)
@@ -935,6 +988,7 @@ object SnapshotStore {
       t.getBytes(StandardCharsets.UTF_8)))
     // carry untouched buckets over as hardlinks ([[carryoverBuckets]])
     carryoverBuckets(root, base, staging, nBuckets, skip = touched)
+    writeSpecSidecar(staging, keyCol, nBuckets)
     writeVersionManifest(staging, kind = "rewrite", schema = merged.schema)
     commitStaged(root, staging, base, tag, op = "merge")
   }
@@ -962,25 +1016,29 @@ object SnapshotStore {
     val spark = keys.sparkSession
     val alreadyApplied = taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
-    val (keyCol, nBuckets) = readBucketSpec(root).getOrElse(
-      throw new IllegalStateException(
-        s"$root is not a bucketed store; bootstrap with publishBucketed"))
-    require(keys.columns.sameElements(Array(keyCol)),
-      s"keys must be the single-column frame of $keyCol; " +
-        s"got ${keys.columns.mkString(",")}")
     val base = currentVersion(root)
     require(base > 0, s"no published version under $root")
+    // spec from the base version — see merge
+    val (keyCol, nBuckets) = bucketSpecAt(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
+    val keyColumns = bucketKeyCols(keyCol)
+    require(keys.columns.toSeq == keyColumns,
+      s"keys must be the frame of exactly (${keyColumns.mkString(",")}) " +
+        s"in that order; got ${keys.columns.mkString(",")}")
     val baseDf = read(spark, root, base, mergeSchema = true)
     // TYPE check, not just name: xxhash64 bucketing is type-sensitive
     // (xxhash64(3: Int) != xxhash64(3L)), so an Int keys frame against a
     // Long-keyed store would census the WRONG buckets and "delete"
     // nothing while returning success — a silent takedown failure
-    require( // .sql comparison: ignore nullability (see requireMatchingTypes)
-      keys.schema.head.dataType.sql == baseDf.schema(keyCol).dataType.sql,
-      s"keys column $keyCol is ${keys.schema.head.dataType.sql} " +
-        s"but the store's key is " +
-        s"${baseDf.schema(keyCol).dataType.sql}: bucketing is " +
-        "type-sensitive — cast the keys to the store's type first")
+    keyColumns.foreach { k => // .sql: ignore nullability (see requireMatchingTypes)
+      require(
+        keys.schema(k).dataType.sql == baseDf.schema(k).dataType.sql,
+        s"keys column $k is ${keys.schema(k).dataType.sql} " +
+          s"but the store's key is " +
+          s"${baseDf.schema(k).dataType.sql}: bucketing is " +
+          "type-sensitive — cast the keys to the store's type first")
+    }
     val keysB = keys.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
       .localCheckpoint(eager = false)
     val touched = keysB.select(col("_bucket")).distinct()
@@ -988,7 +1046,7 @@ object SnapshotStore {
     if (touched.isEmpty) return base // empty key set: nothing minted
     val survivors = baseDf
       .filter(col("_bucket").isin(touched.toSeq.map(Int.box): _*))
-      .join(keysB.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(keysB.select(keyColumns.map(col): _*), keyColumns, "left_anti")
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     survivors
@@ -997,6 +1055,7 @@ object SnapshotStore {
     tag.foreach(t => Files.write(staging.resolve(TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
     carryoverBuckets(root, base, staging, nBuckets, skip = touched)
+    writeSpecSidecar(staging, keyCol, nBuckets)
     writeVersionManifest(staging, kind = "rewrite",
       schema = survivors.schema)
     commitStaged(root, staging, base, tag, op = "delete")
@@ -1041,11 +1100,12 @@ object SnapshotStore {
     val spark = batch.sparkSession
     val alreadyApplied = taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
-    val (keyCol, nBuckets) = readBucketSpec(root).getOrElse(
-      throw new IllegalStateException(
-        s"$root is not a bucketed store; bootstrap with publishBucketed"))
     val base = currentVersion(root)
     require(base > 0, s"no published version under $root")
+    // spec from the base version — see merge
+    val (keyCol, nBuckets) = bucketSpecAt(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
     // mergeSchema: see merge — deterministic union schema on evolved stores
     val baseDf = read(spark, root, base, mergeSchema = true)
     if (allowNewColumns)
@@ -1072,6 +1132,7 @@ object SnapshotStore {
     // hardlink the ENTIRE base version's data into the staging dirs —
     // metadata-only carryover, fresh files and links merge per bucket dir
     carryoverBuckets(root, base, staging, nBuckets, skip = _ => false)
+    writeSpecSidecar(staging, keyCol, nBuckets)
     // the widest schema wins: an evolving append records the batch's
     // union-compatible schema; a plain append records the base's
     writeVersionManifest(staging, kind = "append",
@@ -1145,11 +1206,12 @@ object SnapshotStore {
   def compact(spark: SparkSession, root: String,
       maxFilesPerBucket: Int = 1): Long = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
-    val (_, nBuckets) = readBucketSpec(root).getOrElse(
-      throw new IllegalStateException(
-        s"$root is not a bucketed store; bootstrap with publishBucketed"))
     val base = currentVersion(root)
     require(base > 0, s"no published version under $root")
+    // spec from the base version — see merge
+    val (specKey, nBuckets) = bucketSpecAt(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
     def dataFiles(dir: java.nio.file.Path): Int =
       if (!Files.exists(dir)) 0
       else {
@@ -1192,9 +1254,71 @@ object SnapshotStore {
       .parquet(staging.toString)
     carryoverBuckets(root, base, staging, nBuckets,
       skip = fragmented.contains)
+    writeSpecSidecar(staging, specKey, nBuckets)
     writeVersionManifest(staging, kind = "rewrite",
       schema = compacted.schema)
     commitStaged(root, staging, base, tag = None, op = "compact")
+  }
+
+  /** REBUCKET a store that outgrew its layout — the maintenance op a
+    * growing deployment hits with certainty at 100 TB: the nBuckets
+    * chosen at bootstrap bounds merge/deleteKeys parallelism and file
+    * sizes, and before this op the only way out was a manual republish
+    * that lost version history, tags, and cursors. One bounded full
+    * rewrite (`read base → hash under the NEW spec → write`, the cost a
+    * republish would pay anyway) minting a `rewrite`-kind version whose
+    * SPEC SIDECAR carries the new (key, nBuckets):
+    *  - time travel is preserved — every older version keeps its own
+    *    layout and its own sidecar ([[bucketSpecAt]]);
+    *  - writers after the flip census under the new spec automatically
+    *    (they resolve the spec from their base version); a writer that
+    *    raced the rebucket aborts on the stale-base check, never
+    *    mis-censuses;
+    *  - [[readSince]] across the rebucket REFUSES (rewrite kind breaks
+    *    append lineage) — consumers resync via [[diff]], the q141 path;
+    *  - `newKeyCol` (optional) migrates the key itself, e.g. from a
+    *    single column to a composite "doc_id,lang" identity.
+    * The root BUCKETSPEC is refreshed after the flip as the
+    * observability record; correctness never depends on it for
+    * rebucketed stores (the sidecar wins). Output is one file per new
+    * bucket (the compacted layout). Returns the new version. */
+  def rebucket(spark: SparkSession, root: String, newBuckets: Int,
+      newKeyCol: Option[String] = None): Long = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val base = currentVersion(root)
+    require(base > 0, s"no published version under $root")
+    val (oldKey, oldN) = bucketSpecAt(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
+    val keySpec = newKeyCol.getOrElse(oldKey)
+    require(keySpec != oldKey || newBuckets != oldN,
+      s"rebucket to the current spec (key=$keySpec, buckets=$newBuckets) " +
+        "is a no-op; nothing to do")
+    val df = read(spark, root, base, mergeSchema = true).drop("_bucket")
+    bucketKeyCols(keySpec).foreach(k =>
+      require(df.columns.contains(k),
+        s"new key column $k is not in the store's schema " +
+          s"(${df.columns.sorted.mkString(",")})"))
+    val rebucketed = df
+      .withColumn("_bucket", bucketExpr(keySpec, newBuckets))
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    rebucketed
+      .repartition(newBuckets, col("_bucket"))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
+      .parquet(staging.toString)
+    writeSpecSidecar(staging, keySpec, newBuckets)
+    writeVersionManifest(staging, kind = "rewrite",
+      schema = rebucketed.schema)
+    val v = commitStaged(root, staging, base, tag = None, op = "rebucket")
+    // refresh the root record (atomic replace) — observability only; a
+    // crash landing between the flip and here leaves the sidecar as the
+    // binding spec, which every resolution path prefers
+    val tmp = Paths.get(root, s".BUCKETSPEC.tmp.${System.nanoTime()}")
+    Files.write(tmp, s"$keySpec\n$newBuckets".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, specPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
   }
 
   /** Every registered consumer cursor under `root` (consumer name →

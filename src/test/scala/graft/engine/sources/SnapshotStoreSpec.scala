@@ -671,6 +671,91 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("rebucket: new spec binds new writers, history keeps its own " +
+      "layout, tags/cursors survive, readSince across it refuses") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("k", "s"),
+      r, "k", nBuckets = 2) // v1
+    SnapshotStore.merge(Seq((1L, "x")).toDF("k", "s"), r,
+      tag = Some("t1")) // v2
+    SnapshotStore.setConsumedThrough(r, "c", 2L)
+    assert(SnapshotStore.readBucketSpec(r) == Some(("k", 2)))
+    val v3 = SnapshotStore.rebucket(spark, r, 8)
+    assert(v3 == 3L)
+    assert(SnapshotStore.readBucketSpec(r) == Some(("k", 8)),
+      "current spec must track the rebucket")
+    assert(SnapshotStore.bucketSpecAt(r, 1L) == Some(("k", 2)),
+      "history keeps its own spec")
+    val cur = SnapshotStore.read(spark, r)
+    assert(cur.count() == 20L, "rebucket must preserve every row")
+    assert(cur.filter(col("_bucket") =!=
+      SnapshotStore.bucketExpr("k", 8)).isEmpty,
+      "every row must sit in its new-spec bucket")
+    // a merge AFTER the rebucket censuses under the NEW spec
+    SnapshotStore.merge(Seq((2L, "y")).toDF("k", "s"), r) // v4
+    val after = SnapshotStore.read(spark, r)
+    assert(after.count() == 20L)
+    assert(after.filter(col("k") === 2L)
+      .select("s").as[String].collect().toSeq == Seq("y"))
+    assert(after.filter(col("_bucket") =!=
+      SnapshotStore.bucketExpr("k", 8)).isEmpty)
+    // lifecycle state survives: the tag, the cursor, time travel
+    assert(SnapshotStore.versionTags(r).get(2L).contains("t1"))
+    assert(SnapshotStore.consumedThrough(r, "c") == 2L)
+    assert(SnapshotStore.read(spark, r, 2L).count() == 20L)
+    // a rewrite-kind version breaks append lineage: refuse, don't resurrect
+    intercept[IllegalStateException] {
+      SnapshotStore.readSince(spark, r, 2L)
+    }
+    // the old spec is gone: a republish against it is rejected…
+    intercept[IllegalArgumentException] {
+      SnapshotStore.publishBucketed(
+        Seq((9L, "z")).toDF("k", "s"), r, "k", 2)
+    }
+    // …and a no-op rebucket is too
+    intercept[IllegalArgumentException] {
+      SnapshotStore.rebucket(spark, r, 8)
+    }
+  }
+
+  test("composite bucket key: publish/merge/deleteKeys on a two-column " +
+      "identity; per-column type checks hold") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "en", 10), (1L, "fr", 20), (2L, "en", 30), (2L, "de", 40))
+        .toDF("id", "lang", "n"),
+      r, "id,lang", nBuckets = 4)
+    assert(SnapshotStore.readBucketSpec(r) == Some(("id,lang", 4)))
+    // upsert by the composite identity replaces exactly (1, en)
+    SnapshotStore.merge(Seq((1L, "en", 99)).toDF("id", "lang", "n"), r)
+    assert(SnapshotStore.read(spark, r).select("id", "lang", "n")
+      .as[(Long, String, Int)].collect().toSet ==
+      Set((1L, "en", 99), (1L, "fr", 20), (2L, "en", 30), (2L, "de", 40)))
+    // (3, en) + (3, fr) is NOT a duplicate composite key…
+    SnapshotStore.merge(
+      Seq((3L, "en", 1), (3L, "fr", 2)).toDF("id", "lang", "n"), r)
+    // …(4, en) twice IS
+    intercept[IllegalArgumentException] {
+      SnapshotStore.merge(
+        Seq((4L, "en", 1), (4L, "en", 2)).toDF("id", "lang", "n"), r)
+    }
+    // takedown by composite key removes only that (id, lang)
+    SnapshotStore.deleteKeys(Seq((1L, "en")).toDF("id", "lang"), r)
+    val left = SnapshotStore.read(spark, r).select("id", "lang")
+      .as[(Long, String)].collect().toSet
+    assert(!left.contains((1L, "en")) && left.contains((1L, "fr")))
+    // the keys frame must be exactly the composite, in spec order
+    intercept[IllegalArgumentException] {
+      SnapshotStore.deleteKeys(Seq(1L).toDF("id"), r)
+    }
+    // per-column type check: an Int id against the Long-keyed store
+    // would hash to the wrong buckets — rejected, not silently empty
+    intercept[IllegalArgumentException] {
+      SnapshotStore.deleteKeys(Seq((1, "fr")).toDF("id", "lang"), r)
+    }
+  }
+
   test("schema evolution: additive append widens, merged read NULL-fills " +
       "old files, time travel keeps each version's own schema") {
     val r = root()
