@@ -1627,9 +1627,166 @@ object RelationalQueries {
       "final export == full recompute; oracle = ROW_NUMBER-latest minus " +
       "takedowns, md5-sharded")
 
+  /** q142 — TYPE-WIDENING EVOLUTION (VERDICT r16 item 4): q136 covers
+    * the additive drift (new columns); this is the second-most-common
+    * one — a counter outgrows its type (int → long). The honest
+    * mechanic is widen-on-write ([[graft.engine.sources.SnapshotStore
+    * .append]] `allowWidening`): the new files carry the wider type, NO
+    * existing file rewrites, the version sidecar records the widened
+    * union, and merged reads up-cast the old int32 files at scan (a
+    * parquet footer-merge would throw CANNOT_MERGE_SCHEMAS on the
+    * straddle). Value-level teeth: the appended rows carry counts above
+    * Int.MaxValue, so the final per-source SUM is only right if the
+    * widened column really reads as long everywhere. Pinned booleans:
+    * `widen_rejected_by_default` (drift never slips in silently),
+    * `narrowing_rejected` (even with the flag), `widened_to_long`
+    * (the served union type), `v1_still_int` (time travel keeps the
+    * pre-widening schema). Scale posture: the evolution is O(batch) at
+    * any corpus size — that is the whole point of widen-on-write. */
+  val q142 = GraftQuery(
+    "q142_type_widening",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q142_widen_${ProcessHandle.current().pid()}/tbl"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      // crawl 1: counts fit int, the store bootstraps narrow
+      SnapshotStore.publishBucketed(
+        docs.withColumn("n_chars", col("n_chars").cast("int")),
+        root, "doc_id", nBuckets = 16) // v1, n_chars: int
+      // crawl 2: counts outgrew int — long-typed, values past Int.Max
+      val wide = docs.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+          (col("n_chars") + 3000000000L).as("n_chars"))
+      val rejectedByDefault =
+        try { SnapshotStore.append(wide, root); false }
+        catch { case _: IllegalArgumentException => true }
+      SnapshotStore.append(wide, root, allowWidening = true) // v2
+      // narrowing never passes, flag or no flag
+      val narrowingRejected =
+        try {
+          SnapshotStore.append(
+            docs.withColumn("n_chars", col("n_chars").cast("int")),
+            root, allowWidening = true)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val cur = SnapshotStore.read(spark, root, mergeSchema = true)
+      val widened = cur.schema("n_chars").dataType == LongType
+      val v1Int = SnapshotStore.read(spark, root, 1L, mergeSchema = true)
+        .schema("n_chars").dataType ==
+        org.apache.spark.sql.types.IntegerType
+      cur.groupBy(col("source"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .withColumn("widen_rejected_by_default", lit(rejectedByDefault))
+        .withColumn("narrowing_rejected", lit(narrowingRejected))
+        .withColumn("widened_to_long", lit(widened))
+        .withColumn("v1_still_int", lit(v1Int))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c2 AS (SELECT doc_id + 10000000 AS doc_id, source,
+          n_chars + 3000000000 AS n_chars
+        FROM documents WHERE doc_id % 7 = 1),
+      allr AS (SELECT doc_id, source, n_chars FROM documents
+        UNION ALL SELECT doc_id, source, n_chars FROM c2)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS widen_rejected_by_default, TRUE AS narrowing_rejected,
+        TRUE AS widened_to_long, TRUE AS v1_still_int
+      FROM allr GROUP BY source ORDER BY source"""),
+    doc = "type-widening evolution: an int store accepts a long batch " +
+      "only via allowWidening (widen-on-write, O(batch), no rewrite); " +
+      "merged reads up-cast old files at scan so sums past Int.Max are " +
+      "exact; narrowing and silent drift stay rejected; v1 time-travels " +
+      "with its own int schema")
+
+  /** q143 — COMPOSITE-KEY LIFECYCLE (VERDICT r16 item 5, the q137
+    * variant on a two-column identity): a multilingual corpus is keyed
+    * by (doc_id, lang) — one logical document, several language
+    * editions, each its own row. Caller-side concat ("3|zh") was the
+    * old workaround and silently defeated [[graft.engine.sources
+    * .SnapshotStore.deleteKeys]]' per-column type check; the store now
+    * hashes the column LIST in one xxhash64. Exercised end to end on
+    * the composite identity: re-crawl UPSERTS specific (doc_id, lang)
+    * editions (same doc_id, other langs untouched), new 'xx' editions
+    * INSERT under an existing doc_id (differ only in the second key
+    * column — the composite point), a takedown deletes one language
+    * edition while the same document's other editions survive
+    * (`xx_survives` pins the row that would vanish under a doc_id-only
+    * key). Tagged replay no-ops, one row per composite key. Oracle:
+    * ROW_NUMBER over (doc_id, lang). */
+  val q143 = GraftQuery(
+    "q143_composite_key_lifecycle",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q143_composite_${ProcessHandle.current().pid()}/tbl"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      SnapshotStore.publishBucketed(docs, root, "doc_id,lang",
+        nBuckets = 16) // v1
+      // crawl 2: re-crawled editions (same doc_id AND lang) change
+      // content; brand-new 'xx' editions insert under EXISTING doc_ids
+      val recrawl = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") * 2 + 17).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 3)
+          .select(col("doc_id"), lit("xx").as("lang"), col("source"),
+            col("n_chars")))
+      val v2 = SnapshotStore.merge(recrawl, root, tag = Some("crawl-2"))
+      val replayNoop =
+        SnapshotStore.merge(recrawl, root, tag = Some("crawl-2")) == v2 &&
+          SnapshotStore.currentVersion(root) == v2
+      // takedown of ONE language edition: the original-lang rows of six
+      // fixed doc_ids — doc 3's fresh 'xx' edition must survive it
+      SnapshotStore.deleteKeys(
+        docs.filter(col("doc_id") % 17 === 3 && col("doc_id") < 100)
+          .select(col("doc_id"), col("lang")), root)
+      val cur = SnapshotStore.read(spark, root).localCheckpoint()
+      val oneRowPerKey = cur.groupBy(col("doc_id"), col("lang")).count()
+        .filter(col("count") > 1).isEmpty
+      val xxSurvives = cur
+        .filter(col("doc_id") === 3 && col("lang") === "xx")
+        .count() == 1L
+      cur.groupBy(col("lang"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .withColumn("one_row_per_key", lit(oneRowPerKey))
+        .withColumn("replay_noop", lit(replayNoop))
+        .withColumn("xx_survives", lit(xxSurvives))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH c1 AS (SELECT doc_id, lang, n_chars, 1 AS v
+          FROM documents),
+      c2 AS (SELECT doc_id, lang, n_chars * 2 + 17 AS n_chars, 2 AS v
+          FROM documents WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id, 'xx' AS lang, n_chars, 2 AS v
+          FROM documents WHERE doc_id % 25 = 3),
+      latest AS (
+        SELECT * FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, lang
+          ORDER BY v DESC) = 1),
+      kept AS (SELECT * FROM latest
+        WHERE NOT (doc_id % 17 = 3 AND doc_id < 100 AND lang <> 'xx'))
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS one_row_per_key, TRUE AS replay_noop, TRUE AS xx_survives
+      FROM kept GROUP BY lang ORDER BY lang"""),
+    doc = "composite bucket key (doc_id, lang): upsert one language " +
+      "edition, insert new editions under existing doc_ids, take down a " +
+      "single edition while sibling editions survive — one xxhash64 " +
+      "over the column list, tagged replay no-op; oracle = ROW_NUMBER " +
+      "over the composite key minus the edition takedown")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
-    q137, q139, q140, q141)
+    q137, q139, q140, q141, q142, q143)
 }

@@ -495,7 +495,20 @@ object SnapshotStore {
     val reader = spark.read.option("mergeSchema", mergeSchema.toString)
     manifestFiles(root, v) match {
       case Some(files) if files.nonEmpty =>
-        reader.option("basePath", dir)
+        // merged read of a sidecar-bearing version: serve the RECORDED
+        // union schema instead of parquet's footer merge. Deterministic
+        // (no footer sampling), free (no footer reads at planning), and
+        // — the part footer-merge cannot do — it reads files that
+        // straddle a TYPE WIDENING (int32 files under a bigint column)
+        // by up-casting at scan, where option("mergeSchema") throws
+        // CANNOT_MERGE_SCHEMAS. Files missing an evolved column
+        // NULL-fill, same as before.
+        val recorded = if (mergeSchema) versionSchema(root, v) else None
+        val rdr = recorded match {
+          case Some(st) => spark.read.schema(st)
+          case None => reader
+        }
+        rdr.option("basePath", dir)
           .parquet(files.map(f => s"$dir/$f"): _*)
       case Some(_) =>
         // a version with ZERO data files (a full-takedown deleteKeys is
@@ -562,9 +575,14 @@ object SnapshotStore {
     if (delta.isEmpty) None
     else {
       val dir = s"$root/v$to"
-      // mergeSchema: the delta's own appends may straddle an evolution
-      Some(spark.read.option("mergeSchema", "true")
-        .option("basePath", dir)
+      // the delta's own appends may straddle an evolution: serve the
+      // to-version's recorded union schema (handles widened types too —
+      // see read); footer-merge only for pre-sidecar legacy versions
+      val rdr = versionSchema(root, to) match {
+        case Some(st) => spark.read.schema(st)
+        case None => spark.read.option("mergeSchema", "true")
+      }
+      Some(rdr.option("basePath", dir)
         .parquet(delta.map(f => s"$dir/$f"): _*))
     }
   }
@@ -628,23 +646,31 @@ object SnapshotStore {
     val to = read(spark, root, toVersion, mergeSchema = true)
     val fieldByName = (to.schema.fields ++ from.schema.fields)
       .groupBy(_.name).map { case (n, fs) =>
-        // a shared column whose type DIFFERS across the two versions
-        // (possible via a full republish that retyped a column on an
-        // unbucketed store) has no honest alignment: picking either side
-        // makes exceptAll throw or silently coerce the other. Fail with
-        // the retype named, matching requireMatchingTypes' posture.
+        // a shared column whose type DIFFERS across the two versions:
+        // a WIDENING straddle (allowWidening append in the interval)
+        // aligns honestly on the wider type — the up-cast is value-
+        // preserving, so exceptAll compares true row identity. Any
+        // OTHER retype (possible via a full republish on an unbucketed
+        // store) has no honest alignment: picking either side makes
+        // exceptAll throw or silently coerce. Fail with the retype
+        // named, matching requireMatchingTypes' posture.
         val types = fs.map(_.dataType).distinct
-        require(types.length == 1,
-          s"diff($fromVersion, $toVersion) at $root: column '$n' was " +
-            s"retyped between the two versions (${types.mkString(" vs ")})" +
-            " — a row-level diff across a retype is not well-defined; " +
-            "diff within each type era, or republish with a cast first")
-        n -> types.head
+        val resolved = types.reduceLeft { (a, b) =>
+          if (a == b || widensTo(b, a)) a
+          else if (widensTo(a, b)) b
+          else throw new IllegalArgumentException(
+            s"diff($fromVersion, $toVersion) at $root: column '$n' was " +
+              s"retyped between the two versions (${types.mkString(" vs ")})" +
+              " — a row-level diff across a non-widening retype is not " +
+              "well-defined; diff within each type era, or republish " +
+              "with a cast first")
+        }
+        n -> resolved
       }
     val names = (to.columns ++ from.columns).distinct.toSeq
     def align(df: DataFrame): DataFrame =
       df.select(names.map(n =>
-        if (df.columns.contains(n)) col(n)
+        if (df.columns.contains(n)) col(n).cast(fieldByName(n)).as(n)
         else lit(null).cast(fieldByName(n)).as(n)): _*)
     val f = align(from)
     val t = align(to)
@@ -837,16 +863,57 @@ object SnapshotStore {
     * freshly-built batch and a parquet read-back and are harmless to
     * the hash and the file schema alike). */
   private def requireMatchingTypes(batch: DataFrame, baseDf: DataFrame,
-      what: String): Unit = {
+      what: String, allowWidening: Boolean = false,
+      keyColumns: Seq[String] = Seq.empty): Unit = {
     val baseTypes = baseDf.schema.fields
       .filterNot(_.name == "_bucket").map(f => f.name -> f.dataType).toMap
     batch.schema.fields.foreach { f =>
       baseTypes.get(f.name).foreach { t =>
-        require(f.dataType.sql == t.sql,
-          s"$what column ${f.name} is ${f.dataType.sql} but the " +
-            s"store has ${t.sql}: cast the batch to the store's " +
-            "types first (bucketing and file schemas are type-sensitive)")
+        if (f.dataType.sql != t.sql) {
+          // widening (int→long, float→double …) is honest evolution the
+          // caller can opt into — EXCEPT on a bucket-key column, where
+          // xxhash64(3: Int) != xxhash64(3L) would scatter one logical
+          // key across two buckets and silently break merge/deleteKeys
+          if (allowWidening && widensTo(t, f.dataType))
+            require(!keyColumns.contains(f.name),
+              s"$what widens bucket-key column ${f.name} " +
+                s"(${t.sql} → ${f.dataType.sql}): the xxhash64 bucket " +
+                "assignment is type-sensitive, so a widened key would " +
+                "land the same logical key in a different bucket — " +
+                "rebucket() the store to the wider key type instead")
+          else if (widensTo(f.dataType, t))
+            throw new IllegalArgumentException(
+              s"$what NARROWS column ${f.name} (${f.dataType.sql} vs " +
+                s"the store's ${t.sql}) — narrowing loses data and is " +
+                "never accepted; cast the batch up to the store's type")
+          else throw new IllegalArgumentException(
+            s"$what column ${f.name} is ${f.dataType.sql} but the " +
+              s"store has ${t.sql}: cast the batch to the store's " +
+              "types first (bucketing and file schemas are " +
+              "type-sensitive)" + (if (!allowWidening &&
+                  widensTo(t, f.dataType))
+                "; a WIDENING batch is accepted with allowWidening = true"
+              else ""))
+        }
       }
+    }
+  }
+
+  /** The SAFE widening lattice (the type drifts a long-running crawler
+    * actually produces): integer chain up-casts and float→double. Each
+    * is value-preserving, and Spark 4's parquet reader up-casts narrow
+    * files under the wider read schema — which is exactly how
+    * [[read]]'s recorded-schema path serves a straddling version. */
+  private[sources] def widensTo(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
     }
   }
 
@@ -1094,9 +1161,23 @@ object SnapshotStore {
     * is O(batch) like any append. Readers opt into the union view with
     * `read(mergeSchema = true)` (pre-evolution files surface the new
     * columns as NULL); a time-traveled pre-evolution version keeps its
-    * own narrower schema. */
+    * own narrower schema.
+    *
+    * TYPE WIDENING (`allowWidening = true`): the batch may carry a
+    * WIDER type for an existing column ([[widensTo]]: integer chain,
+    * float→double) — the second-most-common crawler drift after new
+    * columns (counts outgrow int, scores move to double). Widen-on-
+    * write: the new files carry the wider type, NO existing file is
+    * touched, and the version's schema sidecar records the widened
+    * union — which `read(mergeSchema = true)` serves by up-casting the
+    * narrow files at scan (Spark 4 parquet widening reads; parquet
+    * footer-merge would throw CANNOT_MERGE_SCHEMAS on the straddle).
+    * NARROWING is always rejected, flag or no flag; widening a
+    * BUCKET-KEY column is rejected too (the hash is type-sensitive —
+    * [[rebucket]] with the wider key instead). */
   def append(batch: DataFrame, root: String, tag: Option[String] = None,
-      allowNewColumns: Boolean = false): Long = {
+      allowNewColumns: Boolean = false,
+      allowWidening: Boolean = false): Long = {
     val spark = batch.sparkSession
     val alreadyApplied = taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
@@ -1119,7 +1200,8 @@ object SnapshotStore {
       require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
         s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
           s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
-    requireMatchingTypes(batch, baseDf, "append batch")
+    requireMatchingTypes(batch, baseDf, "append batch",
+      allowWidening = allowWidening, keyColumns = bucketKeyCols(keyCol))
     if (batch.isEmpty) return base // no-op: nothing minted (see merge)
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
@@ -1133,10 +1215,12 @@ object SnapshotStore {
     // metadata-only carryover, fresh files and links merge per bucket dir
     carryoverBuckets(root, base, staging, nBuckets, skip = _ => false)
     writeSpecSidecar(staging, keyCol, nBuckets)
-    // the widest schema wins: an evolving append records the batch's
-    // union-compatible schema; a plain append records the base's
+    // the widest schema wins: an evolving/widening append records the
+    // batch's union schema (its types are the widened ones — narrowing
+    // was rejected above); a plain append records the base's
     writeVersionManifest(staging, kind = "append",
-      schema = if (allowNewColumns) org.apache.spark.sql.types.StructType(
+      schema = if (allowNewColumns || allowWidening)
+        org.apache.spark.sql.types.StructType(
           batchB.schema.fields ++ baseDf.schema.fields.filterNot(f =>
             batchB.schema.fieldNames.contains(f.name)))
         else baseDf.schema)

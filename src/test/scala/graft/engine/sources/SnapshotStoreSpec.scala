@@ -756,6 +756,57 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("type-widening evolution: widened append up-casts old files at " +
+      "read, narrowing and key-widening stay rejected, diff aligns wide") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, 10), (2L, 20)).toDF("k", "n"), r, "k", nBuckets = 2) // v1
+    // an int-typed store meets a long-typed batch: rejected by default…
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(Seq((3L, 30L)).toDF("k", "n"), r)
+    }
+    // …accepted as widening, with a value only a long can hold
+    SnapshotStore.append(
+      Seq((3L, 3000000030L)).toDF("k", "n"), r,
+      allowWidening = true) // v2
+    val cur = SnapshotStore.read(spark, r, mergeSchema = true)
+    assert(cur.schema("n").dataType == LongType,
+      "merged read must serve the widened union type")
+    assert(cur.select("n").as[Long].collect().toSet ==
+      Set(10L, 20L, 3000000030L),
+      "old int files must up-cast at scan, not crash the footer merge")
+    // NARROWING is rejected even with the flag
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(Seq((4L, 40)).toDF("k", "n"), r,
+        allowWidening = true)
+    }
+    // widening the BUCKET-KEY column is rejected (hash type-sensitivity)
+    val r2 = root()
+    SnapshotStore.publishBucketed(
+      Seq((1, "a")).toDF("k", "s"), r2, "k", nBuckets = 2)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(Seq((2L, "b")).toDF("k", "s"), r2,
+        allowWidening = true)
+    }
+    // time travel: v1 keeps its own narrow schema
+    assert(SnapshotStore.read(spark, r, 1L, mergeSchema = true)
+      .schema("n").dataType == IntegerType)
+    // readSince across the widening serves the union type (append kind)
+    val delta = SnapshotStore.readSince(spark, r, 1L)
+    assert(delta.get.schema("n").dataType == LongType &&
+      delta.get.select("n").as[Long].collect().toSeq == Seq(3000000030L))
+    // diff across the straddle aligns on the wider type: the unchanged
+    // rows cancel, only the appended row surfaces
+    val d = SnapshotStore.diff(spark, r, 1L, 2L)
+    assert(d.select("change").as[String].collect().toSeq == Seq("added"))
+    // merge on the widened store keeps working (batch cast to the union)
+    SnapshotStore.merge(Seq((1L, 111L)).toDF("k", "n"), r) // v3
+    assert(SnapshotStore.read(spark, r, mergeSchema = true)
+      .select("n").as[Long].collect().toSet ==
+      Set(111L, 20L, 3000000030L))
+  }
+
   test("schema evolution: additive append widens, merged read NULL-fills " +
       "old files, time travel keeps each version's own schema") {
     val r = root()
