@@ -1727,7 +1727,162 @@ object StreamQueries {
       "existing export files (inode-pinned), final export == full " +
       "recompute over every streamed doc")
 
+  /** X5/X9 — STREAMING TAKEDOWN WORKER, q140's always-on shape
+    * (VERDICT r16 item 7): in production, right-to-be-forgotten
+    * requests arrive as a STREAM, and each tick must propagate to the
+    * corpus AND every derived dataset, leave a compliance trail, and
+    * survive at-least-once replay. Per tick: `deleteKeys` (touched-
+    * bucket-only, O(requests) never O(corpus)) on both stores under ONE
+    * per-tick tag, then a per-tick compliance ledger entry (batchId +
+    * request count, written tmp + atomic-rename — the [[LateRouter]]
+    * ledger pattern, so a torn crash never leaves a half entry).
+    * Pinned: `corpus_clean`/`export_clean` (no requested key survives
+    * anywhere), `replay_noop` (re-applying the last tick's tag returns
+    * its version — the at-least-once worker can't double-mint),
+    * `ledger_ticks`/`ledger_ids` (the compliance trail equals the
+    * request stream, value-level), and `takedown_complete` (after
+    * `vacuum(keep = 0)` the pre-takedown versions are GONE on both
+    * stores — deletion completes at vacuum, the q140 contract). The
+    * bounded `.collect()` is the request fixture (x56/x70 precedent);
+    * the deletes themselves are distributed bucket rewrites. */
+  val x71 = GraftQuery(
+    "x71_stream_takedown_worker",
+    (spark, sfDir) => {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.engine.sources.SnapshotStore
+      import graft.engine.llm.Curation
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x71_takedown_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(Paths.get(base))
+      val corpusRoot = s"$base/corpus"
+      val exportRoot = s"$base/export"
+      val ledgerDir = Paths.get(s"$base/ledger")
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"))
+      SnapshotStore.publishBucketed(docs, corpusRoot, "doc_id", 16)
+      SnapshotStore.publishBucketed(
+        Curation.shuffleShards(docs, "doc_id", nShards = 8)
+          .drop("shuffle_key"),
+        exportRoot, "doc_id", 16)
+      // the request stream fixture: three ticks of fixed, SF-stable ids
+      val ids = docs.filter(
+        (col("doc_id") % 17 === 3 || col("doc_id") % 19 === 5) &&
+          col("doc_id") < 100)
+        .select("doc_id").as[Long].collect()
+      val tickSets = Seq(
+        ids.filter(i => i % 17 == 3 && i < 50),
+        ids.filter(i => i % 17 == 3 && i >= 50),
+        ids.filter(i => i % 19 == 5)).filter(_.nonEmpty)
+      val stream = MemoryStream[Long]
+      val worker = stream.toDS().toDF("doc_id")
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val keys = batch.localCheckpoint()
+            val n = keys.count()
+            if (n > 0) {
+              SnapshotStore.deleteKeys(keys, corpusRoot,
+                tag = Some(s"takedown-$batchId"))
+              SnapshotStore.deleteKeys(keys, exportRoot,
+                tag = Some(s"takedown-$batchId"))
+            }
+            // compliance ledger: one atomic entry per tick. Written
+            // AFTER both deletes — a torn crash replays the tick, the
+            // tags no-op the deletes, and the entry lands exactly once
+            Files.createDirectories(ledgerDir)
+            val tmp = ledgerDir.resolve(
+              s".tick-$batchId.tmp.${System.nanoTime()}")
+            Files.write(tmp, s"$batchId $n".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            Files.move(tmp, ledgerDir.resolve(s"tick-$batchId"),
+              StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            ()
+        }.start()
+      try {
+        tickSets.foreach { s =>
+          stream.addData(s.toSeq); worker.processAllAvailable()
+        }
+      } finally worker.stop()
+      // at-least-once replay of the LAST tick: same tag, same version
+      val replayNoop = tickSets.isEmpty || {
+        val lastId = tickSets.length - 1
+        val cv = SnapshotStore.currentVersion(corpusRoot)
+        SnapshotStore.deleteKeys(tickSets.last.toSeq.toDF("doc_id"),
+          corpusRoot, tag = Some(s"takedown-$lastId")) == cv &&
+          SnapshotStore.currentVersion(corpusRoot) == cv
+      }
+      val allKeys = ids.toSeq.toDF("doc_id")
+      def clean(root: String): Boolean =
+        SnapshotStore.read(spark, root)
+          .join(allKeys, Seq("doc_id"), "left_semi").isEmpty
+      val corpusClean = clean(corpusRoot)
+      val exportClean = clean(exportRoot)
+      // the compliance trail equals the request stream
+      val entries =
+        if (!Files.exists(ledgerDir)) Seq.empty[(Long, Long)]
+        else {
+          val s = Files.list(ledgerDir)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("tick-"))
+              .map { p =>
+                val Array(b, n) = new String(Files.readAllBytes(p),
+                  java.nio.charset.StandardCharsets.UTF_8).trim.split(' ')
+                (b.toLong, n.toLong)
+              }.toSeq
+          } finally s.close()
+        }
+      // deletion COMPLETES at vacuum: the pre-takedown versions go away
+      SnapshotStore.vacuum(corpusRoot, keep = 0)
+      SnapshotStore.vacuum(exportRoot, keep = 0)
+      val complete = tickSets.isEmpty ||
+        (!Files.exists(Paths.get(corpusRoot, "v1")) &&
+          !Files.exists(Paths.get(exportRoot, "v1")))
+      SnapshotStore.read(spark, exportRoot).groupBy(col("shard_id"))
+        .agg(graft.engine.relational.Exact.lcount().as("n_docs"),
+          sum(col("n_chars")).cast("long").as("shard_chars"))
+        .withColumn("corpus_clean", lit(corpusClean))
+        .withColumn("export_clean", lit(exportClean))
+        .withColumn("replay_noop", lit(replayNoop))
+        .withColumn("ledger_ticks", lit(entries.length.toLong))
+        .withColumn("ledger_ids",
+          lit(entries.map(_._2).sum))
+        .withColumn("takedown_complete", lit(complete))
+        .orderBy(col("shard_id"))
+    },
+    Some("""WITH takedown AS (SELECT doc_id FROM documents
+          WHERE (doc_id % 17 = 3 OR doc_id % 19 = 5) AND doc_id < 100),
+      kept AS (SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM takedown)),
+      sharded AS (SELECT doc_id, n_chars,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 8 AS shard_id
+        FROM kept)
+      SELECT shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+        TRUE AS corpus_clean, TRUE AS export_clean, TRUE AS replay_noop,
+        CAST((CASE WHEN EXISTS (SELECT 1 FROM documents
+              WHERE doc_id % 17 = 3 AND doc_id < 50) THEN 1 ELSE 0 END)
+          + (CASE WHEN EXISTS (SELECT 1 FROM documents
+              WHERE doc_id % 17 = 3 AND doc_id >= 50 AND doc_id < 100)
+              THEN 1 ELSE 0 END)
+          + (CASE WHEN EXISTS (SELECT 1 FROM documents
+              WHERE doc_id % 19 = 5 AND doc_id < 100) THEN 1 ELSE 0 END)
+          AS BIGINT) AS ledger_ticks,
+        CAST((SELECT COUNT(*) FROM takedown) AS BIGINT) AS ledger_ids,
+        TRUE AS takedown_complete
+      FROM sharded GROUP BY shard_id ORDER BY shard_id"""),
+    doc = "streaming takedown worker (q140's always-on shape): per-tick " +
+      "deleteKeys on corpus AND derived export under one tag " +
+      "(at-least-once replay no-ops), per-tick atomic compliance ledger " +
+      "equal to the request stream, deletion completed by vacuum; " +
+      "oracle = export recomputed minus every streamed request")
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      x65, x66, x67, x68, x69, x70, q58, q80, q94, q107)
+      x65, x66, x67, x68, x69, x70, x71, q58, q80, q94, q107)
 }
