@@ -642,8 +642,15 @@ object SnapshotStore {
     // silently compares minus the evolved column; NULL-filling the
     // missing side makes "this row gained a value in the new column"
     // surface as added+removed, which IS the honest row-level diff
+    // _bucket is LAYOUT, not data: comparing it would make a rebucket
+    // (identical rows, every bucket assignment changed) read as a full
+    // added+removed churn — and a q141-style consumer resync across it
+    // would pointlessly rewrite the whole derived store. Dropped from
+    // both sides; a plain store's drop is a no-op.
     val from = read(spark, root, fromVersion, mergeSchema = true)
+      .drop("_bucket")
     val to = read(spark, root, toVersion, mergeSchema = true)
+      .drop("_bucket")
     val fieldByName = (to.schema.fields ++ from.schema.fields)
       .groupBy(_.name).map { case (n, fs) =>
         // a shared column whose type DIFFERS across the two versions:

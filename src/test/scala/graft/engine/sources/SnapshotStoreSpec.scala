@@ -708,6 +708,11 @@ class SnapshotStoreSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       SnapshotStore.readSince(spark, r, 2L)
     }
+    // …and the diff-based resync across the rebucket is EMPTY: the rows
+    // are identical, only the layout changed — a consumer must not be
+    // told to churn its whole derived store (_bucket is not data)
+    assert(SnapshotStore.diff(spark, r, 2L, 3L).isEmpty,
+      "diff across a pure rebucket must be empty")
     // the old spec is gone: a republish against it is rejected…
     intercept[IllegalArgumentException] {
       SnapshotStore.publishBucketed(
