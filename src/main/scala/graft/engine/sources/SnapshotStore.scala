@@ -1404,11 +1404,21 @@ object SnapshotStore {
     val v = commitStaged(root, staging, base, tag = None, op = "rebucket")
     // refresh the root record (atomic replace) — observability only; a
     // crash landing between the flip and here leaves the sidecar as the
-    // binding spec, which every resolution path prefers
-    val tmp = Paths.get(root, s".BUCKETSPEC.tmp.${System.nanoTime()}")
-    Files.write(tmp, s"$keySpec\n$newBuckets".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, specPath(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // binding spec, which every resolution path prefers. Locked and
+    // re-checked against the CURRENT version's spec so a paused rebucket
+    // resuming after a SECOND rebucket cannot overwrite the newer record
+    // with its stale spec (later merges/appends carry our spec forward,
+    // so the record still refreshes after them).
+    withFlipLock(root) {
+      if (bucketSpecAt(root, currentVersion(root))
+          .contains((keySpec, newBuckets))) {
+        val tmp = Paths.get(root, s".BUCKETSPEC.tmp.${System.nanoTime()}")
+        Files.write(tmp,
+          s"$keySpec\n$newBuckets".getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, specPath(root), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     v
   }
 
