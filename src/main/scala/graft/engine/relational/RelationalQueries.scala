@@ -1784,9 +1784,100 @@ object RelationalQueries {
       "over the column list, tagged replay no-op; oracle = ROW_NUMBER " +
       "over the composite key minus the edition takedown")
 
+  /** q144 — REBUCKET LIFECYCLE (VERDICT r16 item 3, the value-level
+    * pin on top of the spec): a corpus bootstrapped at 8 buckets
+    * outgrows them — the 100 TB certainty, since nBuckets bounds merge
+    * parallelism and file sizes. [[graft.engine.sources.SnapshotStore
+    * .rebucket]] migrates to 32 in one bounded rewrite, and everything
+    * a production store accumulates SURVIVES: a pre-rebucket tagged
+    * upsert's content, tags, and time travel (`history_intact`: v2
+    * still reads its exact pre-rebucket rows); the spec flip is
+    * observable (`spec_tracked`); a post-rebucket upsert censuses the
+    * NEW layout and lands correctly (`post_upsert_ok` is implicit in
+    * the final values); every row sits in its new-spec bucket
+    * (`layout_ok`); an incremental consumer across the rebucket is
+    * REFUSED by readSince (`readsince_refused`) and its diff-based
+    * resync sees only the DATA change, not the layout churn
+    * (`resync_rows` == the one post-rebucket upsert row at value
+    * level — _bucket is layout, not data). Oracle: ROW_NUMBER-latest
+    * over the three crawls. */
+  val q144 = GraftQuery(
+    "q144_rebucket_lifecycle",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q144_rebucket_${ProcessHandle.current().pid()}/tbl"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      SnapshotStore.publishBucketed(docs, root, "doc_id", 8) // v1
+      // a pre-rebucket upsert (tagged): this content must survive the
+      // layout migration byte-for-byte
+      SnapshotStore.merge(docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") * 2 + 17).as("n_chars")),
+        root, tag = Some("crawl-2")) // v2
+      val v2Rows = SnapshotStore.read(spark, root)
+        .drop("_bucket").localCheckpoint()
+      SnapshotStore.rebucket(spark, root, 32) // v3, new layout
+      val specTracked =
+        SnapshotStore.readBucketSpec(root) == Some(("doc_id", 32)) &&
+          SnapshotStore.bucketSpecAt(root, 2L) == Some(("doc_id", 8))
+      val afterRebucket = SnapshotStore.read(spark, root)
+      val layoutOk = afterRebucket.filter(col("_bucket") =!=
+        SnapshotStore.bucketExpr("doc_id", 32)).isEmpty
+      val historyIntact = {
+        val v2Again = SnapshotStore.read(spark, root, 2L).drop("_bucket")
+        v2Again.exceptAll(v2Rows).isEmpty &&
+          v2Rows.exceptAll(v2Again).isEmpty
+      }
+      // a consumer parked at v2: refused across the rewrite…
+      val refused =
+        try { SnapshotStore.readSince(spark, root, 2L); false }
+        catch { case _: IllegalStateException => true }
+      // …post-rebucket upsert censuses the NEW spec
+      SnapshotStore.merge(docs.filter(col("doc_id") % 100 === 42)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+          col("n_chars")), root) // v4
+      // …and the diff resync sees only the DATA delta, zero layout churn
+      val resyncRows = SnapshotStore.diff(spark, root, 2L, 4L).count()
+      SnapshotStore.read(spark, root).groupBy(col("source"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .withColumn("spec_tracked", lit(specTracked))
+        .withColumn("layout_ok", lit(layoutOk))
+        .withColumn("history_intact", lit(historyIntact))
+        .withColumn("readsince_refused", lit(refused))
+        .withColumn("resync_rows", lit(resyncRows))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c1 AS (SELECT doc_id, source, n_chars, 1 AS v
+          FROM documents),
+      c2 AS (SELECT doc_id, source, n_chars * 2 + 17 AS n_chars, 2 AS v
+          FROM documents WHERE doc_id % 10 = 3),
+      c3 AS (SELECT doc_id + 5000000 AS doc_id, source, n_chars, 3 AS v
+          FROM documents WHERE doc_id % 100 = 42),
+      latest AS (
+        SELECT * FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+          UNION ALL SELECT * FROM c3)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY v DESC) = 1)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS spec_tracked, TRUE AS layout_ok, TRUE AS history_intact,
+        TRUE AS readsince_refused,
+        CAST((SELECT COUNT(*) FROM c3) AS BIGINT) AS resync_rows
+      FROM latest GROUP BY source ORDER BY source"""),
+    doc = "rebucket lifecycle: 8 -> 32 buckets in one bounded rewrite; " +
+      "pre-rebucket tagged upsert content and time travel survive, " +
+      "post-rebucket upsert censuses the new layout, readSince refuses " +
+      "across it, and the diff resync carries only the data delta " +
+      "(layout is not data); oracle = ROW_NUMBER-latest over three crawls")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
-    q137, q139, q140, q141, q142, q143)
+    q137, q139, q140, q141, q142, q143, q144)
 }
