@@ -126,4 +126,17 @@ class LateRouterSpec extends AnyFunSuite {
     assert(snapshot(torn) == snapshot(base),
       "lost-ledger replay must re-derive the same routing")
   }
+
+  test("corrupt ledger fails LOUDLY, naming the file and its contents") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-router-corrupt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "WM"),
+      "garbage not-a-number".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] { LateRouter.recover(dir) }
+    assert(e.getMessage.contains(dir) &&
+      e.getMessage.contains("garbage not-a-number"),
+      s"diagnosable error must name ledger and contents: ${e.getMessage}")
+  }
 }
