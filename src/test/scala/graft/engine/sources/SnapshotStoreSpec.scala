@@ -812,6 +812,58 @@ class SnapshotStoreSpec extends AnyFunSuite {
       Set(111L, 20L, 3000000030L))
   }
 
+  test("lifecycle composition: widen + evolve + compact + merge + " +
+      "rebucket + cursors on ONE store stay coherent end to end") {
+    import org.apache.spark.sql.types.LongType
+    val r = root()
+    // v1: int-typed, 2 buckets
+    SnapshotStore.publishBucketed(
+      Seq((1L, 10), (2L, 20)).toDF("k", "n"), r, "k", nBuckets = 2)
+    // v2: widening append (n -> long, with a value only long holds)
+    SnapshotStore.append(Seq((3L, 3000000030L)).toDF("k", "n"), r,
+      allowWidening = true)
+    // v3: additive evolution on the WIDENED store (new column q)
+    SnapshotStore.append(Seq((4L, 40L, 0.5)).toDF("k", "n", "q"), r,
+      allowNewColumns = true)
+    val cursor = SnapshotStore.currentVersion(r) // a consumer parks here
+    SnapshotStore.setConsumedThrough(r, "c", cursor)
+    // v4: compact the straddling store (narrow + wide + evolved files
+    // rewrite into union-schema buckets; carryover keeps the rest)
+    SnapshotStore.compact(spark, r)
+    // v5: merge against the compacted union (batch at union types)
+    SnapshotStore.merge(
+      Seq((1L, 111L, 0.9)).toDF("k", "n", "q"), r)
+    // v6: rebucket the evolved store 2 -> 8
+    SnapshotStore.rebucket(spark, r, 8)
+    val cur = SnapshotStore.read(spark, r, mergeSchema = true)
+    assert(cur.schema("n").dataType == LongType)
+    assert(cur.filter(col("_bucket") =!=
+      SnapshotStore.bucketExpr("k", 8)).isEmpty)
+    val byK = cur.select(col("k"), col("n"), col("q")).collect()
+      .map(rw => rw.getLong(0) -> ((rw.getLong(1),
+        if (rw.isNullAt(2)) None else Some(rw.getDouble(2))))).toMap
+    assert(byK == Map(
+      1L -> ((111L, Some(0.9))), 2L -> ((20L, None)),
+      3L -> ((3000000030L, None)), 4L -> ((40L, Some(0.5)))),
+      s"composition must preserve every value, got $byK")
+    // the parked consumer: cursor survived the whole pipeline, its
+    // version survives an aggressive vacuum, readSince refuses across
+    // the rewrites, and the diff resync serves the TRUE data delta
+    assert(SnapshotStore.consumedThrough(r, "c") == cursor)
+    SnapshotStore.vacuum(r, keep = 0)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(r, s"v$cursor")))
+    intercept[IllegalStateException] {
+      SnapshotStore.readSince(spark, r, cursor)
+    }
+    val d = SnapshotStore.diff(spark, r, cursor,
+      SnapshotStore.currentVersion(r))
+    val changes = d.select(col("change"), col("k"))
+      .as[(String, Long)].collect().toSet
+    assert(changes == Set(("added", 1L), ("removed", 1L)),
+      s"only the merged key changed after the cursor, got $changes")
+  }
+
   test("schema evolution: additive append widens, merged read NULL-fills " +
       "old files, time travel keeps each version's own schema") {
     val r = root()
