@@ -1010,9 +1010,21 @@ object SnapshotStore {
     * re-applying — see [[versionTags]]. A tagged EMPTY batch stays the
     * untagged no-op (its replay is empty too, so nothing can double).
     *
+    * SCHEMA EVOLUTION mirrors [[append]]'s, because an UPSERTING
+    * crawler hits the same drifts on EXISTING keys (append is
+    * insert-only, so without these flags a re-crawl whose counts
+    * outgrew int would have no path at all): `allowNewColumns` lets the
+    * batch carry new columns — the touched buckets' survivors NULL-fill
+    * them in the rewrite, untouched buckets evolve lazily at read —
+    * and `allowWidening` lets it widen existing ones ([[widensTo]];
+    * union coercion up-casts the survivors in the rewrite). Both record
+    * the union schema; narrowing and bucket-key widening stay rejected.
+    *
     * Returns the published version number. */
   def merge(batch: DataFrame, root: String, baseVersion: Long = 0L,
-      keysAreDistinct: Boolean = false, tag: Option[String] = None): Long = {
+      keysAreDistinct: Boolean = false, tag: Option[String] = None,
+      allowNewColumns: Boolean = false,
+      allowWidening: Boolean = false): Long = {
     val spark = batch.sparkSession
     val alreadyApplied = taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
@@ -1031,10 +1043,19 @@ object SnapshotStore {
     // the survivors' rewrite silently narrow. The union schema costs one
     // footer read per file at planning time, a maintenance-path price.
     val baseDf = read(spark, root, base, mergeSchema = true)
-    require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
-      s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
-        s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
-    requireMatchingTypes(batch, baseDf, "merge batch")
+    if (allowNewColumns)
+      require((baseDf.columns.toSet - "_bucket").subsetOf(batch.columns.toSet)
+          && !batch.columns.contains("_bucket"),
+        s"evolving batch columns ${batch.columns.sorted.mkString(",")} must " +
+          "be a SUPERSET of the store's " +
+          s"${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")} " +
+          "(schema evolution is additive; _bucket is reserved)")
+    else
+      require(batch.columns.toSet + "_bucket" == baseDf.columns.toSet,
+        s"batch columns ${batch.columns.sorted.mkString(",")} must match the " +
+          s"store's ${baseDf.columns.filterNot(_ == "_bucket").sorted.mkString(",")}")
+    requireMatchingTypes(batch, baseDf, "merge batch",
+      allowWidening = allowWidening, keyColumns = keyColumns)
     // one compute feeding bucket census, anti-join, and write; non-eager so
     // materialization folds into the first consumer's job
     val batchB = batch.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
@@ -1054,7 +1075,12 @@ object SnapshotStore {
       .join(batchB.select(keyColumns.map(col): _*), keyColumns, "left_anti")
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    val merged = survivors.unionByName(batchB)
+    // union coercion does the evolution work in the touched-bucket
+    // rewrite: allowMissingColumns NULL-fills an added column into the
+    // survivors, and a widened batch column up-casts theirs — exactly
+    // the semantics the merged READ serves for the untouched buckets
+    val merged = survivors.unionByName(batchB,
+      allowMissingColumns = allowNewColumns)
     merged
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
@@ -1246,11 +1272,13 @@ object SnapshotStore {
     * read the store first (anti-join dedup, merge) must re-derive the
     * batch per attempt — pass a thunk, not a cached frame. */
   def appendContended(batch: () => DataFrame, root: String,
-      tag: Option[String] = None, maxRetries: Int = 16): Long = {
+      tag: Option[String] = None, maxRetries: Int = 16,
+      allowNewColumns: Boolean = false,
+      allowWidening: Boolean = false): Long = {
     var attempt = 0
     var last: IllegalStateException = null
     while (attempt <= maxRetries) {
-      try return append(batch(), root, tag)
+      try return append(batch(), root, tag, allowNewColumns, allowWidening)
       catch {
         // the TYPE is the retry protocol (not message-sniffing): only a
         // lost optimistic base race is safe to re-run — the store's other

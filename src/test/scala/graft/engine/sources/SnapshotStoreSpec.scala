@@ -812,6 +812,47 @@ class SnapshotStoreSpec extends AnyFunSuite {
       Set(111L, 20L, 3000000030L))
   }
 
+  test("merge evolution: upserting batches may add columns and widen " +
+      "types (append's flags mirrored — the re-crawl drift path)") {
+    import org.apache.spark.sql.types.LongType
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, 10), (2L, 20)).toDF("k", "n"), r, "k", nBuckets = 2)
+    // default merge still rejects both drifts
+    intercept[IllegalArgumentException] {
+      SnapshotStore.merge(Seq((1L, 10L)).toDF("k", "n"), r)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.merge(Seq((1L, 10, 0.5)).toDF("k", "n", "q"), r)
+    }
+    // widening UPSERT: an existing key's count outgrew int — append
+    // (insert-only) cannot express this; without the flag there was no
+    // path at all
+    SnapshotStore.merge(Seq((1L, 3000000030L)).toDF("k", "n"), r,
+      allowWidening = true)
+    val w = SnapshotStore.read(spark, r, mergeSchema = true)
+    assert(w.schema("n").dataType == LongType)
+    assert(w.select("k", "n").as[(Long, Long)].collect().toSet ==
+      Set((1L, 3000000030L), (2L, 20L)),
+      "untouched narrow files must up-cast under the recorded union")
+    // evolving UPSERT: a new column lands on an existing key; the
+    // touched bucket's survivors NULL-fill it in the rewrite
+    SnapshotStore.merge(Seq((2L, 21L, 0.7)).toDF("k", "n", "q"), r,
+      allowNewColumns = true)
+    val e = SnapshotStore.read(spark, r, mergeSchema = true)
+    val byK = e.select(col("k"), col("n"), col("q")).collect()
+      .map(rw => rw.getLong(0) -> ((rw.getLong(1),
+        if (rw.isNullAt(2)) None else Some(rw.getDouble(2))))).toMap
+    assert(byK == Map(
+      1L -> ((3000000030L, None)), 2L -> ((21L, Some(0.7)))),
+      s"got $byK")
+    // narrowing stays rejected, flag or no flag
+    intercept[IllegalArgumentException] {
+      SnapshotStore.merge(Seq((1L, 5)).toDF("k", "n"), r,
+        allowWidening = true)
+    }
+  }
+
   test("lifecycle composition: widen + evolve + compact + merge + " +
       "rebucket + cursors on ONE store stay coherent end to end") {
     import org.apache.spark.sql.types.LongType
