@@ -724,6 +724,38 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a writer that raced a rebucket aborts stale (never mis-censuses " +
+      "buckets under the old spec), and its retry lands on the new spec") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      (1L to 10L).map(i => (i, i * 10)).toDF("k", "n"), r, "k",
+      nBuckets = 2) // v1
+    // a slow writer resolves its base (and hence its spec) at v1…
+    val staleBase = SnapshotStore.currentVersion(r)
+    // …then the rebucket lands first
+    SnapshotStore.rebucket(spark, r, 8) // v2
+    // the slow writer's merge, still pinned to the pre-rebucket base,
+    // must abort on the stale-base check — committing its old-spec
+    // census would scatter keys across the new layout
+    intercept[StalePublishException] {
+      SnapshotStore.merge(Seq((1L, 999L)).toDF("k", "n"), r,
+        baseVersion = staleBase)
+    }
+    // the retry against CURRENT picks up the new spec and lands
+    SnapshotStore.merge(Seq((1L, 999L)).toDF("k", "n"), r) // v3
+    val cur = SnapshotStore.read(spark, r)
+    assert(cur.filter(col("k") === 1L).select("n").as[Long]
+      .collect().toSeq == Seq(999L))
+    assert(cur.filter(col("_bucket") =!=
+      SnapshotStore.bucketExpr("k", 8)).isEmpty,
+      "the retried merge must census under the NEW spec")
+    // appendContended is the always-on writer's loop: the same abort is
+    // its ONE retryable condition, so a live writer survives a rebucket
+    val v = SnapshotStore.appendContended(
+      () => Seq((11L, 110L)).toDF("k", "n"), r)
+    assert(v == 4L && SnapshotStore.read(spark, r).count() == 11L)
+  }
+
   test("composite bucket key: publish/merge/deleteKeys on a two-column " +
       "identity; per-column type checks hold") {
     val r = root()
