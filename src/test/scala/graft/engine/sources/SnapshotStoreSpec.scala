@@ -756,6 +756,52 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(v == 4L && SnapshotStore.read(spark, r).count() == 11L)
   }
 
+  test("LIVE writers racing a rebucket: no row lost, every row in its " +
+      "current-spec bucket, maintenance retries through stale aborts") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((0L, 0L)).toDF("k", "n"), r, "k", nBuckets = 2)
+    // four always-on writers, three tagged-free appends each
+    val writers = (1 to 4).map { w =>
+      Future {
+        (0 until 3).foreach { i =>
+          val key = w * 100L + i
+          SnapshotStore.appendContended(
+            () => Seq((key, key)).toDF("k", "n"), r)
+        }
+      }
+    }
+    // the operator's loop: a rebucket that loses the optimistic race
+    // re-reads the (now larger) base and tries again — exactly what a
+    // runbook would do
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try { SnapshotStore.rebucket(spark, r, 8); done = true }
+      catch {
+        case _: StalePublishException =>
+          attempts += 1
+          assert(attempts < 50, "rebucket starved by writer churn")
+      }
+    }
+    Await.result(Future.sequence(writers), 180.seconds)
+    val cur = SnapshotStore.read(spark, r)
+    assert(cur.count() == 13L, "a row was lost in the interleave")
+    assert(cur.select("k").as[Long].collect().toSet ==
+      (Set(0L) ++ (for (w <- 1 to 4; i <- 0 until 3)
+        yield w * 100L + i).toSet))
+    assert(SnapshotStore.readBucketSpec(r) == Some(("k", 8)))
+    // rows appended BEFORE the flip were rewritten by it; rows appended
+    // AFTER censused under the new sidecar — either way, every row must
+    // sit where the CURRENT spec says it does
+    assert(cur.filter(col("_bucket") =!=
+      SnapshotStore.bucketExpr("k", 8)).isEmpty,
+      "a concurrent writer mis-censused a bucket across the rebucket")
+  }
+
   test("composite bucket key: publish/merge/deleteKeys on a two-column " +
       "identity; per-column type checks hold") {
     val r = root()
