@@ -3250,8 +3250,9 @@ object LlmQueries {
     * coverage as x69's backfill. Repeated deltas fragment hot shards —
     * `compact` (q104) is the standing maintenance contract; a corpus
     * UPSERT (re-crawl, q137) breaks readSince's append-lineage
-    * soundness and needs the q89 diff leg instead — documented at
-    * [[graft.engine.sources.SnapshotStore.readSince]]. */
+    * soundness — the consumer then RESYNCS on the row-level diff, the
+    * q141 path (removed keys deleteKey out of the export, added rows
+    * shard-append, tagged), and resumes readSince from the rewrite. */
   val q138 = GraftQuery(
     "q138_resumable_export",
     (spark, sfDir) => {
