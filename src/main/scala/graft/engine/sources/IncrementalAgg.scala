@@ -76,24 +76,45 @@ object IncrementalAgg {
     if (SnapshotStore.currentVersion(root) == 0L)
       SnapshotStore.publishBucketed(delta, root, keyCol, nBuckets, tag = tag)
     else {
-      val (storeKey, nb) = SnapshotStore.readBucketSpec(root).getOrElse(
-        throw new IllegalStateException(
-          s"$root exists but is not bucketed — not an IncrementalAgg store"))
-      require(storeKey == keyCol,
-        s"store $root aggregates by '$storeKey', got '$keyCol'")
-      val touched = delta
-        .select(SnapshotStore.bucketExpr(keyCol, nb).as("_bucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val existing = SnapshotStore.read(spark, root)
-        .filter(col("_bucket").isin(touched.map(Int.box): _*))
-        .select(col(keyCol), col("n").as("_n_old"), col("s").as("_s_old"))
-      val updated = delta.join(existing, Seq(keyCol), "left_outer")
-        .select(col(keyCol),
-          (col("n") + coalesce(col("_n_old"), lit(0L))).as("n"),
-          (col("s") + coalesce(col("_s_old"), lit(0).cast(Dec)))
-            .cast(Dec).as("s"))
-      // delta keys are distinct by construction (output of a groupBy)
-      SnapshotStore.merge(updated, root, keysAreDistinct = true, tag = tag)
+      // read-add-merge is NOT atomic: a RIVAL refresh landing between
+      // our read of the current table and our merge would have its
+      // contribution silently REPLACED by our sum (the classic lost
+      // update — addition is not idempotent, so last-writer-wins is
+      // data loss here, not convergence). The store's own optimistic
+      // discipline closes it: pin the version the old values were read
+      // from, merge against EXACTLY that base, and when the typed
+      // stale-base abort says someone interleaved, re-read and re-add
+      // against the new current. Single-writer callers (x60's per-tick
+      // loop) never pay a retry.
+      var attempt = 0
+      var last: StalePublishException = null
+      while (attempt <= 16) {
+        val base = SnapshotStore.currentVersion(root)
+        val (storeKey, nb) = SnapshotStore.bucketSpecAt(root, base)
+          .getOrElse(throw new IllegalStateException(
+            s"$root exists but is not bucketed — not an IncrementalAgg store"))
+        require(storeKey == keyCol,
+          s"store $root aggregates by '$storeKey', got '$keyCol'")
+        val touched = delta
+          .select(SnapshotStore.bucketExpr(keyCol, nb).as("_bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val existing = SnapshotStore.read(spark, root, base)
+          .filter(col("_bucket").isin(touched.map(Int.box): _*))
+          .select(col(keyCol), col("n").as("_n_old"), col("s").as("_s_old"))
+        val updated = delta.join(existing, Seq(keyCol), "left_outer")
+          .select(col(keyCol),
+            (col("n") + coalesce(col("_n_old"), lit(0L))).as("n"),
+            (col("s") + coalesce(col("_s_old"), lit(0).cast(Dec)))
+              .cast(Dec).as("s"))
+        // delta keys are distinct by construction (output of a groupBy)
+        try return SnapshotStore.merge(updated, root, baseVersion = base,
+          keysAreDistinct = true, tag = tag)
+        catch {
+          case e: StalePublishException => last = e; attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"refresh still stale after 16 retries under $root", last)
     }
   }
 

@@ -102,4 +102,36 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("aggregates by"))
   }
+
+  test("CONCURRENT refreshes of one hot key lose no addition (the " +
+      "read-add-merge interleave retries on the pinned base)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    val root = freshRoot("race")
+    IncrementalAgg.refresh(Seq(("hot", 1.0)).toDF("k", "v"),
+      root, "k", "v", nBuckets = 4)
+    // four writers, three refreshes each, ALL on the same key — without
+    // the pinned-base retry, interleaved read-add-merge cycles replace
+    // each other's sums (addition is not idempotent: last-writer-wins
+    // here is silent data loss, not convergence)
+    val writers = (1 to 4).map { w =>
+      Future {
+        (0 until 3).foreach { i =>
+          IncrementalAgg.refresh(
+            Seq(("hot", 1.0), (s"w$w", w.toDouble)).toDF("k", "v"),
+            root, "k", "v", tag = Some(s"w$w-$i"))
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 180.seconds)
+    val out = IncrementalAgg.read(spark, root)
+      .select(col("k"), col("n"),
+        col("s").cast("double").as("s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("hot") == ((13L, 13.0)),
+      s"a concurrent addition was lost: ${out("hot")}")
+    (1 to 4).foreach(w =>
+      assert(out(s"w$w") == ((3L, w * 3.0)), s"w$w: ${out.get(s"w$w")}"))
+  }
 }
