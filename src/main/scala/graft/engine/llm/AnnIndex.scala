@@ -193,10 +193,24 @@ object AnnIndex {
     * version. */
   def compactCodes(spark: SparkSession, root: String,
       tag: Option[String] = None): Long = {
-    val (keyCol, nBuckets) = SnapshotStore.readBucketSpec(root).getOrElse(
-      throw new IllegalStateException(s"$root is not a bucketed store"))
-    SnapshotStore.publishBucketed(readCodesLive(spark, root), root,
-      keyCol, nBuckets, tag)
+    // optimistic compare-and-swap, NOT publishBucketed: the compacted
+    // content is computed FROM the current version, so an ingest tick
+    // landing between the live-read and an unconditional publish would
+    // vanish from the new current (the IncrementalAgg lost-update shape
+    // applied to whole-store rewrites). rewriteBucketed aborts stale;
+    // recompute from the new current and try again.
+    var attempt = 0
+    var last: graft.engine.sources.StalePublishException = null
+    while (attempt <= 16) {
+      try return SnapshotStore.rewriteBucketed(
+        readCodesLive(spark, root), root, tag)
+      catch {
+        case e: graft.engine.sources.StalePublishException =>
+          last = e; attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"compactCodes still stale after 16 retries under $root", last)
   }
 
   /** Probe-side PRUNED read: only the bucket directories holding the

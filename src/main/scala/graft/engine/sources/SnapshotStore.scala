@@ -1379,6 +1379,44 @@ object SnapshotStore {
     commitStaged(root, staging, base, tag = None, op = "compact")
   }
 
+  /** OPTIMISTIC full content rewrite: publish `df` as the store's next
+    * version under its CURRENT bucket spec, aborting (typed
+    * [[StalePublishException]]) if any writer advanced the store since
+    * entry. This is the compare-and-swap a DERIVED-content compaction
+    * needs (e.g. dropping tombstones and their victims): the rewrite's
+    * content is COMPUTED FROM the base version, so [[publishBucketed]]'s
+    * unconditional claim would silently drop a batch that landed
+    * between the read and the publish — exactly the lost update
+    * [[merge]]'s base check exists to prevent, applied to whole-store
+    * rewrites. Callers retry by recomputing from the new current (the
+    * appendContended discipline). Lineage kind is `rewrite`:
+    * [[readSince]] across it refuses. */
+  def rewriteBucketed(df: DataFrame, root: String,
+      tag: Option[String] = None): Long = {
+    val alreadyApplied = taggedVersion(root, tag)
+    if (alreadyApplied.isDefined) return alreadyApplied.get
+    val base = currentVersion(root)
+    require(base > 0, s"no published version under $root")
+    val (keyCol, nBuckets) = bucketSpecAt(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; bootstrap with publishBucketed"))
+    require(!df.columns.contains("_bucket"), "_bucket is reserved")
+    bucketKeyCols(keyCol).foreach(k =>
+      require(df.columns.contains(k), s"missing key column $k"))
+    val bucketed = df.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    bucketed
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
+      .parquet(staging.toString)
+    tag.foreach(t => Files.write(staging.resolve(TagFile),
+      t.getBytes(StandardCharsets.UTF_8)))
+    writeSpecSidecar(staging, keyCol, nBuckets)
+    writeVersionManifest(staging, kind = "rewrite",
+      schema = bucketed.schema)
+    commitStaged(root, staging, base, tag, op = "content rewrite")
+  }
+
   /** REBUCKET a store that outgrew its layout — the maintenance op a
     * growing deployment hits with certainty at 100 TB: the nBuckets
     * chosen at bootstrap bounds merge/deleteKeys parallelism and file
