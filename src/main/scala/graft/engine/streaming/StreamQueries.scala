@@ -855,10 +855,13 @@ object StreamQueries {
           // touched-bucket pruned history read (the IncrementalAgg
           // idiom): the batch's keys name their buckets, the store scan
           // reads ONLY those _bucket partitions — the 100 TB key history
-          // stays cold, and blobs are never re-decoded. Bucket count
-          // comes from the store's own BUCKETSPEC: a second literal
-          // would silently desynchronize the probe from the layout.
-          val (specKey, nb) = SnapshotStore.readBucketSpec(keysRoot)
+          // stays cold, and blobs are never re-decoded. Spec AND data
+          // are pinned to ONE version (bucketSpecAt(base) + read(base)):
+          // resolving them separately would let a rebucket landing in
+          // between prune the anti-join by the WRONG buckets — silent
+          // duplicate re-admission, not an error.
+          val base = SnapshotStore.currentVersion(keysRoot)
+          val (specKey, nb) = SnapshotStore.bucketSpecAt(keysRoot, base)
             .getOrElse(throw new IllegalStateException(
               s"$keysRoot lost its bucket spec"))
           require(specKey == "pixkey", s"unexpected bucket key $specKey")
@@ -866,7 +869,7 @@ object StreamQueries {
             .select(SnapshotStore.bucketExpr("pixkey", nb).as("_bucket"))
             .distinct().collect().map(_.getInt(0)).toSeq
           val fresh = withinBatch.join(
-            SnapshotStore.read(spark, keysRoot)
+            SnapshotStore.read(spark, keysRoot, base)
               .filter(col("_bucket").isin(touched.map(Int.box): _*))
               .select(col("pixkey")),
             Seq("pixkey"), "left_anti")

@@ -347,20 +347,26 @@ object Streaming {
         // so its bucket set is a safe superset). Per-tick store I/O is
         // thereby ∝ touched buckets, matching merge's own posture — never
         // a full published-corpus key scan + shuffle
+        // spec AND data pinned to ONE version (bucketSpecAt(base) +
+        // read(base)): resolved separately, a rebucket landing in
+        // between would prune this anti-join by the WRONG buckets —
+        // silent duplicate re-admission, not an error
+        val survivorsBase = SnapshotStore.currentVersion(storeRoot)
         val survivorsPlan =
-          if (SnapshotStore.currentVersion(storeRoot) == 0L) fresh
+          if (survivorsBase == 0L) fresh
           else {
-            val (storeKey, nb) = SnapshotStore.readBucketSpec(storeRoot)
-              .getOrElse(throw new IllegalStateException(
-                s"$storeRoot published but not bucketed: the curation " +
-                  "stream always bootstraps via publishBucketed"))
+            val (storeKey, nb) =
+              SnapshotStore.bucketSpecAt(storeRoot, survivorsBase)
+                .getOrElse(throw new IllegalStateException(
+                  s"$storeRoot published but not bucketed: the curation " +
+                    "stream always bootstraps via publishBucketed"))
             require(storeKey == "ck",
               s"store $storeRoot is bucketed on '$storeKey', expected 'ck'")
             val touched = docs
               .select(SnapshotStore.bucketExpr("ck", nb).as("_bucket"))
               .distinct().collect().map(_.getInt(0)).toSeq
             fresh.join(
-              SnapshotStore.read(spark, storeRoot)
+              SnapshotStore.read(spark, storeRoot, survivorsBase)
                 .filter(col("_bucket").isin(touched.map(Int.box): _*))
                 .select(col("ck")),
               Seq("ck"), "left_anti")
