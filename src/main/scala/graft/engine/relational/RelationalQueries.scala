@@ -1879,9 +1879,149 @@ object RelationalQueries {
       "across it, and the diff resync carries only the data delta " +
       "(layout is not data); oracle = ROW_NUMBER-latest over three crawls")
 
+  /** q145 — KEY-PRUNED POINT LOOKUP ([[graft.engine.sources
+    * .SnapshotStore.readKeys]]): the READ leg of the store's
+    * touched-bucket census. The compliance audit ("show me these N
+    * documents"), the CDC spot check, and the secondary-index probe
+    * all ask for a handful of rows by identity — at 100 TB a
+    * `WHERE doc_id IN (...)` over `read` scans the corpus for them,
+    * while `readKeys` hashes the key frame through the store's OWN
+    * bucket assignment and reads only the ≤ |keys| touched bucket
+    * directories, semi-joining against the broadcast key frame inside
+    * them. Cost ∝ touched data, never table size — the exact economics
+    * merge/deleteKeys already have on the write side. Pinned plan
+    * booleans: `bucket_pruned` (the scan carries a `_bucket` partition
+    * filter — directory-level pruning, verified in the executed plan)
+    * and `broadcast_lookup` (the key frame broadcasts; the store side
+    * never shuffles). The lookup runs AFTER an upsert, so values prove
+    * it reads current content, not the bootstrap crawl. */
+  val q145 = GraftQuery(
+    "q145_keyed_lookup",
+    (spark, sfDir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q145_lookup_${ProcessHandle.current().pid()}/tbl"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      SnapshotStore.publishBucketed(docs, root, "doc_id", 32) // v1
+      // a re-crawl upserts a tenth of the corpus: the lookup must see it
+      SnapshotStore.merge(docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") * 2 + 17).as("n_chars")), root) // v2
+      val keys = docs.filter(col("doc_id") % 97 === 5)
+        .select(col("doc_id"))
+      val looked = SnapshotStore.readKeys(keys, root)
+      val plan = looked.queryExecution.executedPlan.toString
+      val pruned = plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") &&
+          l.substring(l.indexOf("PartitionFilters")).contains("_bucket"))
+      val bcast = plan.contains("BroadcastHashJoin")
+      looked
+        .withColumn("bucket_pruned", lit(pruned))
+        .withColumn("broadcast_lookup", lit(bcast))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source,
+        CASE WHEN doc_id % 10 = 3 THEN n_chars * 2 + 17
+          ELSE n_chars END AS n_chars,
+        TRUE AS bucket_pruned, TRUE AS broadcast_lookup
+      FROM documents WHERE doc_id % 97 = 5 ORDER BY doc_id"""),
+    doc = "key-pruned point lookup (readKeys): rows by identity reading " +
+      "only the buckets the keys hash to — _bucket partition filter in " +
+      "the executed plan, key frame broadcast, store side never " +
+      "shuffled; runs after an upsert so values pin current content")
+
+  /** q146 — SECONDARY-INDEX TAKEDOWN: production takedown requests
+    * arrive as DOMAINS ("purge everything from src3"), but the corpus
+    * is keyed by doc_id — resolving source → doc_id with a corpus scan
+    * is O(100 TB) per request. The fix composes three existing
+    * primitives, no new machinery: an INVERTED INDEX (source, doc_id)
+    * kept as its own bucketed store with `source` as PARTITION key
+    * ([[graft.engine.sources.SnapshotStore.append]]'s IVF-codes
+    * semantics — many rows per source), maintained INCREMENTALLY from
+    * corpus versions ([[graft.engine.sources.SnapshotStore.readSince]]
+    * — each crawl appends only its delta, `index_incremental` pins
+    * that the maintenance read exactly the new rows); a takedown then
+    * [[graft.engine.sources.SnapshotStore.readKeys]]-es the index
+    * (touches ≤ |sources| buckets of the INDEX, `lookup_pruned` pins
+    * the `_bucket` partition filter) and [[graft.engine.sources
+    * .SnapshotStore.deleteKeys]]-es the resolved doc_ids from the
+    * corpus (rewrites ≤ |doc_ids| corpus buckets). The index
+    * self-cleans with the SAME delete primitive keyed by source
+    * (`index_clean`: the lookup finds nothing after). End to end the
+    * request costs O(index delta + touched buckets) — the corpus is
+    * never scanned. */
+  val q146 = GraftQuery(
+    "q146_secondary_takedown",
+    (spark, sfDir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q146_sidx_${ProcessHandle.current().pid()}"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
+      val (corpusRoot, idxRoot) = (s"$base/corpus", s"$base/idx")
+      import graft.engine.sources.SnapshotStore
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      SnapshotStore.publishBucketed(docs, corpusRoot, "doc_id", 16) // v1
+      // index bootstrap from corpus v1; source is a PARTITION key
+      SnapshotStore.publishBucketed(
+        SnapshotStore.read(spark, corpusRoot, 1L)
+          .select(col("source"), col("doc_id")),
+        idxRoot, "source", 8)
+      // crawl 2 appends new documents; the index maintenance reads ONLY
+      // the delta via the consumer cursor, never the corpus
+      val crawl2 = docs.filter(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("n_chars"))
+      SnapshotStore.append(crawl2, corpusRoot) // v2
+      val delta = SnapshotStore.readSince(spark, corpusRoot, 1L)
+        .getOrElse(spark.emptyDataFrame)
+      val indexIncremental = delta.count() == crawl2.count()
+      SnapshotStore.append(
+        delta.select(col("source"), col("doc_id")), idxRoot)
+      // the takedown request: two domains, resolved through the index
+      import spark.implicits._
+      val sources = Seq("src3", "src17").toDF("source")
+      val hits = SnapshotStore.readKeys(sources, idxRoot)
+      val plan = hits.queryExecution.executedPlan.toString
+      val lookupPruned = plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") &&
+          l.substring(l.indexOf("PartitionFilters")).contains("_bucket"))
+      SnapshotStore.deleteKeys(
+        hits.select(col("doc_id")).distinct(), corpusRoot)
+      // the index self-cleans with the same primitive, keyed by source
+      SnapshotStore.deleteKeys(sources, idxRoot)
+      val indexClean = SnapshotStore.readKeys(sources, idxRoot).isEmpty
+      SnapshotStore.read(spark, corpusRoot).groupBy(col("source"))
+        .agg(lcount().as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .withColumn("index_incremental", lit(indexIncremental))
+        .withColumn("lookup_pruned", lit(lookupPruned))
+        .withColumn("index_clean", lit(indexClean))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c2 AS (SELECT doc_id + 1000000 AS doc_id, source, n_chars
+          FROM documents WHERE doc_id % 9 = 2),
+      allr AS (SELECT doc_id, source, n_chars FROM documents
+        UNION ALL SELECT doc_id, source, n_chars FROM c2),
+      kept AS (SELECT * FROM allr
+        WHERE source NOT IN ('src3', 'src17'))
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS index_incremental, TRUE AS lookup_pruned,
+        TRUE AS index_clean
+      FROM kept GROUP BY source ORDER BY source"""),
+    doc = "secondary-index takedown: requests arrive as domains, the " +
+      "inverted (source, doc_id) index — its own bucketed store, " +
+      "maintained incrementally via readSince — resolves them to " +
+      "primary keys for deleteKeys; lookup prunes index buckets, " +
+      "index self-cleans by source; the corpus is never scanned")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
-    q137, q139, q140, q141, q142, q143, q144)
+    q137, q139, q140, q141, q142, q143, q144, q145, q146)
 }

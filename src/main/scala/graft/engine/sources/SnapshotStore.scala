@@ -1093,6 +1093,77 @@ object SnapshotStore {
     commitStaged(root, staging, base, tag, op = "merge")
   }
 
+  /** Key-frame contract shared by [[readKeys]] and [[deleteKeys]]:
+    * exactly the bucket-key columns in spec order, each with the store's
+    * exact type. TYPE check, not just name: xxhash64 bucketing is
+    * type-sensitive (xxhash64(3: Int) != xxhash64(3L)), so an Int keys
+    * frame against a Long-keyed store would census the WRONG buckets and
+    * silently miss every row — an empty lookup, or worse, a takedown
+    * that "deletes" nothing while returning success. */
+  private def requireKeyFrame(keys: DataFrame, keyColumns: Seq[String],
+      baseDf: DataFrame): Unit = {
+    require(keys.columns.toSeq == keyColumns,
+      s"keys must be the frame of exactly (${keyColumns.mkString(",")}) " +
+        s"in that order; got ${keys.columns.mkString(",")}")
+    keyColumns.foreach { k => // .sql: ignore nullability (see requireMatchingTypes)
+      require(
+        keys.schema(k).dataType.sql == baseDf.schema(k).dataType.sql,
+        s"keys column $k is ${keys.schema(k).dataType.sql} " +
+          s"but the store's key is " +
+          s"${baseDf.schema(k).dataType.sql}: bucketing is " +
+          "type-sensitive — cast the keys to the store's type first")
+    }
+  }
+
+  /** POINT-LOOKUP read: the rows of `version` (default: current) whose
+    * bucket key appears in `keys`, touching ONLY the bucket directories
+    * the keys hash to — the READ leg of the touched-bucket census that
+    * [[merge]]/[[deleteKeys]] already use for writes. The compliance
+    * audit ("show me these N documents"), the CDC spot check, and the
+    * secondary-index probe all need exactly this: at 100 TB a WHERE
+    * key IN (...) over [[read]] scans the corpus to return a handful of
+    * rows, while this reads ≤ `keys` buckets' files (`_bucket` is a
+    * partition column, so the isin prunes at the directory level) and
+    * semi-joins against the (broadcast) key frame inside them.
+    *
+    * Contract: `keys` is a POINT-LOOKUP-SIZED frame — it is broadcast
+    * (census collect is bounded by nBuckets either way). For a
+    * corpus-scale key set use `read` + your own join instead. Rows with
+    * a NULL key never match (standard equi-join semantics; a null row
+    * identity is the caller's modeling error, as in [[deleteKeys]]).
+    * Duplicate keys are fine (semi-join returns each stored row once).
+    * Time travel composes with [[rebucket]]: the census uses the spec
+    * `version` was WRITTEN under ([[bucketSpecAt]]), so a lookup pinned
+    * to a pre-rebucket version prunes that version's own layout.
+    * Returns data rows only (`_bucket` is layout, not data — same
+    * posture as [[diff]]). */
+  def readKeys(keys: DataFrame, root: String, version: Long = 0L): DataFrame = {
+    val spark = keys.sparkSession
+    val v = if (version > 0) version else currentVersion(root)
+    require(v > 0, s"no published version under $root")
+    val (keyCol, nBuckets) = bucketSpecAt(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"$root is not a bucketed store; point lookups need a bucket " +
+          "key — bootstrap with publishBucketed"))
+    val keyColumns = bucketKeyCols(keyCol)
+    val baseDf = read(spark, root, v, mergeSchema = true)
+    requireKeyFrame(keys, keyColumns, baseDf)
+    val keysB = keys.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+      .localCheckpoint(eager = false)
+    val touched = keysB.select(col("_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val dataCols = baseDf.columns.filterNot(_ == "_bucket")
+      .map(col).toSeq
+    if (touched.isEmpty) // empty key set: the honest empty answer
+      return baseDf.filter(lit(false)).select(dataCols: _*)
+    baseDf
+      .filter(col("_bucket").isin(touched.toSeq.map(Int.box): _*))
+      .join(org.apache.spark.sql.functions.broadcast(
+        keysB.select(keyColumns.map(col): _*).distinct()),
+        keyColumns, "left_semi")
+      .select(dataCols: _*)
+  }
+
   /** DELETE-BY-KEY: remove every row whose key appears in `keys` and
     * publish the result as a new version WITHOUT rewriting unchanged
     * partitions — the takedown / right-to-be-forgotten primitive
@@ -1123,22 +1194,8 @@ object SnapshotStore {
       throw new IllegalStateException(
         s"$root is not a bucketed store; bootstrap with publishBucketed"))
     val keyColumns = bucketKeyCols(keyCol)
-    require(keys.columns.toSeq == keyColumns,
-      s"keys must be the frame of exactly (${keyColumns.mkString(",")}) " +
-        s"in that order; got ${keys.columns.mkString(",")}")
     val baseDf = read(spark, root, base, mergeSchema = true)
-    // TYPE check, not just name: xxhash64 bucketing is type-sensitive
-    // (xxhash64(3: Int) != xxhash64(3L)), so an Int keys frame against a
-    // Long-keyed store would census the WRONG buckets and "delete"
-    // nothing while returning success — a silent takedown failure
-    keyColumns.foreach { k => // .sql: ignore nullability (see requireMatchingTypes)
-      require(
-        keys.schema(k).dataType.sql == baseDf.schema(k).dataType.sql,
-        s"keys column $k is ${keys.schema(k).dataType.sql} " +
-          s"but the store's key is " +
-          s"${baseDf.schema(k).dataType.sql}: bucketing is " +
-          "type-sensitive — cast the keys to the store's type first")
-    }
+    requireKeyFrame(keys, keyColumns, baseDf)
     val keysB = keys.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
       .localCheckpoint(eager = false)
     val touched = keysB.select(col("_bucket")).distinct()

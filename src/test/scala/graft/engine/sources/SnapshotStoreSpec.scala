@@ -1013,4 +1013,65 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, r, 1L, mergeSchema = true)
       .columns.toSet == Set("k", "s", "_bucket"))
   }
+
+  test("readKeys: point lookup returns exactly the requested rows, " +
+      "prunes to the touched buckets, and broadcasts the key frame") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      (1L to 64L).map(i => (i, s"s$i")).toDF("k", "s"),
+      r, "k", nBuckets = 16)
+    val looked = SnapshotStore.readKeys(
+      Seq(3L, 7L, 7L, 999L).toDF("k"), r) // dup + miss are both fine
+    val plan = looked.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.substring(pf.indexOf("PartitionFilters")).contains("_bucket"),
+      s"lookup must prune on the _bucket partition column:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"point-lookup key frame must broadcast, never shuffle the store:\n$plan")
+    assert(looked.columns.toSeq == Seq("k", "s"),
+      "_bucket is layout, not data")
+    assert(looked.collect().map(rw => rw.getLong(0) -> rw.getString(1))
+      .toSet == Set(3L -> "s3", 7L -> "s7"))
+    // empty key frame: the honest empty answer, data schema intact
+    val empty = SnapshotStore.readKeys(
+      Seq.empty[Long].toDF("k"), r)
+    assert(empty.columns.toSeq == Seq("k", "s") && empty.isEmpty)
+  }
+
+  test("readKeys: mistyped or misordered key frames are rejected " +
+      "(type-sensitive bucketing), composite keys look up exactly") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "en", "a"), (1L, "de", "b"), (2L, "en", "c"))
+        .toDF("k", "lang", "s"),
+      r, "k,lang", nBuckets = 4)
+    intercept[IllegalArgumentException] { // Int keys vs Long store
+      SnapshotStore.readKeys(Seq((1, "en")).toDF("k", "lang"), r)
+    }
+    intercept[IllegalArgumentException] { // columns out of spec order
+      SnapshotStore.readKeys(Seq(("en", 1L)).toDF("lang", "k"), r)
+    }
+    val hit = SnapshotStore.readKeys(
+      Seq((1L, "en")).toDF("k", "lang"), r).collect()
+    assert(hit.map(_.getString(2)).toSeq == Seq("a"),
+      "composite lookup must match the full identity, not just doc_id")
+  }
+
+  test("readKeys: a lookup pinned to a pre-rebucket version censuses " +
+      "that version's OWN spec") {
+    val r = root()
+    SnapshotStore.publishBucketed(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("k", "s"),
+      r, "k", nBuckets = 2) // v1
+    SnapshotStore.rebucket(spark, r, 8) // v2, new layout
+    // current lookup uses the new spec…
+    assert(SnapshotStore.readKeys(Seq(5L).toDF("k"), r)
+      .collect().map(_.getString(1)).toSeq == Seq("s5"))
+    // …and the time-traveled lookup censuses v1's 2-bucket layout —
+    // hashing 5L into the NEW 8-bucket space against v1's directories
+    // would read the wrong (possibly absent) partition and return empty
+    assert(SnapshotStore.readKeys(Seq(5L).toDF("k"), r, version = 1L)
+      .collect().map(_.getString(1)).toSeq == Seq("s5"))
+  }
 }
