@@ -204,4 +204,33 @@ class SparkPropertySpec extends AnyFunSuite {
       assert(gotTrim == wantTrim, s"texts=$texts")
     }
   }
+
+  test("property: readKeys == unpruned full-scan lookup for arbitrary " +
+      "stores and key subsets (composite keys, misses, duplicates)") {
+    import graft.engine.sources.SnapshotStore
+    // rows over a SMALL composite-key space so re-keys and misses arise;
+    // last write wins is irrelevant (publishBucketed takes rows verbatim),
+    // so dedupe the generated identities first
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.oneOf("en", "de", "fr"),
+        Gen.choose(-5, 5)))
+    val keysGen = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 40L), Gen.oneOf("en", "de", "fr", "xx")))
+    samples(Gen.zip(rowsGen, keysGen, Gen.oneOf(1, 3, 7)), 4)
+      .foreach { case (rows, keys, nBuckets) =>
+        val r = java.nio.file.Files
+          .createTempDirectory("graft-prop-rk").toString + "/tbl"
+        val data = rows.map { case (id, lang, v) => (id, lang, v) }
+          .distinctBy(t => (t._1, t._2))
+        val df = data.toDF("k", "lang", "v")
+        SnapshotStore.publishBucketed(df, r, "k,lang", nBuckets)
+        val keysDf = keys.toDF("k", "lang")
+        val got = SnapshotStore.readKeys(keysDf, r)
+          .collect().map(rw => (rw.getLong(0), rw.getString(1),
+            rw.getInt(2))).toSet
+        val want = data.filter(t => keys.contains((t._1, t._2))).toSet
+        assert(got == want,
+          s"nBuckets=$nBuckets rows=$data keys=$keys:\n got $got\n want $want")
+      }
+  }
 }
