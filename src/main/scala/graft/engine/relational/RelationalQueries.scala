@@ -1950,9 +1950,13 @@ object RelationalQueries {
     * .SnapshotStore.deleteKeys]]-es the resolved doc_ids from the
     * corpus (rewrites ≤ |doc_ids| corpus buckets). The index
     * self-cleans with the SAME delete primitive keyed by source
-    * (`index_clean`: the lookup finds nothing after). End to end the
-    * request costs O(index delta + touched buckets) — the corpus is
-    * never scanned. */
+    * (`index_clean`: the lookup finds nothing after). The two stores
+    * have no cross-store transaction, so both legs carry the REQUEST
+    * id as their idempotence tag: a worker that crashes between them
+    * replays the whole request and each leg no-ops if already applied
+    * (`replay_noop` — x71's per-tick discipline, here per request).
+    * End to end the request costs O(index delta + touched buckets) —
+    * the corpus is never scanned. */
   val q146 = GraftQuery(
     "q146_secondary_takedown",
     (spark, sfDir) => {
@@ -1989,17 +1993,34 @@ object RelationalQueries {
       val lookupPruned = plan.linesIterator.exists(l =>
         l.contains("PartitionFilters") &&
           l.substring(l.indexOf("PartitionFilters")).contains("_bucket"))
-      SnapshotStore.deleteKeys(
-        hits.select(col("doc_id")).distinct(), corpusRoot)
+      // both legs carry the REQUEST id as the idempotence tag: the two
+      // stores have no cross-store transaction, so a worker that crashes
+      // between them replays the whole request and each leg no-ops if
+      // already applied (x71's per-tick discipline, here per request)
+      val docKeys = hits.select(col("doc_id")).distinct()
+        .localCheckpoint() // pin: the index delete below empties `hits`
+      val vCorpus = SnapshotStore.deleteKeys(docKeys, corpusRoot,
+        tag = Some("takedown-req1"))
       // the index self-cleans with the same primitive, keyed by source
-      SnapshotStore.deleteKeys(sources, idxRoot)
+      val vIdx = SnapshotStore.deleteKeys(sources, idxRoot,
+        tag = Some("takedown-req1"))
       val indexClean = SnapshotStore.readKeys(sources, idxRoot).isEmpty
+      // crash-replay of the request: both legs return their already-
+      // applied versions, nothing is re-deleted or re-minted
+      val replayNoop =
+        SnapshotStore.deleteKeys(docKeys, corpusRoot,
+          tag = Some("takedown-req1")) == vCorpus &&
+        SnapshotStore.deleteKeys(sources, idxRoot,
+          tag = Some("takedown-req1")) == vIdx &&
+        SnapshotStore.currentVersion(corpusRoot) == vCorpus &&
+        SnapshotStore.currentVersion(idxRoot) == vIdx
       SnapshotStore.read(spark, corpusRoot).groupBy(col("source"))
         .agg(lcount().as("n_docs"),
           sum(col("n_chars")).cast(LongType).as("sum_chars"))
         .withColumn("index_incremental", lit(indexIncremental))
         .withColumn("lookup_pruned", lit(lookupPruned))
         .withColumn("index_clean", lit(indexClean))
+        .withColumn("replay_noop", lit(replayNoop))
         .orderBy(col("source"))
     },
     Some("""WITH c2 AS (SELECT doc_id + 1000000 AS doc_id, source, n_chars
@@ -2011,13 +2032,14 @@ object RelationalQueries {
       SELECT source, COUNT(*) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         TRUE AS index_incremental, TRUE AS lookup_pruned,
-        TRUE AS index_clean
+        TRUE AS index_clean, TRUE AS replay_noop
       FROM kept GROUP BY source ORDER BY source"""),
     doc = "secondary-index takedown: requests arrive as domains, the " +
       "inverted (source, doc_id) index — its own bucketed store, " +
       "maintained incrementally via readSince — resolves them to " +
       "primary keys for deleteKeys; lookup prunes index buckets, " +
-      "index self-cleans by source; the corpus is never scanned")
+      "index self-cleans by source, both legs tagged by request id so " +
+      "a crash-replay no-ops; the corpus is never scanned")
 
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,

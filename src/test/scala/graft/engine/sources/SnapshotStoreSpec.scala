@@ -965,6 +965,17 @@ class SnapshotStoreSpec extends AnyFunSuite {
       1L -> ((111L, Some(0.9))), 2L -> ((20L, None)),
       3L -> ((3000000030L, None)), 4L -> ((40L, Some(0.5)))),
       s"composition must preserve every value, got $byK")
+    // point lookup on the fully-evolved store: serves the union schema
+    // (widened long, NULL-filled q) under the post-rebucket spec, and a
+    // lookup pinned BEFORE the widening still reads v1's own int schema
+    val hit = SnapshotStore.readKeys(Seq(3L).toDF("k"), r).collect()
+    assert(hit.length == 1 && hit(0).getLong(1) == 3000000030L &&
+      hit(0).isNullAt(2), "lookup must serve the evolved union schema")
+    val v1Hit = SnapshotStore.readKeys(Seq(2L).toDF("k"), r, version = 1L)
+    assert(v1Hit.schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType &&
+      v1Hit.collect()(0).getInt(1) == 20,
+      "time-traveled lookup must keep the pre-widening schema")
     // the parked consumer: cursor survived the whole pipeline, its
     // version survives an aggressive vacuum, readSince refuses across
     // the rewrites, and the diff resync serves the TRUE data delta
