@@ -1914,9 +1914,7 @@ object RelationalQueries {
         .select(col("doc_id"))
       val looked = SnapshotStore.readKeys(keys, root)
       val plan = looked.queryExecution.executedPlan.toString
-      val pruned = plan.linesIterator.exists(l =>
-        l.contains("PartitionFilters") &&
-          l.substring(l.indexOf("PartitionFilters")).contains("_bucket"))
+      val pruned = SnapshotStore.prunesOnBucket(plan)
       val bcast = plan.contains("BroadcastHashJoin")
       looked
         .withColumn("bucket_pruned", lit(pruned))
@@ -1980,19 +1978,17 @@ object RelationalQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
           col("n_chars"))
       SnapshotStore.append(crawl2, corpusRoot) // v2
-      val delta = SnapshotStore.readSince(spark, corpusRoot, 1L)
-        .getOrElse(spark.emptyDataFrame)
-      val indexIncremental = delta.count() == crawl2.count()
-      SnapshotStore.append(
-        delta.select(col("source"), col("doc_id")), idxRoot)
+      val deltaOpt = SnapshotStore.readSince(spark, corpusRoot, 1L)
+      val indexIncremental =
+        deltaOpt.map(_.count()).getOrElse(0L) == crawl2.count()
+      deltaOpt.foreach(d => SnapshotStore.append(
+        d.select(col("source"), col("doc_id")), idxRoot))
       // the takedown request: two domains, resolved through the index
       import spark.implicits._
       val sources = Seq("src3", "src17").toDF("source")
       val hits = SnapshotStore.readKeys(sources, idxRoot)
-      val plan = hits.queryExecution.executedPlan.toString
-      val lookupPruned = plan.linesIterator.exists(l =>
-        l.contains("PartitionFilters") &&
-          l.substring(l.indexOf("PartitionFilters")).contains("_bucket"))
+      val lookupPruned = SnapshotStore.prunesOnBucket(
+        hits.queryExecution.executedPlan.toString)
       // both legs carry the REQUEST id as the idempotence tag: the two
       // stores have no cross-store transaction, so a worker that crashes
       // between them replays the whole request and each leg no-ops if

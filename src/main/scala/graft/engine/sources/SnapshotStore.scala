@@ -1115,6 +1115,35 @@ object SnapshotStore {
     }
   }
 
+  /** Bucket census of a validated key frame — shared by [[readKeys]]
+    * and [[deleteKeys]] so the census discipline can never diverge
+    * between the read and delete legs. NULL-keyed rows are dropped
+    * first: they can never equi-join a stored row (both legs' joins are
+    * standard equality), and xxhash64(null) would otherwise census the
+    * seed bucket — wasted IO on the read path, a pointless identical
+    * rewrite on the delete path. ([[merge]]'s batch census is NOT this:
+    * a null-keyed batch row is a real row to store.) Returns the
+    * bucketed, checkpoint-pinned key frame plus its touched-bucket set
+    * (driver-side, bounded by nBuckets). */
+  private def keyFrameCensus(keys: DataFrame, keySpec: String,
+      nBuckets: Int, keyColumns: Seq[String]): (DataFrame, Set[Int]) = {
+    val keysB = keys.na.drop("any", keyColumns)
+      .withColumn("_bucket", bucketExpr(keySpec, nBuckets))
+      .localCheckpoint(eager = false)
+    val touched = keysB.select(col("_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    (keysB, touched)
+  }
+
+  /** True iff a physical-plan string shows a scan pruning on the
+    * `_bucket` partition column — the plan-shape contract the
+    * pruned-lookup queries and specs pin. Lives here so the scan-node
+    * string-format assumption (a `PartitionFilters: [...]` line on the
+    * FileScan node) is asserted in ONE place. */
+  def prunesOnBucket(plan: String): Boolean =
+    plan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+      l.substring(l.indexOf("PartitionFilters")).contains("_bucket"))
+
   /** POINT-LOOKUP read: the rows of `version` (default: current) whose
     * bucket key appears in `keys`, touching ONLY the bucket directories
     * the keys hash to — the READ leg of the touched-bucket census that
@@ -1128,9 +1157,11 @@ object SnapshotStore {
     *
     * Contract: `keys` is a POINT-LOOKUP-SIZED frame — it is broadcast
     * (census collect is bounded by nBuckets either way). For a
-    * corpus-scale key set use `read` + your own join instead. Rows with
-    * a NULL key never match (standard equi-join semantics; a null row
-    * identity is the caller's modeling error, as in [[deleteKeys]]).
+    * corpus-scale key set use `read` + your own join instead. NULL-keyed
+    * rows are dropped before the census ([[keyFrameCensus]] — they could
+    * never equi-join a stored row, and would otherwise force a read of
+    * the seed bucket for nothing; a null row identity is the caller's
+    * modeling error, as in [[deleteKeys]]).
     * Duplicate keys are fine (semi-join returns each stored row once).
     * Time travel composes with [[rebucket]]: the census uses the spec
     * `version` was WRITTEN under ([[bucketSpecAt]]), so a lookup pinned
@@ -1148,10 +1179,7 @@ object SnapshotStore {
     val keyColumns = bucketKeyCols(keyCol)
     val baseDf = read(spark, root, v, mergeSchema = true)
     requireKeyFrame(keys, keyColumns, baseDf)
-    val keysB = keys.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
-      .localCheckpoint(eager = false)
-    val touched = keysB.select(col("_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val (keysB, touched) = keyFrameCensus(keys, keyCol, nBuckets, keyColumns)
     val dataCols = baseDf.columns.filterNot(_ == "_bucket")
       .map(col).toSeq
     if (touched.isEmpty) // empty key set: the honest empty answer
@@ -1196,10 +1224,7 @@ object SnapshotStore {
     val keyColumns = bucketKeyCols(keyCol)
     val baseDf = read(spark, root, base, mergeSchema = true)
     requireKeyFrame(keys, keyColumns, baseDf)
-    val keysB = keys.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
-      .localCheckpoint(eager = false)
-    val touched = keysB.select(col("_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val (keysB, touched) = keyFrameCensus(keys, keyCol, nBuckets, keyColumns)
     if (touched.isEmpty) return base // empty key set: nothing minted
     val survivors = baseDf
       .filter(col("_bucket").isin(touched.toSeq.map(Int.box): _*))

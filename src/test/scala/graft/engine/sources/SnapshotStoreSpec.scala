@@ -1034,9 +1034,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val looked = SnapshotStore.readKeys(
       Seq(3L, 7L, 7L, 999L).toDF("k"), r) // dup + miss are both fine
     val plan = looked.queryExecution.executedPlan.toString
-    val pf = plan.linesIterator
-      .find(_.contains("PartitionFilters")).getOrElse("")
-    assert(pf.substring(pf.indexOf("PartitionFilters")).contains("_bucket"),
+    assert(SnapshotStore.prunesOnBucket(plan),
       s"lookup must prune on the _bucket partition column:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"point-lookup key frame must broadcast, never shuffle the store:\n$plan")
