@@ -1905,7 +1905,7 @@ object RelationalQueries {
       import graft.engine.sources.SnapshotStore
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("n_chars"))
-      SnapshotStore.publishBucketed(docs, root, "doc_id", 32) // v1
+      SnapshotStore.publishBucketed(docs, root, "doc_id", 16) // v1
       // a re-crawl upserts a tenth of the corpus: the lookup must see it
       SnapshotStore.merge(docs.filter(col("doc_id") % 10 === 3)
         .select(col("doc_id"), col("source"),
@@ -1966,12 +1966,12 @@ object RelationalQueries {
       import graft.engine.sources.SnapshotStore
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("n_chars"))
-      SnapshotStore.publishBucketed(docs, corpusRoot, "doc_id", 16) // v1
+      SnapshotStore.publishBucketed(docs, corpusRoot, "doc_id", 8) // v1
       // index bootstrap from corpus v1; source is a PARTITION key
       SnapshotStore.publishBucketed(
         SnapshotStore.read(spark, corpusRoot, 1L)
           .select(col("source"), col("doc_id")),
-        idxRoot, "source", 8)
+        idxRoot, "source", 4)
       // crawl 2 appends new documents; the index maintenance reads ONLY
       // the delta via the consumer cursor, never the corpus
       val crawl2 = docs.filter(col("doc_id") % 9 === 2)
