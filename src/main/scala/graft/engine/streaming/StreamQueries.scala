@@ -1885,7 +1885,193 @@ object StreamQueries {
       "equal to the request stream, deletion completed by vacuum; " +
       "oracle = export recomputed minus every streamed request")
 
+  /** X5/X9 — STREAMING DOMAIN TAKEDOWN (x71's production request
+    * shape + q146's index resolution, composed under interleaving):
+    * takedown requests arrive as DOMAINS on a stream while the corpus
+    * keeps CRAWLING between ticks, and the inverted (source, doc_id)
+    * index must stay exact through all of it. Per tick the worker
+    * resolves requests through the index ([[graft.engine.sources
+    * .SnapshotStore.readKeys]] — ≤ |requests| index buckets), deletes
+    * the resolved doc_ids from the corpus and the requested sources
+    * from the index under ONE per-tick tag (a crash between the legs
+    * replays the tick; each leg no-ops), then lands an atomic ledger
+    * entry (x71's pattern). The interleaving pins what the one-shot
+    * q146 cannot:
+    *  - POINT-IN-TIME semantics (`src3_recrawl_survives`): a crawl
+    *    AFTER src3's takedown re-introduces src3 docs — they survive,
+    *    and the index re-populates them;
+    *  - the INDEX-MAINTENANCE fallback (`resync_used_diff`): the
+    *    takedown mints a rewrite-kind corpus version, so the index
+    *    consumer's readSince REFUSES across it and falls back to
+    *    diff()-added rows (q141's discipline). Appending only the
+    *    ADDED side is sound here because removed rows only arise from
+    *    takedowns, which self-clean the index in the same tick — a
+    *    general CDC rewrite would need the q141 merge-based resync;
+    *  - INDEX EXACTNESS (`index_consistent`): after two crawls, two
+    *    takedowns, one diff fallback, and a re-population, the index
+    *    is row-identical to the corpus projection — exceptAll both
+    *    ways, multiset semantics. */
+  val x72 = GraftQuery(
+    "x72_stream_domain_takedown",
+    (spark, sfDir) => {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import graft.engine.sources.SnapshotStore
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x72_domain_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(Paths.get(base))
+      val corpusRoot = s"$base/corpus"
+      val idxRoot = s"$base/idx"
+      val ledgerDir = Paths.get(s"$base/ledger")
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      // crawl 1 bootstraps corpus AND index; the index consumer's
+      // cursor tracks the corpus version it has mirrored
+      SnapshotStore.publishBucketed(
+        docs.filter(col("doc_id") % 3 === 0), corpusRoot, "doc_id", 4)
+      SnapshotStore.publishBucketed(
+        SnapshotStore.read(spark, corpusRoot, 1L)
+          .select(col("source"), col("doc_id")), idxRoot, "source", 4)
+      SnapshotStore.setConsumedThrough(corpusRoot, "idx", 1L)
+      // incremental index maintenance: readSince from the cursor; a
+      // takedown rewrite in the interval REFUSES, and the fallback
+      // appends the diff()'s added rows (removed rows were self-cleaned
+      // from the index by the takedown tick itself)
+      def idxSync(): Boolean = {
+        val cur = SnapshotStore.currentVersion(corpusRoot)
+        val cursor = SnapshotStore.consumedThrough(corpusRoot, "idx")
+        val usedDiff =
+          try {
+            SnapshotStore.readSince(spark, corpusRoot, cursor, cur)
+              .foreach(d => SnapshotStore.append(
+                d.select(col("source"), col("doc_id")), idxRoot))
+            false
+          } catch {
+            case _: IllegalStateException =>
+              // checkpoint: the diff (two exceptAlls) would otherwise
+              // recompute for the emptiness probe AND the append write
+              val added = SnapshotStore.diff(spark, corpusRoot, cursor, cur)
+                .filter(col("change") === "added")
+                .select(col("source"), col("doc_id"))
+                .localCheckpoint(eager = false)
+              if (!added.isEmpty) SnapshotStore.append(added, idxRoot)
+              true
+          }
+        SnapshotStore.setConsumedThrough(corpusRoot, "idx", cur)
+        usedDiff
+      }
+      val stream = MemoryStream[String]
+      val worker = stream.toDS().toDF("source")
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val reqs = batch.distinct().localCheckpoint()
+            if (reqs.count() > 0) {
+              val hits = SnapshotStore.readKeys(reqs, idxRoot)
+              val docKeys = hits.select(col("doc_id")).distinct()
+                .localCheckpoint() // pin: the index delete empties hits
+              SnapshotStore.deleteKeys(docKeys, corpusRoot,
+                tag = Some(s"dt-$batchId"))
+              SnapshotStore.deleteKeys(reqs, idxRoot,
+                tag = Some(s"dt-$batchId"))
+              // ledger AFTER both deletes: a torn crash replays the
+              // tick, the tags no-op, the entry lands exactly once
+              Files.createDirectories(ledgerDir)
+              val tmp = ledgerDir.resolve(
+                s".tick-$batchId.tmp.${System.nanoTime()}")
+              Files.write(tmp, s"$batchId ${reqs.count()}".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              Files.move(tmp, ledgerDir.resolve(s"tick-$batchId"),
+                StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+            ()
+        }.start()
+      var resyncUsedDiff = false
+      try {
+        // (the plain pre-takedown readSince sync path is q146's
+        // index_incremental pin — not re-paid here)
+        stream.addData("src3"); worker.processAllAvailable()
+        // crawl 2 lands AFTER src3's takedown: the rewrite forces the
+        // diff fallback, and crawl 2's src3 docs re-populate the index
+        SnapshotStore.append(
+          docs.filter(col("doc_id") % 3 === 2), corpusRoot)
+        resyncUsedDiff = idxSync()
+        stream.addData("src17"); worker.processAllAvailable()
+      } finally worker.stop()
+      // at-least-once replay of the last tick: the tag short-circuits
+      // BEFORE any key evaluation on both stores
+      val (cv, iv) = (SnapshotStore.currentVersion(corpusRoot),
+        SnapshotStore.currentVersion(idxRoot))
+      val replayNoop =
+        SnapshotStore.deleteKeys(Seq(-1L).toDF("doc_id"), corpusRoot,
+          tag = Some("dt-1")) == cv &&
+        SnapshotStore.deleteKeys(Seq("src17").toDF("source"), idxRoot,
+          tag = Some("dt-1")) == iv &&
+        SnapshotStore.currentVersion(corpusRoot) == cv &&
+        SnapshotStore.currentVersion(idxRoot) == iv
+      val cur = SnapshotStore.read(spark, corpusRoot).localCheckpoint()
+      // one aggregation job for both corpus-side pins
+      val pins = cur.agg(
+        sum(when(col("source") === "src17" ||
+          (col("source") === "src3" && col("doc_id") % 3 =!= 2), 1L)
+          .otherwise(0L)).as("dirty"),
+        sum(when(col("source") === "src3", 1L).otherwise(0L))
+          .as("src3_now")).collect()(0)
+      val corpusClean = pins.getLong(0) == 0L
+      val src3Survives = pins.getLong(1) ==
+        docs.filter(col("source") === "src3" && col("doc_id") % 3 === 2)
+          .count()
+      val idxPairs = SnapshotStore.read(spark, idxRoot)
+        .select(col("source"), col("doc_id"))
+      val corpusPairs = cur.select(col("source"), col("doc_id"))
+      // symmetric multiset equality in ONE job
+      val indexConsistent = idxPairs.exceptAll(corpusPairs)
+        .unionByName(corpusPairs.exceptAll(idxPairs)).isEmpty
+      val entries = {
+        val s = Files.list(ledgerDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("tick-"))
+            .map { p =>
+              val Array(b, n) = new String(Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8).trim.split(' ')
+              (b.toLong, n.toLong)
+            }.toSeq
+        } finally s.close()
+      }
+      cur.groupBy(col("source"))
+        .agg(graft.engine.relational.Exact.lcount().as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("corpus_clean", lit(corpusClean))
+        .withColumn("src3_recrawl_survives", lit(src3Survives))
+        .withColumn("resync_used_diff", lit(resyncUsedDiff))
+        .withColumn("index_consistent", lit(indexConsistent))
+        .withColumn("replay_noop", lit(replayNoop))
+        .withColumn("ledger_ticks", lit(entries.length.toLong))
+        .withColumn("ledger_reqs", lit(entries.map(_._2).sum))
+        .orderBy(col("source"))
+    },
+    Some("""WITH kept AS (SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id % 3 <> 1 AND source <> 'src17'
+          AND NOT (source = 'src3' AND doc_id % 3 <> 2))
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS corpus_clean, TRUE AS src3_recrawl_survives,
+        TRUE AS resync_used_diff, TRUE AS index_consistent,
+        TRUE AS replay_noop,
+        CAST(2 AS BIGINT) AS ledger_ticks, CAST(2 AS BIGINT) AS ledger_reqs
+      FROM kept GROUP BY source ORDER BY source"""),
+    doc = "streaming domain takedown: requests arrive as domains while " +
+      "the corpus keeps crawling; per tick the index resolves them " +
+      "(readKeys), corpus + index delete under one tag, atomic ledger; " +
+      "pins point-in-time semantics (a re-crawled domain survives and " +
+      "re-indexes), the diff fallback across the takedown rewrite, and " +
+      "the index staying row-identical to the corpus through it all")
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      x65, x66, x67, x68, x69, x70, x71, q58, q80, q94, q107)
+      x65, x66, x67, x68, x69, x70, x71, x72, q58, q80, q94, q107)
 }
