@@ -1730,6 +1730,44 @@ object StreamQueries {
       "existing export files (inode-pinned), final export == full " +
       "recompute over every streamed doc")
 
+  /** One atomic compliance-ledger entry (write-temp + rename, the
+    * [[LateRouter]] pattern): a torn crash never leaves a half entry,
+    * and a replayed tick REPLACE-overwrites its own entry idempotently.
+    * Shared by the takedown workers (x71, x72) so the torn-write
+    * discipline lives in ONE place. */
+  private def writeLedgerTick(dir: java.nio.file.Path, batchId: Long,
+      n: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tick-$batchId.tmp.${System.nanoTime()}")
+    Files.write(tmp, s"$batchId $n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"tick-$batchId"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The ledger's (batchId, count) entries — empty when no tick ever
+    * landed one (the dir may not exist yet; the guard lives here so a
+    * copy can't lose it). */
+  private def readLedgerTicks(
+      dir: java.nio.file.Path): Seq[(Long, Long)] = {
+    import java.nio.file.Files
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("tick-"))
+          .map { p =>
+            val Array(b, n) = new String(Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8).trim.split(' ')
+            (b.toLong, n.toLong)
+          }.toSeq
+      } finally s.close()
+    }
+  }
+
   /** X5/X9 — STREAMING TAKEDOWN WORKER, q140's always-on shape
     * (VERDICT r16 item 7): in production, right-to-be-forgotten
     * requests arrive as a STREAM, and each tick must propagate to the
@@ -1794,14 +1832,7 @@ object StreamQueries {
             // compliance ledger: one atomic entry per tick. Written
             // AFTER both deletes — a torn crash replays the tick, the
             // tags no-op the deletes, and the entry lands exactly once
-            Files.createDirectories(ledgerDir)
-            val tmp = ledgerDir.resolve(
-              s".tick-$batchId.tmp.${System.nanoTime()}")
-            Files.write(tmp, s"$batchId $n".getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            Files.move(tmp, ledgerDir.resolve(s"tick-$batchId"),
-              StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
+            writeLedgerTick(ledgerDir, batchId, n)
             ()
         }.start()
       try {
@@ -1824,21 +1855,7 @@ object StreamQueries {
       val corpusClean = clean(corpusRoot)
       val exportClean = clean(exportRoot)
       // the compliance trail equals the request stream
-      val entries =
-        if (!Files.exists(ledgerDir)) Seq.empty[(Long, Long)]
-        else {
-          val s = Files.list(ledgerDir)
-          try {
-            import scala.jdk.CollectionConverters._
-            s.iterator().asScala
-              .filter(_.getFileName.toString.startsWith("tick-"))
-              .map { p =>
-                val Array(b, n) = new String(Files.readAllBytes(p),
-                  java.nio.charset.StandardCharsets.UTF_8).trim.split(' ')
-                (b.toLong, n.toLong)
-              }.toSeq
-          } finally s.close()
-        }
+      val entries = readLedgerTicks(ledgerDir)
       // deletion COMPLETES at vacuum: the pre-takedown versions go away
       SnapshotStore.vacuum(corpusRoot, keep = 0)
       SnapshotStore.vacuum(exportRoot, keep = 0)
@@ -1917,7 +1934,7 @@ object StreamQueries {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import graft.engine.sources.SnapshotStore
-      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.Paths
       val base = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_x72_domain_${ProcessHandle.current().pid()}"
       SnapshotStore.deleteRecursively(Paths.get(base))
@@ -1941,23 +1958,33 @@ object StreamQueries {
       def idxSync(): Boolean = {
         val cur = SnapshotStore.currentVersion(corpusRoot)
         val cursor = SnapshotStore.consumedThrough(corpusRoot, "idx")
-        val usedDiff =
-          try {
-            SnapshotStore.readSince(spark, corpusRoot, cursor, cur)
-              .foreach(d => SnapshotStore.append(
-                d.select(col("source"), col("doc_id")), idxRoot))
+        // the try scopes readSince ALONE (its lineage-kind refusal is
+        // eager, at call time): a StalePublishException from the append
+        // below must stay LOUD, not be misread as a lineage refusal
+        val sinceOpt =
+          try Some(SnapshotStore.readSince(spark, corpusRoot, cursor, cur))
+          catch { case _: IllegalStateException => None }
+        // the fold is TAGGED by its target cursor (the consumedThrough
+        // discipline, x70's exportSync shape): a worker that crashes
+        // between the append and the cursor advance replays this sync
+        // and the tag no-ops the re-append — insert-only append would
+        // otherwise double the index rows
+        val tag = Some(s"idx-v$cur")
+        val usedDiff = sinceOpt match {
+          case Some(delta) =>
+            delta.foreach(d => SnapshotStore.append(
+              d.select(col("source"), col("doc_id")), idxRoot, tag))
             false
-          } catch {
-            case _: IllegalStateException =>
-              // checkpoint: the diff (two exceptAlls) would otherwise
-              // recompute for the emptiness probe AND the append write
-              val added = SnapshotStore.diff(spark, corpusRoot, cursor, cur)
-                .filter(col("change") === "added")
-                .select(col("source"), col("doc_id"))
-                .localCheckpoint(eager = false)
-              if (!added.isEmpty) SnapshotStore.append(added, idxRoot)
-              true
-          }
+          case None =>
+            // checkpoint: the diff (two exceptAlls) would otherwise
+            // recompute for the emptiness probe AND the append write
+            val added = SnapshotStore.diff(spark, corpusRoot, cursor, cur)
+              .filter(col("change") === "added")
+              .select(col("source"), col("doc_id"))
+              .localCheckpoint(eager = false)
+            if (!added.isEmpty) SnapshotStore.append(added, idxRoot, tag)
+            true
+        }
         SnapshotStore.setConsumedThrough(corpusRoot, "idx", cur)
         usedDiff
       }
@@ -1967,7 +1994,8 @@ object StreamQueries {
         .foreachBatch {
           (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             val reqs = batch.distinct().localCheckpoint()
-            if (reqs.count() > 0) {
+            val n = reqs.count()
+            if (n > 0) {
               val hits = SnapshotStore.readKeys(reqs, idxRoot)
               val docKeys = hits.select(col("doc_id")).distinct()
                 .localCheckpoint() // pin: the index delete empties hits
@@ -1977,14 +2005,7 @@ object StreamQueries {
                 tag = Some(s"dt-$batchId"))
               // ledger AFTER both deletes: a torn crash replays the
               // tick, the tags no-op, the entry lands exactly once
-              Files.createDirectories(ledgerDir)
-              val tmp = ledgerDir.resolve(
-                s".tick-$batchId.tmp.${System.nanoTime()}")
-              Files.write(tmp, s"$batchId ${reqs.count()}".getBytes(
-                java.nio.charset.StandardCharsets.UTF_8))
-              Files.move(tmp, ledgerDir.resolve(s"tick-$batchId"),
-                StandardCopyOption.ATOMIC_MOVE,
-                StandardCopyOption.REPLACE_EXISTING)
+              writeLedgerTick(ledgerDir, batchId, n)
             }
             ()
         }.start()
@@ -2029,19 +2050,7 @@ object StreamQueries {
       // symmetric multiset equality in ONE job
       val indexConsistent = idxPairs.exceptAll(corpusPairs)
         .unionByName(corpusPairs.exceptAll(idxPairs)).isEmpty
-      val entries = {
-        val s = Files.list(ledgerDir)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala
-            .filter(_.getFileName.toString.startsWith("tick-"))
-            .map { p =>
-              val Array(b, n) = new String(Files.readAllBytes(p),
-                java.nio.charset.StandardCharsets.UTF_8).trim.split(' ')
-              (b.toLong, n.toLong)
-            }.toSeq
-        } finally s.close()
-      }
+      val entries = readLedgerTicks(ledgerDir)
       cur.groupBy(col("source"))
         .agg(graft.engine.relational.Exact.lcount().as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
