@@ -319,6 +319,16 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // untagged writes still mint versions freely alongside tagged ones
     assert(SnapshotStore.merge(Seq((3L, 30.0)).toDF("id", "v"), r) == 3L)
     assert(SnapshotStore.versionTags(r).keySet == Set(1L, 2L))
+    // tagged APPEND replay no-ops too — the cursor-fold crash guard
+    // (a consumer that crashed between its fold append and its cursor
+    // advance replays the fold; insert-only append would double rows)
+    val v4 = SnapshotStore.append(Seq((4L, 40.0)).toDF("id", "v"), r,
+      tag = Some("fold-v4"))
+    assert(SnapshotStore.append(Seq((4L, 40.0)).toDF("id", "v"), r,
+      tag = Some("fold-v4")) == v4)
+    assert(SnapshotStore.currentVersion(r) == v4 &&
+      SnapshotStore.read(spark, r).filter(col("id") === 4L).count() == 1L,
+      "a replayed tagged append must not re-insert")
   }
 
   test("merge: a rival pinned to a stale base fails the flip-lock re-check " +
