@@ -603,6 +603,36 @@ object SnapshotStore {
     else new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
   }
 
+  /** Crash recovery for TAGGED cursor folds — the missing half of the
+    * [[consumedThrough]] belt-and-suspenders. A fold that landed on
+    * `dstRoot` under tag s"$prefix-v$to" proves the source range
+    * (cursor, to] was applied atomically; if the consumer crashed
+    * BEFORE advancing its cursor, a naive replay recomputes the fold
+    * against the source's FRESH current version — and when a rival
+    * publish advanced the source in between, the recomputed range gets
+    * a fresh tag, so the tag no-op does NOT fire and the already-folded
+    * rows re-apply (an insert-only append doubles them; the quiescent
+    * replay, same range same tag, was always safe). Call this BEFORE
+    * computing the fold range: it advances the cursor to the highest
+    * tagged fold target on `dstRoot`, making the replayed READ start
+    * where the crashed WRITE actually ended. Returns the recovered
+    * cursor. Vacuuming `dstRoot` past the replay horizon forfeits the
+    * recovery for the vacuumed folds, same as every [[versionTags]]
+    * contract — a consumer replays only its most recent fold, so any
+    * keep ≥ 1 horizon is safe. */
+  def recoverTaggedFolds(srcRoot: String, consumer: String,
+      dstRoot: String, prefix: String): Long = {
+    val cursor = consumedThrough(srcRoot, consumer)
+    val folded = versionTags(dstRoot).values.flatMap { t =>
+      if (t.startsWith(s"$prefix-v"))
+        t.stripPrefix(s"$prefix-v").toLongOption
+      else None
+    }
+    val target = (folded.toSeq :+ cursor).max
+    if (target > cursor) setConsumedThrough(srcRoot, consumer, target)
+    target
+  }
+
   /** Advance `consumer`'s cursor (monotonic: regressions are ignored so
     * a replayed epoch can never un-consume). The check-then-write runs
     * under the root's flip lock: two instances of the same consumer (a

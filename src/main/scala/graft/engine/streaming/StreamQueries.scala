@@ -1646,7 +1646,11 @@ object StreamQueries {
         val cv = SnapshotStore.currentVersion(corpusRoot)
         if (cv == 0) 0L
         else {
-          val cursor = SnapshotStore.consumedThrough(corpusRoot, "export")
+          // crash recovery first: a fold that landed but never advanced
+          // its cursor must not re-export under a fresh tag when the
+          // corpus moved in between ([[SnapshotStore.recoverTaggedFolds]])
+          val cursor = SnapshotStore.recoverTaggedFolds(
+            corpusRoot, "export", exportRoot, "export")
           val moved =
             SnapshotStore.readSince(spark, corpusRoot, cursor, cv) match {
               case None => 0L
@@ -1760,9 +1764,19 @@ object StreamQueries {
         s.iterator().asScala
           .filter(_.getFileName.toString.startsWith("tick-"))
           .map { p =>
-            val Array(b, n) = new String(Files.readAllBytes(p),
-              java.nio.charset.StandardCharsets.UTF_8).trim.split(' ')
-            (b.toLong, n.toLong)
+            // loud corruption failure naming the file and its bytes
+            // (the LateRouter.recover posture) — a bare destructure
+            // would throw an anonymous MatchError pointing at nothing
+            val raw = new String(Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val parts = raw.trim.split(' ')
+            val parsed =
+              if (parts.length == 2)
+                parts(0).toLongOption.zip(parts(1).toLongOption)
+              else None
+            parsed.getOrElse(throw new IllegalStateException(
+              s"corrupt ledger entry $p: '$raw' " +
+                "(want '<batchId> <count>')"))
           }.toSeq
       } finally s.close()
     }
@@ -1957,18 +1971,22 @@ object StreamQueries {
       // from the index by the takedown tick itself)
       def idxSync(): Boolean = {
         val cur = SnapshotStore.currentVersion(corpusRoot)
-        val cursor = SnapshotStore.consumedThrough(corpusRoot, "idx")
+        // crash recovery BEFORE computing the range: a landed-but-
+        // uncursored fold must not re-append when the corpus moved in
+        // between (fresh tag, no no-op — recoverTaggedFolds closes it)
+        val cursor = SnapshotStore.recoverTaggedFolds(
+          corpusRoot, "idx", idxRoot, "idx")
         // the try scopes readSince ALONE (its lineage-kind refusal is
         // eager, at call time): a StalePublishException from the append
         // below must stay LOUD, not be misread as a lineage refusal
         val sinceOpt =
           try Some(SnapshotStore.readSince(spark, corpusRoot, cursor, cur))
           catch { case _: IllegalStateException => None }
-        // the fold is TAGGED by its target cursor (the consumedThrough
-        // discipline, x70's exportSync shape): a worker that crashes
-        // between the append and the cursor advance replays this sync
-        // and the tag no-ops the re-append — insert-only append would
-        // otherwise double the index rows
+        // the fold is TAGGED by the version it covers (the
+        // consumedThrough discipline, x70's exportSync shape): a
+        // QUIESCENT crash-replay recomputes the same range, hits the
+        // same tag, and no-ops; a replay after a CONCURRENT corpus
+        // publish is the recoverTaggedFolds case above
         val tag = Some(s"idx-v$cur")
         val usedDiff = sinceOpt match {
           case Some(delta) =>

@@ -1035,6 +1035,40 @@ class SnapshotStoreSpec extends AnyFunSuite {
       .columns.toSet == Set("k", "s", "_bucket"))
   }
 
+  test("recoverTaggedFolds: a landed-but-uncursored fold replayed after " +
+      "a CONCURRENT source publish does not re-apply — the crash window " +
+      "a same-range tag alone cannot close") {
+    val src = root(); val dst = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a")).toDF("k", "s"), src, "k", 2) // src v1
+    SnapshotStore.publishBucketed(
+      SnapshotStore.read(spark, src, 1L).select(col("k"), col("s")),
+      dst, "k", 2) // mirror bootstrap
+    SnapshotStore.setConsumedThrough(src, "c", 1L)
+    SnapshotStore.append(Seq((2L, "b")).toDF("k", "s"), src) // src v2
+    // fold 1 lands covering (1, 2] under its tag… then the consumer
+    // CRASHES before advancing its cursor
+    val d12 = SnapshotStore.readSince(spark, src, 1L, 2L).get
+      .select(col("k"), col("s"))
+    SnapshotStore.append(d12, dst, tag = Some("f-v2"))
+    // a rival publish moves the source before the replay: the naive
+    // replay would fold (1, 3] under the FRESH tag f-v3 — no tag
+    // match, and row 2 re-appends into the insert-only destination
+    SnapshotStore.append(Seq((3L, "c")).toDF("k", "s"), src) // src v3
+    val cursor = SnapshotStore.recoverTaggedFolds(src, "c", dst, "f")
+    assert(cursor == 2L, "recovery must advance to the landed fold")
+    val cur = SnapshotStore.currentVersion(src)
+    val delta = SnapshotStore.readSince(spark, src, cursor, cur).get
+      .select(col("k"), col("s"))
+    SnapshotStore.append(delta, dst, tag = Some(s"f-v$cur"))
+    SnapshotStore.setConsumedThrough(src, "c", cur)
+    val out = SnapshotStore.read(spark, dst)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L), s"no duplicate, no loss: $out")
+    // recovery after a clean fold is a cursor no-op
+    assert(SnapshotStore.recoverTaggedFolds(src, "c", dst, "f") == cur)
+  }
+
   test("readKeys: point lookup returns exactly the requested rows, " +
       "prunes to the touched buckets, and broadcasts the key frame") {
     val r = root()
