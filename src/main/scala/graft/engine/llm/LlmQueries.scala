@@ -3282,18 +3282,25 @@ object LlmQueries {
       // crawl 2: the append-only delta lands in the corpus store
       SnapshotStore.append(
         docs.filter(col("doc_id") % 5 === 0), corpusRoot)
-      // RESUMABLE export: readSince the cursor -> only the new docs
-      val cursor = SnapshotStore.consumedThrough(corpusRoot, "export")
+      // RESUMABLE export: readSince the cursor -> only the new docs.
+      // Recovery first (recoverTaggedFolds): a fold that landed its
+      // tagged export but crashed before the cursor advance must not
+      // re-export under a fresh tag after a concurrent crawl
+      val cursor = SnapshotStore.recoverTaggedFolds(
+        corpusRoot, "export", exportRoot, "export-corpus")
       val corpusV2 = SnapshotStore.currentVersion(corpusRoot)
-      val nDelta = SnapshotStore.readSince(spark, corpusRoot, cursor) match {
-        case None => 0L
-        case Some(delta) =>
-          val rows = sharded(delta.drop("_bucket")).localCheckpoint()
-          SnapshotStore.append(rows, exportRoot,
-            tag = Some(s"export-corpus-v$corpusV2"))
-          SnapshotStore.setConsumedThrough(corpusRoot, "export", corpusV2)
-          rows.count()
-      }
+      val nDelta =
+        if (cursor >= corpusV2) 0L
+        else SnapshotStore.readSince(spark, corpusRoot, cursor,
+            corpusV2) match {
+          case None => 0L
+          case Some(delta) =>
+            val rows = sharded(delta.drop("_bucket")).localCheckpoint()
+            SnapshotStore.append(rows, exportRoot,
+              tag = Some(s"export-corpus-v$corpusV2"))
+            SnapshotStore.setConsumedThrough(corpusRoot, "export", corpusV2)
+            rows.count()
+        }
       val v2Files = SnapshotStore.versionFileInodes(exportRoot,
         SnapshotStore.currentVersion(exportRoot))
       val noRewrite = v1Files.nonEmpty && v1Files.forall {

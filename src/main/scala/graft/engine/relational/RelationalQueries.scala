@@ -1557,7 +1557,13 @@ object RelationalQueries {
         docs.filter(col("doc_id") % 17 === 3 && col("doc_id") < 100)
           .select(col("doc_id")), corpusRoot) // corpus v4 (rewrite kind)
       // the lineage guard refuses the unsound file-diff…
-      val cursor = SnapshotStore.consumedThrough(corpusRoot, "export")
+      // (cursor via recoverTaggedFolds, keyed on the LAST resync leg:
+      // a crashed worker that landed both tagged steps but not the
+      // cursor advance must not re-fold a widened diff under fresh
+      // tags; crash BETWEEN the legs is safe without recovery — the
+      // delete is content-idempotent and the add never landed)
+      val cursor = SnapshotStore.recoverTaggedFolds(
+        corpusRoot, "export", exportRoot, "resync-add")
       val corpusV = SnapshotStore.currentVersion(corpusRoot)
       val refused =
         try { SnapshotStore.readSince(spark, corpusRoot, cursor); false }

@@ -617,9 +617,14 @@ object SnapshotStore {
     * tagged fold target on `dstRoot`, making the replayed READ start
     * where the crashed WRITE actually ended. Returns the recovered
     * cursor. Vacuuming `dstRoot` past the replay horizon forfeits the
-    * recovery for the vacuumed folds, same as every [[versionTags]]
-    * contract — a consumer replays only its most recent fold, so any
-    * keep ≥ 1 horizon is safe. */
+    * recovery for the vacuumed folds — and because a destination may
+    * interleave NON-fold versions above the newest fold (x72's index
+    * takes takedown rewrites), `keep ≥ 1` alone is NOT sufficient
+    * here: the retention horizon must cover the newest FOLD-TAGGED
+    * version until its cursor advance is durable. Cost: one
+    * version-tag listing of `dstRoot` per call (metadata-only,
+    * bounded by the destination's vacuum retention) — a maintenance-
+    * path price paid per sync tick, never per row. */
   def recoverTaggedFolds(srcRoot: String, consumer: String,
       dstRoot: String, prefix: String): Long = {
     val cursor = consumedThrough(srcRoot, consumer)

@@ -1514,9 +1514,16 @@ object StreamQueries {
         // on-time aggregate already IS the batch answer
         if (SnapshotStore.currentVersion(quarRoot) == 0) 0L
         else {
+          // crash recovery FIRST ([[SnapshotStore.recoverTaggedFolds]]):
+          // a fold that landed its tagged partials but crashed before
+          // the cursor advance must not re-fold under a fresh tag when
+          // NEW late rows arrived in between — the replayed range would
+          // widen, miss the old tag, and double-count the folded windows
+          val cursor = SnapshotStore.recoverTaggedFolds(
+            quarRoot, consumer, aggRoot, "backfill")
           val qv = SnapshotStore.currentVersion(quarRoot)
-          SnapshotStore.readSince(spark, quarRoot,
-              SnapshotStore.consumedThrough(quarRoot, consumer), qv) match {
+          if (qv <= cursor) 0L
+          else SnapshotStore.readSince(spark, quarRoot, cursor, qv) match {
             case None => 0L
             case Some(quar) =>
               // tag scoped to the quarantine version folded THROUGH: a
@@ -1643,14 +1650,18 @@ object StreamQueries {
       // empty input — the x68/x69 zero-guard posture) means nothing to
       // sync, not a crash
       def exportSync(): Long = {
+        // crash recovery FIRST, fold target second: a fold that landed
+        // but never advanced its cursor must not re-export under a
+        // fresh tag when the corpus moved in between
+        // ([[SnapshotStore.recoverTaggedFolds]]); resolving cv BEFORE
+        // the recovery could hand a replayed epoch racing a live
+        // instance a cursor > cv and a readSince range error — the
+        // cursor >= cv guard makes that replay a clean no-op
+        val cursor = SnapshotStore.recoverTaggedFolds(
+          corpusRoot, "export", exportRoot, "export")
         val cv = SnapshotStore.currentVersion(corpusRoot)
-        if (cv == 0) 0L
+        if (cv == 0 || cursor >= cv) 0L
         else {
-          // crash recovery first: a fold that landed but never advanced
-          // its cursor must not re-export under a fresh tag when the
-          // corpus moved in between ([[SnapshotStore.recoverTaggedFolds]])
-          val cursor = SnapshotStore.recoverTaggedFolds(
-            corpusRoot, "export", exportRoot, "export")
           val moved =
             SnapshotStore.readSince(spark, corpusRoot, cursor, cv) match {
               case None => 0L
@@ -1970,12 +1981,15 @@ object StreamQueries {
       // appends the diff()'s added rows (removed rows were self-cleaned
       // from the index by the takedown tick itself)
       def idxSync(): Boolean = {
-        val cur = SnapshotStore.currentVersion(corpusRoot)
-        // crash recovery BEFORE computing the range: a landed-but-
-        // uncursored fold must not re-append when the corpus moved in
-        // between (fresh tag, no no-op — recoverTaggedFolds closes it)
+        // crash recovery BEFORE resolving the fold target: a landed-
+        // but-uncursored fold must not re-append when the corpus moved
+        // in between (fresh tag, no no-op — recoverTaggedFolds closes
+        // it), and reading cur first could hand a replayed instance a
+        // cursor > cur and a readSince range error
         val cursor = SnapshotStore.recoverTaggedFolds(
           corpusRoot, "idx", idxRoot, "idx")
+        val cur = SnapshotStore.currentVersion(corpusRoot)
+        if (cur <= cursor) return false
         // the try scopes readSince ALONE (its lineage-kind refusal is
         // eager, at call time): a StalePublishException from the append
         // below must stay LOUD, not be misread as a lineage refusal
