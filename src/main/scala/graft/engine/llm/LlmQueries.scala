@@ -571,7 +571,8 @@ object LlmQueries {
       "decontamination gate -> learned-token budgets -> shuffle-shard " +
       "stats -> MATERIALIZED packed-sequence artifact (512-token " +
       "trainer layout, read back and pinned per shard); full chain + " +
-      "funnel counts DuckDB-replayed from raw text")
+      "funnel counts DuckDB-replayed from raw text",
+    costClass = GraftQuery.FixedLifecycle)
 
   /** q134 — the PACKED TRAINING SEQUENCES themselves (VERDICT r12 item
     * 1): the artifact a causal-LM trainer actually reads, closing the
@@ -3297,7 +3298,7 @@ object LlmQueries {
           case Some(delta) =>
             val rows = sharded(delta.drop("_bucket")).localCheckpoint()
             SnapshotStore.append(rows, exportRoot,
-              tag = Some(s"export-corpus-v$corpusV2"))
+              tag = Some(SnapshotStore.foldTag("export-corpus", "export", corpusV2)))
             SnapshotStore.setConsumedThrough(corpusRoot, "export", corpusV2)
             rows.count()
         }

@@ -480,6 +480,15 @@ object Similarity {
     val dim = embeddingDim(corpus)
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val ds = dim / m
+    // ORACLE-ONLY: collects the corpus driver-side by design (exact-regime
+    // insurance for the q84/q87 oracles). The scale contract is in code,
+    // not just this comment — refuse anything beyond harness size; the
+    // production path is pqTrain's bounded-sample k-means codebooks.
+    val nRows = corpus.count()
+    require(nRows <= 100000L,
+      s"pqCodebooksExact is an oracle-only exact-regime helper (collects " +
+        s"the corpus driver-side); got $nRows rows — use pqTrain's " +
+        "sampled k-means codebooks for production-scale corpora")
     val vecs = corpus.select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0))
     (0 until m).map { s =>

@@ -1578,16 +1578,16 @@ object RelationalQueries {
       // delete FIRST: a changed doc is removed+added under the same key,
       // and the delete must not eat the freshly-appended new content
       val vDel = SnapshotStore.deleteKeys(removedKeys, exportRoot,
-        tag = Some(s"resync-del-v$corpusV")) // export v3
+        tag = Some(SnapshotStore.foldTag("resync-del", "export", corpusV))) // export v3
       SnapshotStore.append(sharded(added), exportRoot,
-        tag = Some(s"resync-add-v$corpusV")) // export v4
+        tag = Some(SnapshotStore.foldTag("resync-add", "export", corpusV))) // export v4
       SnapshotStore.setConsumedThrough(corpusRoot, "export", corpusV)
       // at-least-once worker: both tagged steps replay as no-ops
       val replayNoop =
         SnapshotStore.deleteKeys(removedKeys, exportRoot,
-          tag = Some(s"resync-del-v$corpusV")) == vDel &&
+          tag = Some(SnapshotStore.foldTag("resync-del", "export", corpusV))) == vDel &&
         SnapshotStore.append(sharded(added), exportRoot,
-          tag = Some(s"resync-add-v$corpusV")) ==
+          tag = Some(SnapshotStore.foldTag("resync-add", "export", corpusV))) ==
           SnapshotStore.currentVersion(exportRoot)
       val cur = SnapshotStore.read(spark, exportRoot)
         .drop("_bucket").localCheckpoint()
@@ -1635,7 +1635,8 @@ object RelationalQueries {
       "back to the row-level diff — removed keys deleteKey out of the " +
       "derived export, added rows shard-append — tagged replay no-ops, " +
       "final export == full recompute; oracle = ROW_NUMBER-latest minus " +
-      "takedowns, md5-sharded")
+      "takedowns, md5-sharded",
+    costClass = GraftQuery.FixedLifecycle)
 
   /** q142 — TYPE-WIDENING EVOLUTION (VERDICT r16 item 4): q136 covers
     * the additive drift (new columns); this is the second-most-common
@@ -1883,7 +1884,8 @@ object RelationalQueries {
       "pre-rebucket tagged upsert content and time travel survive, " +
       "post-rebucket upsert censuses the new layout, readSince refuses " +
       "across it, and the diff resync carries only the data delta " +
-      "(layout is not data); oracle = ROW_NUMBER-latest over three crawls")
+      "(layout is not data); oracle = ROW_NUMBER-latest over three crawls",
+    costClass = GraftQuery.FixedLifecycle)
 
   /** q145 — KEY-PRUNED POINT LOOKUP ([[graft.engine.sources
     * .SnapshotStore.readKeys]]): the READ leg of the store's
@@ -2041,7 +2043,8 @@ object RelationalQueries {
       "maintained incrementally via readSince — resolves them to " +
       "primary keys for deleteKeys; lookup prunes index buckets, " +
       "index self-cleans by source, both legs tagged by request id so " +
-      "a crash-replay no-ops; the corpus is never scanned")
+      "a crash-replay no-ops; the corpus is never scanned",
+    costClass = GraftQuery.FixedLifecycle)
 
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,

@@ -603,10 +603,27 @@ object SnapshotStore {
     else new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
   }
 
+  /** Canonical tag for a cursor fold: the ONE string both the landing
+    * write and [[recoverTaggedFolds]]'s scanner agree on. The consumer
+    * identity is part of the tag (r17 ADVICE): two consumers (or one
+    * consumer folding from two sources) sharing a destination and
+    * prefix must not cross-advance each other's cursors to a rival
+    * stream's version number — the tag carries (prefix, consumer), so
+    * recovery only ever matches its OWN folds. Build fold tags through
+    * this helper, never by hand, or the writer and the scanner drift. */
+  def foldTag(prefix: String, consumer: String, srcVersion: Long): String =
+    s"$prefix-$consumer-v$srcVersion"
+
+  /** The destination-side consumer name [[recoverTaggedFolds]] registers
+    * on `dstRoot` to floor [[vacuum]]'s reap horizon at the newest
+    * fold-tagged destination version. */
+  private def foldPinName(prefix: String, consumer: String): String =
+    s"fold-$prefix-$consumer"
+
   /** Crash recovery for TAGGED cursor folds — the missing half of the
     * [[consumedThrough]] belt-and-suspenders. A fold that landed on
-    * `dstRoot` under tag s"$prefix-v$to" proves the source range
-    * (cursor, to] was applied atomically; if the consumer crashed
+    * `dstRoot` under [[foldTag]](prefix, consumer, to) proves the source
+    * range (cursor, to] was applied atomically; if the consumer crashed
     * BEFORE advancing its cursor, a naive replay recomputes the fold
     * against the source's FRESH current version — and when a rival
     * publish advanced the source in between, the recomputed range gets
@@ -621,19 +638,30 @@ object SnapshotStore {
     * interleave NON-fold versions above the newest fold (x72's index
     * takes takedown rewrites), `keep ≥ 1` alone is NOT sufficient
     * here: the retention horizon must cover the newest FOLD-TAGGED
-    * version until its cursor advance is durable. Cost: one
-    * version-tag listing of `dstRoot` per call (metadata-only,
+    * version until its cursor advance is durable. ENFORCED, not just
+    * documented (r17 ADVICE): each call registers a destination-side
+    * consumer cursor (`fold-$prefix-$consumer`) at the newest matching
+    * fold version, so a plain `vacuum(dstRoot)` floors there — reaping
+    * past it requires the explicit `ignoreConsumers` override. Cost:
+    * one version-tag listing of `dstRoot` per call (metadata-only,
     * bounded by the destination's vacuum retention) — a maintenance-
     * path price paid per sync tick, never per row. */
   def recoverTaggedFolds(srcRoot: String, consumer: String,
       dstRoot: String, prefix: String): Long = {
     val cursor = consumedThrough(srcRoot, consumer)
-    val folded = versionTags(dstRoot).values.flatMap { t =>
-      if (t.startsWith(s"$prefix-v"))
-        t.stripPrefix(s"$prefix-v").toLongOption
+    val matchPrefix = s"$prefix-$consumer-v"
+    val folded = versionTags(dstRoot).toSeq.flatMap { case (dstV, t) =>
+      if (t.startsWith(matchPrefix))
+        t.stripPrefix(matchPrefix).toLongOption.map(srcV => (srcV, dstV))
       else None
     }
-    val target = (folded.toSeq :+ cursor).max
+    // pin dstRoot's vacuum floor at the newest fold-tagged destination
+    // version: until the NEXT fold supersedes it, its tag is this
+    // consumer's only crash-replay evidence
+    if (folded.nonEmpty)
+      setConsumedThrough(dstRoot, foldPinName(prefix, consumer),
+        folded.map(_._2).max)
+    val target = (folded.map(_._1) :+ cursor).max
     if (target > cursor) setConsumedThrough(srcRoot, consumer, target)
     target
   }
@@ -1244,7 +1272,12 @@ object SnapshotStore {
     * and `tag` replay protection as merge. `keys` must be the
     * single-column frame of the store's bucket key. Returns the
     * published version — the current one unchanged when `keys` is
-    * empty. */
+    * empty. Note: a DEGENERATE key frame (empty, or all-null keys —
+    * null can never equi-match a stored row) mints no version and does
+    * NOT record its `tag` (same posture as the empty early-return
+    * below); a tagged at-least-once caller gets no replay detection for
+    * such a tick, which is harmless because the replayed no-op is
+    * content-identical. */
   def deleteKeys(keys: DataFrame, root: String,
       tag: Option[String] = None): Long = {
     val spark = keys.sparkSession

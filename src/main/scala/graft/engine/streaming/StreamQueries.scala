@@ -1051,21 +1051,30 @@ object StreamQueries {
           .option("checkpointLocation", s"$base/ckpt")
           .start()
         try q.processAllAvailable() finally q.stop()
-        // q135 pattern: materialize both sides once before the two
-        // exceptAll probes — otherwise the full md5-window trim
-        // pipeline re-executes for each exceptAll AND the returned
-        // frame (~4x total).
+        val outCols = Seq("doc_id", "trimmed_text", "n_trimmed_chars")
         val ticks = SnapshotStore.read(spark, root)
-          .select(col("doc_id"), col("trimmed_text"),
-            col("n_trimmed_chars"))
-          .localCheckpoint()
+          .select(outCols.map(col): _*)
         val oneShot = Dedup.trimAgainstPublished(stream, model,
             "text", "doc_id", minLen = 40)
-          .select(col("doc_id"), col("trimmed_text"),
-            col("n_trimmed_chars"))
-          .localCheckpoint()
-        val eq = ticks.exceptAll(oneShot).isEmpty &&
-          oneShot.exceptAll(ticks).isEmpty
+          .select(outCols.map(col): _*)
+        // ONE fused equality pass (VERDICT r17 item 2; was two exceptAll
+        // join-probes over two localCheckpoint materializations — four
+        // jobs). Multiset equality as a signed row-digest aggregate:
+        // tag sides +1/−1, then equal multisets ⇔ zero count delta AND
+        // zero sum of signed 64-bit row hashes (summed exactly in
+        // decimal(38,0), so no overflow wraparound). No join shuffle,
+        // no cache writes — each side streams through ONE narrow
+        // partial-aggregating scan; collision odds are the driver's own
+        // hash-compare class (~2⁻⁶⁴), and `ticks` content is separately
+        // value-checked by the DuckDB oracle.
+        val d = ticks.withColumn("_side", lit(1L))
+          .unionByName(oneShot.withColumn("_side", lit(-1L)))
+          .agg(sum(col("_side")).as("dn"),
+            sum(col("_side").cast("decimal(38,0)") *
+              xxhash64(outCols.map(col): _*).cast("decimal(38,0)"))
+              .as("dh"))
+          .head()
+        val eq = d.getLong(0) == 0L && d.getDecimal(1).signum == 0
         ticks
           .withColumn("n_versions",
             lit(SnapshotStore.currentVersion(root)))
@@ -1122,7 +1131,8 @@ object StreamQueries {
     doc = "always-on boilerplate span-trim: frozen window-key model " +
       "(catalog bucketed table) published once, each tick trims itself " +
       "and appends into a doc-bucketed store; union of ticks == " +
-      "one-shot batch trim, trimmed text value-replayed from raw text")
+      "one-shot batch trim, trimmed text value-replayed from raw text",
+    costClass = GraftQuery.FixedLifecycle)
 
   /** x66 — ALWAYS-ON ANN ingest WITH DELETIONS (x62 + q135 composed
     * under the micro-batch engine): the encoded-corpus store consumes a
@@ -1537,7 +1547,7 @@ object StreamQueries {
                       .as("n_events"),
                     graft.engine.relational.Exact.dsumPartial(col("value"))
                       .as("sum_dec")),
-                aggRoot, tag = Some(s"backfill-v$qv"))
+                aggRoot, tag = Some(SnapshotStore.foldTag("backfill", consumer, qv)))
               val n = quar.count()
               SnapshotStore.setConsumedThrough(quarRoot, consumer, qv)
               // keep = 1, NOT 0: the quarantine versions carry the
@@ -1672,9 +1682,10 @@ object StreamQueries {
                   .drop("shuffle_key").localCheckpoint()
                 if (SnapshotStore.currentVersion(exportRoot) == 0)
                   SnapshotStore.publishBucketed(rows, exportRoot,
-                    "shard_id", nBuckets = 8, tag = Some(s"export-v$cv"))
+                    "shard_id", nBuckets = 8,
+                    tag = Some(SnapshotStore.foldTag("export", "export", cv)))
                 else SnapshotStore.append(rows, exportRoot,
-                  tag = Some(s"export-v$cv"))
+                  tag = Some(SnapshotStore.foldTag("export", "export", cv)))
                 rows.count()
             }
           SnapshotStore.setConsumedThrough(corpusRoot, "export", cv)
@@ -1743,7 +1754,8 @@ object StreamQueries {
       "tagged corpus appends; the export consumer syncs on its own " +
       "cadence via cursor + readSince (O(delta)), zero rewrite of " +
       "existing export files (inode-pinned), final export == full " +
-      "recompute over every streamed doc")
+      "recompute over every streamed doc",
+    costClass = GraftQuery.FixedLifecycle)
 
   /** One atomic compliance-ledger entry (write-temp + rename, the
     * [[LateRouter]] pattern): a torn crash never leaves a half entry,
@@ -1925,7 +1937,8 @@ object StreamQueries {
       "deleteKeys on corpus AND derived export under one tag " +
       "(at-least-once replay no-ops), per-tick atomic compliance ledger " +
       "equal to the request stream, deletion completed by vacuum; " +
-      "oracle = export recomputed minus every streamed request")
+      "oracle = export recomputed minus every streamed request",
+    costClass = GraftQuery.FixedLifecycle)
 
   /** X5/X9 — STREAMING DOMAIN TAKEDOWN (x71's production request
     * shape + q146's index resolution, composed under interleaving):
@@ -2001,7 +2014,7 @@ object StreamQueries {
         // QUIESCENT crash-replay recomputes the same range, hits the
         // same tag, and no-ops; a replay after a CONCURRENT corpus
         // publish is the recoverTaggedFolds case above
-        val tag = Some(s"idx-v$cur")
+        val tag = Some(SnapshotStore.foldTag("idx", "idx", cur))
         val usedDiff = sinceOpt match {
           case Some(delta) =>
             delta.foreach(d => SnapshotStore.append(

@@ -1050,7 +1050,8 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // CRASHES before advancing its cursor
     val d12 = SnapshotStore.readSince(spark, src, 1L, 2L).get
       .select(col("k"), col("s"))
-    SnapshotStore.append(d12, dst, tag = Some("f-v2"))
+    SnapshotStore.append(d12, dst,
+      tag = Some(SnapshotStore.foldTag("f", "c", 2L)))
     // a rival publish moves the source before the replay: the naive
     // replay would fold (1, 3] under the FRESH tag f-v3 — no tag
     // match, and row 2 re-appends into the insert-only destination
@@ -1060,13 +1061,61 @@ class SnapshotStoreSpec extends AnyFunSuite {
     val cur = SnapshotStore.currentVersion(src)
     val delta = SnapshotStore.readSince(spark, src, cursor, cur).get
       .select(col("k"), col("s"))
-    SnapshotStore.append(delta, dst, tag = Some(s"f-v$cur"))
+    SnapshotStore.append(delta, dst,
+      tag = Some(SnapshotStore.foldTag("f", "c", cur)))
     SnapshotStore.setConsumedThrough(src, "c", cur)
     val out = SnapshotStore.read(spark, dst)
       .select("k").as[Long].collect().sorted.toSeq
     assert(out == Seq(1L, 2L, 3L), s"no duplicate, no loss: $out")
     // recovery after a clean fold is a cursor no-op
     assert(SnapshotStore.recoverTaggedFolds(src, "c", dst, "f") == cur)
+  }
+
+  test("recoverTaggedFolds: fold tags are scoped to (prefix, consumer) — " +
+      "a rival consumer sharing the destination cannot cross-advance the " +
+      "cursor — and recovery pins the destination's vacuum floor at the " +
+      "newest fold-tagged version") {
+    val src = root(); val src2 = root(); val dst = root()
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a")).toDF("k", "s"), src, "k", 2) // src v1
+    SnapshotStore.publishBucketed(
+      Seq((10L, "x")).toDF("k", "s"), src2, "k", 2) // src2 v1
+    SnapshotStore.publishBucketed(
+      Seq((1L, "a"), (10L, "x")).toDF("k", "s"), dst, "k", 2) // dst v1
+    // advance src2 to v5 and land ITS fold (same prefix, other consumer)
+    (2L to 5L).foreach(i => SnapshotStore.append(
+      Seq((10L + i, "x")).toDF("k", "s"), src2))
+    SnapshotStore.append(
+      SnapshotStore.readSince(spark, src2, 1L, 5L).get
+        .select(col("k"), col("s")),
+      dst, tag = Some(SnapshotStore.foldTag("f", "c2", 5L))) // dst v2
+    // consumer c on src has folded nothing past v1; the r17 footgun was
+    // c2's "f-…-v5" tag advancing c's cursor on src to 5 and silently
+    // skipping src v2..v5
+    SnapshotStore.setConsumedThrough(src, "c", 1L)
+    SnapshotStore.append(Seq((2L, "b")).toDF("k", "s"), src) // src v2
+    assert(SnapshotStore.recoverTaggedFolds(src, "c", dst, "f") == 1L,
+      "a rival consumer's fold tag must not advance this consumer's cursor")
+    // c2's own recovery sees its fold and pins the destination floor
+    assert(SnapshotStore.recoverTaggedFolds(src2, "c2", dst, "f") == 5L)
+    assert(SnapshotStore.consumers(dst).get("fold-f-c2").contains(2L),
+      "recovery must register the dst-side pin at the fold's dst version")
+    // non-fold versions interleave ABOVE the fold (the x72 shape)…
+    SnapshotStore.append(Seq((99L, "z")).toDF("k", "s"), dst) // dst v3
+    SnapshotStore.append(Seq((98L, "z")).toDF("k", "s"), dst) // dst v4
+    // …and a keep=1 vacuum would have reaped dst v2 (the tag evidence)
+    // before the pin; with it, v2 survives
+    SnapshotStore.vacuum(dst, keep = 1)
+    assert(SnapshotStore.versionTags(dst)
+      .get(2L).contains(SnapshotStore.foldTag("f", "c2", 5L)),
+      "the newest fold-tagged dst version must survive a plain vacuum")
+    // cursor advance durable -> the NEXT fold supersedes the pin and the
+    // old evidence may go: explicit override releases it
+    SnapshotStore.setConsumedThrough(src2, "c2", 5L)
+    SnapshotStore.vacuum(dst, keep = 1,
+      ignoreConsumers = Set("fold-f-c2"))
+    assert(!SnapshotStore.versionTags(dst).contains(2L),
+      "the override must release the pin once the cursor is durable")
   }
 
   test("readKeys: point lookup returns exactly the requested rows, " +
