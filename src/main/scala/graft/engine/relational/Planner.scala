@@ -1,0 +1,114 @@
+package graft.engine.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stats-driven join planning: pick broadcast / sort-merge / salted from
+  * PUBLISHED table profiles ([[TableStats]]'s maintained stores — rows +
+  * HLL NDV per column), instead of letting every pipeline hard-code its
+  * join shape (VERDICT r17 item 4: q100/q101 published profiles nobody
+  * consumed).
+  *
+  * Why this exists when Catalyst already has a CBO: Spark's own
+  * statistics live in a catalog the ephemeral-store world never
+  * populates (`ANALYZE TABLE` over a metastore table), and AQE's runtime
+  * re-plan only sees sizes AFTER the first shuffle materializes. A
+  * maintained [[TableStats]] profile store gives the SAME facts ahead of
+  * time, at delta cost, for data that never touches a metastore — and a
+  * salting decision (which AQE's skew-join can't make for
+  * aggregation-introduced or upstream skew) needs exactly the
+  * rows-per-key ratio the profile's NDV provides.
+  *
+  * Decision ladder, in the order a 100 TB planner wants it:
+  *
+  *  1. **Broadcast** when the smaller side's row count fits the
+  *     broadcast budget — no shuffle at all, the only plan that keeps a
+  *     100 TB probe side entirely map-side.
+  *  2. **Salted** when nothing fits the budget AND the bigger side's
+  *     key NDV is too small to fill the shuffle (`keyNdv <
+  *     shufflePartitions / skewFactor`): a plain hash shuffle would
+  *     park the whole table on `keyNdv` reducers while the rest idle —
+  *     the q66/q67 hot-key posture, decided from statistics instead of
+  *     folklore.
+  *  3. **Sort-merge** otherwise — the scalable default for big×big
+  *     with healthy key dispersion.
+  *
+  * The choice is a pure function of two [[Planner.KeyProfile]]s and a
+  * [[Planner.Config]] — deterministic, unit-testable, and auditable in
+  * a query result (q147 pins the full ladder plus result invariance).
+  */
+object Planner {
+
+  /** A join side as the planner sees it: row count and join-key NDV,
+    * both straight out of a [[TableStats.readProfile]] row. */
+  final case class KeyProfile(rows: Long, keyNdv: Long) {
+    require(rows >= 0L && keyNdv >= 0L,
+      s"profile counts must be non-negative: rows=$rows ndv=$keyNdv")
+  }
+
+  /** Cluster facts the decision is conditioned on. `broadcastMaxRows`
+    * plays `spark.sql.autoBroadcastJoinThreshold`'s role in row terms
+    * (the profile has no byte sizes); `skewFactor` sets how far below
+    * one-key-per-reducer the NDV may fall before salting kicks in. */
+  final case class Config(broadcastMaxRows: Long = 1000000L,
+      skewFactor: Double = 4.0, shufflePartitions: Int = 32) {
+    require(broadcastMaxRows >= 0L && skewFactor > 0.0 &&
+      shufflePartitions >= 1)
+  }
+
+  sealed trait JoinChoice { def label: String }
+  case object BroadcastHash extends JoinChoice { val label = "broadcast" }
+  case object SortMerge extends JoinChoice { val label = "sort_merge" }
+  final case class Salted(buckets: Int) extends JoinChoice {
+    def label: String = s"salted_$buckets"
+  }
+
+  /** Read one column's (rows, NDV) out of a maintained profile store —
+    * the consumer side of [[TableStats.refreshProfile]]. One broadcast-
+    * size row; collects a single filtered profile row, never data. */
+  def keyProfile(spark: SparkSession, profileRoot: String,
+      keyColumn: String): KeyProfile = {
+    val rows = TableStats.readProfile(spark, profileRoot)
+      .filter(col("column_name") === keyColumn)
+      .select(col("n_rows"), col("ndv_est"))
+      .collect()
+    require(rows.length == 1,
+      s"profile store $profileRoot has ${rows.length} rows for column " +
+        s"'$keyColumn' (expected exactly one — was it profiled?)")
+    KeyProfile(rows(0).getLong(0), rows(0).getLong(1))
+  }
+
+  /** The decision ladder (see object doc). Sides are symmetric: the
+    * smaller-row side is the broadcast candidate, the bigger side's NDV
+    * drives the skew test. */
+  def chooseJoin(left: KeyProfile, right: KeyProfile,
+      cfg: Config = Config()): JoinChoice = {
+    val (big, small) =
+      if (left.rows >= right.rows) (left, right) else (right, left)
+    if (small.rows <= cfg.broadcastMaxRows) BroadcastHash
+    else if (big.keyNdv.toDouble <
+        cfg.shufflePartitions.toDouble / cfg.skewFactor) {
+      // spread each hot key over enough salt buckets to fill the
+      // shuffle; bounded by the shuffle width itself
+      val buckets = math.min(cfg.shufflePartitions,
+        math.max(2, math.ceil(cfg.shufflePartitions.toDouble /
+          math.max(1L, big.keyNdv).toDouble).toInt))
+      Salted(buckets)
+    } else SortMerge
+  }
+
+  /** Execute an equi-join under a planner choice. All three shapes are
+    * result-identical (q147 pins it); only the physical plan differs:
+    * broadcast pins a BroadcastHashJoin, sort-merge pins the merge hint
+    * (which AQE re-planning respects, so the contract survives runtime
+    * re-optimization), salted routes through [[Salting.saltedJoin]].
+    * `saltSource` disambiguates large-side rows for the deterministic
+    * salt — only consulted by the salted shape. */
+  def join(large: DataFrame, small: DataFrame, key: String,
+      choice: JoinChoice, saltSource: Column): DataFrame = choice match {
+    case BroadcastHash => large.join(broadcast(small), Seq(key))
+    case SortMerge => large.hint("merge").join(small.hint("merge"), Seq(key))
+    case Salted(buckets) =>
+      Salting.saltedJoin(large, small, key, saltSource, buckets)
+  }
+}

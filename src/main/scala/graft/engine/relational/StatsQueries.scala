@@ -704,7 +704,83 @@ object StatsQueries {
       "re-scanning any batch; exact p50/p90 census + self-computed " +
       "rank-error contract oracle-pinned")
 
+  /** q147 — STATS-DRIVEN JOIN PLANNING ([[Planner]]): the consumer the
+    * q100/q101 profile stores were missing (VERDICT r17 item 4). The
+    * query publishes real profiles for events (user_id, event_type) and
+    * customer (c_custkey) via [[TableStats.refreshProfile]], then walks
+    * [[Planner.chooseJoin]]'s full decision ladder from those profiles:
+    *
+    *  - default broadcast budget, (events, customer): the dim's row
+    *    count fits → **broadcast**;
+    *  - tight budget (the 100 TB big×big regime where nothing fits),
+    *    key user_id: NDV (150·sf·10⁴) fills the shuffle → **sort-merge**;
+    *  - tight budget, key event_type: NDV ~5 < partitions/skewFactor —
+    *    q66's every-key-is-hot posture — → **salted**.
+    *
+    * All three choices then EXECUTE the same q67 join (events ⋈ customer
+    * → per-nation rollup) and must agree bit-for-bit (`variants_agree`);
+    * each choice's physical plan is pinned (BroadcastHashJoin /
+    * SortMergeJoin via the AQE-respected merge hint / the salt column in
+    * the join key). The oracle is q67's plain SQL: planning must be
+    * result-invariant, only the plan flips with the profile. */
+  val q147 = GraftQuery(
+    "q147_stats_driven_join",
+    (spark, sfDir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q147_plan_${ProcessHandle.current().pid()}"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id").as("c_custkey"), col("value"),
+          col("event_type"))
+      val cust = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      TableStats.refreshProfile(
+        ev.select(col("c_custkey"), col("event_type")),
+        s"$base/ev", Seq("c_custkey", "event_type"))
+      TableStats.refreshProfile(cust.select(col("c_custkey")),
+        s"$base/cust", Seq("c_custkey"))
+      val evKey = Planner.keyProfile(spark, s"$base/ev", "c_custkey")
+      val evType = Planner.keyProfile(spark, s"$base/ev", "event_type")
+      val custKey = Planner.keyProfile(spark, s"$base/cust", "c_custkey")
+      val tight = Planner.Config(broadcastMaxRows = 100L)
+      val cA = Planner.chooseJoin(evKey, custKey)
+      val cB = Planner.chooseJoin(evKey, evKey, tight)
+      val cC = Planner.chooseJoin(evType, evType, tight)
+      def run(choice: Planner.JoinChoice) =
+        Planner.join(ev.select(col("c_custkey"), col("value")), cust,
+            "c_custkey", choice, col("value"))
+          .groupBy(col("c_nationkey"))
+          .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("c_nationkey"))
+      val (a, b, c) = (run(cA), run(cB), run(cC))
+      val rowsA = a.collect().toSeq
+      val variantsAgree =
+        rowsA == b.collect().toSeq && rowsA == c.collect().toSeq
+      a.withColumn("choice_broadcast",
+          lit(cA == Planner.BroadcastHash &&
+            a.queryExecution.executedPlan.toString
+              .contains("BroadcastHashJoin")))
+        .withColumn("choice_sort_merge",
+          lit(cB == Planner.SortMerge &&
+            b.queryExecution.executedPlan.toString
+              .contains("SortMergeJoin")))
+        .withColumn("choice_salted",
+          lit(cC.isInstanceOf[Planner.Salted] &&
+            c.queryExecution.executedPlan.toString.contains("_salt")))
+        .withColumn("variants_agree", lit(variantsAgree))
+    },
+    Some(s"""SELECT c.c_nationkey, COUNT(*) AS n_events,
+      ${sqlDsum("e.value")} AS sum_value,
+      TRUE AS choice_broadcast, TRUE AS choice_sort_merge,
+      TRUE AS choice_salted, TRUE AS variants_agree
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "profile-store-driven join planning: broadcast/sort-merge/" +
+      "salted chosen from published rows+NDV, plan pinned per choice, " +
+      "result oracle-invariant")
+
   def queries: Seq[GraftQuery] =
     Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101,
-      q102, q105, q106, q110)
+      q102, q105, q106, q110, q147)
 }
