@@ -961,13 +961,17 @@ object RelationalQueries {
       FROM documents GROUP BY source ORDER BY source"""),
     doc = "incremental aggregate maintenance: delta-cost refresh == full recompute")
 
-  /** q104 — bucketed-store LIFECYCLE: merge-driven fragmentation →
+  /** q104 — bucketed-store LIFECYCLE: append-driven fragmentation →
     * [[graft.engine.sources.SnapshotStore.compact]] → small merge →
-    * [[graft.engine.sources.SnapshotStore.vacuum]]. Every per-tick merge
-    * writes ≥1 fresh file into each touched bucket (x59/x60's steady
-    * state), so file counts grow without bound — the classic small-files
-    * decay. The query bootstraps a store, merges two corpus thirds
-    * (round-robin-repartitioned so buckets are genuinely fragmented),
+    * [[graft.engine.sources.SnapshotStore.vacuum]]. Every per-tick
+    * APPEND lands one fresh file per touched bucket next to the
+    * hardlinked carryover (x62/x70's steady state), so file counts grow
+    * without bound — the classic small-files decay. (r18: MERGE no
+    * longer fragments at all — every store write repartitions on
+    * _bucket to one file per touched bucket, so the rewrite path is
+    * self-compacting and appends are the one remaining decay source.)
+    * The query bootstraps a store, appends two disjoint corpus thirds
+    * (three files per bucket by construction),
     * compacts to ≤1 data file per bucket, applies one more small upsert
     * (whose untouched buckets HARDLINK into the compacted version), then
     * vacuums every non-current version — including the compact base the
@@ -991,9 +995,10 @@ object RelationalQueries {
         .select(col("doc_id"), col("source"), col("n_chars"))
       SnapshotStore.publishBucketed(
         docs.filter(col("doc_id") % 3 === 0), root, "doc_id", nBuckets = 8)
-      SnapshotStore.merge(docs.filter(col("doc_id") % 3 === 1), root)
-      SnapshotStore.merge(
-        docs.filter(col("doc_id") % 3 === 2).repartition(4), root)
+      // disjoint thirds: insert-only appends (each lands a fresh file
+      // per bucket beside the carryover links -> genuine fragmentation)
+      SnapshotStore.append(docs.filter(col("doc_id") % 3 === 1), root)
+      SnapshotStore.append(docs.filter(col("doc_id") % 3 === 2), root)
       def bucketFiles(v: Long): Seq[Int] = (0 until 8).map { k =>
         val d = java.nio.file.Paths.get(root, s"v$v", s"_bucket=$k")
         if (!java.nio.file.Files.exists(d)) 0
@@ -1031,7 +1036,8 @@ object RelationalQueries {
         TRUE AS fragmented_before, TRUE AS compacted_ok,
         TRUE AS old_versions_gone
       FROM documents GROUP BY source ORDER BY source"""),
-    doc = "store lifecycle: fragmentation -> compact -> vacuum, hardlinks survive")
+    doc = "store lifecycle: append fragmentation -> compact -> vacuum, " +
+      "hardlinks survive")
 
   /** q103 — Z-order clustered layout + file-level min/max skipping
     * ([[graft.engine.sources.ZOrder]]): events is clustered on the Morton
@@ -2046,9 +2052,83 @@ object RelationalQueries {
       "a crash-replay no-ops; the corpus is never scanned",
     costClass = GraftQuery.FixedLifecycle)
 
+  /** q148 — CLUSTERED STORE VERSIONS ([[graft.engine.sources
+    * .ClusteredStore]]; VERDICT r17 item 5): events published twice as
+    * z-clustered versions of ONE store (v1 = even event_ids, v2 = all)
+    * over (t_us, v100) — the time-window × value-band box shape a
+    * dashboard/debug query asks a 100 TB fact table. A 2-D box (middle
+    * fifth of the time range × value 10–30) is then served by
+    * [[graft.engine.sources.ClusteredStore.readBox]] from BOTH versions:
+    * `pruned_current`/`pruned_pinned` pin that each read opened strictly
+    * fewer files than its version holds (the sidecar envelopes did
+    * real work — a silent full scan fails the oracle), and `travel_ok`
+    * pins time travel (the v1 box equals a direct filter over v1's
+    * input, via the x65 signed-digest multiset compare). The returned
+    * rollup is the CURRENT version's box, replayed by DuckDB from raw
+    * events with the same exact-integer bound arithmetic. */
+  val q148 = GraftQuery(
+    "q148_clustered_store_box",
+    (spark, sfDir) => {
+      import graft.engine.sources.{ClusteredStore, SnapshotStore}
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q148_zstore_${ProcessHandle.current().pid()}/tbl"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v100"),
+          col("event_type"), col("value"))
+      val half = ev.filter(col("event_id") % 2 === 0)
+      ClusteredStore.publishClustered(half, root, Seq("t_us", "v100"),
+        nFiles = 16) // v1
+      ClusteredStore.publishClustered(ev, root, Seq("t_us", "v100"),
+        nFiles = 16) // v2
+      // box bounds in exact integer arithmetic (replayable in SQL):
+      // middle fifth of the FULL time range x value band [10, 30)
+      val Array(mm) = ev.agg(min(col("t_us")), max(col("t_us"))).collect()
+      val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+      val lo = tmin + (tmax - tmin) * 2L / 5L
+      val hi = tmin + (tmax - tmin) * 3L / 5L
+      val box = Seq(("t_us", lo, hi), ("v100", 1000L, 3000L))
+      val (cur, readCur, totalCur) = ClusteredStore.readBox(spark, root, box)
+      val (old, readOld, totalOld) =
+        ClusteredStore.readBox(spark, root, box, version = 1L)
+      // time travel: v1's box == direct filter over v1's input (signed
+      // row-digest multiset compare — one narrow aggregate, no join)
+      val oldExpected = half.filter(col("t_us").between(lo, hi) &&
+        col("v100").between(1000L, 3000L))
+      val cmpCols = Seq("event_id", "t_us", "v100", "event_type")
+      def side(df: org.apache.spark.sql.DataFrame, s: Long) =
+        df.select(cmpCols.map(col): _*).withColumn("_side", lit(s))
+      val d = side(old, 1L).unionByName(side(oldExpected, -1L))
+        .agg(sum(col("_side")).as("dn"),
+          sum(col("_side").cast("decimal(38,0)") *
+            xxhash64(cmpCols.map(col): _*).cast("decimal(38,0)")).as("dh"))
+        .head()
+      val travelOk = d.getLong(0) == 0L && d.getDecimal(1).signum == 0
+      cur.groupBy(col("event_type"))
+        .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
+        .withColumn("pruned_current", lit(readCur < totalCur))
+        .withColumn("pruned_pinned", lit(readOld < totalOld))
+        .withColumn("travel_ok", lit(travelOk))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us,
+        CAST(FLOOR(value * 100) AS BIGINT) AS v100 FROM events),
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      SELECT event_type, COUNT(*) AS n_events,
+        ${sqlDsum("e.value")} AS sum_value,
+        TRUE AS pruned_current, TRUE AS pruned_pinned, TRUE AS travel_ok
+      FROM e, b WHERE e.t_us BETWEEN b.lo AND b.hi
+        AND e.v100 BETWEEN 1000 AND 3000
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "z-clustered store versions: 2-D box read with per-version " +
+      "sidecar file skipping (strictly pruned, pinned), time travel to " +
+      "the pre-append layout, rollup oracle-replayed from raw events")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
-    q137, q139, q140, q141, q142, q143, q144, q145, q146)
+    q137, q139, q140, q141, q142, q143, q144, q145, q146, q148)
 }

@@ -27,7 +27,7 @@ object SnapshotStore {
 
   private def pointerPath(root: String) = Paths.get(root, "CURRENT")
 
-  private val TagFile = "_GRAFT_TAG"
+  private[sources] val TagFile = "_GRAFT_TAG"
 
   /** Versions carrying an idempotence tag (version → tag). A tag rides
     * INSIDE its version directory (`_GRAFT_TAG` — underscore-prefixed, so
@@ -64,7 +64,7 @@ object SnapshotStore {
     }
   }
 
-  private def taggedVersion(root: String, tag: Option[String]): Option[Long] =
+  private[sources] def taggedVersion(root: String, tag: Option[String]): Option[Long] =
     tag.flatMap(t => versionTags(root).collectFirst {
       case (v, vt) if vt == t => v
     })
@@ -128,7 +128,7 @@ object SnapshotStore {
     }
   }
 
-  private def writeVersionManifest(staging: java.nio.file.Path,
+  private[sources] def writeVersionManifest(staging: java.nio.file.Path,
       kind: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     val walk = Files.walk(staging)
@@ -877,7 +877,15 @@ object SnapshotStore {
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     val bucketed = df.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
+    // ONE file per bucket directory: without the repartition, partitionBy
+    // fans every upstream task across every bucket dir (tasks x buckets
+    // files — the r18 scale rehearsal measured 5120 files for a 160-
+    // bucket publish, and merge/readKeys costs tracking FILE COUNT
+    // instead of touched data). Hash-repartitioning on _bucket lands
+    // each bucket wholly in one task; bucket SIZE stays the caller's
+    // knob (nBuckets), exactly the bucketed-table contract.
     bucketed
+      .repartition(nBuckets, col("_bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
@@ -993,7 +1001,7 @@ object SnapshotStore {
     * abort on a stale base (staging cleaned up, so a retrying caller
     * leaks nothing per attempt), else claim max+1, move the staging dir
     * in atomically, and advance the pointer. */
-  private def commitStaged(root: String, staging: java.nio.file.Path,
+  private[sources] def commitStaged(root: String, staging: java.nio.file.Path,
       base: Long, tag: Option[String], op: String): Long =
     withFlipLock(root) {
       taggedVersion(root, tag) match {
@@ -1144,7 +1152,8 @@ object SnapshotStore {
     // the semantics the merged READ serves for the untouched buckets
     val merged = survivors.unionByName(batchB,
       allowMissingColumns = allowNewColumns)
-    merged
+    merged // one file per touched bucket (see publishBucketed)
+      .repartition(math.max(1, touched.size), col("_bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
@@ -1299,7 +1308,8 @@ object SnapshotStore {
       .join(keysB.select(keyColumns.map(col): _*), keyColumns, "left_anti")
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    survivors
+    survivors // one file per touched bucket (see publishBucketed)
+      .repartition(math.max(1, touched.size), col("_bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
@@ -1389,7 +1399,8 @@ object SnapshotStore {
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     val batchB = batch.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
-    batchB
+    batchB // one file per touched bucket (see publishBucketed)
+      .repartition(nBuckets, col("_bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),
@@ -1556,7 +1567,8 @@ object SnapshotStore {
     val bucketed = df.withColumn("_bucket", bucketExpr(keyCol, nBuckets))
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    bucketed
+    bucketed // one file per bucket (see publishBucketed)
+      .repartition(nBuckets, col("_bucket"))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("_bucket")
       .parquet(staging.toString)
     tag.foreach(t => Files.write(staging.resolve(TagFile),

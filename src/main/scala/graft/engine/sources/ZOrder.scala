@@ -100,12 +100,12 @@ object ZOrder {
     }
   }
 
-  private def statExprs(cols: Seq[String]): Seq[Column] =
+  private[sources] def statExprs(cols: Seq[String]): Seq[Column] =
     cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).as(s"min_$i"), max(col(c)).as(s"max_$i"))
     } :+ count(lit(1)).as("n_rows")
 
-  private def zExpr(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+  private[sources] def zExpr(df: DataFrame, cols: Seq[String], bits: Int): Column = {
     val exprs = cols.flatMap(c =>
       Seq(min(col(c).cast(LongType)), max(col(c).cast(LongType))))
     val Array(row) = df.agg(exprs.head, exprs.tail: _*).collect()

@@ -2123,7 +2123,8 @@ object StreamQueries {
       "(readKeys), corpus + index delete under one tag, atomic ledger; " +
       "pins point-in-time semantics (a re-crawled domain survives and " +
       "re-indexes), the diff fallback across the takedown rewrite, and " +
-      "the index staying row-identical to the corpus through it all")
+      "the index staying row-identical to the corpus through it all",
+    costClass = GraftQuery.FixedLifecycle)
 
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,

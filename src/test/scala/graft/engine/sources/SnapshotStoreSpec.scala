@@ -427,36 +427,42 @@ class SnapshotStoreSpec extends AnyFunSuite {
       "content intact, no-op when clean, links survive vacuum") {
     val r = root()
     val df = (0L until 200L).map(i => (i, i * 7)).toDF("id", "v")
-    // round-robin repartition(4) fragments every bucket: each of the 4
-    // partitions holds rows of all 4 buckets -> 4 files per bucket
-    SnapshotStore.publishBucketed(df.repartition(4), r, "id", nBuckets = 4) // v1
-    assert((0 until 4).exists(k => bucketListing(r, 1L, k).size > 1),
+    // fragmentation arises the way it does in production — a publish
+    // plus appends each land their own file per touched bucket (the
+    // write path itself now caps files at one per bucket PER WRITE:
+    // the r18 one-file-per-bucket repartition)
+    SnapshotStore.publishBucketed(df.filter(col("id") < 100L), r, "id",
+      nBuckets = 4) // v1
+    SnapshotStore.append(
+      df.filter(col("id") >= 100L && col("id") < 150L), r) // v2
+    SnapshotStore.append(df.filter(col("id") >= 150L), r) // v3
+    assert((0 until 4).exists(k => bucketListing(r, 3L, k).size > 1),
       "fixture must be fragmented or the test proves nothing")
-    val v2 = SnapshotStore.compact(spark, r)
-    assert(v2 == 2L)
-    assert((0 until 4).forall(k => bucketListing(r, 2L, k).size <= 1),
+    val v4 = SnapshotStore.compact(spark, r)
+    assert(v4 == 4L)
+    assert((0 until 4).forall(k => bucketListing(r, 4L, k).size <= 1),
       "compaction must leave at most one data file per bucket")
     val got = SnapshotStore.read(spark, r).drop("_bucket").collect()
       .map(row => row.getLong(0) -> row.getLong(1)).toMap
     assert(got == (0L until 200L).map(i => i -> i * 7).toMap,
       "compaction is a pure layout op — content must be identical")
     // nothing fragmented now: compact is a no-op, no version minted
-    assert(SnapshotStore.compact(spark, r) == v2)
-    assert(SnapshotStore.currentVersion(r) == v2)
-    // a small merge links its untouched buckets to v2's inodes...
+    assert(SnapshotStore.compact(spark, r) == v4)
+    assert(SnapshotStore.currentVersion(r) == v4)
+    // a small merge links its untouched buckets to v4's inodes...
     val batch = Seq((0L, -1L), (1L, -2L)).toDF("id", "v")
-    assert(SnapshotStore.merge(batch, r) == 3L)
+    assert(SnapshotStore.merge(batch, r) == 5L)
     val touched = batch
       .withColumn("_b", SnapshotStore.bucketExpr("id", 4))
       .select("_b").distinct().collect().map(_.getInt(0)).toSet
     val untouched = (0 until 4).filterNot(touched)
     assert(untouched.nonEmpty, "2 keys cannot touch all 4 buckets")
     assert(untouched.forall(k =>
-      bucketListing(r, 3L, k) == bucketListing(r, 2L, k)),
+      bucketListing(r, 5L, k) == bucketListing(r, 4L, k)),
       "untouched buckets must carry over by hardlink (same inodes)")
     // ...and those links survive vacuuming the version they point into
     val dropped = SnapshotStore.vacuum(r, keep = 0)
-    assert(dropped == Seq(1L, 2L), s"got $dropped")
+    assert(dropped == Seq(1L, 2L, 3L, 4L), s"got $dropped")
     val after = SnapshotStore.read(spark, r).drop("_bucket").collect()
       .map(row => row.getLong(0) -> row.getLong(1)).toMap
     assert(after.size == 200 && after(0L) == -1L && after(1L) == -2L &&

@@ -510,10 +510,14 @@ class StreamingSpec extends AnyFunSuite {
         assert(n <= 1, s"bucket $k still has $n files after compaction")
       }
     }
-    // at least one compaction actually did work (3 publishes happened, so
-    // a 2-bucket store must have fragmented at least once)
-    assert(cur > 3L,
-      s"expected compaction versions beyond the 3 publishes, CURRENT=v$cur")
+    // r18: the write path itself now repartitions on _bucket (one file
+    // per touched bucket per write), so merge-publishing ticks never
+    // fragment and the per-tick compact policy correctly minted NO
+    // repair versions — the policy still guards the append path, whose
+    // repair mechanics SnapshotStoreSpec's compact test pins on a
+    // genuinely fragmented (publish + 2 appends) fixture
+    assert(cur == 3L,
+      s"healthy store: compact must be a no-op per tick, CURRENT=v$cur")
   }
 
   test("streaming curation restart/replay: a stop/start on the same " +
