@@ -1,0 +1,214 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (VERDICT r17 item 1): measure — not argue — how the
+  * heaviest operator families scale, by timing each one on
+  * [[ScaleCorpus]]/[[ClusteredVectors]] corpora at 1×/4×/10× the sf0.1
+  * testdata size and fitting the log-log slope (the scaling exponent).
+  *
+  * Exponent reading: ≈1.0 = linear in data (the contract for the scan-
+  * bound families), <1 = sublinear (bounded-rewrite store operations,
+  * where bucket count scales with data so touched data stays fixed),
+  * >1.2 = superlinear — a fix or an explicit adjudication required.
+  * Each (family, size) runs twice and keeps the MIN (JIT/launch noise
+  * is one-sided); the fit uses all sizes.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [outJson] [mults] [family…]
+  *   outJson default target/scale_rehearsal.json; mults default "1,4,10"
+  *   (comma-separated multipliers of the sf0.1-equivalent base sizes:
+  *   docs 5k, embeddings 2k, events 100k — so 10 ≈ sf1-equivalent).
+  */
+object ScaleRehearsal {
+  import graft.engine.llm.{AnnIndex, Dedup, Similarity}
+  import graft.engine.sources.SnapshotStore
+
+  private val DocsBase = 5000L
+  private val VecsBase = 2000L
+  private val EventsBase = 100000L
+
+  private def tmp(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_rehearsal_${ProcessHandle.current().pid()}/$name"
+    SnapshotStore.deleteRecursively(java.nio.file.Paths.get(p))
+    p
+  }
+
+  /** One family: untimed setup returns the timed thunk (thunk must force
+    * the work — count() or an action inside). */
+  final case class Family(name: String,
+      setup: (SparkSession, Long) => (Long, () => Unit))
+
+  private val planted = " === subscribe to our newsletter for daily " +
+    "updates and exclusive offers === "
+
+  val families: Seq[Family] = Seq(
+    Family("minhash_neardups", (spark, m) => {
+      val n = DocsBase * m
+      val docs = ScaleCorpus.documents(spark, n).localCheckpoint()
+      (n, () => { Dedup.minHashNearDups(docs, "text", "doc_id").count(); () })
+    }),
+    Family("simhash_neardups", (spark, m) => {
+      val n = DocsBase * m
+      val docs = ScaleCorpus.documents(spark, n).localCheckpoint()
+      (n, () => { Dedup.simHashNearDups(docs, "text", "doc_id").count(); () })
+    }),
+    Family("span_trim", (spark, m) => {
+      val n = DocsBase * m
+      val docs = ScaleCorpus.documents(spark, n)
+        .select(col("doc_id"), concat(col("text"), lit(planted)).as("text"))
+        .localCheckpoint()
+      val refN = n / 10L
+      val table = s"rehearsal_trim_model_${m}_" +
+        ProcessHandle.current().pid()
+      // model build is the frozen-reference publish (session-amortized
+      // in production) — untimed here; the timed kernel is the per-batch
+      // trim, x65's data path
+      Dedup.ensureBoilerplateModel(spark,
+        docs.filter(col("doc_id") < refN), "text", "doc_id", table,
+        minLen = 40)
+      val model = spark.table(table)
+      val stream = docs.filter(col("doc_id") >= refN)
+      (n, () => {
+        // force the SPLICE, not just the row count: count() alone lets
+        // Catalyst prune the window-join (measured flat in the first
+        // rehearsal run — a measurement bug, not a scaling miracle)
+        Dedup.trimAgainstPublished(stream, model, "text", "doc_id",
+            minLen = 40)
+          .agg(sum(length(col("trimmed_text")))).head(); ()
+      })
+    }),
+    Family("ivfpq_probe", (spark, m) => {
+      // 10x the testdata base: below ~10^5 probed codes the ~1 s
+      // job-launch floor hides the data term entirely
+      val n = VecsBase * 10L * m
+      val corpus = ClusteredVectors.generate(spark, n).localCheckpoint()
+      val root = tmp(s"ivfpq_$m")
+      val cents = Similarity.ivfCentroids(corpus, nlist = 16, iters = 1)
+      val books = Similarity.pqTrain(corpus, m = 8, k = 16)
+      AnnIndex.publishCodes(corpus, s"$root/codes", cents, books,
+        nBuckets = 8)
+      val queries = corpus.filter(col("vec_id") < 10).localCheckpoint()
+      val qVecs = queries.select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      // each query's nprobe nearest cells, driver-side over nlist=16
+      val cells = qVecs.flatMap { qv =>
+        cents.map { case (cid, cv) =>
+          val dot = qv.lazyZip(cv).map(_ * _).sum
+          (dot, cid)
+        }.sortBy(-_._1).take(4).map(_._2)
+      }.distinct.toSeq
+      (n, () => {
+        // sum of scores forces the ADC kernel over every probed code
+        Similarity.ivfPqTopK(corpus, queries, 10, cents, books,
+            nprobe = 4,
+            codes = Some(AnnIndex.probeCodes(spark, s"$root/codes", cells)))
+          .agg(sum(col("cosine"))).head(); ()
+      })
+    }),
+    Family("store_merge", (spark, m) => {
+      val n = DocsBase * m
+      val docs = ScaleCorpus.documents(spark, n).localCheckpoint()
+      val root = tmp(s"merge_$m/tbl")
+      // the 100 TB posture: bucket count scales WITH the data, so a
+      // fixed-key upsert touches a shrinking fraction of the table
+      SnapshotStore.publishBucketed(docs, root, "doc_id",
+        nBuckets = (16 * m).toInt)
+      val upsert = docs.filter(col("doc_id") < 50)
+        .withColumn("n_chars", col("n_chars") + 1L)
+        .localCheckpoint()
+      (n, () => { SnapshotStore.merge(upsert, root); () })
+    }),
+    Family("store_readkeys", (spark, m) => {
+      val n = DocsBase * m
+      val docs = ScaleCorpus.documents(spark, n)
+      val root = tmp(s"readkeys_$m/tbl")
+      SnapshotStore.publishBucketed(docs, root, "doc_id",
+        nBuckets = (16 * m).toInt)
+      val keys = spark.range(10L).select(col("id").as("doc_id"))
+        .localCheckpoint()
+      (n, () => { SnapshotStore.readKeys(keys, root).count(); () })
+    }),
+    Family("stream_ticks", (spark, m) => {
+      val n = EventsBase * m
+      val base = tmp(s"ticks_$m")
+      ScaleCorpus.events(spark, n).repartition(3)
+        .write.parquet(s"$base/in")
+      val schema = spark.read.parquet(s"$base/in").schema
+      (n, () => {
+        val root = s"$base/store_${System.nanoTime()}"
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (batch: DataFrame, batchId: Long) =>
+              val agg = batch
+                .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+                .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+                .select(col("window.start").as("ws"), col("event_type"),
+                  col("n"), col("s"))
+              if (SnapshotStore.currentVersion(root) == 0L)
+                SnapshotStore.publishBucketed(agg, root, "event_type",
+                  nBuckets = 4, tag = Some(s"b-$batchId"))
+              else SnapshotStore.append(agg, root, tag = Some(s"b-$batchId"))
+              ()
+          }
+          .option("checkpointLocation", s"$base/ckpt_${System.nanoTime()}")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      })
+    })
+  )
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("target/scale_rehearsal.json")
+    val mults = args.lift(1).getOrElse("1,4,10")
+      .split(",").toSeq.map(_.trim.toLong)
+    val only = args.drop(2).toSet
+    val spark = graft.engine.GraftSession.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    def loadAvg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split("\\s+").take(2).mkString("[", ",", "]")
+        finally src.close()
+      } catch { case _: Throwable => "[]" }
+    val results = families
+      .filter(f => only.isEmpty || only.contains(f.name))
+      .map { f =>
+        val runs = mults.map { m =>
+          val (n, thunk) = f.setup(spark, m)
+          val secs = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            thunk()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val best = secs.min
+          println(f"REHEARSE ${f.name}%-18s x$m%-3d n=$n%-8d " +
+            f"min=$best%7.2f s  (reps ${secs.map(s => f"$s%.2f").mkString(",")})")
+          (n, best)
+        }
+        // least-squares slope of log(t) on log(n) = scaling exponent
+        val xs = runs.map(r => math.log(r._1.toDouble))
+        val ys = runs.map(r => math.log(r._2))
+        val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+        val expo = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+          xs.map(x => (x - mx) * (x - mx)).sum
+        val runsJson = runs.map { case (n, t) =>
+          s"""{"n":$n,"sec":$t}""" }.mkString("[", ",", "]")
+        println(f"REHEARSE ${f.name}%-18s exponent=$expo%.3f")
+        s"""{"family":"${f.name}","exponent":${f"$expo%.3f"},""" +
+          s""""runs":$runsJson}"""
+      }
+    val json = s"""{"mults":${mults.mkString("[", ",", "]")},""" +
+      s""""load":${loadAvg()},"families":${results.mkString("[", ",", "]")}}"""
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(out).toAbsolutePath.getParent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println("REHEARSALJSON " + json)
+    spark.stop()
+  }
+}
