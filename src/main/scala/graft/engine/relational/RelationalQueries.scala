@@ -2126,9 +2126,82 @@ object RelationalQueries {
       "sidecar file skipping (strictly pruned, pinned), time travel to " +
       "the pre-append layout, rollup oracle-replayed from raw events")
 
+  /** q149 — CLUSTERED-STORE APPEND ([[graft.engine.sources
+    * .ClusteredStore.appendClustered]]): the steady-state write path a
+    * clustered fact table actually takes — the first half of events
+    * bootstraps the clustered store (v1), the second half APPENDS as a
+    * batch z-clustered within itself, hardlinking v1's files over with
+    * their sidecar envelopes carried verbatim (v2, lineage `append`).
+    * Pins: the 2-D box over v2 equals the plain SQL over the FULL
+    * table (`pruned` — envelopes from both the base and the appended
+    * files did work); `delta_ok` — [[graft.engine.sources.SnapshotStore
+    * .readSince]] v1→v2 equals exactly the appended half (the file
+    * diff IS the row delta across a clustered append — incremental
+    * consumers compose with clustered layout); `no_rewrite` — every v1
+    * data file carried over by hardlink (same inode), the O(batch)
+    * cost contract. */
+  val q149 = GraftQuery(
+    "q149_clustered_append",
+    (spark, sfDir) => {
+      import graft.engine.sources.{ClusteredStore, SnapshotStore}
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q149_zappend_${ProcessHandle.current().pid()}/tbl"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v100"),
+          col("event_type"), col("value"))
+      val halfA = ev.filter(col("event_id") % 2 === 0)
+      val halfB = ev.filter(col("event_id") % 2 === 1)
+      ClusteredStore.publishClustered(halfA, root, Seq("t_us", "v100"),
+        nFiles = 16) // v1
+      val v1Inodes = SnapshotStore.versionFileInodes(root, 1L)
+      ClusteredStore.appendClustered(halfB, root, nFiles = 16) // v2
+      val v2Inodes = SnapshotStore.versionFileInodes(root, 2L)
+      val noRewrite = v1Inodes.nonEmpty && v1Inodes.forall {
+        case (rel, ino) => v2Inodes.get(rel).contains(ino) }
+      val Array(mm) = ev.agg(min(col("t_us")), max(col("t_us"))).collect()
+      val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+      val lo = tmin + (tmax - tmin) * 2L / 5L
+      val hi = tmin + (tmax - tmin) * 3L / 5L
+      val (cur, readCur, totalCur) = ClusteredStore.readBox(spark, root,
+        Seq(("t_us", lo, hi), ("v100", 1000L, 3000L)))
+      // the incremental consumer's view: the v1->v2 file diff must be
+      // exactly the appended half (x65's signed-digest compare)
+      val delta = SnapshotStore.readSince(spark, root, 1L, 2L).get
+      val cmpCols = Seq("event_id", "t_us", "v100", "event_type")
+      def side(df: org.apache.spark.sql.DataFrame, s: Long) =
+        df.select(cmpCols.map(col): _*).withColumn("_side", lit(s))
+      val d = side(delta, 1L).unionByName(side(halfB, -1L))
+        .agg(sum(col("_side")).as("dn"),
+          sum(col("_side").cast("decimal(38,0)") *
+            xxhash64(cmpCols.map(col): _*).cast("decimal(38,0)")).as("dh"))
+        .head()
+      val deltaOk = d.getLong(0) == 0L && d.getDecimal(1).signum == 0
+      cur.groupBy(col("event_type"))
+        .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
+        .withColumn("pruned", lit(readCur < totalCur))
+        .withColumn("delta_ok", lit(deltaOk))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us,
+        CAST(FLOOR(value * 100) AS BIGINT) AS v100 FROM events),
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      SELECT event_type, COUNT(*) AS n_events,
+        ${sqlDsum("e.value")} AS sum_value,
+        TRUE AS pruned, TRUE AS delta_ok, TRUE AS no_rewrite
+      FROM e, b WHERE e.t_us BETWEEN b.lo AND b.hi
+        AND e.v100 BETWEEN 1000 AND 3000
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "clustered-store append: batch z-clustered within itself, " +
+      "base files hardlinked with envelopes carried, box over the " +
+      "appended version pruned AND exact, readSince delta == the batch")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
-    q137, q139, q140, q141, q142, q143, q144, q145, q146, q148)
+    q137, q139, q140, q141, q142, q143, q144, q145, q146, q148, q149)
 }

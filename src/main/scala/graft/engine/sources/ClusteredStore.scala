@@ -99,6 +99,90 @@ object ClusteredStore {
       op = "clustered publish")
   }
 
+  /** APPEND a batch to a clustered store as a new version: the batch is
+    * z-clustered WITHIN ITSELF (scaled by its own min/max — sound
+    * because z-values are never stored or compared across batches; the
+    * sidecar's RAW per-file envelopes are exact filesystem facts
+    * regardless of scaling, ZOrder.appendCluster's argument), written as
+    * `nFiles` fresh files, and every base file HARDLINKS over with its
+    * sidecar envelope line carried verbatim (file names are
+    * write-unique, so the lines stay valid). Lineage kind is `append` —
+    * a file diff equals the row delta, so [[SnapshotStore.readSince]]
+    * composes with clustered layout (q149 pins it). A time-ordered
+    * append stream even helps skipping: each batch's files envelope
+    * that batch's range, so time-window boxes prune whole appends.
+    * Steady-state cost: O(batch) + O(base files) metadata. */
+  def appendClustered(df: DataFrame, root: String, nFiles: Int,
+      bits: Int = 16, tag: Option[String] = None): Long = {
+    require(nFiles >= 1, "nFiles must be positive")
+    val alreadyApplied = SnapshotStore.taggedVersion(root, tag)
+    if (alreadyApplied.isDefined) return alreadyApplied.get
+    val spark = df.sparkSession
+    val base = SnapshotStore.currentVersion(root)
+    require(base > 0, s"no published version under $root")
+    val (cols, baseBits) = clusterSpecAt(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"v$base under $root is not clustered — bootstrap with " +
+          "publishClustered"))
+    cols.foreach(c => require(df.columns.contains(c),
+      s"missing cluster column $c"))
+    SnapshotStore.versionSchema(root, base).foreach { st =>
+      require(df.columns.toSet == st.fieldNames.toSet,
+        s"append batch columns ${df.columns.sorted.mkString(",")} must " +
+          s"match the store's ${st.fieldNames.sorted.mkString(",")} " +
+          "(clustered appends do not evolve the schema)")
+    }
+    val baseDir = Paths.get(root, s"v$base")
+    val baseManifest = SnapshotStore.manifestFiles(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"clustered v$base under $root has no manifest"))
+    val baseSidecar = new String(
+      Files.readAllBytes(baseDir.resolve(ClusterFile)),
+      StandardCharsets.UTF_8).linesIterator.toSeq
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    val z = ZOrder.zExpr(df, cols, baseBits)
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    // fresh-file envelopes: everything staged so far IS the batch
+    val freshStats = spark.read.parquet(staging.toString)
+      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as("file"))
+      .agg(ZOrder.statExprs(cols).head, ZOrder.statExprs(cols).tail: _*)
+      .collect()
+    val freshLines = freshStats.map { r =>
+      val envs = cols.indices.flatMap(i =>
+        Seq(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+      (r.getString(0) +: envs :+ r.getLong(1 + 2 * cols.length))
+        .mkString("\t")
+    }
+    // base carryover: hardlink data files (copy fallback), keep lines
+    baseManifest.foreach { rel =>
+      val src = baseDir.resolve(rel)
+      val dst = staging.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(src, dst, java.nio.file.StandardCopyOption
+            .REPLACE_EXISTING)
+      }
+    }
+    Files.write(staging.resolve(ClusterFile),
+      (baseSidecar.head +:
+        (baseSidecar.tail ++ freshLines).sorted).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    tag.foreach(t => Files.write(staging.resolve(SnapshotStore.TagFile),
+      t.getBytes(StandardCharsets.UTF_8)))
+    SnapshotStore.writeVersionManifest(staging, kind = "append",
+      schema = df.schema)
+    SnapshotStore.commitStaged(root, staging, base, tag,
+      op = "clustered append")
+  }
+
   /** The cluster spec a version was published with: (cols, bits), or
     * None for versions without a sidecar (not clustered). */
   def clusterSpecAt(root: String, version: Long): Option[(Seq[String], Int)] = {

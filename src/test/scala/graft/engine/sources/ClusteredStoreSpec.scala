@@ -91,6 +91,46 @@ class ClusteredStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("appendClustered: batch clustered within itself, base hardlinked " +
+      "with envelopes carried, box exact over both, readSince delta == " +
+      "the batch, tag replays as a no-op") {
+    val r = root()
+    val a = grid.filter(col("id") < 1000L)
+    val b = grid.filter(col("id") >= 1000L)
+    ClusteredStore.publishClustered(a, r, Seq("x", "y"), nFiles = 8)
+    val v1Files = SnapshotStore.versionFileInodes(r, 1L)
+    val v2 = ClusteredStore.appendClustered(b, r, nFiles = 8,
+      tag = Some("batch-1"))
+    assert(v2 == 2L)
+    // replayed tagged append: no new version
+    assert(ClusteredStore.appendClustered(b, r, nFiles = 8,
+      tag = Some("batch-1")) == 2L)
+    assert(SnapshotStore.currentVersion(r) == 2L)
+    // base files carried by hardlink, names and inodes intact
+    val v2Files = SnapshotStore.versionFileInodes(r, 2L)
+    assert(v1Files.nonEmpty && v1Files.forall {
+      case (rel, ino) => v2Files.get(rel).contains(ino) })
+    // box over the appended version: exact and pruned
+    val (df, read, total) = ClusteredStore.readBox(spark, r,
+      Seq(("x", 100L, 300L)))
+    assert(total == 16 && read < total)
+    val expected = grid.filter(col("x").between(100L, 300L))
+    assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty)
+    // incremental consumer: the file diff is exactly the appended rows
+    val delta = SnapshotStore.readSince(spark, r, 1L, 2L).get
+    assert(delta.exceptAll(b).isEmpty && b.exceptAll(delta).isEmpty)
+    // refusals: schema drift and an unclustered base
+    intercept[IllegalArgumentException] {
+      ClusteredStore.appendClustered(
+        b.withColumnRenamed("grp", "zzz"), r, nFiles = 4)
+    }
+    val r2 = root()
+    SnapshotStore.publish(grid, r2)
+    intercept[IllegalStateException] {
+      ClusteredStore.appendClustered(b, r2, nFiles = 4)
+    }
+  }
+
   test("fail-safe: a sidecar missing a file's envelope reads that file " +
       "unpruned — rows stay exact") {
     val r = root()
