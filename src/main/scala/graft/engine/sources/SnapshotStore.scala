@@ -638,11 +638,15 @@ object SnapshotStore {
     * interleave NON-fold versions above the newest fold (x72's index
     * takes takedown rewrites), `keep ≥ 1` alone is NOT sufficient
     * here: the retention horizon must cover the newest FOLD-TAGGED
-    * version until its cursor advance is durable. ENFORCED, not just
-    * documented (r17 ADVICE): each call registers a destination-side
-    * consumer cursor (`fold-$prefix-$consumer`) at the newest matching
-    * fold version, so a plain `vacuum(dstRoot)` floors there — reaping
-    * past it requires the explicit `ignoreConsumers` override. Cost:
+    * version until its cursor advance is durable. ENFORCED twice, not
+    * just documented (r17 ADVICE): each call registers a destination-
+    * side consumer cursor (`fold-$prefix-$consumer`) at the newest
+    * matching fold version, AND [[vacuum]] itself floors at the newest
+    * version of every `…-v<N>` tag family — covering the window between
+    * a fold landing and the NEXT recovery call, where no pin exists yet
+    * (the race spec's fold storm drives exactly that interleaving).
+    * Reaping past either floor requires the same explicit
+    * `ignoreConsumers("fold-$prefix-$consumer")` override. Cost:
     * one version-tag listing of `dstRoot` per call (metadata-only,
     * bounded by the destination's vacuum retention) — a maintenance-
     * path price paid per sync tick, never per row. */
@@ -1764,13 +1768,33 @@ object SnapshotStore {
     val cursorFloor = consumers(root)
       .filterNot { case (c, _) => ignoreConsumers(c) }
       .values.foldLeft(Long.MaxValue)(math.min)
+    // fold-evidence floor: the NEWEST version of every "<family>-v<N>"
+    // tag family survives. A "$prefix-$consumer-v$N" fold tag is a
+    // crashed consumer's only replay evidence until its cursor advance
+    // is durable ([[recoverTaggedFolds]]), and the recovery-time pin
+    // cannot protect a fold that landed AFTER the last recovery call —
+    // without this floor, a rival's keep=1 vacuum in that window (with
+    // a later version interleaved above) silently re-opens the
+    // double-apply window. One surviving version per family is the
+    // whole cost (superseded by the family's next fold); opt out per
+    // family with ignoreConsumers("fold-<family>"), the same override
+    // that releases the recovery-time pin.
+    val foldTagPattern = "^(.*)-v(\\d+)$".r
+    val protectedFolds: Set[Long] = versionTags(root).toSeq
+      .flatMap { case (v, t) => t match {
+        case foldTagPattern(family, _)
+          if !ignoreConsumers(s"fold-$family") => Some(family -> v)
+        case _ => None
+      }}
+      .groupBy(_._1).values.map(_.map(_._2).max).toSet
     (1L until math.min(cur - keep, cursorFloor)).filter { v =>
       val dir = Paths.get(root, s"v$v")
       val pastRetention = retainMs <= 0L ||
         (try System.currentTimeMillis() -
           Files.getLastModifiedTime(dir).toMillis > retainMs
         catch { case _: Exception => false }) // unreadable age -> keep
-      if (Files.exists(dir) && v != cur && pastRetention) {
+      if (Files.exists(dir) && v != cur && pastRetention &&
+          !protectedFolds(v)) {
         deleteRecursively(dir)
         true
       } else false

@@ -182,4 +182,116 @@ class SnapshotStoreRaceSpec extends AnyFunSuite {
       "committed read explained by the version-order serial replay") {
     (1 to nSeeds).foreach(storm)
   }
+
+  /** The cursor-fold protocol under live interleaving — the machinery
+    * the r17 ADVICE items hardened (consumer-scoped fold tags + the
+    * destination vacuum pin). TWO consumers fold from TWO sources into
+    * ONE shared destination with the SAME prefix, while publishers keep
+    * advancing both sources and a vacuum storms the destination; each
+    * consumer "crashes" (skips its cursor advance) on a seeded subset of
+    * ticks, so recovery must reconstruct the cursor from its OWN fold
+    * tags only. Invariant: when everything drains, the destination holds
+    * every source row EXACTLY once — a cross-advanced cursor shows as
+    * loss, a replayed fold as duplication, a reaped fold tag as either. */
+  private def foldStorm(seed: Int): Unit = {
+    val dirBase = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"race_fold_${ProcessHandle.current().pid()}_$seed"
+    SnapshotStore.deleteRecursively(java.nio.file.Paths.get(dirBase))
+    val srcs = Seq(s"$dirBase/src0/tbl", s"$dirBase/src1/tbl")
+    val dst = s"$dirBase/dst/tbl"
+    srcs.zipWithIndex.foreach { case (s, i) =>
+      SnapshotStore.publishBucketed(
+        Seq((10000L * (i + 1), 0L)).toDF("k", "v"), s, "k", 2)
+    }
+    SnapshotStore.publishBucketed(
+      Seq((99999L, 0L)).toDF("k", "v"), dst, "k", 2)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    // publishers: 4 appends per source, fresh keys
+    srcs.zipWithIndex.foreach { case (s, i) =>
+      pool.execute { () =>
+        val rnd = new scala.util.Random(seed * 7919 + i)
+        start.await()
+        try (1 to 4).foreach { j =>
+          Thread.sleep(rnd.nextInt(20).toLong)
+          SnapshotStore.append(
+            Seq((10000L * (i + 1) + j, j.toLong)).toDF("k", "v"), s,
+            tag = Some(s"pub-$i-$j"))
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    }
+    // consumers: sync ticks with seeded crash-before-cursor-advance
+    srcs.zipWithIndex.foreach { case (s, i) =>
+      pool.execute { () =>
+        val rnd = new scala.util.Random(seed * 104729 + i)
+        val consumer = s"c$i"
+        start.await()
+        def tick(alwaysAdvance: Boolean): Unit = {
+          val cursor = SnapshotStore.recoverTaggedFolds(
+            s, consumer, dst, "fold")
+          val cv = SnapshotStore.currentVersion(s)
+          if (cv > cursor) {
+            SnapshotStore.readSince(spark, s, cursor, cv).foreach { delta =>
+              var done = false
+              while (!done) {
+                try {
+                  SnapshotStore.append(
+                    delta.select(col("k"), col("v")), dst,
+                    tag = Some(SnapshotStore.foldTag("fold", consumer, cv)))
+                  done = true
+                } catch { case _: StalePublishException => () }
+              }
+            }
+            // seeded crash: the fold landed, the cursor never advances —
+            // the NEXT tick's recovery must close the window
+            if (alwaysAdvance || rnd.nextBoolean())
+              SnapshotStore.setConsumedThrough(s, consumer, cv)
+          }
+          // destination vacuum storms the fold evidence: the pin
+          // registered by recovery must floor it
+          SnapshotStore.vacuum(dst, keep = 1)
+        }
+        try {
+          (1 to 4).foreach { _ =>
+            Thread.sleep(rnd.nextInt(25).toLong)
+            tick(alwaysAdvance = false)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS),
+      s"fold seed $seed: storm deadlocked")
+    import scala.jdk.CollectionConverters._
+    assert(failures.isEmpty,
+      s"fold seed $seed: " + failures.asScala.map(_.toString).mkString(" | "))
+    // drain: one final clean tick per consumer (recovery first)
+    srcs.zipWithIndex.foreach { case (s, i) =>
+      val consumer = s"c$i"
+      val cursor = SnapshotStore.recoverTaggedFolds(s, consumer, dst, "fold")
+      val cv = SnapshotStore.currentVersion(s)
+      if (cv > cursor) {
+        SnapshotStore.readSince(spark, s, cursor, cv).foreach { delta =>
+          SnapshotStore.append(delta.select(col("k"), col("v")), dst,
+            tag = Some(SnapshotStore.foldTag("fold", consumer, cv)))
+        }
+        SnapshotStore.setConsumedThrough(s, consumer, cv)
+      }
+    }
+    // exactly-once: dst == union of both sources (plus its own seed row)
+    val got = SnapshotStore.read(spark, dst).drop("_bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = ((99999L, 0L) +: srcs.indices.flatMap(i =>
+      (0 to 4).map(j => (10000L * (i + 1) + j, j.toLong)))).sorted
+    assert(got == want,
+      s"fold seed $seed: destination is not exactly-once: got $got")
+  }
+
+  test(s"concurrent tagged-fold syncs: ${math.max(5, nSeeds / 5)} seeded " +
+      "storms — two consumers, one destination, crash-replay injected, " +
+      "destination exactly-once") {
+    (1 to math.max(5, nSeeds / 5)).foreach(foldStorm)
+  }
 }
