@@ -198,13 +198,21 @@ object AnnIndex {
     // landing between the live-read and an unconditional publish would
     // vanish from the new current (the IncrementalAgg lost-update shape
     // applied to whole-store rewrites). rewriteBucketed aborts stale;
-    // recompute from the new current and try again.
+    // recompute from the new current and try again. The content read
+    // and the CAS base are PINNED to one explicitly-resolved version
+    // (r18, found by the race spec's codes storm): readCodesLive(0)
+    // resolves CURRENT at its own call time, and a batch landing
+    // between that read and rewriteBucketed's entry-time base check
+    // would pass the check while the rewrite content silently lacked
+    // the batch's rows.
     var attempt = 0
     var last: graft.engine.sources.StalePublishException = null
     while (attempt <= 16) {
-      try return SnapshotStore.rewriteBucketed(
-        readCodesLive(spark, root), root, tag)
-      catch {
+      try {
+        val base = SnapshotStore.currentVersion(root)
+        return SnapshotStore.rewriteBucketed(
+          readCodesLive(spark, root, base), root, tag, baseVersion = base)
+      } catch {
         case e: graft.engine.sources.StalePublishException =>
           last = e; attempt += 1
       }

@@ -1554,13 +1554,21 @@ object SnapshotStore {
     * between the read and the publish — exactly the lost update
     * [[merge]]'s base check exists to prevent, applied to whole-store
     * rewrites. Callers retry by recomputing from the new current (the
-    * appendContended discipline). Lineage kind is `rewrite`:
+    * appendContended discipline). Pass `baseVersion` = the version `df`
+    * was COMPUTED FROM (r18, found by the race spec's codes storm):
+    * resolving the base here-at-entry leaves a gap — a batch landing
+    * between the caller's content read and this call would make the
+    * entry-time base look current while `df` silently lacks that
+    * batch's rows; pinning the caller's read version makes the CAS
+    * cover the whole read-compute-commit span. Default 0 keeps the
+    * entry-time resolution for callers whose `df` is constructed
+    * lazily against CURRENT. Lineage kind is `rewrite`:
     * [[readSince]] across it refuses. */
   def rewriteBucketed(df: DataFrame, root: String,
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None, baseVersion: Long = 0L): Long = {
     val alreadyApplied = taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
-    val base = currentVersion(root)
+    val base = if (baseVersion > 0L) baseVersion else currentVersion(root)
     require(base > 0, s"no published version under $root")
     val (keyCol, nBuckets) = bucketSpecAt(root, base).getOrElse(
       throw new IllegalStateException(

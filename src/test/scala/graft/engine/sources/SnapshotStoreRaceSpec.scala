@@ -294,4 +294,115 @@ class SnapshotStoreRaceSpec extends AnyFunSuite {
       "destination exactly-once") {
     (1 to math.max(5, nSeeds / 5)).foreach(foldStorm)
   }
+
+  /** The ANN codes-store lifecycle under interleaving — the
+    * compactCodes CAS class (r17's review-found lost-update shape
+    * applied to whole-store rewrites), randomized. Threads storm one
+    * published code store with tagged appendCodes batches, deleteCodes
+    * tombstones of their own earlier appends, compactCodes rewrites,
+    * and pinned live reads; the replay invariant is over the LIVE nid
+    * set (append adds, tombstone removes, compact is content-neutral).
+    * A compact that swallowed a concurrent append (the CAS hole) reads
+    * as loss; a tombstone dropped by a racing compact reads as
+    * resurrection. */
+  private def codesStorm(seed: Int): Unit = {
+    import graft.engine.llm.{AnnIndex, Similarity}
+    val dirBase = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"race_codes_${ProcessHandle.current().pid()}_$seed"
+    SnapshotStore.deleteRecursively(java.nio.file.Paths.get(dirBase))
+    val root = s"$dirBase/codes"
+    def vecs(ids: Seq[Long]) = ids.map { id =>
+      val rnd = new java.util.Random(id * 2654435761L)
+      (id, Array.fill(8)((rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val baseIds = (0L until 16L)
+    val corpus = vecs(baseIds)
+    val cents = Similarity.ivfCentroids(corpus, nlist = 2, iters = 1)
+    val books = Similarity.pqTrain(corpus, m = 2, k = 4)
+    AnnIndex.publishCodes(corpus, root, cents, books, nBuckets = 2) // v1
+    val committed = new ConcurrentLinkedQueue[(Long, Effect)]()
+    val reads = new ConcurrentLinkedQueue[(Long, String)]()
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val pool = Executors.newFixedThreadPool(3)
+    val start = new CountDownLatch(1)
+    def retrying(op: => Long): Long = {
+      var attempts = 0
+      while (true) {
+        try return op
+        catch {
+          case _: StalePublishException if attempts < 8 => attempts += 1
+        }
+      }
+      -1L
+    }
+    (0 until 3).foreach { tid =>
+      pool.execute { () =>
+        val rnd = new scala.util.Random(seed * 31337 + tid)
+        val mine = scala.collection.mutable.ArrayBuffer.empty[Long]
+        start.await()
+        try {
+          (0 until 3).foreach { i =>
+            Thread.sleep(rnd.nextInt(15).toLong)
+            rnd.nextInt(5) match {
+              case 0 | 1 => // tagged ingest batch of 2 fresh private nids
+                val ids = Seq(1000L * (tid + 1) + 2 * i,
+                  1000L * (tid + 1) + 2 * i + 1)
+                val v = retrying(AnnIndex.appendCodes(vecs(ids), root,
+                  cents, books, tag = Some(s"codes-s$seed-t$tid-a$i")))
+                mine ++= ids
+                committed.add(v -> Add(ids.map(_ -> 0L).toMap))
+              case 2 if mine.nonEmpty => // tombstone an own earlier nid
+                val victim = mine.remove(0)
+                val v = retrying(AnnIndex.deleteCodes(
+                  Seq(victim).toDF("nid"), root))
+                committed.add(v -> Del(victim))
+              case 3 => // CAS compaction rewrite
+                val v = retrying(AnnIndex.compactCodes(spark, root))
+                committed.add(v -> LayoutOnly)
+              case _ => // pinned live read
+                val v = SnapshotStore.currentVersion(root)
+                val nids = AnnIndex.readCodesLive(spark, root, v)
+                  .select("nid").collect().map(_.getLong(0)).sorted
+                reads.add(v -> nids.mkString(";"))
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS),
+      s"codes seed $seed: storm deadlocked")
+    import scala.jdk.CollectionConverters._
+    assert(failures.isEmpty,
+      s"codes seed $seed: " + failures.asScala.map(_.toString)
+        .mkString(" | "))
+    val effects = committed.asScala.toSeq
+    val dupes = effects.groupBy(_._1).filter(_._2.size > 1)
+    assert(dupes.isEmpty, s"codes seed $seed: version collisions: $dupes")
+    def liveAt(v: Long): Seq[Long] =
+      effects.filter(_._1 <= v).sortBy(_._1)
+        .foldLeft(baseIds.toSet) { case (st, (_, e)) => e match {
+          case Add(rows) => st ++ rows.keys
+          case Del(k) => st - k
+          case _ => st
+        }}.toSeq.sorted
+    val cur = SnapshotStore.currentVersion(root)
+    val finalLive = AnnIndex.readCodesLive(spark, root)
+      .select("nid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(finalLive == liveAt(cur),
+      s"codes seed $seed: final live set not explained by version-order " +
+        s"replay: got $finalLive want ${liveAt(cur)}")
+    reads.asScala.foreach { case (v, d) =>
+      assert(d == liveAt(v).mkString(";"),
+        s"codes seed $seed: live read at v$v observed a set no serial " +
+          "order explains")
+    }
+  }
+
+  test(s"concurrent ANN code-store lifecycle: ${math.max(5, nSeeds / 5)} " +
+      "seeded storms — ingest/tombstone/CAS-compact/live-read, live set " +
+      "version-order explained") {
+    (1 to math.max(5, nSeeds / 5)).foreach(codesStorm)
+  }
 }
