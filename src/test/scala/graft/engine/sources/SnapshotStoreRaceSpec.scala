@@ -13,7 +13,10 @@ import graft.SparkTestSession.spark
   * replaces review-luck with a seeded random schedule: several threads
   * storm ONE bucketed store with publish/merge/append/deleteKeys/
   * rebucket/vacuum/read, then the whole history is checked against the
-  * store's own serial order — the version chain.
+  * store's own serial order — the version chain. It works: the codes
+  * storm below caught compactCodes' read-to-CAS gap (a live
+  * lost-update) on its first run — see [[graft.engine.llm.AnnIndex
+  * .compactCodes]] and SCALE.md §"Store concurrency model".
   *
   * THE INVARIANT (SCALE.md §concurrency): every committed write claims
   * exactly one version, and replaying the committed effects in VERSION
