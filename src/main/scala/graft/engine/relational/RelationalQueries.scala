@@ -2199,9 +2199,107 @@ object RelationalQueries {
       "base files hardlinked with envelopes carried, box over the " +
       "appended version pruned AND exact, readSince delta == the batch")
 
+  /** q150 — CLUSTERED-STORE COMPACTION ([[graft.engine.sources
+    * .ClusteredStore.compactClustered]]; VERDICT r18 item 1): the repair
+    * for the decay [[graft.engine.sources.ClusteredStore.appendClustered]]
+    * accumulates — each append is z-clustered only within itself, so k
+    * appends leave k overlapping z-runs (skipping decays), a sidecar
+    * growing by nFiles lines per append, and O(k²) total hardlink work.
+    * The query bootstraps a clustered events store (v1 = one third),
+    * appends two more thirds (v2, v3 — the append pile), then compacts
+    * into ONE global 16-file z-run (v4) and pins the whole contract:
+    * `content_neutral` (the same 2-D box reads the same rows before and
+    * after, x65's signed-digest multiset compare), `pruned_after` (the
+    * compacted run still skips files), `files_rebased` (v4 holds one
+    * z-run's worth of files — 16 — vs the pile's 48), `travel_ok` (the
+    * box pinned to pre-compact v3 is untouched by the rewrite),
+    * `delta_refused` ([[graft.engine.sources.SnapshotStore.readSince]]
+    * across the compact throws — lineage kind `rewrite`, the file diff
+    * is no longer the row delta), and `compact_noop` (a second compact
+    * returns v4 without minting — already one z-run). The returned
+    * rollup is the post-compact box, replayed by DuckDB from raw events
+    * with the same exact-integer bound arithmetic (q148's oracle shape:
+    * compaction must be invisible to every reader). */
+  val q150 = GraftQuery(
+    "q150_clustered_compact",
+    (spark, sfDir) => {
+      import graft.engine.sources.{ClusteredStore, SnapshotStore}
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q150_zcompact_${ProcessHandle.current().pid()}/tbl"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v100"),
+          col("event_type"), col("value"))
+      val thirds = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+      ClusteredStore.publishClustered(thirds(0), root, Seq("t_us", "v100"),
+        nFiles = 16) // v1
+      ClusteredStore.appendClustered(thirds(1), root, nFiles = 16) // v2
+      ClusteredStore.appendClustered(thirds(2), root, nFiles = 16) // v3
+      val Array(mm) = ev.agg(min(col("t_us")), max(col("t_us"))).collect()
+      val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+      val lo = tmin + (tmax - tmin) * 2L / 5L
+      val hi = tmin + (tmax - tmin) * 3L / 5L
+      val box = Seq(("t_us", lo, hi), ("v100", 1000L, 3000L))
+      val (pre, _, totalPre) = ClusteredStore.readBox(spark, root, box)
+      val cmpCols = Seq("event_id", "t_us", "v100", "event_type")
+      def side(df: org.apache.spark.sql.DataFrame, s: Long) =
+        df.select(cmpCols.map(col): _*).withColumn("_side", lit(s))
+      def digestsToZero(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Boolean = {
+        val d = side(a, 1L).unionByName(side(b, -1L))
+          .agg(sum(col("_side")).as("dn"),
+            sum(col("_side").cast("decimal(38,0)") *
+              xxhash64(cmpCols.map(col): _*).cast("decimal(38,0)")).as("dh"))
+          .head()
+        d.getLong(0) == 0L && d.getDecimal(1).signum == 0
+      }
+      // the pre-compact box content, materialized small (box rows only)
+      val preKept = pre.select(cmpCols.map(col): _*).localCheckpoint()
+      val v4 = ClusteredStore.compactClustered(spark, root, nFiles = 16)
+      val compactNoop =
+        ClusteredStore.compactClustered(spark, root, nFiles = 16) == v4
+      val (post, readPost, totalPost) =
+        ClusteredStore.readBox(spark, root, box)
+      val contentNeutral = digestsToZero(post, preKept)
+      val (old3, _, totOld3) = ClusteredStore.readBox(spark, root, box,
+        version = 3L)
+      val travelOk = totOld3 == totalPre && digestsToZero(old3, preKept)
+      val deltaRefused =
+        try { SnapshotStore.readSince(spark, root, 2L, v4); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("rewrite") }
+      post.groupBy(col("event_type"))
+        .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
+        .withColumn("content_neutral", lit(contentNeutral))
+        .withColumn("pruned_after", lit(readPost < totalPost))
+        .withColumn("files_rebased", lit(totalPost < totalPre))
+        .withColumn("travel_ok", lit(travelOk))
+        .withColumn("delta_refused", lit(deltaRefused))
+        .withColumn("compact_noop", lit(compactNoop))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us,
+        CAST(FLOOR(value * 100) AS BIGINT) AS v100 FROM events),
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      SELECT event_type, COUNT(*) AS n_events,
+        ${sqlDsum("e.value")} AS sum_value,
+        TRUE AS content_neutral, TRUE AS pruned_after,
+        TRUE AS files_rebased, TRUE AS travel_ok,
+        TRUE AS delta_refused, TRUE AS compact_noop
+      FROM e, b WHERE e.t_us BETWEEN b.lo AND b.hi
+        AND e.v100 BETWEEN 1000 AND 3000
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "clustered-store compaction: k overlapping append z-runs " +
+      "rewritten into one global z-run — box content-neutral and still " +
+      "pruned, file count rebased, time travel and lineage contracts " +
+      "pinned, rollup oracle-replayed from raw events")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
-    q137, q139, q140, q141, q142, q143, q144, q145, q146, q148, q149)
+    q137, q139, q140, q141, q142, q143, q144, q145, q146, q148, q149,
+    q150)
 }

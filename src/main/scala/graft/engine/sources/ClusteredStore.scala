@@ -42,6 +42,38 @@ object ClusteredStore {
 
   private val ClusterFile = "_GRAFT_CLUSTER"
 
+  /** Z-cluster `df` into `staging` as ≈`nFiles` equi-count z-range files
+    * and return one sidecar envelope line per staged file — derived from
+    * the staged files THEMSELVES (they can never disagree with the
+    * data). Driver-side rows = nFiles, bounded by the write's own
+    * granularity choice — metadata-scale by construction. Shared by
+    * publish / append / compact so the three writers cannot drift on the
+    * layout or the envelope format. */
+  private def stageZRun(df: DataFrame, staging: java.nio.file.Path,
+      cols: Seq[String], bits: Int, nFiles: Int): Seq[String] = {
+    val spark = df.sparkSession
+    val z = ZOrder.zExpr(df, cols, bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    val stats = spark.read.parquet(staging.toString)
+      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as("file"))
+      .agg(ZOrder.statExprs(cols).head, ZOrder.statExprs(cols).tail: _*)
+      .collect()
+    stats.toSeq.map { r =>
+      val envs = cols.indices.flatMap(i =>
+        Seq(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+      val n = r.getLong(1 + 2 * cols.length)
+      (r.getString(0) +: envs :+ n).mkString("\t")
+    }
+  }
+
+  private def sidecarHeader(cols: Seq[String], bits: Int): String =
+    s"cols=${cols.mkString(",")};bits=$bits"
+
   /** Publish `df` as a new z-clustered version of the store at `root`.
     * `clusterCols` must be BIGINT-castable and non-null (ZOrder's
     * contract); `nFiles` sets the skipping granularity (files are
@@ -60,36 +92,27 @@ object ClusteredStore {
         "use a separate root for the clustered copy")
     val alreadyApplied = SnapshotStore.taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
-    val spark = df.sparkSession
+    // empty batch = no-op on an existing store (append/deleteKeys'
+    // documented "empty mints no version" posture); an empty BOOTSTRAP
+    // has no version to return and no rows to derive envelopes from —
+    // ZOrder's min/max scaling over zero rows would die with an opaque
+    // NPE deep in zExpr, so refuse loudly at the contract boundary
+    if (df.isEmpty) {
+      val cur = SnapshotStore.currentVersion(root)
+      require(cur > 0,
+        "publishClustered got an EMPTY batch on an unpublished store: " +
+          "an empty clustered version has no envelopes to derive — " +
+          "publish the first non-empty batch instead")
+      return cur
+    }
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    val z = ZOrder.zExpr(df, clusterCols, bits)
-    df.withColumn("_z", z)
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
-    // per-file envelopes from the staged files THEMSELVES (they can
-    // never disagree with the data); file names are write-unique, so
-    // the relative name survives the atomic staging -> vN rename.
-    // Driver-side rows = nFiles — bounded by the publish's own
-    // granularity choice, metadata-scale by construction.
-    val stats = spark.read.parquet(staging.toString)
-      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
-        .as("file"))
-      .agg(ZOrder.statExprs(clusterCols).head,
-        ZOrder.statExprs(clusterCols).tail: _*)
-      .collect()
-    val header = s"cols=${clusterCols.mkString(",")};bits=$bits"
-    val lines = stats.map { r =>
-      val file = r.getString(0)
-      val envs = clusterCols.indices.flatMap(i =>
-        Seq(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-      val n = r.getLong(1 + 2 * clusterCols.length)
-      (file +: envs :+ n).mkString("\t")
-    }
+    // per-file envelopes come from the staged files themselves; file
+    // names are write-unique, so the relative name survives the atomic
+    // staging -> vN rename
+    val lines = stageZRun(df, staging, clusterCols, bits, nFiles)
     Files.write(staging.resolve(ClusterFile),
-      (header +: lines.sorted).mkString("\n")
+      (sidecarHeader(clusterCols, bits) +: lines.sorted).mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
     tag.foreach(t => Files.write(staging.resolve(SnapshotStore.TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
@@ -117,20 +140,32 @@ object ClusteredStore {
     require(nFiles >= 1, "nFiles must be positive")
     val alreadyApplied = SnapshotStore.taggedVersion(root, tag)
     if (alreadyApplied.isDefined) return alreadyApplied.get
-    val spark = df.sparkSession
     val base = SnapshotStore.currentVersion(root)
     require(base > 0, s"no published version under $root")
+    // empty batch = no-op (append's "empty mints no version" posture);
+    // without this guard ZOrder's min/max scaling over zero rows fails
+    // with an opaque NPE instead of the documented no-op
+    if (df.isEmpty) return base
     val (cols, baseBits) = clusterSpecAt(root, base).getOrElse(
       throw new IllegalStateException(
         s"v$base under $root is not clustered — bootstrap with " +
           "publishClustered"))
     cols.foreach(c => require(df.columns.contains(c),
       s"missing cluster column $c"))
-    SnapshotStore.versionSchema(root, base).foreach { st =>
+    val baseSchema = SnapshotStore.versionSchema(root, base)
+    baseSchema.foreach { st =>
       require(df.columns.toSet == st.fieldNames.toSet,
         s"append batch columns ${df.columns.sorted.mkString(",")} must " +
           s"match the store's ${st.fieldNames.sorted.mkString(",")} " +
           "(clustered appends do not evolve the schema)")
+      // name match alone is not enough (r18 ADVICE): a same-named column
+      // with a drifted TYPE would land silently, and whichever schema the
+      // manifest recorded would then be applied to the OTHER write's
+      // hardlinked files on every later read — types must match the
+      // store's exactly (no widening either: the recorded version schema
+      // is served over ALL files of the version, old and new alike)
+      SnapshotStore.requireMatchingTypes(df.schema, st,
+        "clustered append", allowWidening = false, keyColumns = Seq.empty)
     }
     val baseDir = Paths.get(root, s"v$base")
     val baseManifest = SnapshotStore.manifestFiles(root, base).getOrElse(
@@ -141,34 +176,23 @@ object ClusteredStore {
       StandardCharsets.UTF_8).linesIterator.toSeq
     val staging = Paths.get(root,
       s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    val z = ZOrder.zExpr(df, cols, baseBits)
-    df.withColumn("_z", z)
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // fresh-file envelopes: everything staged so far IS the batch
-    val freshStats = spark.read.parquet(staging.toString)
-      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
-        .as("file"))
-      .agg(ZOrder.statExprs(cols).head, ZOrder.statExprs(cols).tail: _*)
-      .collect()
-    val freshLines = freshStats.map { r =>
-      val envs = cols.indices.flatMap(i =>
-        Seq(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-      (r.getString(0) +: envs :+ r.getLong(1 + 2 * cols.length))
-        .mkString("\t")
-    }
-    // base carryover: hardlink data files (copy fallback), keep lines
+    val freshLines = stageZRun(df, staging, cols, baseBits, nFiles)
+    // base carryover: hardlink data files, keep lines. The fallback is
+    // ONLY for filesystems without hardlink support (r18 ADVICE: base and
+    // batch files share this one flat staging dir, so a broad IOException
+    // catch + REPLACE_EXISTING copy would let a base/batch NAME COLLISION
+    // silently overwrite a fresh batch file — dropping batch rows — and
+    // mask real I/O errors as copies; collisions and I/O failures must
+    // fail the append loudly instead)
     baseManifest.foreach { rel =>
       val src = baseDir.resolve(rel)
       val dst = staging.resolve(rel)
       Files.createDirectories(dst.getParent)
       try Files.createLink(dst, src)
       catch {
-        case _: UnsupportedOperationException | _: java.io.IOException =>
-          Files.copy(src, dst, java.nio.file.StandardCopyOption
-            .REPLACE_EXISTING)
+        case _: UnsupportedOperationException =>
+          Files.copy(src, dst) // no REPLACE: a collision throws
       }
     }
     Files.write(staging.resolve(ClusterFile),
@@ -177,10 +201,76 @@ object ClusteredStore {
         .getBytes(StandardCharsets.UTF_8))
     tag.foreach(t => Files.write(staging.resolve(SnapshotStore.TagFile),
       t.getBytes(StandardCharsets.UTF_8)))
+    // record the STORE's schema, not the batch's (r18 ADVICE): the types
+    // are verified equal above, but the batch's column ORDER may differ,
+    // and the recorded schema is what every later read applies to the
+    // hardlinked base files too — mirror append's base-schema posture
     SnapshotStore.writeVersionManifest(staging, kind = "append",
-      schema = df.schema)
+      schema = baseSchema.getOrElse(df.schema))
     SnapshotStore.commitStaged(root, staging, base, tag,
       op = "clustered append")
+  }
+
+  /** COMPACT a clustered store: re-z-order the current version's rows
+    * into ONE global equi-count z-run of `nFiles` files, rebuild the
+    * sidecar (one envelope line per file), and publish as a new version.
+    *
+    * This is the maintenance action [[appendClustered]] points at, and
+    * the r18-verdict gap it left open: each append is z-clustered only
+    * WITHIN ITSELF, so k appends leave k overlapping z-runs whose
+    * envelopes all intersect the same boxes (skipping quality decays as
+    * batch envelopes pile up), the sidecar grows without bound, and —
+    * because every append re-hardlinks every base file — k appends cost
+    * O(k²) total link operations. One compact restores one global
+    * clustering, a one-line-per-file sidecar, and a fresh (small)
+    * hardlink base for the appends that follow. Same cost class as a
+    * bootstrap publish (one range-shuffle of the live rows) — the rare
+    * repair, not the steady-state write ([[SnapshotStore.compact]]'s
+    * contract, applied to z layout).
+    *
+    * Lineage kind is `rewrite`: a compaction rewrites files, so the file
+    * diff no longer equals the row delta and [[SnapshotStore.readSince]]
+    * across it refuses (exactly the bucketed compact's posture).
+    * Time travel keeps working: pre-compact versions keep their own
+    * files, sidecars, and envelopes; [[vacuum]] reclaims them once the
+    * horizon passes.
+    *
+    * No-op (current version returned, nothing minted) when the current
+    * version is already a single global z-run (lineage `base`/`rewrite`)
+    * — a recurring maintenance caller pays one metadata read.
+    *
+    * Concurrency: the rewrite's content is COMPUTED FROM the base
+    * version, so the commit is CAS'd on it ([[SnapshotStore.commitStaged]]'s
+    * stale-base abort, the rewriteBucketed discipline): an append landing
+    * mid-compact aborts the COMPACT — never the reverse — and the caller
+    * retries against the new current. */
+  def compactClustered(spark: SparkSession, root: String, nFiles: Int,
+      tag: Option[String] = None): Long = {
+    require(nFiles >= 1, "nFiles must be positive")
+    val alreadyApplied = SnapshotStore.taggedVersion(root, tag)
+    if (alreadyApplied.isDefined) return alreadyApplied.get
+    val base = SnapshotStore.currentVersion(root)
+    require(base > 0, s"no published version under $root")
+    val (cols, bits) = clusterSpecAt(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"v$base under $root is not clustered — compactClustered serves " +
+          "clustered stores only (SnapshotStore.compact is the bucketed " +
+          "layout's compaction)"))
+    if (!SnapshotStore.versionKind(root, base).contains("append"))
+      return base // already one global z-run: nothing to repair
+    val df = SnapshotStore.read(spark, root, base)
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    val lines = stageZRun(df, staging, cols, bits, nFiles)
+    Files.write(staging.resolve(ClusterFile),
+      (sidecarHeader(cols, bits) +: lines.sorted).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    tag.foreach(t => Files.write(staging.resolve(SnapshotStore.TagFile),
+      t.getBytes(StandardCharsets.UTF_8)))
+    SnapshotStore.writeVersionManifest(staging, kind = "rewrite",
+      schema = SnapshotStore.versionSchema(root, base).getOrElse(df.schema))
+    SnapshotStore.commitStaged(root, staging, base, tag,
+      op = "clustered compact")
   }
 
   /** The cluster spec a version was published with: (cols, bits), or

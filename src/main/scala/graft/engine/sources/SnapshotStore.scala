@@ -610,9 +610,15 @@ object SnapshotStore {
     * prefix must not cross-advance each other's cursors to a rival
     * stream's version number — the tag carries (prefix, consumer), so
     * recovery only ever matches its OWN folds. Build fold tags through
-    * this helper, never by hand, or the writer and the scanner drift. */
+    * this helper, never by hand, or the writer and the scanner drift.
+    * The reserved `fold:` marker makes fold tags STRUCTURALLY
+    * distinguishable from ordinary replay tags (r18 ADVICE): [[vacuum]]'s
+    * fold-evidence floor keys on the marker, so a user tag that merely
+    * ends in `-v<N>` (`release-v2`) is no longer permanently exempt from
+    * vacuum — unbounded retention for ordinary tags was the cost of the
+    * old generic-suffix match. */
   def foldTag(prefix: String, consumer: String, srcVersion: Long): String =
-    s"$prefix-$consumer-v$srcVersion"
+    s"fold:$prefix-$consumer-v$srcVersion"
 
   /** The destination-side consumer name [[recoverTaggedFolds]] registers
     * on `dstRoot` to floor [[vacuum]]'s reap horizon at the newest
@@ -653,7 +659,7 @@ object SnapshotStore {
   def recoverTaggedFolds(srcRoot: String, consumer: String,
       dstRoot: String, prefix: String): Long = {
     val cursor = consumedThrough(srcRoot, consumer)
-    val matchPrefix = s"$prefix-$consumer-v"
+    val matchPrefix = s"fold:$prefix-$consumer-v" // foldTag's structure
     val folded = versionTags(dstRoot).toSeq.flatMap { case (dstV, t) =>
       if (t.startsWith(matchPrefix))
         t.stripPrefix(matchPrefix).toLongOption.map(srcV => (srcV, dstV))
@@ -946,10 +952,22 @@ object SnapshotStore {
     * the hash and the file schema alike). */
   private def requireMatchingTypes(batch: DataFrame, baseDf: DataFrame,
       what: String, allowWidening: Boolean = false,
-      keyColumns: Seq[String] = Seq.empty): Unit = {
-    val baseTypes = baseDf.schema.fields
+      keyColumns: Seq[String] = Seq.empty): Unit =
+    requireMatchingTypes(batch.schema, baseDf.schema, what, allowWidening,
+      keyColumns)
+
+  /** Schema-level twin of the DataFrame form, for callers that hold the
+    * store side as a recorded sidecar schema rather than a live read
+    * (ClusteredStore's append — r18 ADVICE: name-only validation let a
+    * same-named drifted-type column land silently). */
+  private[sources] def requireMatchingTypes(
+      batchSchema: org.apache.spark.sql.types.StructType,
+      baseSchema: org.apache.spark.sql.types.StructType,
+      what: String, allowWidening: Boolean,
+      keyColumns: Seq[String]): Unit = {
+    val baseTypes = baseSchema.fields
       .filterNot(_.name == "_bucket").map(f => f.name -> f.dataType).toMap
-    batch.schema.fields.foreach { f =>
+    batchSchema.fields.foreach { f =>
       baseTypes.get(f.name).foreach { t =>
         if (f.dataType.sql != t.sql) {
           // widening (int→long, float→double …) is honest evolution the
@@ -1776,18 +1794,21 @@ object SnapshotStore {
     val cursorFloor = consumers(root)
       .filterNot { case (c, _) => ignoreConsumers(c) }
       .values.foldLeft(Long.MaxValue)(math.min)
-    // fold-evidence floor: the NEWEST version of every "<family>-v<N>"
-    // tag family survives. A "$prefix-$consumer-v$N" fold tag is a
-    // crashed consumer's only replay evidence until its cursor advance
-    // is durable ([[recoverTaggedFolds]]), and the recovery-time pin
-    // cannot protect a fold that landed AFTER the last recovery call —
-    // without this floor, a rival's keep=1 vacuum in that window (with
-    // a later version interleaved above) silently re-opens the
-    // double-apply window. One surviving version per family is the
-    // whole cost (superseded by the family's next fold); opt out per
-    // family with ignoreConsumers("fold-<family>"), the same override
-    // that releases the recovery-time pin.
-    val foldTagPattern = "^(.*)-v(\\d+)$".r
+    // fold-evidence floor: the NEWEST version of every fold-tag family
+    // ("fold:<family>-v<N>", [[foldTag]]'s reserved marker) survives. A
+    // fold tag is a crashed consumer's only replay evidence until its
+    // cursor advance is durable ([[recoverTaggedFolds]]), and the
+    // recovery-time pin cannot protect a fold that landed AFTER the last
+    // recovery call — without this floor, a rival's keep=1 vacuum in
+    // that window (with a later version interleaved above) silently
+    // re-opens the double-apply window. Keying on the structural marker
+    // (r18 ADVICE) keeps ORDINARY tags that happen to end in -v<N>
+    // ("release-v2") vacuumable — the old generic suffix match exempted
+    // them forever. One surviving version per family is the whole cost
+    // (superseded by the family's next fold); opt out per family with
+    // ignoreConsumers("fold-<family>"), the same override that releases
+    // the recovery-time pin.
+    val foldTagPattern = "^fold:(.*)-v(\\d+)$".r
     val protectedFolds: Set[Long] = versionTags(root).toSeq
       .flatMap { case (v, t) => t match {
         case foldTagPattern(family, _)

@@ -100,9 +100,16 @@ object ZOrder {
     }
   }
 
+  /** Per-file envelope aggregates. min/max are cast to LongType so the
+    * sidecar path accepts the same column types [[zExpr]] does (r18
+    * ADVICE): the documented contract is "BIGINT-castable", and an INT
+    * cluster column satisfies it for clustering but would make
+    * ClusteredStore's `Row.getLong` sidecar extraction throw
+    * ClassCastException at publish time without this cast. */
   private[sources] def statExprs(cols: Seq[String]): Seq[Column] =
     cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).as(s"min_$i"), max(col(c)).as(s"max_$i"))
+      Seq(min(col(c)).cast(LongType).as(s"min_$i"),
+        max(col(c)).cast(LongType).as(s"max_$i"))
     } :+ count(lit(1)).as("n_rows")
 
   private[sources] def zExpr(df: DataFrame, cols: Seq[String], bits: Int): Column = {

@@ -131,6 +131,112 @@ class ClusteredStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compactClustered: one global z-run replaces the append pile — " +
+      "content-neutral, sidecar rebuilt to one line per file, pruning " +
+      "restored, time travel intact, readSince refuses across it, " +
+      "replay and already-compact calls are no-ops") {
+    val r = root()
+    val thirds = (0 until 3).map(i => grid.filter(col("id") % 3 === i))
+    ClusteredStore.publishClustered(thirds(0), r, Seq("x", "y"), nFiles = 8)
+    ClusteredStore.appendClustered(thirds(1), r, nFiles = 8) // v2
+    ClusteredStore.appendClustered(thirds(2), r, nFiles = 8) // v3
+    val box = Seq(("x", 100L, 300L), ("y", 0L, 500L))
+    val (pre, readPre, totalPre) = ClusteredStore.readBox(spark, r, box)
+    val preRows = pre.collect().map(_.toString).sorted.toSeq
+    assert(totalPre == 24)
+    val v4 = ClusteredStore.compactClustered(spark, r, nFiles = 8,
+      tag = Some("compact-1"))
+    assert(v4 == 4L)
+    // replayed tag AND already-compact both no-op at v4
+    assert(ClusteredStore.compactClustered(spark, r, nFiles = 8,
+      tag = Some("compact-1")) == 4L)
+    assert(ClusteredStore.compactClustered(spark, r, nFiles = 8) == 4L)
+    assert(SnapshotStore.currentVersion(r) == 4L)
+    // content-neutral: the same box reads the same rows, now from ONE
+    // 8-file z-run with a rebuilt one-line-per-file sidecar
+    val (post, readPost, totalPost) = ClusteredStore.readBox(spark, r, box)
+    assert(post.collect().map(_.toString).sorted.toSeq == preRows)
+    assert(totalPost == 8 && readPost < totalPost,
+      s"compacted box must prune: read $readPost of $totalPost")
+    val sidecarLines = new String(Files.readAllBytes(
+      Paths.get(r, "v4", "_GRAFT_CLUSTER")), StandardCharsets.UTF_8)
+      .split("\n")
+    assert(sidecarLines.length == 1 + 8,
+      "sidecar must shrink to header + one line per compacted file")
+    // full-content neutrality (not just the box)
+    val full = SnapshotStore.read(spark, r, 4L)
+    assert(full.exceptAll(grid).isEmpty && grid.exceptAll(full).isEmpty)
+    // time travel: the pre-compact version still serves its own box
+    val (old, _, totOld) = ClusteredStore.readBox(spark, r, box,
+      version = 3L)
+    assert(totOld == 24 &&
+      old.collect().map(_.toString).sorted.toSeq == preRows)
+    // lineage: the compact is a rewrite — a file diff across it is not
+    // a row delta, so the incremental consumer refuses loudly
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.readSince(spark, r, 2L, 4L)
+    }
+    assert(e.getMessage.contains("rewrite"))
+    // and appends COMPOSE after the compact (fresh hardlink base)
+    assert(ClusteredStore.appendClustered(thirds(0), r, nFiles = 4) == 5L)
+    assert(SnapshotStore.read(spark, r, 5L).count() == grid.count() +
+      thirds(0).count())
+  }
+
+  test("compactClustered: refuses unclustered roots, no-ops on a " +
+      "freshly published (single-z-run) store") {
+    val r = root()
+    SnapshotStore.publish(grid, r)
+    intercept[IllegalStateException] {
+      ClusteredStore.compactClustered(spark, r, nFiles = 4)
+    }
+    val r2 = root()
+    ClusteredStore.publishClustered(grid, r2, Seq("x"), nFiles = 4)
+    assert(ClusteredStore.compactClustered(spark, r2, nFiles = 4) == 1L,
+      "a bootstrap publish is already one global z-run")
+  }
+
+  test("appendClustered: a same-named column with a DRIFTED TYPE is " +
+      "refused — name-only validation would coerce the hardlinked base " +
+      "files under the batch's schema on every later read") {
+    val r = root()
+    ClusteredStore.publishClustered(grid, r, Seq("x", "y"), nFiles = 4)
+    val drifted = grid.withColumn("grp", lit(7L)) // string -> bigint
+    val e = intercept[IllegalArgumentException] {
+      ClusteredStore.appendClustered(drifted, r, nFiles = 4)
+    }
+    assert(e.getMessage.contains("grp"), s"got: ${e.getMessage}")
+    assert(SnapshotStore.currentVersion(r) == 1L, "nothing minted")
+  }
+
+  test("empty batches: append no-ops at the current version, publish " +
+      "no-ops on an existing store and refuses an empty bootstrap") {
+    val r = root()
+    ClusteredStore.publishClustered(grid, r, Seq("x"), nFiles = 4) // v1
+    assert(ClusteredStore.appendClustered(
+      grid.filter(lit(false)), r, nFiles = 4) == 1L)
+    assert(ClusteredStore.publishClustered(
+      grid.filter(lit(false)), r, Seq("x"), nFiles = 4) == 1L)
+    assert(SnapshotStore.currentVersion(r) == 1L, "empty mints no version")
+    val r2 = root()
+    intercept[IllegalArgumentException] {
+      ClusteredStore.publishClustered(grid.filter(lit(false)), r2,
+        Seq("x"), nFiles = 4)
+    }
+  }
+
+  test("INT cluster columns satisfy the BIGINT-castable contract end to " +
+      "end: publish derives the sidecar and the box read prunes") {
+    val r = root()
+    val ints = grid.select(col("id"),
+      col("x").cast("int").as("x"), col("y").cast("int").as("y"), col("grp"))
+    ClusteredStore.publishClustered(ints, r, Seq("x", "y"), nFiles = 8)
+    val (df, read, total) = ClusteredStore.readBox(spark, r,
+      Seq(("x", 100L, 300L)))
+    assert(total == 8 && read < total)
+    assert(df.count() == 201L)
+  }
+
   test("fail-safe: a sidecar missing a file's envelope reads that file " +
       "unpruned — rows stay exact") {
     val r = root()

@@ -1124,6 +1124,27 @@ class SnapshotStoreSpec extends AnyFunSuite {
       "the override must release the pin once the cursor is durable")
   }
 
+  test("vacuum: the fold-evidence floor keys on foldTag's structural " +
+      "marker — an ordinary tag ending in -v<N> is NOT exempt") {
+    val r = root()
+    SnapshotStore.publishBucketed(Seq((1L, "a")).toDF("k", "s"), r, "k", 2) // v1
+    // an ordinary replay tag whose name merely LOOKS fold-shaped: under
+    // the old generic "-v<N>" suffix match it was permanently exempt
+    // from vacuum (unbounded retention for every such tag family)
+    SnapshotStore.append(Seq((2L, "b")).toDF("k", "s"), r,
+      tag = Some("release-v2")) // v2
+    SnapshotStore.append(Seq((3L, "c")).toDF("k", "s"), r,
+      tag = Some(SnapshotStore.foldTag("f", "c", 7L))) // v3: real evidence
+    SnapshotStore.append(Seq((4L, "d")).toDF("k", "s"), r) // v4
+    SnapshotStore.append(Seq((5L, "e")).toDF("k", "s"), r) // v5 (current)
+    val dropped = SnapshotStore.vacuum(r, keep = 1)
+    assert(dropped.contains(2L),
+      "an ordinary -v<N> tag must not exempt its version from vacuum")
+    assert(!dropped.contains(3L) && SnapshotStore.versionTags(r).get(3L)
+      .contains(SnapshotStore.foldTag("f", "c", 7L)),
+      "the newest fold-tagged version must survive the same vacuum")
+  }
+
   test("readKeys: point lookup returns exactly the requested rows, " +
       "prunes to the touched buckets, and broadcasts the key frame") {
     val r = root()
