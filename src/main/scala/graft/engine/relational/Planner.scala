@@ -39,21 +39,31 @@ import org.apache.spark.sql.functions._
   */
 object Planner {
 
-  /** A join side as the planner sees it: row count and join-key NDV,
-    * both straight out of a [[TableStats.readProfile]] row. */
-  final case class KeyProfile(rows: Long, keyNdv: Long) {
-    require(rows >= 0L && keyNdv >= 0L,
-      s"profile counts must be non-negative: rows=$rows ndv=$keyNdv")
+  /** A join side as the planner sees it: row count, join-key NDV, and
+    * the side's payload BYTES over its profiled columns — all straight
+    * out of a [[TableStats.readProfile]]. `bytes = 0` means unknown
+    * (a hand-built profile without byte facts): the byte budget is then
+    * skipped and only the row budget gates the broadcast. */
+  final case class KeyProfile(rows: Long, keyNdv: Long, bytes: Long = 0L) {
+    require(rows >= 0L && keyNdv >= 0L && bytes >= 0L,
+      s"profile counts must be non-negative: rows=$rows ndv=$keyNdv " +
+        s"bytes=$bytes")
   }
 
-  /** Cluster facts the decision is conditioned on. `broadcastMaxRows`
-    * plays `spark.sql.autoBroadcastJoinThreshold`'s role in row terms
-    * (the profile has no byte sizes); `skewFactor` sets how far below
-    * one-key-per-reducer the NDV may fall before salting kicks in. */
+  /** Cluster facts the decision is conditioned on. `broadcastMaxBytes`
+    * plays `spark.sql.autoBroadcastJoinThreshold`'s role in its OWN
+    * units (r18 VERDICT item 2: a row budget alone calls 10⁶ rows of
+    * wide text "small" — gigabytes onto every executor); the 10 MB
+    * default mirrors Spark's. `broadcastMaxRows` remains a second gate
+    * (row count drives the broadcast hash table's build cost, and is
+    * the only gate available when a profile carries no byte facts).
+    * `skewFactor` sets how far below one-key-per-reducer the NDV may
+    * fall before salting kicks in. */
   final case class Config(broadcastMaxRows: Long = 1000000L,
-      skewFactor: Double = 4.0, shufflePartitions: Int = 32) {
+      skewFactor: Double = 4.0, shufflePartitions: Int = 32,
+      broadcastMaxBytes: Long = 10L * 1024L * 1024L) {
     require(broadcastMaxRows >= 0L && skewFactor > 0.0 &&
-      shufflePartitions >= 1)
+      shufflePartitions >= 1 && broadcastMaxBytes >= 0L)
   }
 
   sealed trait JoinChoice { def label: String }
@@ -63,19 +73,45 @@ object Planner {
     def label: String = s"salted_$buckets"
   }
 
-  /** Read one column's (rows, NDV) out of a maintained profile store —
-    * the consumer side of [[TableStats.refreshProfile]]. One broadcast-
-    * size row; collects a single filtered profile row, never data. */
+  /** Read one column's (rows, NDV, bytes) out of a maintained profile
+    * store — the consumer side of [[TableStats.refreshProfile]]. The
+    * byte estimate sums `sum_bytes` over ALL profiled columns (the
+    * side's broadcast payload); the collect is one row per profiled
+    * column — metadata-scale, never data.
+    *
+    * `sourceRoot` (r18 VERDICT item 2 — staleness): pass the profiled
+    * store's root and this REFUSES a stale profile — one whose recorded
+    * `src_version` watermark is behind the store's CURRENT version
+    * (every version-tracked refresh records its watermark; planning
+    * v9's join with v3's facts is how a "small" side quietly becomes a
+    * broadcast OOM after a big append). Callers profiling raw batches
+    * (no store identity) omit it and accept untracked facts. */
   def keyProfile(spark: SparkSession, profileRoot: String,
-      keyColumn: String): KeyProfile = {
-    val rows = TableStats.readProfile(spark, profileRoot)
-      .filter(col("column_name") === keyColumn)
-      .select(col("n_rows"), col("ndv_est"))
+      keyColumn: String, sourceRoot: Option[String] = None): KeyProfile = {
+    val all = TableStats.readProfile(spark, profileRoot)
+      .select(col("column_name"), col("n_rows"), col("ndv_est"),
+        col("sum_bytes"), col("src_version"))
       .collect()
+    val rows = all.filter(_.getString(0) == keyColumn)
     require(rows.length == 1,
       s"profile store $profileRoot has ${rows.length} rows for column " +
         s"'$keyColumn' (expected exactly one — was it profiled?)")
-    KeyProfile(rows(0).getLong(0), rows(0).getLong(1))
+    sourceRoot.foreach { sr =>
+      val watermark = all.map(_.getLong(4)).max
+      require(watermark > 0L,
+        s"profile store $profileRoot is not version-tracked (no " +
+          "refreshProfile recorded a sourceVersion) — it cannot prove " +
+          s"freshness against $sr; refresh with sourceVersion or drop " +
+          "the staleness check")
+      val cur = graft.engine.sources.SnapshotStore.currentVersion(sr)
+      require(cur == watermark,
+        s"STALE profile: $profileRoot was refreshed through v$watermark " +
+          s"of $sr but the store is at v$cur — a plan from old facts " +
+          "can broadcast a side that is no longer small; refreshProfile " +
+          "the delta (with sourceVersion) before planning")
+    }
+    KeyProfile(rows(0).getLong(1), rows(0).getLong(2),
+      bytes = all.map(_.getLong(3)).sum)
   }
 
   /** The decision ladder (see object doc). Sides are symmetric: the
@@ -85,7 +121,12 @@ object Planner {
       cfg: Config = Config()): JoinChoice = {
     val (big, small) =
       if (left.rows >= right.rows) (left, right) else (right, left)
-    if (small.rows <= cfg.broadcastMaxRows) BroadcastHash
+    // both budgets must agree: rows bound the hash table's build cost,
+    // bytes bound the broadcast payload (unknown bytes = rows-only, the
+    // pre-r19 behavior)
+    if (small.rows <= cfg.broadcastMaxRows &&
+        (small.bytes == 0L || small.bytes <= cfg.broadcastMaxBytes))
+      BroadcastHash
     else if (big.keyNdv.toDouble <
         cfg.shufflePartitions.toDouble / cfg.skewFactor) {
       // spread each hot key over enough salt buckets to fill the

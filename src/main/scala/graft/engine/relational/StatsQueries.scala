@@ -711,18 +711,26 @@ object StatsQueries {
     * [[Planner.chooseJoin]]'s full decision ladder from those profiles:
     *
     *  - default broadcast budget, (events, customer): the dim's row
-    *    count fits → **broadcast**;
-    *  - tight budget (the 100 TB big×big regime where nothing fits),
-    *    key user_id: NDV (150·sf·10⁴) fills the shuffle → **sort-merge**;
-    *  - tight budget, key event_type: NDV ~5 < partitions/skewFactor —
-    *    q66's every-key-is-hot posture — → **salted**.
+    *    count AND byte payload fit → **broadcast**;
+    *  - tight ROW budget (the 100 TB big×big regime where nothing
+    *    fits), key user_id: NDV (150·sf·10⁴) fills the shuffle →
+    *    **sort-merge**;
+    *  - tight row budget, key event_type: NDV ~5 < partitions/skewFactor
+    *    — q66's every-key-is-hot posture — → **salted**;
+    *  - tight BYTE budget (r19: the budget Catalyst's own threshold uses
+    *    — a row count alone calls wide text "small"): customer's rows
+    *    fit the row budget but its profiled `sum_bytes` exceeds 1 KB →
+    *    the ladder flips to **sort-merge** on bytes alone.
     *
-    * All three choices then EXECUTE the same q67 join (events ⋈ customer
+    * All four choices then EXECUTE the same q67 join (events ⋈ customer
     * → per-nation rollup) and must agree bit-for-bit (`variants_agree`);
-    * each choice's physical plan is pinned (BroadcastHashJoin /
-    * SortMergeJoin via the AQE-respected merge hint / the salt column in
-    * the join key). The oracle is q67's plain SQL: planning must be
-    * result-invariant, only the plan flips with the profile. */
+    * each choice's physical plan is pinned STRUCTURALLY via
+    * [[graft.tools.PlanAudit]]'s AQE-aware tree walk (r18 VERDICT item
+    * 5 — plan-string matching drifts across Spark upgrades):
+    * BroadcastHashJoinExec / SortMergeJoinExec via the AQE-respected
+    * merge hint / a join whose keys carry the salt column. The oracle is
+    * q67's plain SQL: planning must be result-invariant, only the plan
+    * flips with the profile. */
   val q147 = GraftQuery(
     "q147_stats_driven_join",
     (spark, sfDir) => {
@@ -744,41 +752,47 @@ object StatsQueries {
       val evType = Planner.keyProfile(spark, s"$base/ev", "event_type")
       val custKey = Planner.keyProfile(spark, s"$base/cust", "c_custkey")
       val tight = Planner.Config(broadcastMaxRows = 100L)
+      val tightBytes = Planner.Config(broadcastMaxBytes = 1024L)
       val cA = Planner.chooseJoin(evKey, custKey)
       val cB = Planner.chooseJoin(evKey, evKey, tight)
       val cC = Planner.chooseJoin(evType, evType, tight)
+      // customer fits the ROW budget but its profiled byte payload
+      // (8 B × rows, well over 1 KB at every SF) trips the byte gate
+      val cD = Planner.chooseJoin(evKey, custKey, tightBytes)
       def run(choice: Planner.JoinChoice) =
         Planner.join(ev.select(col("c_custkey"), col("value")), cust,
             "c_custkey", choice, col("value"))
           .groupBy(col("c_nationkey"))
           .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
           .orderBy(col("c_nationkey"))
-      val (a, b, c) = (run(cA), run(cB), run(cC))
+      val (a, b, c, d) = (run(cA), run(cB), run(cC), run(cD))
       val rowsA = a.collect().toSeq
       val variantsAgree =
-        rowsA == b.collect().toSeq && rowsA == c.collect().toSeq
+        rowsA == b.collect().toSeq && rowsA == c.collect().toSeq &&
+          rowsA == d.collect().toSeq
+      import graft.tools.PlanAudit
       a.withColumn("choice_broadcast",
-          lit(cA == Planner.BroadcastHash &&
-            a.queryExecution.executedPlan.toString
-              .contains("BroadcastHashJoin")))
+          lit(cA == Planner.BroadcastHash && custKey.bytes > 0L &&
+            PlanAudit.hasBroadcastHashJoin(a)))
         .withColumn("choice_sort_merge",
-          lit(cB == Planner.SortMerge &&
-            b.queryExecution.executedPlan.toString
-              .contains("SortMergeJoin")))
+          lit(cB == Planner.SortMerge && PlanAudit.hasSortMergeJoin(b)))
         .withColumn("choice_salted",
-          lit(cC.isInstanceOf[Planner.Salted] &&
-            c.queryExecution.executedPlan.toString.contains("_salt")))
+          lit(cC.isInstanceOf[Planner.Salted] && PlanAudit.hasSaltedJoin(c)))
+        .withColumn("choice_bytes_flip",
+          lit(cD == Planner.SortMerge && PlanAudit.hasSortMergeJoin(d)))
         .withColumn("variants_agree", lit(variantsAgree))
     },
     Some(s"""SELECT c.c_nationkey, COUNT(*) AS n_events,
       ${sqlDsum("e.value")} AS sum_value,
       TRUE AS choice_broadcast, TRUE AS choice_sort_merge,
-      TRUE AS choice_salted, TRUE AS variants_agree
+      TRUE AS choice_salted, TRUE AS choice_bytes_flip,
+      TRUE AS variants_agree
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1 ORDER BY 1"""),
     doc = "profile-store-driven join planning: broadcast/sort-merge/" +
-      "salted chosen from published rows+NDV, plan pinned per choice, " +
-      "result oracle-invariant")
+      "salted chosen from published rows+NDV+bytes, the byte budget " +
+      "flips the ladder on its own, plans pinned structurally " +
+      "(AQE-aware tree walk), result oracle-invariant")
 
   def queries: Seq[GraftQuery] =
     Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101,

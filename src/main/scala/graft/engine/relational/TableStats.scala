@@ -71,14 +71,23 @@ object TableStats {
     * (one row per profiled column — tiny at any corpus size; the DATA
     * scanned per refresh is the batch, once). Addition is not
     * idempotent, so at-least-once callers pass `tag` exactly as with
-    * [[graft.engine.sources.IncrementalAgg.refresh]]. */
+    * [[graft.engine.sources.IncrementalAgg.refresh]].
+    *
+    * `sourceVersion` (r18 VERDICT item 2): the version of the PROFILED
+    * STORE this batch brings the profile up to. Recorded max-merged in
+    * the profile (`src_version`), it lets [[Planner.keyProfile]] refuse
+    * a profile the store has silently advanced past — without it, a
+    * profile refreshed at v3 plans v9's join with v3's facts. 0 (the
+    * default) means "not version-tracked" (profiles of raw batches);
+    * staleness checks are then unavailable. */
   def refreshProfile(batch: DataFrame, root: String, cols: Seq[String],
-      tag: Option[String] = None, nBuckets: Int = 4): Long = {
+      tag: Option[String] = None, nBuckets: Int = 4,
+      sourceVersion: Long = 0L): Long = {
     import graft.engine.sources.SnapshotStore
     val applied = tag.flatMap(t =>
       SnapshotStore.versionTags(root).collectFirst { case (v, vt) if vt == t => v })
     if (applied.isDefined) return applied.get
-    val delta = batchProfile(batch, cols)
+    val delta = batchProfile(batch, cols, sourceVersion)
     if (SnapshotStore.currentVersion(root) == 0L)
       SnapshotStore.publishBucketed(delta, root, "column_name", nBuckets,
         tag = tag)
@@ -97,13 +106,22 @@ object TableStats {
           greatest(col("max_str"), col("_old_max_str")).as("max_str"),
           when(col("_old_hll").isNull, col("hll"))
             .when(col("hll").isNull, col("_old_hll"))
-            .otherwise(hll_union(col("hll"), col("_old_hll"))).as("hll"))
+            .otherwise(hll_union(col("hll"), col("_old_hll"))).as("hll"),
+          // bytes are additive like the counts; the source watermark is
+          // the NEWEST version any fold has seen (monotone under merge)
+          (col("sum_bytes") + coalesce(col("_old_sum_bytes"), lit(0L)))
+            .as("sum_bytes"),
+          greatest(col("src_version"),
+            coalesce(col("_old_src_version"), lit(0L))).as("src_version"))
       SnapshotStore.merge(updated, root, keysAreDistinct = true, tag = tag)
     }
   }
 
-  /** The maintained profile: per column rows/non-nulls/NDV-estimate and
-    * min/max rendered as strings (from the native-typed stored values). */
+  /** The maintained profile: per column rows/non-nulls/NDV-estimate,
+    * min/max rendered as strings (from the native-typed stored values),
+    * plus the column's total payload bytes (`sum_bytes` — fixed-width
+    * columns at their storage width, strings at octet length) and the
+    * profiled source-store watermark (`src_version`, 0 = untracked). */
   def readProfile(spark: org.apache.spark.sql.SparkSession,
       root: String): DataFrame =
     graft.engine.sources.SnapshotStore.read(spark, root)
@@ -111,16 +129,23 @@ object TableStats {
         when(col("hll").isNull, lit(0L))
           .otherwise(hll_sketch_estimate(col("hll")).cast("long")).as("ndv_est"),
         coalesce(col("min_long").cast("string"), col("min_str")).as("min_str"),
-        coalesce(col("max_long").cast("string"), col("max_str")).as("max_str"))
+        coalesce(col("max_long").cast("string"), col("max_str")).as("max_str"),
+        col("sum_bytes"), col("src_version"))
 
   private val StatCols = Seq("n_rows", "n_nonnull", "min_long", "max_long",
-    "min_str", "max_str", "hll")
+    "min_str", "max_str", "hll", "sum_bytes", "src_version")
 
   /** One-scan per-batch partial profile in MERGEABLE form: typed min/max
     * (the other type's pair is null) and an HLL sketch per column. An
     * all-null column yields a null sketch — normalized by the merge's
-    * null-safe union and by [[readProfile]]'s estimate (0). */
-  private def batchProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * null-safe union and by [[readProfile]]'s estimate (0).
+    * `sum_bytes` is the column's additive payload estimate: 8 bytes per
+    * non-null integral (the stored width after the profile's long cast),
+    * octet length for strings — the byte facts a broadcast budget needs
+    * (Catalyst's own autoBroadcastJoinThreshold is in bytes; a row count
+    * alone calls 10⁶ rows of wide text "small"). */
+  private def batchProfile(df: DataFrame, cols: Seq[String],
+      sourceVersion: Long): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
     val bad = cols.filterNot(df.columns.contains)
     require(bad.isEmpty, s"no such columns: ${bad.mkString(", ")}")
@@ -138,12 +163,17 @@ object TableStats {
         else
           (lit(null).cast(LongType), lit(null).cast(LongType),
             min(col(c)), max(col(c)))
+      val bytes =
+        if (integral) (count(col(c)) * lit(8L)).cast(LongType)
+        else coalesce(sum(octet_length(col(c)).cast(LongType)), lit(0L))
       struct(lit(c).as("column_name"),
         count(lit(1)).as("n_rows"),
         count(col(c)).as("n_nonnull"),
         minL.as("min_long"), maxL.as("max_long"),
         minS.as("min_str"), maxS.as("max_str"),
-        hll_sketch_agg(col(c)).as("hll"))
+        hll_sketch_agg(col(c)).as("hll"),
+        bytes.as("sum_bytes"),
+        lit(sourceVersion).as("src_version"))
     }
     df.agg(array(rows: _*).as("_stats")).select(inline(col("_stats")))
   }

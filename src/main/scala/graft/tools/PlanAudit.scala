@@ -117,6 +117,39 @@ object PlanAudit {
     p == r || p.startsWith(r + "/")
   }
 
+  // ---- executed-plan JOIN PINS (q147's structural plan contracts) -----
+  // r18 VERDICT item 5: `executedPlan.toString.contains("...Join")` is
+  // brittle across Spark plan-string drift; these walk the (AQE-expanded)
+  // physical tree instead. Call AFTER an action has run, so AQE's FINAL
+  // plan — not the initial one — is what gets pinned.
+
+  /** The executed plan contains a broadcast-hash join. */
+  def hasBroadcastHashJoin(df: DataFrame): Boolean =
+    flatten(df.queryExecution.executedPlan).exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        true
+      case _ => false
+    }
+
+  /** The executed plan contains a sort-merge join. */
+  def hasSortMergeJoin(df: DataFrame): Boolean =
+    flatten(df.queryExecution.executedPlan).exists {
+      case _: SortMergeJoinExec => true
+      case _ => false
+    }
+
+  /** The executed plan contains an equi-join whose KEYS include the
+    * salting disambiguator (`_salt`) — the structural signature of
+    * [[graft.engine.relational.Salting.saltedJoin]]'s (key, salt) join,
+    * whatever physical join Spark picks for it. */
+  def hasSaltedJoin(df: DataFrame): Boolean =
+    flatten(df.queryExecution.executedPlan).exists {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        (j.leftKeys ++ j.rightKeys)
+          .exists(_.references.exists(_.name == "_salt"))
+      case _ => false
+    }
+
   /** AQE wraps executed subtrees in AdaptiveSparkPlanExec / QueryStageExec
     * whose realized plans are not `children`, so a plain `collect` would
     * miss every scan below them; expand explicitly. */

@@ -43,6 +43,25 @@ class PlannerSpec extends AnyFunSuite {
       .isInstanceOf[Salted])
   }
 
+  test("ladder: the BYTE budget gates the broadcast on its own — rows " +
+      "within budget but bytes over flip the rung; unknown bytes (0) " +
+      "keep the rows-only behavior") {
+    // rows fit (999 <= 1000) but 5 MB of payload > the 1 KB budget
+    val tightBytes = Config(broadcastMaxRows = 1000L, skewFactor = 4.0,
+      shufflePartitions = 32, broadcastMaxBytes = 1024L)
+    assert(chooseJoin(KeyProfile(1000000L, 50000L, 80000000L),
+      KeyProfile(999L, 999L, 5000000L), tightBytes) == SortMerge)
+    // same profiles, roomy byte budget: broadcast again
+    assert(chooseJoin(KeyProfile(1000000L, 50000L, 80000000L),
+      KeyProfile(999L, 999L, 5000000L), cfg) == BroadcastHash)
+    // bytes unknown: the byte gate must not veto what rows allow
+    assert(chooseJoin(KeyProfile(1000000L, 50000L),
+      KeyProfile(999L, 999L), tightBytes) == BroadcastHash)
+    // boundary: exactly at the byte budget still broadcasts
+    assert(chooseJoin(KeyProfile(1000000L, 50000L, 80000000L),
+      KeyProfile(999L, 999L, 1024L), tightBytes) == BroadcastHash)
+  }
+
   test("ladder: sort-merge when nothing fits and the key disperses") {
     assert(chooseJoin(KeyProfile(1000000L, 50000L),
       KeyProfile(2000L, 1999L), cfg) == SortMerge)
@@ -63,9 +82,52 @@ class PlannerSpec extends AnyFunSuite {
     assert(math.abs(id.keyNdv - 500L) <= 25L, s"HLL ndv ~500: ${id.keyNdv}")
     val kind = keyProfile(spark, root, "kind")
     assert(kind.rows == 500L && kind.keyNdv == 3L)
+    // byte facts: id = 8 B x 500 non-nulls; kind = 2 octets x 500 —
+    // keyProfile sums the PROFILED COLUMNS (the side's payload), so both
+    // columns report the same table-level estimate
+    assert(id.bytes == 500L * 8L + 500L * 2L, s"got ${id.bytes}")
+    assert(kind.bytes == id.bytes)
     intercept[IllegalArgumentException] {
       keyProfile(spark, root, "nope")
     }
+  }
+
+  test("staleness: keyProfile refuses a version-tracked profile the " +
+      "source store has advanced past, and an untracked profile when " +
+      "asked to prove freshness") {
+    import graft.engine.sources.SnapshotStore
+    val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"planner_stale_${ProcessHandle.current().pid()}"
+    SnapshotStore.deleteRecursively(java.nio.file.Paths.get(dir))
+    val (src, prof) = (s"$dir/src", s"$dir/prof")
+    val batch1 = (1L to 100L).map(i => (i, i % 7)).toDF("id", "grp")
+    SnapshotStore.publishBucketed(batch1, src, "id", 2) // src v1
+    TableStats.refreshProfile(
+      SnapshotStore.read(spark, src).select("id"), prof, Seq("id"),
+      sourceVersion = SnapshotStore.currentVersion(src))
+    // fresh: the watermark matches CURRENT
+    assert(keyProfile(spark, prof, "id", Some(src)).rows == 100L)
+    // the store advances; the profile silently describes v1
+    SnapshotStore.append(
+      (101L to 300L).map(i => (i, i % 7)).toDF("id", "grp"), src) // v2
+    val e = intercept[IllegalArgumentException] {
+      keyProfile(spark, prof, "id", Some(src))
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // without the source root the read still serves (untracked use)
+    assert(keyProfile(spark, prof, "id").rows == 100L)
+    // refresh the delta with the new watermark: fresh again, facts merged
+    TableStats.refreshProfile(
+      SnapshotStore.readSince(spark, src, 1L).get.select("id"),
+      prof, Seq("id"), sourceVersion = SnapshotStore.currentVersion(src))
+    assert(keyProfile(spark, prof, "id", Some(src)).rows == 300L)
+    // an untracked profile cannot prove freshness: asked to, it refuses
+    val prof2 = s"$dir/prof2"
+    TableStats.refreshProfile(batch1, prof2, Seq("id"))
+    val e2 = intercept[IllegalArgumentException] {
+      keyProfile(spark, prof2, "id", Some(src))
+    }
+    assert(e2.getMessage.contains("not version-tracked"), e2.getMessage)
   }
 
   test("join: all three shapes produce identical results, each with its " +
@@ -80,14 +142,17 @@ class PlannerSpec extends AnyFunSuite {
     val bc = Planner.join(large, small, "k", BroadcastHash, col("v"))
     val sm = Planner.join(large, small, "k", SortMerge, col("v"))
     val sa = Planner.join(large, small, "k", Salted(6), col("v"))
-    assert(bc.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"))
-    assert(sm.queryExecution.executedPlan.toString
-      .contains("SortMergeJoin"))
-    assert(sa.queryExecution.executedPlan.toString.contains("_salt"))
     val expected = rollup(large.join(small, Seq("k")))
     assert(rollup(bc) == expected)
     assert(rollup(sm) == expected)
     assert(rollup(sa) == expected)
+    // structural plan pins AFTER the actions, so AQE's FINAL plan is
+    // what gets walked (q147's idiom — no plan-string matching)
+    import graft.tools.PlanAudit
+    assert(PlanAudit.hasBroadcastHashJoin(bc))
+    assert(PlanAudit.hasSortMergeJoin(sm))
+    assert(PlanAudit.hasSaltedJoin(sa))
+    assert(!PlanAudit.hasSaltedJoin(bc) && !PlanAudit.hasSortMergeJoin(bc),
+      "pins must be selective, not vacuous")
   }
 }
