@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRehearsal {
   import graft.engine.llm.{AnnIndex, Dedup, Similarity}
-  import graft.engine.sources.SnapshotStore
+  import graft.engine.sources.{ClusteredStore, SnapshotStore}
 
   private val DocsBase = 5000L
   private val VecsBase = 2000L
@@ -42,6 +42,40 @@ object ScaleRehearsal {
 
   private val planted = " === subscribe to our newsletter for daily " +
     "updates and exclusive offers === "
+
+  /** Fixed-size events corpus published as 1 clustered bootstrap +
+    * `appends` self-clustered appends over (t_us, v100) — the
+    * steady-state layout a clustered fact table accumulates. Returns the
+    * source frame (for box-bound arithmetic). */
+  private def buildClusteredAppends(spark: SparkSession, root: String,
+      appends: Int, nFiles: Int): DataFrame = {
+    val ev = ScaleCorpus.events(spark, EventsBase)
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v100"), col("value"))
+      .localCheckpoint()
+    val slices = appends + 1
+    ClusteredStore.publishClustered(
+      ev.filter(pmod(col("event_id"), lit(slices.toLong)) === 0L), root,
+      Seq("t_us", "v100"), nFiles = nFiles)
+    (1 to appends).foreach(i => ClusteredStore.appendClustered(
+      ev.filter(pmod(col("event_id"), lit(slices.toLong)) === i.toLong),
+      root, nFiles = nFiles))
+    ev
+  }
+
+  /** q148's box shape, placed in the UPPER time band [65%, 85%]: the
+    * events time span scales to ~38.6k of the 65.5k 16-bit range, so
+    * the z-curve's first equi-count cuts land near the 42% and 85%
+    * t-marks — a mid-range box would straddle the 42% cut and touch
+    * every coarse file, measuring nothing. The upper band sits between
+    * the cuts, so envelope pruning has real work to show. */
+  private def middleBox(ev: DataFrame): Seq[(String, Long, Long)] = {
+    val Array(mm) = ev.agg(min(col("t_us")), max(col("t_us"))).collect()
+    val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val lo = tmin + (tmax - tmin) * 13L / 20L
+    val hi = tmin + (tmax - tmin) * 17L / 20L
+    Seq(("t_us", lo, hi), ("v100", 1000L, 3000L))
+  }
 
   val families: Seq[Family] = Seq(
     Family("minhash_neardups", (spark, m) => {
@@ -129,6 +163,60 @@ object ScaleRehearsal {
       val keys = spark.range(10L).select(col("id").as("doc_id"))
         .localCheckpoint()
       (n, () => { SnapshotStore.readKeys(keys, root).count(); () })
+    }),
+    // --- clustered-store pair (r18 VERDICT items 1+3): the x-axis is
+    // APPEND COUNT at fixed corpus size — appendClustered leaves each
+    // batch z-clustered only within itself, so a box read touches every
+    // accumulated run (the measured decay); compactClustered rewrites the
+    // pile into one global z-run, so the same box read must be FLAT in
+    // append history (the measured repair). Both print the pruning
+    // fraction alongside the timing.
+    Family("clustered_box", (spark, m) => {
+      val appends = m.toInt
+      val root = tmp(s"zbox_$m/tbl")
+      val ev = buildClusteredAppends(spark, root, appends, nFiles = 8)
+      val box = middleBox(ev)
+      val (_, r0, t0) = ClusteredStore.readBox(spark, root, box)
+      println(f"REHEARSE clustered_box      x$m%-3d appends=$appends " +
+        f"pruning $r0/$t0 files")
+      (appends.toLong,
+        () => { ClusteredStore.readBox(spark, root, box)._1.count(); () })
+    }),
+    Family("clustered_compact_box", (spark, m) => {
+      val appends = m.toInt
+      val root = tmp(s"zcbox_$m/tbl")
+      val ev = buildClusteredAppends(spark, root, appends, nFiles = 8)
+      ClusteredStore.compactClustered(spark, root, nFiles = 16)
+      val box = middleBox(ev)
+      val (_, r0, t0) = ClusteredStore.readBox(spark, root, box)
+      println(f"REHEARSE clustered_compact  x$m%-3d appends=$appends " +
+        f"pruning $r0/$t0 files")
+      (appends.toLong,
+        () => { ClusteredStore.readBox(spark, root, box)._1.count(); () })
+    }),
+    // ANN code-store lifecycle cost vs corpus size (r18 VERDICT item 3):
+    // one ingest → takedown → CAS-compact cycle. The compact is a
+    // deliberate whole-store rewrite (q104 economics), so the contract
+    // is LINEAR in code count — superlinear would mean the cycle
+    // re-reads history more than once.
+    Family("ann_ingest_compact", (spark, m) => {
+      val n = VecsBase * 10L * m
+      val all = ClusteredVectors.generate(spark, n + 64L).localCheckpoint()
+      val corpus = all.filter(col("vec_id") < n)
+      val batch = all.filter(col("vec_id") >= n).localCheckpoint()
+      val batchIds = batch.select(col("vec_id").as("nid")).localCheckpoint()
+      val root = tmp(s"annlife_$m") + "/codes"
+      val cents = Similarity.ivfCentroids(corpus, nlist = 16, iters = 1)
+      val books = Similarity.pqTrain(corpus, m = 8, k = 16)
+      AnnIndex.publishCodes(corpus, root, cents, books, nBuckets = 8)
+      (n, () => {
+        // tombstones are compacted away each cycle, so the re-appended
+        // batch ids are legitimate re-inserts on the second rep
+        AnnIndex.appendCodes(batch, root, cents, books)
+        AnnIndex.deleteCodes(batchIds, root)
+        AnnIndex.compactCodes(spark, root)
+        ()
+      })
     }),
     Family("stream_ticks", (spark, m) => {
       val n = EventsBase * m

@@ -408,4 +408,137 @@ class SnapshotStoreRaceSpec extends AnyFunSuite {
       "version-order explained") {
     (1 to math.max(5, nSeeds / 5)).foreach(codesStorm)
   }
+
+  /** The CLUSTERED writers under interleaving (r18 VERDICT item 4):
+    * publishClustered/appendClustered/compactClustered bypass the
+    * bucketed write paths the general storm covers — same commitStaged
+    * CAS tail, but their OWN staging discipline (flat z-run staging,
+    * hardlink carryover, sidecar assembly). Threads storm one clustered
+    * store with tagged appends of private key ranges, CAS compactions,
+    * pinned reads, and vacuums. Invariants: the version chain is the
+    * serial order (every committed write a distinct version, replay
+    * explains final content and every pinned read), and every surviving
+    * version's SIDECAR describes exactly its manifest's files — a
+    * compact that swallowed a racing append reads as loss; an append
+    * whose sidecar merge raced a compact reads as sidecar/manifest
+    * drift. */
+  private def clusteredStorm(seed: Int): Unit = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"race_clustered_${ProcessHandle.current().pid()}_$seed/tbl"
+    SnapshotStore.deleteRecursively(
+      java.nio.file.Paths.get(root).getParent)
+    val base = (0L until 8L).map(k => (k, k)).toMap
+    ClusteredStore.publishClustered(base.toSeq.toDF("k", "v"), root,
+      Seq("k", "v"), nFiles = 2) // v1
+    val committed = new ConcurrentLinkedQueue[(Long, Effect)]()
+    val reads = new ConcurrentLinkedQueue[(Long, String)]()
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val pool = Executors.newFixedThreadPool(3)
+    val start = new CountDownLatch(1)
+    def retrying(op: => Long): Long = {
+      var attempts = 0
+      while (true) {
+        try return op
+        catch {
+          case _: StalePublishException if attempts < 8 => attempts += 1
+        }
+      }
+      -1L
+    }
+    (0 until 3).foreach { tid =>
+      pool.execute { () =>
+        val rnd = new scala.util.Random(seed * 52711 + tid)
+        start.await()
+        try {
+          (0 until 3).foreach { i =>
+            Thread.sleep(rnd.nextInt(15).toLong)
+            rnd.nextInt(5) match {
+              case 0 | 1 => // tagged clustered append of private keys
+                val rows = Map(
+                  1000L * (tid + 1) + 2 * i -> rnd.nextLong(1000L),
+                  1000L * (tid + 1) + 2 * i + 1 -> rnd.nextLong(1000L))
+                val v = retrying(ClusteredStore.appendClustered(
+                  rows.toSeq.toDF("k", "v"), root, nFiles = 2,
+                  tag = Some(s"z-s$seed-t$tid-a$i")))
+                committed.add(v -> Add(rows))
+              case 2 => // CAS compaction into one global z-run
+                val v = retrying(
+                  ClusteredStore.compactClustered(spark, root, nFiles = 2))
+                committed.add(v -> LayoutOnly)
+              case _ => // pinned read + reaper exercise (keep > max writes)
+                SnapshotStore.vacuum(root, keep = 12)
+                val v = SnapshotStore.currentVersion(root)
+                reads.add(v -> digest(contentAt(root, v)))
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS),
+      s"clustered seed $seed: storm deadlocked")
+    import scala.jdk.CollectionConverters._
+    assert(failures.isEmpty,
+      s"clustered seed $seed: " +
+        failures.asScala.map(_.toString).mkString(" | "))
+    val effects = committed.asScala.toSeq
+    // compactClustered NO-OPS (current version already one z-run) return
+    // the current version without minting, so two compacts — or a
+    // compact racing nothing — may legitimately report the same version.
+    // A version collision is a lost update only if a CONTENT effect
+    // (Add) shares the version: LayoutOnly is the identity either way.
+    val dupes = effects.groupBy(_._1).filter { case (_, es) =>
+      es.size > 1 && es.exists(_._2 != LayoutOnly) }
+    assert(dupes.isEmpty, s"clustered seed $seed: version collisions: $dupes")
+    def replayTo(v: Long): Map[Long, Long] =
+      effects.filter(_._1 <= v).sortBy(_._1)
+        .foldLeft(base) { case (st, (_, e)) => e match {
+          case Add(rows) => st ++ rows
+          case LayoutOnly => st
+          case _ => st
+        }}
+    val cur = SnapshotStore.currentVersion(root)
+    def clusteredContent(v: Long): Map[Long, Long] =
+      SnapshotStore.read(spark, root, v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusteredContent(cur) == replayTo(cur),
+      s"clustered seed $seed: final content is not explained by the " +
+        "version-order replay")
+    reads.asScala.foreach { case (v, d) =>
+      assert(d == digest(replayTo(v)),
+        s"clustered seed $seed: the read at v$v observed content no " +
+          "serial order explains")
+    }
+    // a full-range box over CURRENT must equal the content too (the
+    // sidecar path agrees with the manifest path)
+    val (boxDf, _, _) = ClusteredStore.readBox(spark, root,
+      Seq(("k", 0L, 100000L)))
+    assert(boxDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == replayTo(cur),
+      s"clustered seed $seed: box read disagrees with the version content")
+    // every surviving version: manifest == disk AND sidecar describes
+    // exactly the manifest's files
+    (1L to cur).foreach { v =>
+      val dir = java.nio.file.Paths.get(root, s"v$v")
+      if (java.nio.file.Files.exists(dir)) {
+        val (missing, unknown) = SnapshotStore.auditVersion(root, v)
+        assert(missing.isEmpty && unknown.isEmpty,
+          s"clustered seed $seed: v$v manifest drift: $missing $unknown")
+        val manifest = SnapshotStore.manifestFiles(root, v).get.toSet
+        val sidecarFiles = java.nio.file.Files.readAllLines(
+          dir.resolve("_GRAFT_CLUSTER")).asScala.drop(1)
+          .map(_.split("\t")(0)).toSet
+        assert(sidecarFiles == manifest,
+          s"clustered seed $seed: v$v sidecar describes $sidecarFiles " +
+            s"but the manifest lists $manifest")
+      }
+    }
+  }
+
+  test(s"concurrent clustered-store lifecycle: ${math.max(5, nSeeds / 5)} " +
+      "seeded storms — z-append/CAS-compact/box-read/vacuum, content " +
+      "version-order explained, sidecar == manifest on every version") {
+    (1 to math.max(5, nSeeds / 5)).foreach(clusteredStorm)
+  }
 }
