@@ -263,6 +263,11 @@ object ScaleRehearsal {
         try src.mkString.trim.split("\\s+").take(2).mkString("[", ",", "]")
         finally src.close()
       } catch { case _: Throwable => "[]" }
+    // sample the load BEFORE any family runs: the end-of-run sample
+    // (kept as `load`) includes the rehearsal's own 32-thread work, so
+    // it can never certify a quiet window — `load_start` is the honest
+    // ambient-noise evidence (r18's [10.4, 7.6] was largely self-load)
+    val loadStart = loadAvg()
     val results = families
       .filter(f => only.isEmpty || only.contains(f.name))
       .map { f =>
@@ -291,7 +296,8 @@ object ScaleRehearsal {
           s""""runs":$runsJson}"""
       }
     val json = s"""{"mults":${mults.mkString("[", ",", "]")},""" +
-      s""""load":${loadAvg()},"families":${results.mkString("[", ",", "]")}}"""
+      s""""load_start":$loadStart,"load":${loadAvg()},""" +
+      s""""families":${results.mkString("[", ",", "]")}}"""
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(out).toAbsolutePath.getParent)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
