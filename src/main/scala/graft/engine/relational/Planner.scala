@@ -138,6 +138,47 @@ object Planner {
     } else SortMerge
   }
 
+  /** One dimension of a star join: the dim frame, its equi-join key on
+    * the FACT side, and the two key profiles the ordering and ladder
+    * decisions read — the fact's profile FOR THIS KEY and the (possibly
+    * pre-filtered) dim's own profile. */
+  final case class Dim(df: DataFrame, key: String,
+      fact: KeyProfile, dim: KeyProfile)
+
+  /** STAR-JOIN planning: order the dims MOST-SELECTIVE-FIRST and run
+    * each through the [[chooseJoin]] ladder.
+    *
+    * Why order matters at 100 TB: with inner joins, each dim acts as a
+    * filter on the fact stream — a fact row survives the join with dim
+    * d only if its key appears in d. Under the standard containment
+    * assumption the survival fraction is ndv(dim key) / ndv(fact key)
+    * (a dim holding 10% of the fact's key domain keeps ~10% of fact
+    * rows), so joining the most selective dim first shrinks the stream
+    * every later join — and every later broadcast hash probe — has to
+    * carry. Catalyst's CBO makes exactly this estimate from ANALYZE
+    * stats; here it comes from the maintained profile stores, ahead of
+    * time, for data no metastore ever sees.
+    *
+    * When every dim fits the broadcast budgets the whole star executes
+    * map-side: scan → k broadcast-hash probes → partial agg, the fact
+    * side contributing ZERO shuffle (q151 pins it via
+    * [[graft.engine.relational.Bucketed.shuffleCount]]). `saltSource`
+    * is only consulted for dims the ladder salts. Returns the joined
+    * frame plus the ordered (key, choice) decisions for auditing. */
+  def starJoin(fact: DataFrame, dims: Seq[Dim], saltSource: Column,
+      cfg: Config = Config()): (DataFrame, Seq[(String, JoinChoice)]) = {
+    require(dims.nonEmpty, "star join needs at least one dimension")
+    dims.foreach(d => require(fact.columns.contains(d.key),
+      s"star fact is missing join key ${d.key}"))
+    val ordered = dims.sortBy(d =>
+      d.dim.keyNdv.toDouble / math.max(1L, d.fact.keyNdv).toDouble)
+    val planned = ordered.map(d => (d, chooseJoin(d.fact, d.dim, cfg)))
+    val out = planned.foldLeft(fact) { case (acc, (d, choice)) =>
+      join(acc, d.df, d.key, choice, saltSource)
+    }
+    (out, planned.map { case (d, c) => d.key -> c })
+  }
+
   /** Execute an equi-join under a planner choice. All three shapes are
     * result-identical (q147 pins it); only the physical plan differs:
     * broadcast pins a BroadcastHashJoin, sort-merge pins the merge hint

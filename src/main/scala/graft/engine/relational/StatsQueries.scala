@@ -794,7 +794,96 @@ object StatsQueries {
       "flips the ladder on its own, plans pinned structurally " +
       "(AQE-aware tree walk), result oracle-invariant")
 
+  /** q151 — STATS-DRIVEN STAR-JOIN ORDERING ([[Planner.starJoin]],
+    * r19): the multi-join half of the q147 story. A fact stream joined
+    * to k dims is the training-data-pipeline shape (lineitem × filtered
+    * part × filtered orders × supplier here), and with inner joins each
+    * dim FILTERS the fact — the survival fraction is
+    * ndv(dim)/ndv(fact key) under containment — so the most selective
+    * dim must join first: every later broadcast probe then carries the
+    * shrunken stream. The query publishes real profiles for the fact's
+    * three keys and the three (pre-filtered) dims, lets the planner
+    * order and choose, and pins:
+    *
+    *  - `order_selective_first` — the planner put the 10%-survival dim
+    *    (part, p_size ≤ 5) before the 34% dim (orders, status F) before
+    *    the 100% dim (supplier): fractions measured 0.10/0.34/1.00 at
+    *    BOTH SFs, far outside HLL error;
+    *  - `all_broadcast` — every dim fits both budgets, and the executed
+    *    plan carries broadcast-hash joins (tree-walk pin);
+    *  - `fact_unshuffled` — the whole star executes map-side: scan → 3
+    *    broadcast probes → partial agg, zero ShuffleExchange below the
+    *    aggregation (q102's shuffle-count observable). At 100 TB this
+    *    is THE plan: the fact never moves.
+    *
+    * The oracle is the plain 4-table SQL — ordering must be
+    * result-invariant (Catalyst may itself reorder; the PLANNER's
+    * decisions are pinned from its returned choices, the plan from the
+    * executed tree). */
+  val q151 = GraftQuery(
+    "q151_stats_star_join",
+    (spark, sfDir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q151_star_${ProcessHandle.current().pid()}"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
+      val fact = Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      val part = Tables.part(spark, sfDir).filter(col("p_size") <= 5)
+        .select(col("p_partkey").as("l_partkey"))
+      val ords = Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val supp = Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      TableStats.refreshProfile(
+        fact.select(col("l_partkey"), col("l_orderkey"), col("l_suppkey")),
+        s"$base/fact", Seq("l_partkey", "l_orderkey", "l_suppkey"))
+      TableStats.refreshProfile(part, s"$base/part", Seq("l_partkey"))
+      TableStats.refreshProfile(ords, s"$base/ords", Seq("l_orderkey"))
+      TableStats.refreshProfile(supp.select(col("l_suppkey")),
+        s"$base/supp", Seq("l_suppkey"))
+      def fp(k: String) = Planner.keyProfile(spark, s"$base/fact", k)
+      val dims = Seq(
+        Planner.Dim(supp, "l_suppkey", fp("l_suppkey"),
+          Planner.keyProfile(spark, s"$base/supp", "l_suppkey")),
+        Planner.Dim(ords, "l_orderkey", fp("l_orderkey"),
+          Planner.keyProfile(spark, s"$base/ords", "l_orderkey")),
+        Planner.Dim(part, "l_partkey", fp("l_partkey"),
+          Planner.keyProfile(spark, s"$base/part", "l_partkey")))
+      val (joined, choices) = Planner.starJoin(fact, dims,
+        saltSource = col("l_extendedprice"))
+      val orderOk = choices.map(_._1) ==
+        Seq("l_partkey", "l_orderkey", "l_suppkey")
+      val allBroadcastChosen =
+        choices.forall(_._2 == Planner.BroadcastHash)
+      val factUnshuffled = Bucketed.shuffleCount(joined) == 0
+      val out = joined.groupBy(col("s_nationkey"))
+        .agg(lcount().as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("s_nationkey"))
+      out.collect() // force, so the tree-walk pins AQE's FINAL plan
+      import graft.tools.PlanAudit
+      out.withColumn("order_selective_first", lit(orderOk))
+        .withColumn("all_broadcast",
+          lit(allBroadcastChosen && PlanAudit.hasBroadcastHashJoin(out)))
+        .withColumn("fact_unshuffled", lit(factUnshuffled))
+    },
+    Some(s"""SELECT s.s_nationkey, COUNT(*) AS n_rows,
+        ${sqlDsum("l.l_extendedprice")} AS sum_price,
+        TRUE AS order_selective_first, TRUE AS all_broadcast,
+        TRUE AS fact_unshuffled
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 5
+      JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "stats-driven star join: dims ordered most-selective-first " +
+      "from published profiles (survival = dim/fact key NDV), all " +
+      "broadcast, fact side never shuffles — plan tree-walk pinned, " +
+      "result oracle-invariant")
+
   def queries: Seq[GraftQuery] =
     Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101,
-      q102, q105, q106, q110, q147)
+      q102, q105, q106, q110, q147, q151)
 }

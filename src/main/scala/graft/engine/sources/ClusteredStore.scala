@@ -273,6 +273,31 @@ object ClusteredStore {
       op = "clustered compact")
   }
 
+  /** POLICY compaction — the always-on writer's maintenance hook (the
+    * x59 per-tick-compact posture applied to clustered layout): compact
+    * only when the current version sits atop MORE THAN `maxAppendRuns`
+    * consecutive `append` versions, else no-op at the current version.
+    * The census is a metadata walk of lineage kinds from CURRENT
+    * downward (bounded by the retention window; a vacuumed-away kind
+    * file ends the walk early, which UNDERCOUNTS — conservative: at
+    * worst a compaction is deferred one tick, never run spuriously).
+    * Keeps a steady append stream's box-read cost bounded (the
+    * clustered_box vs clustered_compact_box rehearsal pair) while
+    * paying the full-rewrite price only every maxAppendRuns ticks. */
+  def maybeCompactClustered(spark: SparkSession, root: String,
+      maxAppendRuns: Int, nFiles: Int, tag: Option[String] = None): Long = {
+    require(maxAppendRuns >= 1, "maxAppendRuns must be positive")
+    val cur = SnapshotStore.currentVersion(root)
+    require(cur > 0, s"no published version under $root")
+    var v = cur
+    var runs = 0
+    while (v >= 1 && SnapshotStore.versionKind(root, v).contains("append")) {
+      runs += 1; v -= 1
+    }
+    if (runs > maxAppendRuns) compactClustered(spark, root, nFiles, tag)
+    else cur
+  }
+
   /** The cluster spec a version was published with: (cols, bits), or
     * None for versions without a sidecar (not clustered). */
   def clusterSpecAt(root: String, version: Long): Option[(Seq[String], Int)] = {

@@ -2126,7 +2126,95 @@ object StreamQueries {
       "the index staying row-identical to the corpus through it all",
     costClass = GraftQuery.FixedLifecycle)
 
+  /** x73 — ALWAYS-ON CLUSTERED INGEST with policy compaction: the q149/
+    * q150 lifecycle under the micro-batch engine (x62's discipline
+    * applied to z-layout). A clustered events store bootstraps with one
+    * fifth of the data; four streamed ticks append the rest, each batch
+    * z-clustered within itself under a per-tick tag (at-least-once
+    * replays no-op), and after every tick [[graft.engine.sources
+    * .ClusteredStore.maybeCompactClustered]] runs the maintenance
+    * policy: compact only when MORE THAN two append runs have piled up
+    * (a metadata-walk census), so the decay the clustered_box rehearsal
+    * measures never accumulates unboundedly while the full-rewrite
+    * price is paid once, not per tick. With 4 one-file ticks the
+    * version chain is deterministic: base, 3 appends, ONE compact at
+    * tick 3 (runs 3 > 2), 1 append — 6 versions, exactly one rewrite.
+    * Pins: `complete` (the store's current content equals the full
+    * corpus — nothing lost across appends/compaction/replayed tags),
+    * `pruned` (the q148 box over the final mixed layout — one compacted
+    * run + one fresh append — still skips files), `compacted` (exactly
+    * one `rewrite` version minted by the policy), `versions_ok` (the
+    * deterministic chain arithmetic). Rollup oracle-replayed by DuckDB
+    * from raw events with the exact-integer bound arithmetic. */
+  val x73 = GraftQuery(
+    "x73_stream_clustered_ingest",
+    (spark, sfDir) => {
+      import graft.engine.sources.{ClusteredStore, SnapshotStore}
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x73_zstream_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val root = s"$base/tbl"
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v100"),
+          col("event_type"), col("value"))
+      ClusteredStore.publishClustered(ev.filter(col("event_id") % 5 === 0),
+        root, Seq("t_us", "v100"), nFiles = 8)
+      ev.filter(col("event_id") % 5 =!= 0).repartition(4)
+        .write.parquet(s"$base/in")
+      val schema = spark.read.parquet(s"$base/in").schema
+      val cols = Seq("event_id", "t_us", "v100", "event_type", "value")
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          ClusteredStore.appendClustered(batch.select(cols.map(col): _*),
+            root, nFiles = 8, tag = Some(s"tick-$batchId"))
+          ClusteredStore.maybeCompactClustered(spark, root,
+            maxAppendRuns = 2, nFiles = 16, tag = Some(s"cpt-$batchId"))
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val cur = SnapshotStore.currentVersion(root)
+      val rewrites = (1L to cur).count(v =>
+        SnapshotStore.versionKind(root, v).contains("rewrite"))
+      val versionsOk = cur == 6L
+      val compacted = rewrites == 1
+      val complete = SnapshotStore.read(spark, root).count() == ev.count()
+      val Array(mm) = ev.agg(min(col("t_us")), max(col("t_us"))).collect()
+      val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+      val lo = tmin + (tmax - tmin) * 2L / 5L
+      val hi = tmin + (tmax - tmin) * 3L / 5L
+      val (box, readN, totalN) = ClusteredStore.readBox(spark, root,
+        Seq(("t_us", lo, hi), ("v100", 1000L, 3000L)))
+      box.groupBy(col("event_type"))
+        .agg(graft.engine.relational.Exact.lcount().as("n_events"),
+          graft.engine.relational.Exact.dsum(col("value")).as("sum_value"))
+        .withColumn("complete", lit(complete))
+        .withColumn("pruned", lit(readN < totalN))
+        .withColumn("compacted", lit(compacted))
+        .withColumn("versions_ok", lit(versionsOk))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us,
+        CAST(FLOOR(value * 100) AS BIGINT) AS v100 FROM events),
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      SELECT event_type, COUNT(*) AS n_events,
+        ${graft.engine.relational.Exact.sqlDsum("e.value")} AS sum_value,
+        TRUE AS complete, TRUE AS pruned, TRUE AS compacted,
+        TRUE AS versions_ok
+      FROM e, b WHERE e.t_us BETWEEN b.lo AND b.hi
+        AND e.v100 BETWEEN 1000 AND 3000
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "always-on clustered ingest: per-tick tagged z-append + " +
+      "policy compaction (compact only past 2 piled append runs); " +
+      "deterministic version chain, store complete, final box pruned, " +
+      "rollup oracle-replayed from raw events")
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      x65, x66, x67, x68, x69, x70, x71, x72, q58, q80, q94, q107)
+      x65, x66, x67, x68, x69, x70, x71, x72, x73, q58, q80, q94, q107)
 }

@@ -130,6 +130,33 @@ class PlannerSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not version-tracked"), e2.getMessage)
   }
 
+  test("starJoin: dims ordered most-selective-first from the profiles, " +
+      "every fitting dim broadcast, result equals the naive join, " +
+      "missing keys refused") {
+    val fact = (1L to 4000L).map(i => (i % 100, i % 40, i.toDouble))
+      .toDF("k1", "k2", "v")
+    val d1 = (0L until 100L).map(k => (k, s"a$k")).toDF("k1", "a")
+    val d2 = (0L until 10L).map(k => (k, s"b$k")).toDF("k2", "b")
+    val dims = Seq(
+      // survival fractions: k1 100/100 = 1.0, k2 10/40 = 0.25 — the
+      // planner must flip the given order and put k2 first
+      Dim(d1, "k1", KeyProfile(4000L, 100L), KeyProfile(100L, 100L)),
+      Dim(d2, "k2", KeyProfile(4000L, 40L), KeyProfile(10L, 10L)))
+    val (out, choices) = starJoin(fact, dims, col("v"), cfg)
+    assert(choices.map(_._1) == Seq("k2", "k1"),
+      s"selective-first ordering expected, got $choices")
+    assert(choices.forall(_._2 == BroadcastHash))
+    val expected = fact.join(d2, Seq("k2")).join(d1, Seq("k1"))
+      .groupBy("a").count().orderBy("a").collect().toSeq
+    assert(out.groupBy("a").count().orderBy("a").collect().toSeq == expected)
+    import graft.tools.PlanAudit
+    assert(PlanAudit.hasBroadcastHashJoin(out))
+    intercept[IllegalArgumentException] {
+      starJoin(fact, Seq(Dim(d1, "nope",
+        KeyProfile(1L, 1L), KeyProfile(1L, 1L))), col("v"))
+    }
+  }
+
   test("join: all three shapes produce identical results, each with its " +
       "promised plan") {
     val large = (1L to 5000L).map(i => (i % 40, i.toDouble))

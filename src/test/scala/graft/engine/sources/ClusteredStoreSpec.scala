@@ -183,6 +183,28 @@ class ClusteredStoreSpec extends AnyFunSuite {
       thirds(0).count())
   }
 
+  test("maybeCompactClustered: no-op at or below the append-run budget, " +
+      "compacts once past it, census restarts after the rewrite") {
+    val r = root()
+    val quarters = (0 until 4).map(i => grid.filter(col("id") % 4 === i))
+    ClusteredStore.publishClustered(quarters(0), r, Seq("x"), nFiles = 4)
+    ClusteredStore.appendClustered(quarters(1), r, nFiles = 4) // v2, 1 run
+    assert(ClusteredStore.maybeCompactClustered(spark, r,
+      maxAppendRuns = 2, nFiles = 8) == 2L, "1 run <= budget: no-op")
+    ClusteredStore.appendClustered(quarters(2), r, nFiles = 4) // v3, 2 runs
+    assert(ClusteredStore.maybeCompactClustered(spark, r,
+      maxAppendRuns = 2, nFiles = 8) == 3L, "2 runs <= budget: no-op")
+    ClusteredStore.appendClustered(quarters(3), r, nFiles = 4) // v4, 3 runs
+    val v5 = ClusteredStore.maybeCompactClustered(spark, r,
+      maxAppendRuns = 2, nFiles = 8)
+    assert(v5 == 5L, "3 runs > budget: the policy must compact")
+    assert(SnapshotStore.versionKind(r, 5L).contains("rewrite"))
+    assert(SnapshotStore.read(spark, r).count() == grid.count())
+    // the rewrite resets the census: the next call is a no-op again
+    assert(ClusteredStore.maybeCompactClustered(spark, r,
+      maxAppendRuns = 2, nFiles = 8) == 5L)
+  }
+
   test("compactClustered: refuses unclustered roots, no-ops on a " +
       "freshly published (single-z-run) store") {
     val r = root()
