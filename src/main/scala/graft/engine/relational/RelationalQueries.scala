@@ -2296,10 +2296,87 @@ object RelationalQueries {
       "pruned, file count rebased, time travel and lineage contracts " +
       "pinned, rollup oracle-replayed from raw events")
 
+  /** q152 — CLUSTERED RETENTION TRIM ([[graft.engine.sources
+    * .ClusteredStore.trimBelow]], r19): the TTL action a 100 TB fact
+    * table takes daily, at FILE economics. The store holds two
+    * 16-file z-runs (publish + append); dropping everything before the
+    * 40% time mark classifies every file by its SIDECAR envelope alone:
+    * files wholly below drop METADATA-ONLY (never opened), files wholly
+    * above carry by HARDLINK (`carried_by_inode` — same inode in the
+    * new version), and only the straddlers are read, filtered, and
+    * re-z-run (`rewrote_bounded` — the fresh-file count is capped by
+    * the trim's own nFiles). The remaining contracts ride along:
+    * `pruned_after` (a value-band box over the trimmed layout still
+    * skips files), `travel_ok` (the pre-trim version still serves every
+    * row until vacuum), `delta_refused` (lineage `rewrite`: a trim
+    * deletes rows, so readSince across it refuses). The returned rollup
+    * is the WHOLE trimmed store, replayed by DuckDB as the plain
+    * `t_us >= cutoff` filter with the same exact-integer arithmetic —
+    * the trim must equal the filter, row for row. */
+  val q152 = GraftQuery(
+    "q152_clustered_retention",
+    (spark, sfDir) => {
+      import graft.engine.sources.{ClusteredStore, SnapshotStore}
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q152_ztrim_${ProcessHandle.current().pid()}/tbl"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v100"),
+          col("event_type"), col("value"))
+      ClusteredStore.publishClustered(ev.filter(col("event_id") % 2 === 0),
+        root, Seq("t_us", "v100"), nFiles = 16) // v1
+      ClusteredStore.appendClustered(ev.filter(col("event_id") % 2 === 1),
+        root, nFiles = 16) // v2
+      val Array(mm) = ev.agg(min(col("t_us")), max(col("t_us"))).collect()
+      val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+      val cutoff = tmin + (tmax - tmin) * 2L / 5L
+      val v2Inodes = SnapshotStore.versionFileInodes(root, 2L)
+      val v3 = ClusteredStore.trimBelow(spark, root, "t_us", cutoff,
+        nFiles = 8)
+      val v3Inodes = SnapshotStore.versionFileInodes(root, v3)
+      val reused = v3Inodes.keySet.intersect(v2Inodes.keySet)
+      val fresh = v3Inodes.keySet -- v2Inodes.keySet
+      val carriedOk = reused.nonEmpty &&
+        reused.forall(rel => v3Inodes(rel) == v2Inodes(rel))
+      val rewroteBounded = fresh.size <= 8
+      val travelOk =
+        SnapshotStore.read(spark, root, 2L).count() == ev.count()
+      val deltaRefused =
+        try { SnapshotStore.readSince(spark, root, 2L, v3); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("rewrite") }
+      val (_, readN, totalN) = ClusteredStore.readBox(spark, root,
+        Seq(("v100", 1000L, 3000L)))
+      SnapshotStore.read(spark, root)
+        .groupBy(col("event_type"))
+        .agg(lcount().as("n_events"), dsum(col("value")).as("sum_value"))
+        .withColumn("carried_by_inode", lit(carriedOk))
+        .withColumn("rewrote_bounded", lit(rewroteBounded))
+        .withColumn("pruned_after", lit(readN < totalN))
+        .withColumn("travel_ok", lit(travelOk))
+        .withColumn("delta_refused", lit(deltaRefused))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us
+        FROM events),
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS cutoff
+        FROM e)
+      SELECT event_type, COUNT(*) AS n_events,
+        ${sqlDsum("e.value")} AS sum_value,
+        TRUE AS carried_by_inode, TRUE AS rewrote_bounded,
+        TRUE AS pruned_after, TRUE AS travel_ok, TRUE AS delta_refused
+      FROM e, b WHERE e.t_us >= b.cutoff
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "clustered retention trim: expired files drop by sidecar " +
+      "envelope alone (metadata-only), survivors hardlink-carry " +
+      "(inode-pinned), only straddlers re-z-run (bounded); trimmed " +
+      "store == the plain time filter, DuckDB-replayed")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
     q137, q139, q140, q141, q142, q143, q144, q145, q146, q148, q149,
-    q150)
+    q150, q152)
 }

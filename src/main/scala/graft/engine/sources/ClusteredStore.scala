@@ -273,6 +273,106 @@ object ClusteredStore {
       op = "clustered compact")
   }
 
+  /** RETENTION TRIM — drop every row with `column < cutoff` (the TTL /
+    * data-retention action a 100 TB fact table takes daily) at FILE
+    * economics, not table economics. The sidecar envelopes classify
+    * each file without opening it:
+    *
+    *  - `max < cutoff` → DROPPED whole (metadata-only — the entire
+    *    point of time-clustered layout: expired data lives in its own
+    *    files);
+    *  - `min >= cutoff` → CARRIED by hardlink, envelope line verbatim
+    *    (no data movement, inode-pinned by q152);
+    *  - straddling (and any manifest file the sidecar does not know —
+    *    the fail-safe posture) → the ONLY files read: their surviving
+    *    rows re-z-run into ≈`nFiles` fresh files.
+    *
+    * Cost is O(straddling files) data + O(files) metadata — for a
+    * time-ordered append stream the straddle set is the one batch
+    * spanning the cutoff, so a daily trim touches a day's data, never
+    * the table. Lineage kind is `rewrite` (a trim deletes rows — the
+    * file diff is not a row delta; readSince refuses). Commit is CAS'd
+    * on the base version; time travel to pre-trim versions keeps
+    * working until vacuum passes (hardlinked carryovers survive by
+    * inode refcount). No-op (current version, nothing minted) when no
+    * file drops and none straddles. A trim that leaves ZERO rows is
+    * legitimate (full retention expiry) — the recorded version schema
+    * keeps the empty version readable, deleteKeys' posture. */
+  def trimBelow(spark: SparkSession, root: String, column: String,
+      cutoff: Long, nFiles: Int, tag: Option[String] = None): Long = {
+    require(nFiles >= 1, "nFiles must be positive")
+    val alreadyApplied = SnapshotStore.taggedVersion(root, tag)
+    if (alreadyApplied.isDefined) return alreadyApplied.get
+    val base = SnapshotStore.currentVersion(root)
+    require(base > 0, s"no published version under $root")
+    val (cols, bits) = clusterSpecAt(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"v$base under $root is not clustered — trimBelow prunes by " +
+          "sidecar envelopes; use a filtered republish for unclustered " +
+          "stores"))
+    val ci = cols.indexOf(column)
+    require(ci >= 0,
+      s"trim column $column is not a cluster column of v$base " +
+        s"(${cols.mkString(",")}) — its envelopes are not in the sidecar")
+    val baseDir = Paths.get(root, s"v$base")
+    val manifest = SnapshotStore.manifestFiles(root, base).getOrElse(
+      throw new IllegalStateException(
+        s"clustered v$base under $root has no manifest"))
+    val sidecarLines = new String(
+      Files.readAllBytes(baseDir.resolve(ClusterFile)),
+      StandardCharsets.UTF_8).linesIterator.toSeq
+    val lineByFile = sidecarLines.tail.map(l => l.split("\t")(0) -> l).toMap
+    def envelope(file: String): Option[(Long, Long)] =
+      lineByFile.get(file).map { l =>
+        val f = l.split("\t")
+        (f(1 + 2 * ci).toLong, f(2 + 2 * ci).toLong)
+      }
+    val dropped = manifest.filter(envelope(_).exists(_._2 < cutoff))
+    val carried = manifest.filter(envelope(_).exists(_._1 >= cutoff))
+    // straddlers AND unknown-envelope files: the only files READ
+    val straddle = manifest.filterNot(dropped.toSet)
+      .filterNot(carried.toSet)
+    if (dropped.isEmpty && straddle.isEmpty) return base // nothing below
+    val schema = SnapshotStore.versionSchema(root, base)
+    val staging = Paths.get(root,
+      s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    val freshLines: Seq[String] =
+      if (straddle.isEmpty) Seq.empty
+      else {
+        val rdr = schema match {
+          case Some(st) => spark.read.schema(st)
+          case None => spark.read
+        }
+        val survivors = rdr
+          .parquet(straddle.map(f => s"$baseDir/$f"): _*)
+          .filter(col(column) >= cutoff)
+        if (survivors.isEmpty) Seq.empty
+        else stageZRun(survivors, staging, cols, bits, nFiles)
+      }
+    Files.createDirectories(staging) // straddle-free trims stage no data
+    carried.foreach { rel =>
+      val src = baseDir.resolve(rel)
+      val dst = staging.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.copy(src, dst) // no REPLACE: a collision throws
+      }
+    }
+    Files.write(staging.resolve(ClusterFile),
+      (sidecarHeader(cols, bits) +:
+        (carried.map(lineByFile) ++ freshLines).sorted).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    tag.foreach(t => Files.write(staging.resolve(SnapshotStore.TagFile),
+      t.getBytes(StandardCharsets.UTF_8)))
+    SnapshotStore.writeVersionManifest(staging, kind = "rewrite",
+      schema = schema.getOrElse(
+        SnapshotStore.read(spark, root, base).schema))
+    SnapshotStore.commitStaged(root, staging, base, tag,
+      op = "clustered trim")
+  }
+
   /** POLICY compaction — the always-on writer's maintenance hook (the
     * x59 per-tick-compact posture applied to clustered layout): compact
     * only when the current version sits atop MORE THAN `maxAppendRuns`

@@ -183,6 +183,68 @@ class ClusteredStoreSpec extends AnyFunSuite {
       thirds(0).count())
   }
 
+  test("trimBelow: expired whole files drop metadata-only, files above " +
+      "carry by hardlink, only straddlers are read and rewritten, " +
+      "content == filter, empty expiry stays readable") {
+    val r = root()
+    ClusteredStore.publishClustered(grid.filter(col("id") < 1000L), r,
+      Seq("x", "y"), nFiles = 8) // run A: x 0..999
+    ClusteredStore.appendClustered(grid.filter(col("id") >= 1000L), r,
+      nFiles = 8) // run B: x 1000..1999
+    val v2Inodes = SnapshotStore.versionFileInodes(r, 2L)
+    // cutoff exactly between the runs: A drops whole (max 999 < 1000),
+    // B carries whole (min 1000), NOTHING is read or rewritten
+    val v3 = ClusteredStore.trimBelow(spark, r, "x", 1000L, nFiles = 8,
+      tag = Some("trim-1"))
+    assert(v3 == 3L)
+    assert(ClusteredStore.trimBelow(spark, r, "x", 1000L, nFiles = 8,
+      tag = Some("trim-1")) == 3L, "tag replay no-ops")
+    val v3Inodes = SnapshotStore.versionFileInodes(r, 3L)
+    assert(v3Inodes.size == 8, s"run B's 8 files survive: ${v3Inodes.size}")
+    assert(v3Inodes.forall { case (rel, ino) =>
+      v2Inodes.get(rel).contains(ino) },
+      "survivors must carry by hardlink — a trim above them is metadata-only")
+    val expect3 = grid.filter(col("x") >= 1000L)
+    val got3 = SnapshotStore.read(spark, r, 3L)
+    assert(got3.exceptAll(expect3).isEmpty && expect3.exceptAll(got3).isEmpty)
+    // time travel: the pre-trim version still serves everything
+    assert(SnapshotStore.read(spark, r, 2L).count() == 2000L)
+    // lineage: a trim deletes rows — readSince refuses across it
+    intercept[IllegalStateException] {
+      SnapshotStore.readSince(spark, r, 2L, 3L)
+    }
+    // straddling cutoff: only the straddlers are rewritten
+    val v4 = ClusteredStore.trimBelow(spark, r, "x", 1500L, nFiles = 4)
+    assert(v4 == 4L)
+    val v4Inodes = SnapshotStore.versionFileInodes(r, 4L)
+    val reused = v4Inodes.keySet.intersect(v3Inodes.keySet)
+    val fresh = v4Inodes.keySet -- v3Inodes.keySet
+    assert(reused.forall(rel => v4Inodes(rel) == v3Inodes(rel)))
+    assert(fresh.size <= 4, s"only straddlers re-z-run: $fresh")
+    val expect4 = grid.filter(col("x") >= 1500L)
+    val got4 = SnapshotStore.read(spark, r, 4L)
+    assert(got4.exceptAll(expect4).isEmpty && expect4.exceptAll(got4).isEmpty)
+    // a box read over the trimmed layout still prunes and stays exact.
+    // Box on y: run B's x span (1000..1999) scales to 10 bits vs y's 11,
+    // so at 4 surviving files the z-cuts are y-dominant — x contributes
+    // one splitting bit and can't prune at this granularity, y can.
+    val (box, readN, totalN) = ClusteredStore.readBox(spark, r,
+      Seq(("y", 0L, 400L)))
+    val expectBox = grid.filter(col("x") >= 1500L && col("y") <= 400L)
+    assert(readN < totalN, s"y-box must prune: read $readN of $totalN")
+    assert(box.exceptAll(expectBox).isEmpty &&
+      expectBox.exceptAll(box).isEmpty)
+    // nothing below the cutoff: no-op at the current version
+    assert(ClusteredStore.trimBelow(spark, r, "x", 0L, nFiles = 4) == 4L)
+    // full expiry: a zero-row version is minted and stays readable
+    val v5 = ClusteredStore.trimBelow(spark, r, "x", 999999L, nFiles = 4)
+    assert(v5 == 5L && SnapshotStore.read(spark, r, 5L).count() == 0L)
+    // refusal: a non-cluster column has no envelopes to classify by
+    intercept[IllegalArgumentException] {
+      ClusteredStore.trimBelow(spark, r, "grp", 1L, nFiles = 4)
+    }
+  }
+
   test("maybeCompactClustered: no-op at or below the append-run budget, " +
       "compacts once past it, census restarts after the rewrite") {
     val r = root()
