@@ -49,6 +49,11 @@ class SnapshotStoreRaceSpec extends AnyFunSuite {
   private case class Upsert(key: Long, value: Long) extends Effect
   private case class Del(key: Long) extends Effect
   private case object LayoutOnly extends Effect
+  // clustered retention trim: drops every key below the cutoff. A no-op
+  // trim (nothing below) returns the CURRENT version like LayoutOnly,
+  // and its replay filter is the identity on that state — commutes with
+  // the >=1000 private-key appends at any tie order.
+  private case class TrimKeysBelow(cutoff: Long) extends Effect
 
   private def digest(m: Map[Long, Long]): String =
     m.toSeq.sorted.mkString(";")
@@ -452,7 +457,7 @@ class SnapshotStoreRaceSpec extends AnyFunSuite {
         try {
           (0 until 3).foreach { i =>
             Thread.sleep(rnd.nextInt(15).toLong)
-            rnd.nextInt(5) match {
+            rnd.nextInt(6) match {
               case 0 | 1 => // tagged clustered append of private keys
                 val rows = Map(
                   1000L * (tid + 1) + 2 * i -> rnd.nextLong(1000L),
@@ -465,6 +470,13 @@ class SnapshotStoreRaceSpec extends AnyFunSuite {
                 val v = retrying(
                   ClusteredStore.compactClustered(spark, root, nFiles = 2))
                 committed.add(v -> LayoutOnly)
+              case 3 => // retention trim: kills the base keys (0..7)
+                // once; every later trim is a no-op at CURRENT — both
+                // paths race the appends and compactions
+                val v = retrying(
+                  ClusteredStore.trimBelow(spark, root, "k", 500L,
+                    nFiles = 2))
+                committed.add(v -> TrimKeysBelow(500L))
               case _ => // pinned read + reaper exercise (keep > max writes)
                 SnapshotStore.vacuum(root, keep = 12)
                 val v = SnapshotStore.currentVersion(root)
@@ -483,18 +495,21 @@ class SnapshotStoreRaceSpec extends AnyFunSuite {
       s"clustered seed $seed: " +
         failures.asScala.map(_.toString).mkString(" | "))
     val effects = committed.asScala.toSeq
-    // compactClustered NO-OPS (current version already one z-run) return
-    // the current version without minting, so two compacts — or a
-    // compact racing nothing — may legitimately report the same version.
-    // A version collision is a lost update only if a CONTENT effect
-    // (Add) shares the version: LayoutOnly is the identity either way.
+    // compactClustered NO-OPS (current version already one z-run) and
+    // no-op trims (nothing below the cutoff) return the current version
+    // without minting, so they may legitimately report a version some
+    // other op claimed. A version collision is a lost update only when
+    // two MINTING content effects (Add) share a version; LayoutOnly is
+    // the identity and a tied no-op trim's filter is the identity on
+    // its state (appends only write keys >= 1000, the cutoff is 500).
     val dupes = effects.groupBy(_._1).filter { case (_, es) =>
-      es.size > 1 && es.exists(_._2 != LayoutOnly) }
+      es.count(_._2.isInstanceOf[Add]) > 1 }
     assert(dupes.isEmpty, s"clustered seed $seed: version collisions: $dupes")
     def replayTo(v: Long): Map[Long, Long] =
       effects.filter(_._1 <= v).sortBy(_._1)
         .foldLeft(base) { case (st, (_, e)) => e match {
           case Add(rows) => st ++ rows
+          case TrimKeysBelow(c) => st.filter { case (k, _) => k >= c }
           case LayoutOnly => st
           case _ => st
         }}
