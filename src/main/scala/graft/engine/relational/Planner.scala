@@ -114,6 +114,24 @@ object Planner {
       bytes = all.map(_.getLong(3)).sum)
   }
 
+  /** Scale a profile by a filter's estimated survival `fraction` — the
+    * [[graft.engine.relational.Histogram.estimateRange]] consumer: the
+    * dim a pipeline joins is almost always FILTERED, and budgeting the
+    * broadcast on the RAW rows×bytes over-refuses the plan the filtered
+    * side earns (q153 pins the flip). Rows and bytes scale linearly;
+    * the key NDV scales linearly too (ceil, floored at 1) — exactly
+    * Catalyst `FilterEstimation`'s posture for its column stats, and
+    * exact when the filter column IS the key. All three only ever
+    * shrink: a "filter" cannot make a side bigger. */
+  def filteredProfile(p: KeyProfile, fraction: Double): KeyProfile = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"survival fraction must be in [0, 1], got $fraction")
+    def scale(v: Long): Long =
+      if (v == 0L) 0L else math.max(1L, math.ceil(v * fraction).toLong)
+    KeyProfile(rows = scale(p.rows), keyNdv = scale(p.keyNdv),
+      bytes = if (p.bytes == 0L) 0L else scale(p.bytes))
+  }
+
   /** The decision ladder (see object doc). Sides are symmetric: the
     * smaller-row side is the broadcast candidate, the bigger side's NDV
     * drives the skew test. */

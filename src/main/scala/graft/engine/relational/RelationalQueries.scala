@@ -2373,10 +2373,65 @@ object RelationalQueries {
       "(inode-pinned), only straddlers re-z-run (bounded); trimmed " +
       "store == the plain time filter, DuckDB-replayed")
 
+  /** q154 — METADATA-ONLY BOX COUNT ([[graft.engine.sources
+    * .ClusteredStore.countBox]], r19): the "how many rows landed in
+    * this window" audit a 100 TB fact table answers daily — priced in
+    * FILES, because the sidecar already records each file's exact
+    * envelope AND row count. Events are 1-D time-clustered (publish
+    * evens, append odds — the steady-state mixed layout), then the
+    * middle three-fifths band is COUNTED: interior files contribute
+    * their sidecar counts unopened, only the (≤2 per z-run) edge
+    * straddlers are read (`pruned`), and the whole-domain count reads
+    * ZERO files (`zero_read_full_domain` — a fully metadata-served
+    * query). Time travel rides along: the count pinned to v1 equals a
+    * direct filter over v1's input (`pinned_matches`). The band count
+    * itself is the oracle-hashed value — exact, never estimated. */
+  val q154 = GraftQuery(
+    "q154_clustered_count",
+    (spark, sfDir) => {
+      import graft.engine.sources.{ClusteredStore, SnapshotStore}
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q154_zcount_${ProcessHandle.current().pid()}/tbl"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      val evens = ev.filter(col("event_id") % 2 === 0)
+      ClusteredStore.publishClustered(evens, root, Seq("t_us"),
+        nFiles = 16) // v1
+      ClusteredStore.appendClustered(ev.filter(col("event_id") % 2 === 1),
+        root, nFiles = 16) // v2
+      val Array(mm) = ev.agg(min(col("t_us")), max(col("t_us"))).collect()
+      val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+      val lo = tmin + (tmax - tmin) * 2L / 5L
+      val hi = tmin + (tmax - tmin) * 3L / 5L
+      val (n, readN, totalN) = ClusteredStore.countBox(spark, root,
+        Seq(("t_us", lo, hi)))
+      val (nAll, readAll, _) = ClusteredStore.countBox(spark, root,
+        Seq(("t_us", tmin, tmax)))
+      val (nV1, _, _) = ClusteredStore.countBox(spark, root,
+        Seq(("t_us", lo, hi)), version = 1L)
+      val pinnedExpected = evens.filter(col("t_us").between(lo, hi)).count()
+      spark.range(1).select(
+        lit(n).as("n_in_box"),
+        lit(readN < totalN).as("pruned"),
+        lit(readAll == 0 && nAll == ev.count()).as("zero_read_full_domain"),
+        lit(nV1 == pinnedExpected).as("pinned_matches"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) AS t_us FROM events),
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      SELECT COUNT(*) AS n_in_box, TRUE AS pruned,
+        TRUE AS zero_read_full_domain, TRUE AS pinned_matches
+      FROM e, b WHERE e.t_us BETWEEN b.lo AND b.hi"""),
+    doc = "metadata-only box count: interior files counted from their " +
+      "sidecar lines unopened, only edge straddlers read, whole-domain " +
+      "count reads zero files; exact (never estimated), time travel " +
+      "pinned, band count oracle-hashed")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
     q137, q139, q140, q141, q142, q143, q144, q145, q146, q148, q149,
-    q150, q152)
+    q150, q152, q154)
 }

@@ -883,7 +883,113 @@ object StatsQueries {
       "broadcast, fact side never shuffles — plan tree-walk pinned, " +
       "result oracle-invariant")
 
+  /** q153 — HISTOGRAM-DRIVEN FILTER SELECTIVITY ([[Histogram]] +
+    * [[Planner.filteredProfile]], r19): the range-selectivity fact the
+    * q147/q151 planner was still missing. The dim a pipeline joins is
+    * almost always FILTERED ("orders from this date band"), and the raw
+    * table's rows×bytes over-refuse the broadcast the filtered side
+    * earns. An equi-width histogram over orders' day column — maintained
+    * in THREE incremental refreshes, delta-cost, through the one
+    * IncrementalAgg machinery — estimates the band's survival fraction
+    * ahead of time; [[Planner.filteredProfile]] scales the published
+    * profile by it, and the ladder flips from the raw profile's
+    * sort-merge to a broadcast of the filtered dim (plan pinned via the
+    * tree walk).
+    *
+    * The estimate itself is pinned against ARITHMETIC, not folklore
+    * (the [[Histogram]] error contract): the day band is built from
+    * multiples of the bin width, so the aligned estimate must equal the
+    * exact filtered count (zero straddle); a deliberately mis-aligned
+    * band must err by at most its straddled edge bins' rows. Band
+    * bounds derive from min/max day in exact integer arithmetic, so
+    * DuckDB replays the same band and the result is plan-invariant. */
+  val q153 = GraftQuery(
+    "q153_histogram_selectivity",
+    (spark, sfDir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q153_hist_${ProcessHandle.current().pid()}"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
+      val dayUs = 86400000000L
+      val ord = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr(s"unix_micros(o_orderdate) div ${dayUs}L").as("o_day"))
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      // the band: multiples of the bin width w = span/16, starting two
+      // bins above the min — exact long arithmetic both engines replay
+      val Array(mm) = ord.agg(min(col("o_day")), max(col("o_day"))).collect()
+      val (dmin, dmax) = (mm.getLong(0), mm.getLong(1))
+      val w = math.max(1L, (dmax - dmin + 1L) / 16L)
+      val lo = (dmin / w + 2L) * w
+      val hiEx = lo + 3L * w
+      // histogram maintained incrementally: three delta refreshes
+      (0L to 2L).foreach { i =>
+        Histogram.refresh(ord.filter(pmod(col("o_orderkey"), lit(3L)) === i),
+          s"$base/hist", "o_day", binWidth = w, tag = Some(s"batch-$i"))
+      }
+      // published profiles: fact key + the dim's full broadcast payload
+      TableStats.refreshProfile(li.select(col("o_orderkey")),
+        s"$base/li", Seq("o_orderkey"))
+      TableStats.refreshProfile(
+        ord.select(col("o_orderkey"), col("o_orderpriority")),
+        s"$base/ord", Seq("o_orderkey", "o_orderpriority"))
+      val liKey = Planner.keyProfile(spark, s"$base/li", "o_orderkey")
+      val ordKey = Planner.keyProfile(spark, s"$base/ord", "o_orderkey")
+      // budgets the RAW dim fails but the ~3/16 band passes — scaled
+      // from the profiled table itself, so the contract is SF-invariant
+      val cfg = Planner.Config(broadcastMaxRows = ordKey.rows / 2L,
+        broadcastMaxBytes = math.max(1L, ordKey.bytes / 2L))
+      val cRaw = Planner.chooseJoin(liKey, ordKey, cfg)
+      val est = Histogram.estimateRange(spark, s"$base/hist", lo, hiEx - 1L)
+      val cF = Planner.chooseJoin(liKey,
+        Planner.filteredProfile(ordKey, est.fraction), cfg)
+      val dim = ord.filter(col("o_day") >= lo && col("o_day") < hiEx)
+      val out = Planner.join(li, dim, "o_orderkey", cF,
+          saltSource = col("l_extendedprice"))
+        .groupBy(col("o_orderpriority"))
+        .agg(lcount().as("n_rows"), dsum(col("l_extendedprice"))
+          .as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+      out.collect() // force execution so the tree walk reads the FINAL plan
+      val actualAligned = dim.count()
+      // deliberately mis-aligned band: starts mid-bin — the estimate may
+      // interpolate, but by the error contract at most straddleRows off
+      val est2 = Histogram.estimateRange(spark, s"$base/hist",
+        lo + w / 2L, hiEx - 1L)
+      val actual2 = ord.filter(col("o_day") >= lo + w / 2L &&
+        col("o_day") < hiEx).count()
+      import graft.tools.PlanAudit
+      out
+        .withColumn("raw_refuses", lit(cRaw == Planner.SortMerge))
+        .withColumn("filtered_broadcasts",
+          lit(cF == Planner.BroadcastHash &&
+            PlanAudit.hasBroadcastHashJoin(out)))
+        .withColumn("aligned_exact", lit(est.straddleRows == 0L &&
+          math.abs(est.estimate - actualAligned.toDouble) < 0.5))
+        .withColumn("unaligned_within_bound",
+          lit(math.abs(est2.estimate - actual2.toDouble) <=
+            est2.straddleRows.toDouble + 0.5))
+    },
+    Some(s"""WITH d AS (SELECT o_orderkey, o_orderpriority,
+        epoch_us(o_orderdate) // 86400000000 AS o_day FROM orders),
+      b AS (SELECT MIN(o_day) AS dmin, MAX(o_day) AS dmax FROM d),
+      p AS (SELECT GREATEST(1, (dmax - dmin + 1) // 16) AS w, dmin FROM b),
+      f AS (SELECT d.* FROM d, p
+        WHERE o_day >= (dmin // w + 2) * w
+          AND o_day < (dmin // w + 2) * w + 3 * w)
+      SELECT f.o_orderpriority, COUNT(*) AS n_rows,
+        ${sqlDsum("l.l_extendedprice")} AS sum_price,
+        TRUE AS raw_refuses, TRUE AS filtered_broadcasts,
+        TRUE AS aligned_exact, TRUE AS unaligned_within_bound
+      FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "incrementally-maintained equi-width histogram estimates a " +
+      "date band's selectivity; the planner broadcasts the filtered dim " +
+      "the raw profile refused (plan tree-walk pinned); aligned estimate " +
+      "exact, mis-aligned within its own straddle bound — oracle-replayed")
+
   def queries: Seq[GraftQuery] =
     Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101,
-      q102, q105, q106, q110, q147, q151)
+      q102, q105, q106, q110, q147, q151, q153)
 }

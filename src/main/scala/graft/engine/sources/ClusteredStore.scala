@@ -413,6 +413,89 @@ object ClusteredStore {
     }
   }
 
+  /** METADATA-ONLY BOX COUNT over a clustered store version — the
+    * "how many rows landed in March" / retention-audit query a 100 TB
+    * fact table answers daily, priced in FILES like [[trimBelow]]:
+    * the sidecar already records each file's exact per-column envelope
+    * AND row count (both derived from the staged files themselves), so
+    *
+    *  - a file whose envelope sits WHOLLY INSIDE the box on every box
+    *    column contributes its sidecar count without being opened;
+    *  - a file DISJOINT from the box on any column contributes zero,
+    *    also unopened;
+    *  - only STRADDLERS — plus any manifest file the sidecar does not
+    *    know, the standing fail-safe — are read and counted under the
+    *    real filter.
+    *
+    * For a 1-D time-clustered store the straddle set is the (≤2) files
+    * containing the box edges, so the count costs two file reads at any
+    * table size — and a bin-ALIGNED box (the whole domain, a whole
+    * dropped-file range) reads ZERO files. The count is exact, never
+    * estimated: every unopened file's contribution is a filesystem fact
+    * the writer derived from that file's own rows ([[stageZRun]]), and
+    * anything uncertain is read. Returns (count, filesRead, filesTotal)
+    * — the same honest pruning observable as [[readBox]] (q154's
+    * contract booleans). Time travel: pin `version` as with readBox. */
+  def countBox(spark: SparkSession, root: String,
+      box: Seq[(String, Long, Long)],
+      version: Long = 0L): (Long, Int, Int) = {
+    require(box.nonEmpty, "need at least one box clause")
+    val v = if (version == 0L) SnapshotStore.currentVersion(root) else version
+    val (cols, _) = clusterSpecAt(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"v$v under $root carries no cluster sidecar — a box count over " +
+          "an unclustered version would silently scan every file"))
+    box.foreach { case (c, _, _) => require(cols.contains(c),
+      s"box column $c is not a cluster column of v$v (${cols.mkString(",")})") }
+    val sidecar = new String(
+      Files.readAllBytes(Paths.get(root, s"v$v", ClusterFile)),
+      StandardCharsets.UTF_8).linesIterator.drop(1).map { line =>
+      val f = line.split("\t")
+      val envs = cols.indices.map(i =>
+        (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong))
+      f(0) -> ((envs, f(1 + 2 * cols.length).toLong))
+    }.toMap
+    val manifest = SnapshotStore.manifestFiles(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"clustered v$v under $root has no manifest"))
+    // per file: disjoint on ANY box column -> 0 rows; inside on EVERY
+    // box column -> sidecar count; anything else (straddle, unknown
+    // envelope) -> read
+    sealed trait Rel
+    object Inside extends Rel; object Disjoint extends Rel
+    object MustRead extends Rel
+    def classify(file: String): Rel = sidecar.get(file) match {
+      case None => MustRead // unknown envelope -> fail-safe read
+      case Some((envs, _)) =>
+        val rel = box.map { case (c, lo, hi) =>
+          val (mn, mx) = envs(cols.indexOf(c))
+          if (mx < lo || mn > hi) Disjoint
+          else if (lo <= mn && mx <= hi) Inside
+          else MustRead
+        }
+        if (rel.contains(Disjoint)) Disjoint
+        else if (rel.forall(_ == Inside)) Inside
+        else MustRead
+    }
+    val byRel = manifest.groupBy(classify)
+    val inside = byRel.getOrElse(Inside, Seq.empty)
+    val toRead = byRel.getOrElse(MustRead, Seq.empty)
+    val metaCount = inside.map(sidecar(_)._2).sum
+    val readCount =
+      if (toRead.isEmpty) 0L
+      else {
+        val rdr = SnapshotStore.versionSchema(root, v) match {
+          case Some(st) => spark.read.schema(st)
+          case None => spark.read
+        }
+        rdr.parquet(toRead.map(f => s"$root/v$v/$f"): _*)
+          .filter(box.map { case (c, lo, hi) => col(c).between(lo, hi) }
+            .reduce(_ && _))
+          .count()
+      }
+    (metaCount + readCount, toRead.size, manifest.size)
+  }
+
   /** Box read over a clustered store VERSION (`version = 0` → current):
     * every `lo <= col <= hi` clause must name a cluster column; files
     * whose sidecar envelope misses the box are never opened. Returns

@@ -339,4 +339,63 @@ class ClusteredStoreSpec extends AnyFunSuite {
       "a damaged sidecar must never change the result")
     assert(read >= 1 && read <= total)
   }
+
+  test("countBox: exact on every box shape, interior files counted from " +
+      "the sidecar unopened, whole-domain count reads zero files") {
+    val r = root()
+    ClusteredStore.publishClustered(grid, r, Seq("x", "y"), nFiles = 16)
+    // whole domain: every envelope is inside -> fully metadata-served
+    val (nAll, readAll, totAll) = ClusteredStore.countBox(spark, r,
+      Seq(("x", 0L, 1999L)))
+    assert(nAll == 2000L && readAll == 0 && totAll == 16)
+    // a narrow band: exact AND only edge files opened
+    for (box <- Seq(Seq(("x", 100L, 900L)),
+        Seq(("x", 100L, 900L), ("y", 0L, 500L)),
+        Seq(("y", 1990L, 1999L)))) {
+      val (n, read, total) = ClusteredStore.countBox(spark, r, box)
+      val expected = box.map { case (c, lo, hi) => col(c).between(lo, hi) }
+        .reduce(_ && _)
+      assert(n == grid.filter(expected).count(), s"wrong count for $box")
+      assert(read < total, s"no pruning for $box")
+    }
+    // disjoint box: zero rows, zero files opened
+    val (n0, read0, _) = ClusteredStore.countBox(spark, r,
+      Seq(("x", 5000L, 6000L)))
+    assert(n0 == 0L && read0 == 0)
+  }
+
+  test("countBox: time travel, damaged-sidecar fail-safe, refusals") {
+    val r = root()
+    ClusteredStore.publishClustered(grid.filter(col("id") < 1000L), r,
+      Seq("x"), nFiles = 8)
+    ClusteredStore.appendClustered(grid.filter(col("id") >= 1000L), r,
+      nFiles = 8)
+    // mixed publish+append layout counts exactly; pinned v1 sees only v1
+    val (nCur, _, totCur) = ClusteredStore.countBox(spark, r,
+      Seq(("x", 0L, 1999L)))
+    val (nOld, _, totOld) = ClusteredStore.countBox(spark, r,
+      Seq(("x", 0L, 1999L)), version = 1L)
+    assert(nCur == 2000L && totCur == 16)
+    assert(nOld == 1000L && totOld == 8)
+    // damage the sidecar: the unknown file is READ, the count stays exact
+    val v = SnapshotStore.currentVersion(r)
+    val cf = Paths.get(r, s"v$v", "_GRAFT_CLUSTER")
+    val lines = new String(Files.readAllBytes(cf), StandardCharsets.UTF_8)
+      .split("\n")
+    Files.write(cf, (lines.head +: lines.drop(2))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val (nDam, readDam, _) = ClusteredStore.countBox(spark, r,
+      Seq(("x", 0L, 1999L)))
+    assert(nDam == 2000L, "a damaged sidecar must never change the count")
+    assert(readDam >= 1, "the unknown-envelope file must be read")
+    // refusals: non-cluster column; unclustered version
+    intercept[IllegalArgumentException] {
+      ClusteredStore.countBox(spark, r, Seq(("y", 0L, 10L)))
+    }
+    val plain = root()
+    SnapshotStore.publish(grid, plain)
+    intercept[IllegalStateException] {
+      ClusteredStore.countBox(spark, plain, Seq(("x", 0L, 10L)))
+    }
+  }
 }
