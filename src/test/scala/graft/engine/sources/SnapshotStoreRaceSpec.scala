@@ -532,6 +532,19 @@ class SnapshotStoreRaceSpec extends AnyFunSuite {
     assert(boxDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         == replayTo(cur),
       s"clustered seed $seed: box read disagrees with the version content")
+    // the metadata count path must agree with the content too — after
+    // any interleaving of appends/compactions/trims, whole-domain (all
+    // sidecar counts, zero files read) and a narrow band (straddlers)
+    val (nAll, _, _) = ClusteredStore.countBox(spark, root,
+      Seq(("k", 0L, 100000L)))
+    assert(nAll == replayTo(cur).size.toLong,
+      s"clustered seed $seed: whole-domain countBox $nAll != content " +
+        s"${replayTo(cur).size}")
+    val (nBand, _, _) = ClusteredStore.countBox(spark, root,
+      Seq(("k", 1000L, 2001L)))
+    val expectBand = replayTo(cur).keys.count(k => k >= 1000L && k <= 2001L)
+    assert(nBand == expectBand.toLong,
+      s"clustered seed $seed: band countBox $nBand != content $expectBand")
     // every surviving version: manifest == disk AND sidecar describes
     // exactly the manifest's files
     (1L to cur).foreach { v =>
