@@ -2214,7 +2214,147 @@ object StreamQueries {
       "deterministic version chain, store complete, final box pruned, " +
       "rollup oracle-replayed from raw events")
 
+  /** x74 — ALWAYS-ON STATS MAINTENANCE: the q153 planner facts kept
+    * LIVE under the micro-batch engine. A crawler-style orders store
+    * bootstraps with one fifth; streamed ticks merge two more fifths,
+    * and EVERY tick also folds its batch into the published
+    * [[graft.engine.relational.TableStats]] profile (rows/NDV/bytes,
+    * `sourceVersion` = the store version the tick minted) and the
+    * [[graft.engine.relational.Histogram]] day histogram — all three
+    * writes under the tick's tag, so an at-least-once replay no-ops on
+    * every store, and all three at DELTA cost (the batch is scanned,
+    * never history). The staleness guard is then exercised for real:
+    * a LATE batch merged without its refresh makes
+    * [[graft.engine.relational.Planner.keyProfile]] REFUSE
+    * (`stale_refused` — the broadcast-OOM-after-big-append hole, shut),
+    * and the normal delta refresh recovers it. The recovered facts
+    * drive the q153 flip from streamed data: the raw profile refuses
+    * the broadcast budget (`raw_refuses`), the histogram-scaled
+    * filtered profile earns it (`filtered_broadcasts`, tree-walk
+    * pinned), and the bin-aligned estimate equals the exact band count
+    * (`estimate_exact` — the streamed histogram saw every slice).
+    * The executed join reads the STORE's content (`complete` pins it
+    * equal to the raw table), so the rollup is DuckDB-replayable with
+    * q153's exact-integer band arithmetic. */
+  val x74 = GraftQuery(
+    "x74_stream_live_stats",
+    (spark, sfDir) => {
+      import graft.engine.sources.SnapshotStore
+      import graft.engine.relational.{Histogram, Planner, TableStats}
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_x74_stats_${ProcessHandle.current().pid()}"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(base))
+      val root = s"$base/tbl"
+      val (profRoot, histRoot) = (s"$base/prof", s"$base/hist")
+      val dayUs = 86400000000L
+      val ord = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr(s"unix_micros(o_orderdate) div ${dayUs}L").as("o_day"))
+      val Array(mm) = ord.agg(min(col("o_day")), max(col("o_day"))).collect()
+      val (dmin, dmax) = (mm.getLong(0), mm.getLong(1))
+      val w = math.max(1L, (dmax - dmin + 1L) / 16L)
+      val lo = (dmin / w + 2L) * w
+      val hiEx = lo + 3L * w
+      val profCols = Seq("o_orderkey", "o_orderpriority")
+      def refreshStats(batch: org.apache.spark.sql.DataFrame,
+          storeVersion: Long, tag: String): Unit = {
+        TableStats.refreshProfile(batch.select(profCols.map(col): _*),
+          profRoot, profCols, tag = Some(s"prof-$tag"),
+          sourceVersion = storeVersion)
+        Histogram.refresh(batch, histRoot, "o_day", binWidth = w,
+          tag = Some(s"hist-$tag"))
+      }
+      val slice0 = ord.filter(pmod(col("o_orderkey"), lit(5L)) === 0L)
+      SnapshotStore.publishBucketed(slice0, root, "o_orderkey", 4,
+        tag = Some("boot"))
+      refreshStats(slice0, SnapshotStore.currentVersion(root), "boot")
+      ord.filter(pmod(col("o_orderkey"), lit(5L)).between(1L, 2L))
+        .repartition(2).write.parquet(s"$base/in")
+      val schema = spark.read.parquet(s"$base/in").schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val v = SnapshotStore.merge(batch, root, keysAreDistinct = true,
+            tag = Some(s"tick-$batchId"))
+          refreshStats(batch, v, s"tick-$batchId")
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val freshOk = Planner.keyProfile(spark, profRoot, "o_orderkey",
+        sourceRoot = Some(root)).rows > 0L
+      // a late batch lands WITHOUT its refresh: planning must refuse
+      val late = ord.filter(pmod(col("o_orderkey"), lit(5L)).between(3L, 4L))
+      val vLate = SnapshotStore.merge(late, root, keysAreDistinct = true,
+        tag = Some("late"))
+      val staleRefused =
+        try { Planner.keyProfile(spark, profRoot, "o_orderkey",
+          sourceRoot = Some(root)); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("STALE") }
+      refreshStats(late, vLate, "late") // the normal delta recovery
+      val ordKey = Planner.keyProfile(spark, profRoot, "o_orderkey",
+        sourceRoot = Some(root))
+      TableStats.refreshProfile(
+        Tables.lineitem(spark, sfDir).select(col("l_orderkey")),
+        s"$base/li", Seq("l_orderkey"))
+      val liKey = Planner.keyProfile(spark, s"$base/li", "l_orderkey")
+      val cfg = Planner.Config(broadcastMaxRows = ordKey.rows / 2L,
+        broadcastMaxBytes = math.max(1L, ordKey.bytes / 2L))
+      val cRaw = Planner.chooseJoin(liKey, ordKey, cfg)
+      val est = Histogram.estimateRange(spark, histRoot, lo, hiEx - 1L)
+      val cF = Planner.chooseJoin(liKey,
+        Planner.filteredProfile(ordKey, est.fraction), cfg)
+      val stored = SnapshotStore.read(spark, root).drop("_bucket")
+      val complete = stored.count() == ord.count()
+      val dim = stored.filter(col("o_day") >= lo && col("o_day") < hiEx)
+      val estimateExact = est.straddleRows == 0L &&
+        math.abs(est.estimate - dim.count().toDouble) < 0.5
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      val out = Planner.join(li, dim, "o_orderkey", cF,
+          saltSource = col("l_extendedprice"))
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.engine.relational.Exact.lcount().as("n_rows"),
+          graft.engine.relational.Exact.dsum(col("l_extendedprice"))
+            .as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+      out.collect() // force execution: the tree walk reads the FINAL plan
+      import graft.tools.PlanAudit
+      out
+        .withColumn("complete", lit(complete))
+        .withColumn("fresh_ok", lit(freshOk))
+        .withColumn("stale_refused", lit(staleRefused))
+        .withColumn("estimate_exact", lit(estimateExact))
+        .withColumn("raw_refuses", lit(cRaw == Planner.SortMerge))
+        .withColumn("filtered_broadcasts",
+          lit(cF == Planner.BroadcastHash &&
+            PlanAudit.hasBroadcastHashJoin(out)))
+    },
+    Some(s"""WITH d AS (SELECT o_orderkey, o_orderpriority,
+        epoch_us(o_orderdate) // 86400000000 AS o_day FROM orders),
+      b AS (SELECT MIN(o_day) AS dmin, MAX(o_day) AS dmax FROM d),
+      p AS (SELECT GREATEST(1, (dmax - dmin + 1) // 16) AS w, dmin FROM b),
+      f AS (SELECT d.* FROM d, p WHERE o_day >= (dmin // w + 2) * w
+          AND o_day < (dmin // w + 2) * w + 3 * w)
+      SELECT f.o_orderpriority, COUNT(*) AS n_rows,
+        ${graft.engine.relational.Exact.sqlDsum("l.l_extendedprice")}
+          AS sum_price,
+        TRUE AS complete, TRUE AS fresh_ok, TRUE AS stale_refused,
+        TRUE AS estimate_exact, TRUE AS raw_refuses,
+        TRUE AS filtered_broadcasts
+      FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "always-on stats maintenance: every streamed tick merges the " +
+      "store AND delta-refreshes the published profile + histogram " +
+      "under one tag; an unrefreshed late batch makes planning refuse " +
+      "(staleness guard live), the delta refresh recovers, and the " +
+      "recovered facts drive the q153 broadcast flip from streamed data",
+    costClass = GraftQuery.FixedLifecycle)
+
   def queries: Seq[GraftQuery] =
     Seq(x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63, x64,
-      x65, x66, x67, x68, x69, x70, x71, x72, x73, q58, q80, q94, q107)
+      x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, q58, q80, q94, q107)
 }
