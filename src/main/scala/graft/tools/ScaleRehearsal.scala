@@ -48,7 +48,8 @@ object ScaleRehearsal {
     * steady-state layout a clustered fact table accumulates. Returns the
     * source frame (for box-bound arithmetic). */
   private def buildClusteredAppends(spark: SparkSession, root: String,
-      appends: Int, nFiles: Int): DataFrame = {
+      appends: Int, nFiles: Int,
+      clusterCols: Seq[String] = Seq("t_us", "v100")): DataFrame = {
     val ev = ScaleCorpus.events(spark, EventsBase)
       .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
         expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v100"), col("value"))
@@ -56,7 +57,7 @@ object ScaleRehearsal {
     val slices = appends + 1
     ClusteredStore.publishClustered(
       ev.filter(pmod(col("event_id"), lit(slices.toLong)) === 0L), root,
-      Seq("t_us", "v100"), nFiles = nFiles)
+      clusterCols, nFiles = nFiles)
     (1 to appends).foreach(i => ClusteredStore.appendClustered(
       ev.filter(pmod(col("event_id"), lit(slices.toLong)) === i.toLong),
       root, nFiles = nFiles))
@@ -217,6 +218,39 @@ object ScaleRehearsal {
         AnnIndex.compactCodes(spark, root)
         ()
       })
+    }),
+    // histogram maintenance (r19, q153/x74): x-axis = ACCUMULATED
+    // HISTORY at fixed batch size. The delta-cost contract says one
+    // refresh scans its batch once and touches only the metadata-sized
+    // bin store — flat in how much history already folded in.
+    // Superlinear here would mean the refresh re-reads history.
+    Family("hist_refresh", (spark, m) => {
+      import graft.engine.relational.Histogram
+      val n = DocsBase * m
+      val docs = ScaleCorpus.documents(spark, n).localCheckpoint()
+      val root = tmp(s"hist_$m/bins")
+      Histogram.refresh(docs, root, "n_chars", binWidth = 64L)
+      val batch = docs.filter(col("doc_id") < DocsBase).localCheckpoint()
+      (n, () => { Histogram.refresh(batch, root, "n_chars",
+        binWidth = 64L); () })
+    }),
+    // metadata-only count (r19, q154): x-axis = APPEND COUNT at fixed
+    // corpus size, q154's 1-D TIME-clustered layout (the retention-audit
+    // shape — a 2-D layout would leave almost every file a t-straddler
+    // and measure clustered_box again). Files are t-contiguous per run,
+    // so interior files are counted from their sidecar lines unopened
+    // and the read set is the ~2 edge straddlers per accumulated run.
+    Family("meta_count", (spark, m) => {
+      val appends = m.toInt
+      val root = tmp(s"zcount_$m/tbl")
+      val ev = buildClusteredAppends(spark, root, appends, nFiles = 8,
+        clusterCols = Seq("t_us"))
+      val box = middleBox(ev).take(1) // t_us band only
+      val (_, r0, t0) = ClusteredStore.countBox(spark, root, box)
+      println(f"REHEARSE meta_count         x$m%-3d appends=$appends " +
+        f"read $r0/$t0 files")
+      (appends.toLong,
+        () => { ClusteredStore.countBox(spark, root, box); () })
     }),
     Family("stream_ticks", (spark, m) => {
       val n = EventsBase * m
