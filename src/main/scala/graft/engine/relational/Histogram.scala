@@ -75,6 +75,18 @@ object Histogram {
     val keyed = batch.filter(col(column).isNotNull)
       .select(binExpr(column, binWidth).as(s"$BinPrefix$binWidth"),
         lit(1L).as("one"))
+    // an all-null/empty batch carries no range information: no-op at
+    // the current version (the store family's "empty mints no version"
+    // posture) rather than reaching IncrementalAgg's merge with an
+    // empty delta; an empty BOOTSTRAP has no width-bearing store to
+    // return, so refuse loudly at the contract boundary
+    if (keyed.isEmpty) {
+      val cur = graft.engine.sources.SnapshotStore.currentVersion(root)
+      require(cur > 0L,
+        s"histogram refresh got an EMPTY batch on an unbuilt store " +
+          s"($root): fold the first non-empty batch instead")
+      return cur
+    }
     graft.engine.sources.IncrementalAgg.refresh(keyed, root,
       s"$BinPrefix$binWidth", "one", nBuckets, tag)
   }
@@ -105,8 +117,12 @@ object Histogram {
     * full census (the selectivity denominator). */
   final case class RangeEstimate(estimate: Double, straddleRows: Long,
       totalRows: Long) {
+    /** Clamped to [0, 1]: the floating sum of per-bin contributions can
+      * exceed `totalRows` by an ulp, and a fraction of 1 + ε would trip
+      * [[Planner.filteredProfile]]'s domain check. */
     def fraction: Double =
-      if (totalRows == 0L) 0.0 else estimate / totalRows.toDouble
+      if (totalRows == 0L) 0.0
+      else math.min(1.0, estimate / totalRows.toDouble)
   }
 
   /** Estimate the rows with `lo <= value <= hi` (inclusive, exact long

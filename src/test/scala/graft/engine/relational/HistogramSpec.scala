@@ -86,6 +86,17 @@ class HistogramSpec extends AnyFunSuite {
       Histogram.refresh(spark.range(5).select(col("id").cast("double")
         .as("v")), freshRoot("dbl"), "v", binWidth = 10L)
     }
+    // an ALL-NULL batch no-ops at the current version ("empty mints no
+    // version"); an empty bootstrap refuses loudly
+    val allNull = spark.range(3).select(
+      lit(null).cast("bigint").as("v"))
+    val vCur = Histogram.refresh(df, root, "v", binWidth = 10L)
+    assert(Histogram.refresh(allNull, root, "v", binWidth = 10L) == vCur)
+    assert(Histogram.estimateRange(spark, root, 0L, 99L).totalRows == 200L)
+    val eb = intercept[IllegalArgumentException] {
+      Histogram.refresh(allNull, freshRoot("emptyboot"), "v", binWidth = 10L)
+    }
+    assert(eb.getMessage.contains("EMPTY batch"))
   }
 
   test("filteredProfile scales rows/bytes/NDV down, never up, never to 0") {
