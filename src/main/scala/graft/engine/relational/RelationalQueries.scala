@@ -2428,10 +2428,68 @@ object RelationalQueries {
       "count reads zero files; exact (never estimated), time travel " +
       "pinned, band count oracle-hashed")
 
+  /** q155 — METADATA-ASSISTED TOP-K ([[graft.engine.sources
+    * .ClusteredStore.readTopK]], r19): "the newest 25 events", the
+    * dashboard probe a 100 TB fact table answers constantly, at FILE
+    * economics. Same mixed publish+append layout as q154; the sidecar
+    * envelopes pick the smallest newest-file prefix holding 25 rows,
+    * one narrow job finds the 25th timestamp, and only files whose
+    * envelope still reaches it are read (`pruned` — for a time-ordered
+    * stream that is the newest file or two). The returned candidate set
+    * provably contains every row at-or-beyond the threshold, so the
+    * query's own (t_us, event_id) total order makes the top-25 exact
+    * AND deterministic — hashed row-for-row against DuckDB's plain
+    * ORDER BY ... LIMIT. Time travel (`travel_ok`: the v1-pinned top-k
+    * equals a direct sort of v1's input) and the ascending probe
+    * (`asc_ok`: oldest-k against a direct sort) ride along. */
+  val q155 = GraftQuery(
+    "q155_clustered_topk",
+    (spark, sfDir) => {
+      import graft.engine.sources.{ClusteredStore, SnapshotStore}
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q155_ztopk_${ProcessHandle.current().pid()}/tbl"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      val evens = ev.filter(col("event_id") % 2 === 0)
+      ClusteredStore.publishClustered(evens, root, Seq("t_us"),
+        nFiles = 16) // v1
+      ClusteredStore.appendClustered(ev.filter(col("event_id") % 2 === 1),
+        root, nFiles = 16) // v2
+      val k = 25
+      def topSeq(df: org.apache.spark.sql.DataFrame, asc: Boolean) = {
+        val o = if (asc) Seq(col("t_us").asc, col("event_id").asc)
+          else Seq(col("t_us").desc, col("event_id").desc)
+        df.select(col("event_id"), col("t_us")).orderBy(o: _*).limit(k)
+          .collect().toSeq
+      }
+      val (cand, readN, totalN) = ClusteredStore.readTopK(spark, root,
+        "t_us", k)
+      val (candV1, _, _) = ClusteredStore.readTopK(spark, root, "t_us", k,
+        version = 1L)
+      val travelOk = topSeq(candV1, asc = false) == topSeq(evens,
+        asc = false)
+      val (candAsc, readAsc, totalAsc) = ClusteredStore.readTopK(spark,
+        root, "t_us", k, descending = false)
+      val ascOk = topSeq(candAsc, asc = true) == topSeq(ev, asc = true)
+      cand.select(col("event_id"), col("t_us"))
+        .orderBy(col("t_us").desc, col("event_id").desc).limit(k)
+        .withColumn("pruned", lit(readN < totalN && readAsc < totalAsc))
+        .withColumn("travel_ok", lit(travelOk))
+        .withColumn("asc_ok", lit(ascOk))
+    },
+    Some("""SELECT event_id, epoch_us(ts) AS t_us, TRUE AS pruned,
+        TRUE AS travel_ok, TRUE AS asc_ok
+      FROM events ORDER BY t_us DESC, event_id DESC LIMIT 25"""),
+    doc = "metadata-assisted top-k: the sidecar picks the newest-file " +
+      "prefix, one narrow job finds the k-th timestamp, only files " +
+      "reaching it are read; candidate set provably complete, top-25 " +
+      "row-hashed against DuckDB, time travel + oldest-k pinned")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
     q137, q139, q140, q141, q142, q143, q144, q145, q146, q148, q149,
-    q150, q152, q154)
+    q150, q152, q154, q155)
 }

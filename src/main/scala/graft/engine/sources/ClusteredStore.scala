@@ -496,6 +496,102 @@ object ClusteredStore {
     (metaCount + readCount, toRead.size, manifest.size)
   }
 
+  /** METADATA-ASSISTED TOP-K — "the newest k rows" (or oldest, the
+    * retention probe), the other daily dashboard query a 100 TB fact
+    * table answers, priced in FILES like [[countBox]]:
+    *
+    *  1. sort the sidecar envelopes by file max, descending (min
+    *     ascending for `descending = false`); take the smallest prefix
+    *     whose summed row counts reach `k` — unknown-envelope files
+    *     sort FIRST (they might hold anything: the standing fail-safe);
+    *  2. one job over that prefix finds the k-th extreme value `kth`;
+    *  3. any remaining file whose envelope still reaches `kth`
+    *     (`max >= kth` desc / `min <= kth` asc) joins the read set —
+    *     rows outside it can never place in the top k, REGARDLESS of
+    *     tiebreaker, because their ordering column is strictly beyond
+    *     `kth` (lexicographic order decides on the first column);
+    *  4. the returned frame is every candidate row at-or-beyond `kth`
+    *     from the read set — a superset of the top k that the caller
+    *     orders and limits with their own tiebreaker (ties at the `kth`
+    *     boundary are all present, so any total order is exact).
+    *
+    * For a time-ordered append stream the newest-k read set is the one
+    * or two newest files at any table size. Exact by the same authority
+    * rule as every clustered read: the sidecar only ever SHRINKS the
+    * read set where its facts prove exclusion; anything uncertain is
+    * read. Returns (candidates, filesRead, filesTotal). Time travel:
+    * pin `version`. Driver-side state is one collected column of k
+    * values from the prefix (bounded by k — size k to dashboard scale,
+    * not table scale) plus the envelope list (one entry per file, the
+    * manifest's own order of magnitude). */
+  def readTopK(spark: SparkSession, root: String, column: String,
+      k: Int, descending: Boolean = true,
+      version: Long = 0L): (DataFrame, Int, Int) = {
+    require(k >= 1, s"k must be positive, got $k")
+    val v = if (version == 0L) SnapshotStore.currentVersion(root) else version
+    val (cols, _) = clusterSpecAt(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"v$v under $root carries no cluster sidecar — a top-k over an " +
+          "unclustered version would silently scan every file"))
+    require(cols.contains(column),
+      s"top-k column $column is not a cluster column of v$v " +
+        s"(${cols.mkString(",")}) — its envelopes are not in the sidecar")
+    val ci = cols.indexOf(column)
+    val sidecar = new String(
+      Files.readAllBytes(Paths.get(root, s"v$v", ClusterFile)),
+      StandardCharsets.UTF_8).linesIterator.drop(1).map { line =>
+      val f = line.split("\t")
+      f(0) -> ((f(1 + 2 * ci).toLong, f(2 + 2 * ci).toLong,
+        f(1 + 2 * cols.length).toLong)) // (min, max, count)
+    }.toMap
+    val manifest = SnapshotStore.manifestFiles(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"clustered v$v under $root has no manifest"))
+    // unknown-envelope files sort first (read them no matter what)
+    def extremity(file: String): Long = sidecar.get(file) match {
+      case None => Long.MaxValue
+      case Some((mn, mx, _)) => if (descending) mx else -mn
+    }
+    val ordered = manifest.sortBy(extremity)(Ordering[Long].reverse)
+    val counts = ordered.map(f => sidecar.get(f).map(_._3).getOrElse(0L))
+    val cum = counts.scanLeft(0L)(_ + _).tail
+    val nPrefix = math.max(1,
+      cum.indexWhere(_ >= k.toLong) match {
+        case -1 => ordered.size // fewer than k rows: read everything
+        case i => i + 1
+      })
+    val prefix = ordered.take(nPrefix)
+    if (prefix.isEmpty) // zero-file version (full retention expiry)
+      return (SnapshotStore.read(spark, root, v), 0, 0)
+    val rdr0 = SnapshotStore.versionSchema(root, v) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    def readFiles(fs: Seq[String]) =
+      rdr0.parquet(fs.map(f => s"$root/v$v/$f"): _*)
+    val sortCol = if (descending) col(column).desc else col(column).asc
+    // the k-th extreme of the prefix: one narrow job, k collected values
+    // (cast: cluster columns are BIGINT-castable, not necessarily BIGINT)
+    val prefixTop = readFiles(prefix)
+      .select(col(column).cast(org.apache.spark.sql.types.LongType)
+        .as(column))
+      .orderBy(sortCol).limit(k).collect()
+    if (prefixTop.length < k) // whole store holds fewer than k rows
+      return (SnapshotStore.read(spark, root, v).filter(lit(true)),
+        manifest.size, manifest.size)
+    val kth = prefixTop.last.getLong(0)
+    val extra = ordered.drop(nPrefix).filter { f =>
+      sidecar.get(f) match {
+        case None => true // unreachable (unknowns sorted into the prefix)
+        case Some((mn, mx, _)) => if (descending) mx >= kth else mn <= kth
+      }
+    }
+    val cut = if (descending) col(column) >= lit(kth)
+      else col(column) <= lit(kth)
+    (readFiles(prefix ++ extra).filter(cut),
+      nPrefix + extra.size, manifest.size)
+  }
+
   /** Box read over a clustered store VERSION (`version = 0` → current):
     * every `lo <= col <= hi` clause must name a cluster column; files
     * whose sidecar envelope misses the box are never opened. Returns

@@ -398,4 +398,61 @@ class ClusteredStoreSpec extends AnyFunSuite {
       ClusteredStore.countBox(spark, plain, Seq(("x", 0L, 10L)))
     }
   }
+
+  test("readTopK: exact under boundary ties, pruned for small k, " +
+      "k past the table reads everything, ascending symmetric") {
+    val r = root()
+    // d = id/10 has TEN rows per value: the k-th boundary lands inside
+    // a tie group, and every tied row must be in the candidate set
+    val dups = grid.withColumn("d", expr("id div 10"))
+    ClusteredStore.publishClustered(dups, r, Seq("d"), nFiles = 16)
+    def expect(k: Int, asc: Boolean) = {
+      val o = if (asc) Seq(col("d").asc, col("id").asc)
+        else Seq(col("d").desc, col("id").desc)
+      dups.select(col("id"), col("d")).orderBy(o: _*).limit(k)
+        .collect().toSeq
+    }
+    for (k <- Seq(1, 25, 105)) { // 105: straddles a tie group mid-way
+      val (cand, read, total) = ClusteredStore.readTopK(spark, r, "d", k)
+      assert(cand.select(col("id"), col("d"))
+        .orderBy(col("d").desc, col("id").desc).limit(k)
+        .collect().toSeq == expect(k, asc = false), s"wrong top-$k")
+      assert(read < total, s"no pruning for k=$k ($read/$total)")
+      val (candA, readA, totalA) = ClusteredStore.readTopK(spark, r, "d",
+        k, descending = false)
+      assert(candA.select(col("id"), col("d"))
+        .orderBy(col("d").asc, col("id").asc).limit(k)
+        .collect().toSeq == expect(k, asc = true), s"wrong bottom-$k")
+      assert(readA < totalA)
+    }
+    // k beyond the table: every row comes back, all files read
+    val (all, readAll, totalAll) = ClusteredStore.readTopK(spark, r, "d",
+      5000)
+    assert(all.count() == 2000L && readAll == totalAll)
+    // refusals
+    intercept[IllegalArgumentException] {
+      ClusteredStore.readTopK(spark, r, "x", 5)
+    }
+    intercept[IllegalArgumentException] {
+      ClusteredStore.readTopK(spark, r, "d", 0)
+    }
+  }
+
+  test("readTopK: a damaged sidecar reads the unknown file first — " +
+      "result stays exact") {
+    val r = root()
+    ClusteredStore.publishClustered(grid, r, Seq("x"), nFiles = 8)
+    val v = SnapshotStore.currentVersion(r)
+    val cf = Paths.get(r, s"v$v", "_GRAFT_CLUSTER")
+    val lines = new String(Files.readAllBytes(cf), StandardCharsets.UTF_8)
+      .split("\n")
+    Files.write(cf, (lines.head +: lines.drop(2))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val (cand, read, _) = ClusteredStore.readTopK(spark, r, "x", 10)
+    assert(cand.orderBy(col("x").desc).limit(10)
+      .collect().map(_.getLong(0)).toSeq ==
+      (1999L to 1990L by -1L).toSeq,
+      "a damaged sidecar must never change the top-k")
+    assert(read >= 1)
+  }
 }
