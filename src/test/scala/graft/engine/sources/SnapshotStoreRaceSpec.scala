@@ -545,6 +545,15 @@ class SnapshotStoreRaceSpec extends AnyFunSuite {
     val expectBand = replayTo(cur).keys.count(k => k >= 1000L && k <= 2001L)
     assert(nBand == expectBand.toLong,
       s"clustered seed $seed: band countBox $nBand != content $expectBand")
+    // ... and the metadata top-k: the 3 largest keys by (k) must match
+    // the replay content's own sort after any interleaving
+    val (topCand, _, _) = ClusteredStore.readTopK(spark, root, "k", 3)
+    val got = topCand.orderBy(org.apache.spark.sql.functions.col("k").desc)
+      .limit(3).collect().map(r => r.getLong(0)).toSeq
+    val want = replayTo(cur).keys.toSeq.sorted(Ordering[Long].reverse)
+      .take(3)
+    assert(got == want,
+      s"clustered seed $seed: readTopK $got != replay top $want")
     // every surviving version: manifest == disk AND sidecar describes
     // exactly the manifest's files
     (1L to cur).foreach { v =>
