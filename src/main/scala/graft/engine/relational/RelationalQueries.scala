@@ -2486,10 +2486,56 @@ object RelationalQueries {
       "reaching it are read; candidate set provably complete, top-25 " +
       "row-hashed against DuckDB, time travel + oldest-k pinned")
 
+  /** q156 — METADATA-ONLY TABLE STATS ([[graft.engine.sources
+    * .ClusteredStore.tableStats]], r19): the freshness probe
+    * ("SELECT count(*), min(ts), max(ts)") a 100 TB fact table answers
+    * every minute, served with ZERO file reads: the sidecar already
+    * records each file's exact row count and envelopes, so the
+    * table-wide answers are pure metadata folds. Same mixed
+    * publish+append layout as q154/q155; `zero_files` pins that NO file
+    * was opened for either the current or the pinned version, and
+    * `travel_ok` pins the v1 stats equal to a direct aggregate over
+    * v1's input. The values themselves are the oracle-hashed row. */
+  val q156 = GraftQuery(
+    "q156_clustered_stats",
+    (spark, sfDir) => {
+      import graft.engine.sources.{ClusteredStore, SnapshotStore}
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q156_zstats_${ProcessHandle.current().pid()}/tbl"
+      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      val evens = ev.filter(col("event_id") % 2 === 0)
+      ClusteredStore.publishClustered(evens, root, Seq("t_us"),
+        nFiles = 16) // v1
+      ClusteredStore.appendClustered(ev.filter(col("event_id") % 2 === 1),
+        root, nFiles = 16) // v2
+      val (n, envs, read, total) = ClusteredStore.tableStats(spark, root)
+      val (n1, envs1, read1, _) = ClusteredStore.tableStats(spark, root,
+        version = 1L)
+      val Array(d1) = evens.agg(lcount(), min(col("t_us")),
+        max(col("t_us"))).collect()
+      val travelOk = n1 == d1.getLong(0) &&
+        envs1("t_us") == ((d1.getLong(1), d1.getLong(2)))
+      spark.range(1).select(
+        lit(n).as("n_rows"),
+        lit(envs("t_us")._1).as("min_t_us"),
+        lit(envs("t_us")._2).as("max_t_us"),
+        lit(read == 0 && read1 == 0 && total > 0).as("zero_files"),
+        lit(travelOk).as("travel_ok"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows, MIN(epoch_us(ts)) AS min_t_us,
+        MAX(epoch_us(ts)) AS max_t_us, TRUE AS zero_files,
+        TRUE AS travel_ok
+      FROM events"""),
+    doc = "metadata-only table stats: exact count/min/max folded from " +
+      "the sidecar lines with zero file reads, current and pinned " +
+      "versions both; values oracle-hashed against the raw table")
+
   def queries: Seq[GraftQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q57,
     q59, q66, q67, q74, q86, q89, q95, q98, q99, q103, q104, q108, q136,
     q137, q139, q140, q141, q142, q143, q144, q145, q146, q148, q149,
-    q150, q152, q154, q155)
+    q150, q152, q154, q155, q156)
 }

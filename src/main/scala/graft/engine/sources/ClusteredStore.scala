@@ -496,6 +496,70 @@ object ClusteredStore {
     (metaCount + readCount, toRead.size, manifest.size)
   }
 
+  /** METADATA-ONLY TABLE STATS — exact row count plus per-cluster-column
+    * min/max for a version, normally with ZERO file reads: every
+    * envelope and count in the sidecar is a fact the writer derived from
+    * that file's own rows, so the table-wide count is the sum of file
+    * counts and the table-wide min/max is the min/max over file
+    * envelopes ("SELECT count(*), min(ts), max(ts)" — the dashboard
+    * freshness probe a 100 TB table answers every minute). Files the
+    * sidecar does not know (the standing fail-safe) are read and folded
+    * in, so the answer is exact against any sidecar damage. A zero-file
+    * version (full retention expiry) returns count 0 with null-free
+    * semantics left to the caller: min/max maps are EMPTY. Returns
+    * (rows, min/max per cluster column, filesRead, filesTotal). */
+  def tableStats(spark: SparkSession, root: String, version: Long = 0L)
+      : (Long, Map[String, (Long, Long)], Int, Int) = {
+    val v = if (version == 0L) SnapshotStore.currentVersion(root) else version
+    val (cols, _) = clusterSpecAt(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"v$v under $root carries no cluster sidecar — table stats " +
+          "would silently scan every file; aggregate an explicit read"))
+    val sidecar = new String(
+      Files.readAllBytes(Paths.get(root, s"v$v", ClusterFile)),
+      StandardCharsets.UTF_8).linesIterator.drop(1).map { line =>
+      val f = line.split("\t")
+      val envs = cols.indices.map(i =>
+        (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong))
+      f(0) -> ((envs, f(1 + 2 * cols.length).toLong))
+    }.toMap
+    val manifest = SnapshotStore.manifestFiles(root, v).getOrElse(
+      throw new IllegalStateException(
+        s"clustered v$v under $root has no manifest"))
+    val (known, unknown) = manifest.partition(sidecar.contains)
+    val metaRows = known.map(sidecar(_)._2).sum
+    val metaEnvs: Map[String, (Long, Long)] =
+      if (known.isEmpty) Map.empty
+      else cols.zipWithIndex.map { case (c, i) =>
+        c -> ((known.map(sidecar(_)._1(i)._1).min,
+          known.map(sidecar(_)._1(i)._2).max))
+      }.toMap
+    if (unknown.isEmpty) return (metaRows, metaEnvs, 0, manifest.size)
+    // fail-safe: fold the unknown files' real rows in (one narrow job)
+    val rdr = SnapshotStore.versionSchema(root, v) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    val aggs = count(lit(1L)).as("_n") +: cols.flatMap(c =>
+      Seq(min(col(c)).cast(org.apache.spark.sql.types.LongType),
+        max(col(c)).cast(org.apache.spark.sql.types.LongType)))
+    val r = rdr.parquet(unknown.map(f => s"$root/v$v/$f"): _*)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val readRows = r.getLong(0)
+    // an unknown file can be EMPTY (range partitioning mints empty
+    // cuts): its min/max aggregate is null and contributes nothing
+    val merged =
+      if (readRows == 0L) metaEnvs
+      else cols.zipWithIndex.map { case (c, i) =>
+        val (mn, mx) = (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        c -> (metaEnvs.get(c) match {
+          case Some((m0, m1)) => (math.min(m0, mn), math.max(m1, mx))
+          case None => (mn, mx)
+        })
+      }.toMap
+    (metaRows + readRows, merged, unknown.size, manifest.size)
+  }
+
   /** METADATA-ASSISTED TOP-K — "the newest k rows" (or oldest, the
     * retention probe), the other daily dashboard query a 100 TB fact
     * table answers, priced in FILES like [[countBox]]:

@@ -438,6 +438,31 @@ class ClusteredStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("tableStats: exact count/min/max with zero reads; damaged " +
+      "sidecar folds the unknown file back in; zero-file version empty") {
+    val r = root()
+    ClusteredStore.publishClustered(grid, r, Seq("x", "y"), nFiles = 8)
+    val (n, envs, read, total) = ClusteredStore.tableStats(spark, r)
+    assert(n == 2000L && read == 0 && total == 8)
+    assert(envs("x") == ((0L, 1999L)) && envs("y") == ((0L, 1999L)))
+    // damage: drop one envelope line -> that file is READ, stats exact
+    val v = SnapshotStore.currentVersion(r)
+    val cf = Paths.get(r, s"v$v", "_GRAFT_CLUSTER")
+    val lines = new String(Files.readAllBytes(cf), StandardCharsets.UTF_8)
+      .split("\n")
+    Files.write(cf, (lines.head +: lines.drop(2))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val (nD, envsD, readD, _) = ClusteredStore.tableStats(spark, r)
+    assert(nD == 2000L && readD == 1 && envsD("x") == ((0L, 1999L)))
+    // a fully-expired store: zero files, zero rows, empty envelopes
+    val r2 = root()
+    ClusteredStore.publishClustered(grid, r2, Seq("x"), nFiles = 4)
+    val vT = ClusteredStore.trimBelow(spark, r2, "x", 5000L, nFiles = 4)
+    val (n2, envs2, _, total2) = ClusteredStore.tableStats(spark, r2,
+      version = vT)
+    assert(n2 == 0L && envs2.isEmpty && total2 == 0)
+  }
+
   test("readTopK: a damaged sidecar reads the unknown file first — " +
       "result stays exact") {
     val r = root()
