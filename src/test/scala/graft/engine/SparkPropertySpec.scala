@@ -233,4 +233,36 @@ class SparkPropertySpec extends AnyFunSuite {
           s"nBuckets=$nBuckets rows=$data keys=$keys:\n got $got\n want $want")
       }
   }
+
+  test("property: clustered metadata reads (countBox / readTopK / " +
+      "tableStats) == direct computation for arbitrary data and boxes") {
+    import graft.engine.sources.ClusteredStore
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(-100L, 100L), Gen.choose(-50L, 50L)))
+    val boxGen = Gen.zip(Gen.choose(-120L, 120L), Gen.choose(0L, 80L),
+      Gen.choose(-60L, 60L), Gen.choose(0L, 40L))
+    samples(Gen.zip(rowsGen, boxGen, Gen.choose(1, 12)), 5).foreach {
+      case (rows, (aLo, aSpan, bLo, bSpan), k) =>
+        val df = rows.zipWithIndex
+          .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+        val root = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"prop_meta_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+        ClusteredStore.publishClustered(df, root, Seq("a", "b"), nFiles = 4)
+        val box = Seq(("a", aLo, aLo + aSpan), ("b", bLo, bLo + bSpan))
+        val (n, _, _) = ClusteredStore.countBox(spark, root, box)
+        val want = rows.count { case (a, b) =>
+          a >= aLo && a <= aLo + aSpan && b >= bLo && b <= bLo + bSpan }
+        assert(n == want.toLong, s"countBox $n != $want for $box on $rows")
+        val (stats, envs, statRead, _) = ClusteredStore.tableStats(spark, root)
+        assert(stats == rows.size.toLong && statRead == 0)
+        assert(envs("a") == ((rows.map(_._1).min, rows.map(_._1).max)))
+        val (cand, _, _) = ClusteredStore.readTopK(spark, root, "a", k)
+        val got = cand.orderBy(col("a").desc, col("id").desc).limit(k)
+          .select(col("id")).collect().map(_.getLong(0)).toSeq
+        val wantTop = rows.zipWithIndex
+          .map { case ((a, _), i) => (a, i.toLong) }
+          .sorted(Ordering[(Long, Long)].reverse).take(k).map(_._2)
+        assert(got == wantTop, s"readTopK k=$k $got != $wantTop on $rows")
+    }
+  }
 }
