@@ -52,7 +52,13 @@ object Histogram {
     * 2^53, i.e. for epoch-microsecond values). `v div w` alone truncates
     * toward zero (wrong for negative values); subtracting the
     * non-negative `pmod` first makes the operand an exact multiple of
-    * `w`, where truncation IS floor. */
+    * `w`, where truncation IS floor.
+    *
+    * Domain: values within `binWidth` of `Long.MinValue` would wrap in
+    * the subtraction (and the maximal bin's `bin·w + w` upper edge in
+    * [[estimateRange]] would wrap symmetrically) — out of scope for the
+    * module's integral-measurement contract (epoch times, sizes, ids),
+    * the same posture as ZOrder's documented span bound. */
   private def binExpr(column: String, width: Long): Column = expr(
     s"CAST((CAST(`$column` AS BIGINT) - pmod(CAST(`$column` AS BIGINT), " +
       s"${width}L)) div ${width}L AS BIGINT)")
@@ -79,7 +85,10 @@ object Histogram {
     // the current version (the store family's "empty mints no version"
     // posture) rather than reaching IncrementalAgg's merge with an
     // empty delta; an empty BOOTSTRAP has no width-bearing store to
-    // return, so refuse loudly at the contract boundary
+    // return, so refuse loudly at the contract boundary. The probe is
+    // take(1)-cheap on any batch with an early non-null row; the
+    // full-scan worst case is exactly the all-null batch it exists to
+    // catch (hist_refresh measures the refresh flat WITH the probe)
     if (keyed.isEmpty) {
       val cur = graft.engine.sources.SnapshotStore.currentVersion(root)
       require(cur > 0L,

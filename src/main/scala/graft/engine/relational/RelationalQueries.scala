@@ -2114,8 +2114,8 @@ object RelationalQueries {
     },
     Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us,
         CAST(FLOOR(value * 100) AS BIGINT) AS v100 FROM events),
-      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
-        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 // 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 // 5 AS hi FROM e)
       SELECT event_type, COUNT(*) AS n_events,
         ${sqlDsum("e.value")} AS sum_value,
         TRUE AS pruned_current, TRUE AS pruned_pinned, TRUE AS travel_ok
@@ -2187,8 +2187,8 @@ object RelationalQueries {
     },
     Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us,
         CAST(FLOOR(value * 100) AS BIGINT) AS v100 FROM events),
-      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
-        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 // 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 // 5 AS hi FROM e)
       SELECT event_type, COUNT(*) AS n_events,
         ${sqlDsum("e.value")} AS sum_value,
         TRUE AS pruned, TRUE AS delta_ok, TRUE AS no_rewrite
@@ -2281,8 +2281,8 @@ object RelationalQueries {
     },
     Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us,
         CAST(FLOOR(value * 100) AS BIGINT) AS v100 FROM events),
-      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
-        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 // 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 // 5 AS hi FROM e)
       SELECT event_type, COUNT(*) AS n_events,
         ${sqlDsum("e.value")} AS sum_value,
         TRUE AS content_neutral, TRUE AS pruned_after,
@@ -2360,7 +2360,7 @@ object RelationalQueries {
     },
     Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us
         FROM events),
-      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS cutoff
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 // 5 AS cutoff
         FROM e)
       SELECT event_type, COUNT(*) AS n_events,
         ${sqlDsum("e.value")} AS sum_value,
@@ -2372,6 +2372,27 @@ object RelationalQueries {
       "envelope alone (metadata-only), survivors hardlink-carry " +
       "(inode-pinned), only straddlers re-z-run (bounded); trimmed " +
       "store == the plain time filter, DuckDB-replayed")
+
+  /** Shared q154/q155/q156 fixture: a fresh 1-D TIME-clustered events
+    * store in the steady-state mixed layout (published evens + one
+    * appended odds batch, 16+16 files) — the one layout all three
+    * metadata-read queries probe, built in one place so they cannot
+    * drift onto different shapes. Returns (root, all events, evens). */
+  private def clusteredEventsFixture(spark: SparkSession, sfDir: String,
+      name: String): (String, DataFrame, DataFrame) = {
+    import graft.engine.sources.{ClusteredStore, SnapshotStore}
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_${name}_${ProcessHandle.current().pid()}/tbl"
+    SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val evens = ev.filter(col("event_id") % 2 === 0)
+    ClusteredStore.publishClustered(evens, root, Seq("t_us"),
+      nFiles = 16) // v1
+    ClusteredStore.appendClustered(ev.filter(col("event_id") % 2 === 1),
+      root, nFiles = 16) // v2
+    (root, ev, evens)
+  }
 
   /** q154 — METADATA-ONLY BOX COUNT ([[graft.engine.sources
     * .ClusteredStore.countBox]], r19): the "how many rows landed in
@@ -2389,17 +2410,9 @@ object RelationalQueries {
   val q154 = GraftQuery(
     "q154_clustered_count",
     (spark, sfDir) => {
-      import graft.engine.sources.{ClusteredStore, SnapshotStore}
-      val root = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_q154_zcount_${ProcessHandle.current().pid()}/tbl"
-      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
-      val ev = Tables.events(spark, sfDir)
-        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
-      val evens = ev.filter(col("event_id") % 2 === 0)
-      ClusteredStore.publishClustered(evens, root, Seq("t_us"),
-        nFiles = 16) // v1
-      ClusteredStore.appendClustered(ev.filter(col("event_id") % 2 === 1),
-        root, nFiles = 16) // v2
+      import graft.engine.sources.ClusteredStore
+      val (root, ev, evens) = clusteredEventsFixture(spark, sfDir,
+        "q154_zcount")
       val Array(mm) = ev.agg(min(col("t_us")), max(col("t_us"))).collect()
       val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
       val lo = tmin + (tmax - tmin) * 2L / 5L
@@ -2418,8 +2431,8 @@ object RelationalQueries {
         lit(nV1 == pinnedExpected).as("pinned_matches"))
     },
     Some("""WITH e AS (SELECT epoch_us(ts) AS t_us FROM events),
-      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
-        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 // 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 // 5 AS hi FROM e)
       SELECT COUNT(*) AS n_in_box, TRUE AS pruned,
         TRUE AS zero_read_full_domain, TRUE AS pinned_matches
       FROM e, b WHERE e.t_us BETWEEN b.lo AND b.hi"""),
@@ -2445,17 +2458,9 @@ object RelationalQueries {
   val q155 = GraftQuery(
     "q155_clustered_topk",
     (spark, sfDir) => {
-      import graft.engine.sources.{ClusteredStore, SnapshotStore}
-      val root = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_q155_ztopk_${ProcessHandle.current().pid()}/tbl"
-      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
-      val ev = Tables.events(spark, sfDir)
-        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
-      val evens = ev.filter(col("event_id") % 2 === 0)
-      ClusteredStore.publishClustered(evens, root, Seq("t_us"),
-        nFiles = 16) // v1
-      ClusteredStore.appendClustered(ev.filter(col("event_id") % 2 === 1),
-        root, nFiles = 16) // v2
+      import graft.engine.sources.ClusteredStore
+      val (root, ev, evens) = clusteredEventsFixture(spark, sfDir,
+        "q155_ztopk")
       val k = 25
       def topSeq(df: org.apache.spark.sql.DataFrame, asc: Boolean) = {
         val o = if (asc) Seq(col("t_us").asc, col("event_id").asc)
@@ -2499,17 +2504,9 @@ object RelationalQueries {
   val q156 = GraftQuery(
     "q156_clustered_stats",
     (spark, sfDir) => {
-      import graft.engine.sources.{ClusteredStore, SnapshotStore}
-      val root = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_q156_zstats_${ProcessHandle.current().pid()}/tbl"
-      SnapshotStore.deleteRecursively(java.nio.file.Paths.get(root))
-      val ev = Tables.events(spark, sfDir)
-        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
-      val evens = ev.filter(col("event_id") % 2 === 0)
-      ClusteredStore.publishClustered(evens, root, Seq("t_us"),
-        nFiles = 16) // v1
-      ClusteredStore.appendClustered(ev.filter(col("event_id") % 2 === 1),
-        root, nFiles = 16) // v2
+      import graft.engine.sources.ClusteredStore
+      val (root, ev, evens) = clusteredEventsFixture(spark, sfDir,
+        "q156_zstats")
       val (n, envs, read, total) = ClusteredStore.tableStats(spark, root)
       val (n1, envs1, read1, _) = ClusteredStore.tableStats(spark, root,
         version = 1L)

@@ -447,14 +447,7 @@ object ClusteredStore {
           "an unclustered version would silently scan every file"))
     box.foreach { case (c, _, _) => require(cols.contains(c),
       s"box column $c is not a cluster column of v$v (${cols.mkString(",")})") }
-    val sidecar = new String(
-      Files.readAllBytes(Paths.get(root, s"v$v", ClusterFile)),
-      StandardCharsets.UTF_8).linesIterator.drop(1).map { line =>
-      val f = line.split("\t")
-      val envs = cols.indices.map(i =>
-        (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong))
-      f(0) -> ((envs, f(1 + 2 * cols.length).toLong))
-    }.toMap
+    val sidecar = sidecarEnvelopes(root, v, cols)
     val manifest = SnapshotStore.manifestFiles(root, v).getOrElse(
       throw new IllegalStateException(
         s"clustered v$v under $root has no manifest"))
@@ -496,6 +489,23 @@ object ClusteredStore {
     (metaCount + readCount, toRead.size, manifest.size)
   }
 
+  /** Parse version `v`'s cluster sidecar into per-file
+    * `(envelopes, rowCount)` — the one reader every metadata consumer
+    * (readBox / countBox / tableStats / readTopK) shares, so the line
+    * format (`file \t min1 \t max1 … \t count`) lives in exactly two
+    * places: [[stageZRun]] writes it, this parses it. (trimBelow keeps
+    * its own raw-line map: it carries surviving lines VERBATIM into the
+    * next version's sidecar.) */
+  private def sidecarEnvelopes(root: String, v: Long, cols: Seq[String])
+      : Map[String, (IndexedSeq[(Long, Long)], Long)] =
+    new String(Files.readAllBytes(Paths.get(root, s"v$v", ClusterFile)),
+      StandardCharsets.UTF_8).linesIterator.drop(1).map { line =>
+      val f = line.split("\t")
+      f(0) -> ((cols.indices.map(i =>
+        (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong)),
+        f(1 + 2 * cols.length).toLong))
+    }.toMap
+
   /** METADATA-ONLY TABLE STATS — exact row count plus per-cluster-column
     * min/max for a version, normally with ZERO file reads: every
     * envelope and count in the sidecar is a fact the writer derived from
@@ -515,14 +525,7 @@ object ClusteredStore {
       throw new IllegalStateException(
         s"v$v under $root carries no cluster sidecar — table stats " +
           "would silently scan every file; aggregate an explicit read"))
-    val sidecar = new String(
-      Files.readAllBytes(Paths.get(root, s"v$v", ClusterFile)),
-      StandardCharsets.UTF_8).linesIterator.drop(1).map { line =>
-      val f = line.split("\t")
-      val envs = cols.indices.map(i =>
-        (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong))
-      f(0) -> ((envs, f(1 + 2 * cols.length).toLong))
-    }.toMap
+    val sidecar = sidecarEnvelopes(root, v, cols)
     val manifest = SnapshotStore.manifestFiles(root, v).getOrElse(
       throw new IllegalStateException(
         s"clustered v$v under $root has no manifest"))
@@ -601,23 +604,18 @@ object ClusteredStore {
       s"top-k column $column is not a cluster column of v$v " +
         s"(${cols.mkString(",")}) — its envelopes are not in the sidecar")
     val ci = cols.indexOf(column)
-    val sidecar = new String(
-      Files.readAllBytes(Paths.get(root, s"v$v", ClusterFile)),
-      StandardCharsets.UTF_8).linesIterator.drop(1).map { line =>
-      val f = line.split("\t")
-      f(0) -> ((f(1 + 2 * ci).toLong, f(2 + 2 * ci).toLong,
-        f(1 + 2 * cols.length).toLong)) // (min, max, count)
-    }.toMap
+    val sidecar = sidecarEnvelopes(root, v, cols)
     val manifest = SnapshotStore.manifestFiles(root, v).getOrElse(
       throw new IllegalStateException(
         s"clustered v$v under $root has no manifest"))
     // unknown-envelope files sort first (read them no matter what)
     def extremity(file: String): Long = sidecar.get(file) match {
       case None => Long.MaxValue
-      case Some((mn, mx, _)) => if (descending) mx else -mn
+      case Some((envs, _)) =>
+        if (descending) envs(ci)._2 else -envs(ci)._1
     }
     val ordered = manifest.sortBy(extremity)(Ordering[Long].reverse)
-    val counts = ordered.map(f => sidecar.get(f).map(_._3).getOrElse(0L))
+    val counts = ordered.map(f => sidecar.get(f).map(_._2).getOrElse(0L))
     val cum = counts.scanLeft(0L)(_ + _).tail
     val nPrefix = math.max(1,
       cum.indexWhere(_ >= k.toLong) match {
@@ -647,7 +645,8 @@ object ClusteredStore {
     val extra = ordered.drop(nPrefix).filter { f =>
       sidecar.get(f) match {
         case None => true // unreachable (unknowns sorted into the prefix)
-        case Some((mn, mx, _)) => if (descending) mx >= kth else mn <= kth
+        case Some((envs, _)) =>
+          if (descending) envs(ci)._2 >= kth else envs(ci)._1 <= kth
       }
     }
     val cut = if (descending) col(column) >= lit(kth)
@@ -678,20 +677,14 @@ object ClusteredStore {
           "if a full scan is intended)"))
     box.foreach { case (c, _, _) => require(cols.contains(c),
       s"box column $c is not a cluster column of v$v (${cols.mkString(",")})") }
-    val sidecar = new String(
-      Files.readAllBytes(Paths.get(root, s"v$v", ClusterFile)),
-      StandardCharsets.UTF_8).linesIterator.drop(1).map { line =>
-      val f = line.split("\t")
-      f(0) -> cols.indices.map(i =>
-        (f(1 + 2 * i).toLong, f(2 + 2 * i).toLong))
-    }.toMap
+    val sidecar = sidecarEnvelopes(root, v, cols)
     val manifest = SnapshotStore.manifestFiles(root, v).getOrElse(
       throw new IllegalStateException(
         s"clustered v$v under $root has no manifest"))
     val selected = manifest.filter { file =>
       sidecar.get(file) match {
         case None => true // unknown envelope -> must read (fail-safe)
-        case Some(envs) => box.forall { case (c, lo, hi) =>
+        case Some((envs, _)) => box.forall { case (c, lo, hi) =>
           val (mn, mx) = envs(cols.indexOf(c))
           mx >= lo && mn <= hi
         }

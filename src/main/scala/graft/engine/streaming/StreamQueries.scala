@@ -2200,8 +2200,8 @@ object StreamQueries {
     },
     Some(s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS t_us,
         CAST(FLOOR(value * 100) AS BIGINT) AS v100 FROM events),
-      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 / 5 AS lo,
-        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 / 5 AS hi FROM e)
+      b AS (SELECT MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 2 // 5 AS lo,
+        MIN(t_us) + (MAX(t_us) - MIN(t_us)) * 3 // 5 AS hi FROM e)
       SELECT event_type, COUNT(*) AS n_events,
         ${graft.engine.relational.Exact.sqlDsum("e.value")} AS sum_value,
         TRUE AS complete, TRUE AS pruned, TRUE AS compacted,
