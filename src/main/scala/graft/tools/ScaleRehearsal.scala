@@ -252,6 +252,23 @@ object ScaleRehearsal {
       (appends.toLong,
         () => { ClusteredStore.countBox(spark, root, box); () })
     }),
+    // metadata-assisted top-k (r19, q155): same 1-D layout and x-axis as
+    // meta_count. The newest-25 probe reads the newest file(s) whose
+    // counts reach k plus any same-threshold envelope — for a
+    // time-ordered append stream that set does not grow with history,
+    // so the cost curve should track the metadata walk, not the pile.
+    Family("meta_topk", (spark, m) => {
+      val appends = m.toInt
+      val root = tmp(s"ztopk_$m/tbl")
+      buildClusteredAppends(spark, root, appends, nFiles = 8,
+        clusterCols = Seq("t_us"))
+      val (_, r0, t0) = ClusteredStore.readTopK(spark, root, "t_us", 25)
+      println(f"REHEARSE meta_topk          x$m%-3d appends=$appends " +
+        f"read $r0/$t0 files")
+      (appends.toLong,
+        () => { ClusteredStore.readTopK(spark, root, "t_us", 25)
+          ._1.count(); () })
+    }),
     Family("stream_ticks", (spark, m) => {
       val n = EventsBase * m
       val base = tmp(s"ticks_$m")
