@@ -157,6 +157,35 @@ class PlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("starJoin composes with filteredProfile: a histogram-estimated " +
+      "filter flips a dim's ordering AND its broadcast rung") {
+    val fact = (1L to 4000L).map(i => (i % 100, i % 40, i.toDouble))
+      .toDF("k1", "k2", "v")
+    val d1Raw = (0L until 100L).map(k => (k, s"a$k")).toDF("k1", "a")
+    val d2 = (0L until 10L).map(k => (k, s"b$k")).toDF("k2", "b")
+    // raw, d1 refuses the 50-row budget and sorts LAST (survival 1.0)
+    val tight = Config(broadcastMaxRows = 50L)
+    val rawD1 = Dim(d1Raw, "k1", KeyProfile(4000L, 100L),
+      KeyProfile(100L, 100L))
+    val dimD2 = Dim(d2, "k2", KeyProfile(4000L, 40L), KeyProfile(10L, 10L))
+    val (_, rawChoices) = starJoin(fact, Seq(rawD1, dimD2), col("v"), tight)
+    assert(rawChoices == Seq(
+      "k2" -> BroadcastHash, "k1" -> SortMerge))
+    // a 20% filter on d1 (the q153 histogram shape): the SAME star call
+    // with the filtered frame and its scaled profile now orders d1
+    // FIRST (survival 20/100 < 10/40) and broadcasts it
+    val d1F = d1Raw.filter(col("k1") < 20L)
+    val fDim = Dim(d1F, "k1", rawD1.fact,
+      filteredProfile(rawD1.dim, 0.2))
+    val (out, fChoices) = starJoin(fact, Seq(fDim, dimD2), col("v"), tight)
+    assert(fChoices == Seq(
+      "k1" -> BroadcastHash, "k2" -> BroadcastHash))
+    val expected = fact.join(d1F, Seq("k1")).join(d2, Seq("k2"))
+      .groupBy("b").count().orderBy("b").collect().toSeq
+    assert(out.groupBy("b").count().orderBy("b").collect().toSeq
+      == expected)
+  }
+
   test("join: all three shapes produce identical results, each with its " +
       "promised plan") {
     val large = (1L to 5000L).map(i => (i % 40, i.toDouble))
