@@ -19,7 +19,7 @@ import graft.engine.schema.Schemas.IrisColumns._
 object TrainTestSplitJob {
   def main(args: Array[String]): Unit = {
     val o = Args.parse(args)
-    val spark = GraftSession.create("graft-train-test-split")
+    val spark = graft.engine.GraftSession.create("graft-train-test-split")
     try TrainTestSplit.run(spark,
       input = Args.required(o, "input"),
       trainPath = Args.required(o, "train"),
@@ -34,7 +34,7 @@ object TrainTestSplitJob {
 object FitJob {
   def main(args: Array[String]): Unit = {
     val o = Args.parse(args)
-    val spark = GraftSession.create("graft-fit")
+    val spark = graft.engine.GraftSession.create("graft-fit")
     try {
       val train = spark.read.parquet(Args.required(o, "input"))
       val out = Args.required(o, "model-out")
@@ -152,7 +152,7 @@ object CurateJob {
 
   def main(args: Array[String]): Unit = {
     val o = Args.parse(args)
-    val spark = GraftSession.create("graft-curate")
+    val spark = graft.engine.GraftSession.create("graft-curate")
     // every mode honors --overwrite the same way: default ErrorIfExists
     val saveMode =
       if (o.getOrElse("overwrite", "false").toBoolean)
@@ -175,7 +175,7 @@ object CurateJob {
 object PredictJob {
   def main(args: Array[String]): Unit = {
     val o = Args.parse(args)
-    val spark = GraftSession.create("graft-predict")
+    val spark = graft.engine.GraftSession.create("graft-predict")
     try {
       val test = spark.read.parquet(Args.required(o, "input"))
       val modelDir = Args.required(o, "model")

@@ -1927,9 +1927,10 @@ object RelationalQueries {
       val keys = docs.filter(col("doc_id") % 97 === 5)
         .select(col("doc_id"))
       val looked = SnapshotStore.readKeys(keys, root)
-      val plan = looked.queryExecution.executedPlan.toString
-      val pruned = SnapshotStore.prunesOnBucket(plan)
-      val bcast = plan.contains("BroadcastHashJoin")
+      looked.collect() // force, so the tree walk pins AQE's FINAL plan
+      import graft.tools.PlanAudit
+      val pruned = PlanAudit.prunesOnBucket(looked)
+      val bcast = PlanAudit.hasBroadcastHashJoin(looked)
       looked
         .withColumn("bucket_pruned", lit(pruned))
         .withColumn("broadcast_lookup", lit(bcast))
@@ -2001,8 +2002,10 @@ object RelationalQueries {
       import spark.implicits._
       val sources = Seq("src3", "src17").toDF("source")
       val hits = SnapshotStore.readKeys(sources, idxRoot)
-      val lookupPruned = SnapshotStore.prunesOnBucket(
-        hits.queryExecution.executedPlan.toString)
+      // force without a driver collect (the resolved doc list is
+      // corpus-fraction-sized), so the tree walk pins AQE's FINAL plan
+      hits.foreach(_ => ())
+      val lookupPruned = graft.tools.PlanAudit.prunesOnBucket(hits)
       // both legs carry the REQUEST id as the idempotence tag: the two
       // stores have no cross-store transaction, so a worker that crashes
       // between them replays the whole request and each leg no-ops if

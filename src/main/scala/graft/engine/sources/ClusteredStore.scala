@@ -590,7 +590,19 @@ object ClusteredStore {
     * pin `version`. Driver-side state is one collected column of k
     * values from the prefix (bounded by k — size k to dashboard scale,
     * not table scale) plus the envelope list (one entry per file, the
-    * manifest's own order of magnitude). */
+    * manifest's own order of magnitude).
+    *
+    * `filesRead` counts DISTINCT files in the read set (prefix ∪
+    * extra), not physical opens: the prefix files are opened twice —
+    * once by the k-th-threshold job, again when the returned candidate
+    * frame executes. The double open is deliberate, not an oversight to
+    * cache away: the first pass projects the ONE ordering column (a
+    * narrow columnar read feeding a k-bounded sort), while
+    * caching/localCheckpointing the prefix to save it would materialize
+    * EVERY column of file-scale rows — more I/O and memory than the
+    * narrow re-scan it avoids. The pruning booleans callers pin
+    * (filesRead < filesTotal) are about which files the answer touches
+    * and are unaffected. */
   def readTopK(spark: SparkSession, root: String, column: String,
       k: Int, descending: Boolean = true,
       version: Long = 0L): (DataFrame, Int, Int) = {
@@ -608,13 +620,21 @@ object ClusteredStore {
     val manifest = SnapshotStore.manifestFiles(root, v).getOrElse(
       throw new IllegalStateException(
         s"clustered v$v under $root has no manifest"))
-    // unknown-envelope files sort first (read them no matter what)
-    def extremity(file: String): Long = sidecar.get(file) match {
-      case None => Long.MaxValue
-      case Some((envs, _)) =>
-        if (descending) envs(ci)._2 else -envs(ci)._1
+    // unknown-envelope files sort first (read them no matter what):
+    // None < Some under Option's ordering, and the known files follow
+    // under an EXPLICIT per-direction Ordering — max descending for the
+    // newest-k read, min ascending for the retention probe. An explicit
+    // Ordering (not `-min` arithmetic negation) so a file min of
+    // Long.MinValue cannot overflow to "sorts last" and quietly invert
+    // the prefix economics (the pruning would survive — the `extra`
+    // step readmits any file whose envelope reaches the threshold —
+    // but the smallest-prefix reasoning would not).
+    def extremity(file: String): Option[Long] = sidecar.get(file).map {
+      case (envs, _) => if (descending) envs(ci)._2 else envs(ci)._1
     }
-    val ordered = manifest.sortBy(extremity)(Ordering[Long].reverse)
+    val known: Ordering[Long] =
+      if (descending) Ordering[Long].reverse else Ordering[Long]
+    val ordered = manifest.sortBy(extremity)(Ordering.Option(known))
     val counts = ordered.map(f => sidecar.get(f).map(_._2).getOrElse(0L))
     val cum = counts.scanLeft(0L)(_ + _).tail
     val nPrefix = math.max(1,

@@ -1229,14 +1229,11 @@ object SnapshotStore {
     (keysB, touched)
   }
 
-  /** True iff a physical-plan string shows a scan pruning on the
-    * `_bucket` partition column — the plan-shape contract the
-    * pruned-lookup queries and specs pin. Lives here so the scan-node
-    * string-format assumption (a `PartitionFilters: [...]` line on the
-    * FileScan node) is asserted in ONE place. */
-  def prunesOnBucket(plan: String): Boolean =
-    plan.linesIterator.exists(l => l.contains("PartitionFilters") &&
-      l.substring(l.indexOf("PartitionFilters")).contains("_bucket"))
+  // The pruned-lookup plan contract (a scan carrying a `_bucket`
+  // membership partition filter) is pinned STRUCTURALLY by
+  // [[graft.tools.PlanAudit.prunesOnBucket]]'s AQE-aware tree walk —
+  // the plan-string matcher that used to live here is retired (r19
+  // VERDICT: string pins go vacuous under Spark plan-string drift).
 
   /** POINT-LOOKUP read: the rows of `version` (default: current) whose
     * bucket key appears in `keys`, touching ONLY the bucket directories

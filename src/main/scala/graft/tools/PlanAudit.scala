@@ -131,6 +131,21 @@ object PlanAudit {
       case _ => false
     }
 
+  /** The executed plan reads at least one file scan whose PARTITION
+    * filters carry a genuine `_bucket` membership constraint — the
+    * pruned-lookup contract q145/q146 pin (readKeys touching only the
+    * bucket directories the keys hash to). Structural twin of rule 4's
+    * per-scan check, replacing the retired `PartitionFilters:`
+    * plan-string match (r19 VERDICT: the q147 tree-walk idiom, swept to
+    * the last two string-pin sites). Call AFTER an action on `df` so
+    * AQE's FINAL plan is what gets walked. */
+  def prunesOnBucket(df: DataFrame): Boolean =
+    flatten(df.queryExecution.executedPlan).exists {
+      case f: FileSourceScanExec =>
+        f.partitionFilters.exists(isBucketMembership)
+      case _ => false
+    }
+
   /** The executed plan contains a sort-merge join. */
   def hasSortMergeJoin(df: DataFrame): Boolean =
     flatten(df.queryExecution.executedPlan).exists {

@@ -1153,15 +1153,16 @@ class SnapshotStoreSpec extends AnyFunSuite {
       r, "k", nBuckets = 16)
     val looked = SnapshotStore.readKeys(
       Seq(3L, 7L, 7L, 999L).toDF("k"), r) // dup + miss are both fine
-    val plan = looked.queryExecution.executedPlan.toString
-    assert(SnapshotStore.prunesOnBucket(plan),
-      s"lookup must prune on the _bucket partition column:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"point-lookup key frame must broadcast, never shuffle the store:\n$plan")
     assert(looked.columns.toSeq == Seq("k", "s"),
       "_bucket is layout, not data")
     assert(looked.collect().map(rw => rw.getLong(0) -> rw.getString(1))
       .toSet == Set(3L -> "s3", 7L -> "s7"))
+    // plan pins AFTER the action, on the AQE-final tree (the q147 idiom)
+    import graft.tools.PlanAudit
+    assert(PlanAudit.prunesOnBucket(looked),
+      "lookup must prune on the _bucket partition column")
+    assert(PlanAudit.hasBroadcastHashJoin(looked),
+      "point-lookup key frame must broadcast, never shuffle the store")
     // empty key frame: the honest empty answer, data schema intact
     val empty = SnapshotStore.readKeys(
       Seq.empty[Long].toDF("k"), r)
