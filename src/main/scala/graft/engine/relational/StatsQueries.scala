@@ -989,7 +989,133 @@ object StatsQueries {
       "the raw profile refused (plan tree-walk pinned); aligned estimate " +
       "exact, mis-aligned within its own straddle bound — oracle-replayed")
 
+  /** q157 — STAR ORDERING × HISTOGRAM SELECTIVITY (r20; VERDICT r19
+    * item 1): the composition of the two r19 planner features, each
+    * already oracle-pinned alone (q151: [[Planner.starJoin]] orders
+    * dims most-selective-first; q153: [[Histogram.estimateRange]] +
+    * [[Planner.filteredProfile]] flip the chooseJoin rung for a
+    * filtered dim). Composed they must do BOTH AT ONCE: a
+    * histogram-estimated date band scales the orders profile, and that
+    * ONE scaled profile flips the dim's position in the star
+    * (survival 1.0 → ~1/16, now ahead of part's ~0.10) AND its ladder
+    * rung (sort-merge under the budget the raw profile refuses →
+    * broadcast) — the PlannerSpec unit case run against real tables,
+    * real published profiles, and a DuckDB oracle.
+    *
+    * Pinned booleans: `raw_orders_last`/`raw_refuses` — the star
+    * planned from the RAW orders profile sorts orders behind part and
+    * sort-merges it; `filtered_orders_first`/`all_broadcast` — the same
+    * star planned from the band-filtered frame + scaled profile puts
+    * orders FIRST and broadcasts every dim (executed-plan tree walk);
+    * `fact_unshuffled` — the composed star runs map-side, zero
+    * ShuffleExchange below the aggregation (the 100 TB posture: the
+    * fact never moves). The band is one ALIGNED bin (lo = a bin
+    * multiple, width w = span/16), so the estimate is exact by the
+    * Histogram error contract and DuckDB replays the identical band in
+    * integer arithmetic — the result must equal the naive two-join SQL
+    * regardless of every planning decision. */
+  val q157 = GraftQuery(
+    "q157_star_histogram_compose",
+    (spark, sfDir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q157_starhist_${ProcessHandle.current().pid()}"
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(base))
+      val dayUs = 86400000000L
+      val fact = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      val ord = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"),
+          expr(s"unix_micros(o_orderdate) div ${dayUs}L").as("o_day"))
+      val partF = Tables.part(spark, sfDir).filter(col("p_size") <= 5)
+        .select(col("p_partkey").as("l_partkey"))
+      // published facts: the fact's two keys, the RAW orders payload
+      // (key + the priority column the dim carries), the filtered part
+      TableStats.refreshProfile(
+        fact.select(col("l_orderkey"), col("l_partkey")),
+        s"$base/fact", Seq("l_orderkey", "l_partkey"))
+      TableStats.refreshProfile(
+        ord.select(col("l_orderkey"), col("o_orderpriority")),
+        s"$base/ord", Seq("l_orderkey", "o_orderpriority"))
+      TableStats.refreshProfile(partF, s"$base/part", Seq("l_partkey"))
+      val factOrd = Planner.keyProfile(spark, s"$base/fact", "l_orderkey")
+      val factPart = Planner.keyProfile(spark, s"$base/fact", "l_partkey")
+      val ordKey = Planner.keyProfile(spark, s"$base/ord", "l_orderkey")
+      val partKey = Planner.keyProfile(spark, s"$base/part", "l_partkey")
+      // budgets the RAW orders side fails but the ~1/16 band passes —
+      // scaled from the profiled table itself, so SF-invariant
+      val cfg = Planner.Config(broadcastMaxRows = ordKey.rows / 2L,
+        broadcastMaxBytes = math.max(1L, ordKey.bytes / 2L))
+      // one ALIGNED bin of the day histogram (exact by the error
+      // contract); bounds in exact long arithmetic DuckDB replays
+      val Array(mm) = ord.agg(min(col("o_day")), max(col("o_day"))).collect()
+      val (dmin, dmax) = (mm.getLong(0), mm.getLong(1))
+      val w = math.max(1L, (dmax - dmin + 1L) / 16L)
+      val lo = (dmin / w + 2L) * w
+      Histogram.refresh(ord, s"$base/hist", "o_day", binWidth = w)
+      val est = Histogram.estimateRange(spark, s"$base/hist", lo, lo + w - 1L)
+      val partDim = Planner.Dim(partF, "l_partkey", factPart, partKey)
+      // the RAW star: orders' survival is 1.0 — it sorts LAST and its
+      // rows refuse the broadcast budget (choices only; never executed)
+      val (_, rawChoices) = Planner.starJoin(fact,
+        Seq(Planner.Dim(ord.select(col("l_orderkey"),
+          col("o_orderpriority")), "l_orderkey", factOrd, ordKey),
+          partDim),
+        saltSource = col("l_extendedprice"), cfg)
+      val rawOrdersLast =
+        rawChoices.map(_._1) == Seq("l_partkey", "l_orderkey")
+      val rawRefuses = rawChoices.toMap
+        .get("l_orderkey").contains(Planner.SortMerge)
+      // the COMPOSED star: the band-filtered frame with its
+      // histogram-scaled profile flips position AND rung
+      val ordF = ord.filter(col("o_day") >= lo && col("o_day") < lo + w)
+        .select(col("l_orderkey"), col("o_orderpriority"))
+      val (joined, fChoices) = Planner.starJoin(fact,
+        Seq(Planner.Dim(ordF, "l_orderkey", factOrd,
+          Planner.filteredProfile(ordKey, est.fraction)), partDim),
+        saltSource = col("l_extendedprice"), cfg)
+      val filteredOrdersFirst =
+        fChoices.map(_._1) == Seq("l_orderkey", "l_partkey")
+      val allBroadcastChosen =
+        fChoices.forall(_._2 == Planner.BroadcastHash)
+      val factUnshuffled = Bucketed.shuffleCount(joined) == 0
+      val out = joined.groupBy(col("o_orderpriority"))
+        .agg(lcount().as("n_rows"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+      out.collect() // force, so the tree walk pins AQE's FINAL plan
+      import graft.tools.PlanAudit
+      out.withColumn("raw_orders_last", lit(rawOrdersLast))
+        .withColumn("raw_refuses", lit(rawRefuses))
+        .withColumn("filtered_orders_first", lit(filteredOrdersFirst))
+        .withColumn("all_broadcast",
+          lit(allBroadcastChosen && PlanAudit.hasBroadcastHashJoin(out)))
+        .withColumn("fact_unshuffled", lit(factUnshuffled))
+    },
+    Some(s"""WITH d AS (SELECT o_orderkey, o_orderpriority,
+        epoch_us(o_orderdate) // 86400000000 AS o_day FROM orders),
+      b AS (SELECT MIN(o_day) AS dmin, MAX(o_day) AS dmax FROM d),
+      p AS (SELECT GREATEST(1, (dmax - dmin + 1) // 16) AS w, dmin FROM b),
+      f AS (SELECT d.o_orderkey, d.o_orderpriority FROM d, p
+        WHERE o_day >= (dmin // w + 2) * w
+          AND o_day < (dmin // w + 2) * w + w)
+      SELECT f.o_orderpriority, COUNT(*) AS n_rows,
+        ${sqlDsum("l.l_extendedprice")} AS sum_price,
+        TRUE AS raw_orders_last, TRUE AS raw_refuses,
+        TRUE AS filtered_orders_first, TRUE AS all_broadcast,
+        TRUE AS fact_unshuffled
+      FROM lineitem l
+      JOIN f ON l.l_orderkey = f.o_orderkey
+      JOIN part pt ON l.l_partkey = pt.p_partkey AND pt.p_size <= 5
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "starJoin x filteredProfile composition: one histogram-" +
+      "estimated date band (aligned bin, exact) scales the orders " +
+      "profile and flips BOTH its star position (last -> first, ~1/16 " +
+      "vs part's ~0.10 survival) and its ladder rung (sort-merge -> " +
+      "broadcast); composed star runs map-side (zero fact shuffle, " +
+      "tree-walk pinned), result equals the naive two-join SQL")
+
   def queries: Seq[GraftQuery] =
     Seq(q28, q29, q51, q92, q52, q53, q54, x28, q93, q96, q97, q100, q101,
-      q102, q105, q106, q110, q147, q151, q153)
+      q102, q105, q106, q110, q147, q151, q153, q157)
 }
