@@ -445,9 +445,19 @@ object LlmQueries {
             flags.filter(col("contamination") <= 0.5).select(col("doc_id")),
             Seq("doc_id"), "left_semi")
           .localCheckpoint()
-        // 4. budgets in LEARNED tokens under the published vocabulary
-        val counted = clean.select(col("doc_id"),
-          Tokenizer.tokenCount(col("text"), vocab).as("n_tokens"))
+        // 4. budgets in LEARNED tokens under the published vocabulary.
+        // Stages 4 and 6 share ONE tokenizer pass (VERDICT r19 item 6,
+        // the shave flagged in r7): encode the gated survivors once and
+        // take stage 4's budget as the encoded length — the same
+        // quantity (this query's own packed_tokens == shard_tokens pin
+        // is exactly sum(size(ids)) == the tokenCount totals), for one
+        // trie walk instead of two. Funnel observability is untouched:
+        // every per-stage count below still reads its own stage.
+        val encoded = clean.select(col("doc_id"),
+          Tokenizer.tokenIds(col("text"), vocab).as("ids"))
+          .localCheckpoint()
+        val counted = encoded.select(col("doc_id"),
+          size(col("ids")).cast(LongType).as("n_tokens"))
         // 5. deterministic shuffle-shard export
         val sharded = Curation.shuffleShards(counted, "doc_id", nShards = 8)
         // 6. the trainer-facing artifact itself (VERDICT r14 item 5):
@@ -462,9 +472,7 @@ object LlmQueries {
         val packedRoot =
           graft.engine.Artifacts.root("q133packed", sfDir) + "/packed"
         Curation.ensurePackedSequences(
-          clean.select(col("doc_id"),
-            Tokenizer.tokenIds(col("text"), vocab).as("ids")),
-          "doc_id", "ids", nShards = 8, seqLen = 512, packedRoot)
+          encoded, "doc_id", "ids", nShards = 8, seqLen = 512, packedRoot)
         val packed = spark.read.parquet(packedRoot)
           .groupBy(col("shard_id"))
           .agg(count(lit(1)).cast(LongType).as("n_sequences"),
