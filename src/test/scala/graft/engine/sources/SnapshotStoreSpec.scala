@@ -1163,6 +1163,13 @@ class SnapshotStoreSpec extends AnyFunSuite {
       "lookup must prune on the _bucket partition column")
     assert(PlanAudit.hasBroadcastHashJoin(looked),
       "point-lookup key frame must broadcast, never shuffle the store")
+    // non-vacuity: the same walk reads FALSE on a full-table scan of
+    // the same store (no membership filter to find)
+    val full = SnapshotStore.read(spark, r)
+    full.count()
+    assert(!PlanAudit.prunesOnBucket(full),
+      "a full read carries no _bucket membership filter — a TRUE here " +
+        "would mean the structural pin is vacuous")
     // empty key frame: the honest empty answer, data schema intact
     val empty = SnapshotStore.readKeys(
       Seq.empty[Long].toDF("k"), r)
