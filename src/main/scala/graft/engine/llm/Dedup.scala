@@ -172,9 +172,14 @@ object Dedup {
   def repeatedSpansHashed(df: DataFrame, textCol: String, idCol: String,
       minLen: Int): DataFrame = {
     require(minLen >= 1, "minLen must be >= 1")
-    val base = df
+    // fanOut: the rolling-hash kernel + posexplode emit ~24 B per input
+    // CHARACTER into the occurrence-count shuffle, so this one extra
+    // exchange of the raw text is a rounding error at any scale — and it
+    // rescues the kernel from the single-task stage a tiny/unsplittable
+    // input (or an AQE-coalesced exchange) would pin it to (guide §2.5).
+    val base = graft.engine.Par.fanOut(df
       .select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
-      .filter(length(col("_t")) >= minLen)
+      .filter(length(col("_t")) >= minLen), col("doc_id"))
     // the window table deliberately DROPS the text: (doc_id, pos, hash)
     // is 24 bytes/row, so neither the occurrence count nor the semi-join
     // can ever shuffle a document once per window (text amplification —
@@ -234,6 +239,11 @@ object Dedup {
       .groupBy(col("doc_id").as("_span_doc"))
       .agg(sort_array(collect_list(
         struct(col("span_start"), col("span_end")))).as("_spans"))
+    // fanOut the DOCUMENT side: the per-doc span list broadcasts (it is
+    // bounded by spans-per-doc, never corpus-shaped), so without the fan
+    // the splice's substr/concat kernel runs at the raw input's
+    // parallelism — one task for a one-row-group ingest file.
+    val fanned = graft.engine.Par.fanOut(df, col(idCol))
     val t = col(textCol)
     val spliced = aggregate(
       col("_spans"),
@@ -247,8 +257,8 @@ object Dedup {
       st => concat(st.getField("acc"),
         t.substr((st.getField("pos") + 1).cast("int"),
           (length(t).cast("long") - st.getField("pos")).cast("int"))))
-    df.join(perDoc,
-        df(idCol).cast(LongType) === col("_span_doc"), "left")
+    fanned.join(perDoc,
+        fanned(idCol).cast(LongType) === col("_span_doc"), "left")
       .withColumn("trimmed_text",
         when(col("_spans").isNull, t).otherwise(spliced))
       .withColumn("n_trimmed_chars",
@@ -274,8 +284,13 @@ object Dedup {
     * precedent). */
   private def windowKeys(df: DataFrame, textCol: String, idCol: String,
       minLen: Int): DataFrame =
-    df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
-      .filter(length(col("_t")) >= minLen)
+    // fanOut: same cost argument as [[repeatedSpansHashed]] — the md5
+    // window-key table (16 B key + pos per input character) dwarfs one
+    // exchange of the text, and the O(n·minLen) hashing kernel must not
+    // run single-task on a one-row-group ingest file.
+    graft.engine.Par.fanOut(df
+        .select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("_t"))
+        .filter(length(col("_t")) >= minLen), col("doc_id"))
       .select(col("doc_id"),
         posexplode(F.md5WindowKeys(col("_t"), minLen)).as(Seq("pos", "wk")))
 

@@ -453,8 +453,13 @@ object LlmQueries {
         // is exactly sum(size(ids)) == the tokenCount totals), for one
         // trie walk instead of two. Funnel observability is untouched:
         // every per-stage count below still reads its own stage.
-        val encoded = clean.select(col("doc_id"),
-          Tokenizer.tokenIds(col("text"), vocab).as("ids"))
+        // fanOut before the trie walk: `clean` materializes at the semi-
+        // join's AQE-coalesced width (~1 partition at harness scale), and
+        // the regex-alternation encode is the chain's hottest per-row
+        // kernel — fan it across the cores (guide §2.5).
+        val encoded = graft.engine.Par.fanOut(clean, col("doc_id"))
+          .select(col("doc_id"),
+            Tokenizer.tokenIds(col("text"), vocab).as("ids"))
           .localCheckpoint()
         val counted = encoded.select(col("doc_id"),
           size(col("ids")).cast(LongType).as("n_tokens"))
@@ -1066,9 +1071,13 @@ object LlmQueries {
       import spark.implicits._
       val media = Multimodal.syntheticImages(
         Tables.documents(spark, sfDir).select(col("doc_id")))
-      val corpus = media.unionByName(
+      // fanOut: the ImageIO decode kernel is pure CPU per row; the
+      // one-row-group documents scan would otherwise feed it 1-2 tasks
+      // (guide §2.5 input skew — the exchange moves undecoded blobs once).
+      val corpus = graft.engine.Par.fanOut(media.unionByName(
         media.filter(_.media_id % 25 == 0)
-          .map(m => m.copy(media_id = m.media_id + 100000)))
+          .map(m => m.copy(media_id = m.media_id + 100000))),
+        col("media_id"))
       Multimodal.imageExactDups(corpus)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1103,9 +1112,12 @@ object LlmQueries {
       import spark.implicits._
       val media = Multimodal.syntheticWavs(
         Tables.documents(spark, sfDir).select(col("doc_id")))
-      val corpus = media.unionByName(
+      // fanOut: q122's argument — the AudioSystem decode must not run
+      // 2-task wide on a 32-core session.
+      val corpus = graft.engine.Par.fanOut(media.unionByName(
         media.filter(_.media_id % 25 == 0)
-          .map(m => m.copy(media_id = m.media_id + 100000)))
+          .map(m => m.copy(media_id = m.media_id + 100000))),
+        col("media_id"))
       Multimodal.audioExactDups(corpus)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -2089,8 +2101,11 @@ object LlmQueries {
     (spark, sfDir) => {
       // One materialized scan shared by the exact and approximate paths
       // (the harness reads the corpus 2×; without the cache each path
-      // re-scans parquet).
-      val emb = Tables.embeddings(spark, sfDir).persist()
+      // re-scans parquet). fanOut BEFORE the persist: the table is one
+      // row group, so an unfanned cache pins every per-query scoring
+      // kernel over it to a single task (guide §2.5 input skew).
+      val emb = graft.engine.Par.fanOut(
+        Tables.embeddings(spark, sfDir), col("vec_id")).persist()
       try {
         val queries = emb.filter(col("vec_id") < 10)
         // All result sets are tiny (≤ 5·|queries| rows): collect once and
@@ -2144,8 +2159,11 @@ object LlmQueries {
     "x47_ann_ivf_recall",
     (spark, sfDir) => {
       // Cached: the exact path, the Lloyd centroid-training iterations, and
-      // the IVF probe all share one materialized corpus scan.
-      val emb = Tables.embeddings(spark, sfDir).persist()
+      // the IVF probe all share one materialized corpus scan. fanOut
+      // BEFORE the persist (x44's argument): unfanned, every scoring and
+      // Lloyd pass over the cache is a single-task stage.
+      val emb = graft.engine.Par.fanOut(
+        Tables.embeddings(spark, sfDir), col("vec_id")).persist()
       try {
         val queries = emb.filter(col("vec_id") < 10)
         val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
@@ -2310,8 +2328,9 @@ object LlmQueries {
     "x48_ann_pq_recall",
     (spark, sfDir) => {
       // One materialized scan shared by training, both PQ paths, and the
-      // exact baseline (same discipline as x44/x47).
-      val emb = Tables.embeddings(spark, sfDir).persist()
+      // exact baseline (same discipline as x44/x47, fanned like them).
+      val emb = graft.engine.Par.fanOut(
+        Tables.embeddings(spark, sfDir), col("vec_id")).persist()
       try {
         val queries = emb.filter(col("vec_id") < 10)
         val exact = Similarity.bruteForceTopKAgg(emb, queries, 5)
