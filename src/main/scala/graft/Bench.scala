@@ -12,6 +12,25 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => Nil }
 
+  /** Fixed synthetic CPU-bound probe (VERDICT r20 item 1 — in-harness
+    * era calibration): one deterministic whole-stage-codegen xxhash64
+    * fold over a fixed range, timed at bench start AND end. The probe's
+    * seconds move with the host's ambient contention exactly like the
+    * query set does, so cross-round comparisons can normalize totals by
+    * the probe instead of arguing from /proc/loadavg. Work size scales
+    * with the session's cores so the probe measures per-core headroom
+    * (the quantity the queries actually contend for), not core count. */
+  private def cpuProbe(spark: org.apache.spark.sql.SparkSession): Double = {
+    val n = 4L * 1000 * 1000 *
+      spark.sparkContext.defaultParallelism
+    val t0 = System.nanoTime()
+    // max, not sum: xxhash64 spans the full long range and an ANSI-mode
+    // sum of 10^8 of them overflows; max folds every hash overflow-free
+    spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism)
+      .selectExpr("max(xxhash64(id)) AS s").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,6 +75,38 @@ object Bench {
       import org.apache.spark.ml.classification.LogisticRegression
       new LogisticRegression().setMaxIter(2).fit(warm).transform(warm).count()
     } catch { case _: Throwable => () }
+    // Same r10-adjudicated warmup rationale, extended (r21) to the text-
+    // analysis/AUC plan shapes the ml_* block touches first: a 12-row
+    // qualityScore → stack-melt → binaryAucBy dry run absorbs the janino
+    // codegen + window first-touch (ProfileQuery measured ml_auc_screen
+    // 5.25 s cold vs 1.59 s warm on the same binary — the delta is plan
+    // compilation, not the operators), and one tiny parquet write+read
+    // round-trip warms the committer/output-writer class graph the
+    // scored-artifact queries all use. Operators measured, class loading
+    // not — the established warmup contract.
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val docs = (0 until 12).map(i =>
+        (i.toLong, s"tiny warm doc number $i with a few words 4$i"))
+        .toDF("doc_id", "text")
+      val feat = graft.engine.llm.TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("keep").cast("long").as("y"),
+          col("n_words").cast("double").as("f_words"),
+          col("stopword_ratio").as("f_stop"))
+      val melted = feat.select(col("y"),
+        expr("stack(2, 'f_words', f_words, 'f_stop', f_stop) " +
+          "as (measure, score)"))
+      graft.engine.ml.Metrics.binaryAucBy(melted, "measure", "y", "score")
+        .count()
+      val wdir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_bench_warm_${ProcessHandle.current().pid()}"
+      docs.coalesce(1).write.mode("overwrite").parquet(wdir)
+      spark.read.parquet(wdir).count()
+      graft.engine.sources.SnapshotStore.deleteRecursively(
+        java.nio.file.Paths.get(wdir))
+    } catch { case _: Throwable => () }
+    val probeBefore = cpuProbe(spark)
     val loadBefore = loadAvg()
     // Deterministic execution order → comparable per-query numbers across
     // rounds (Map iteration order varies with contents).
@@ -72,9 +123,18 @@ object Bench {
       name -> (if (ok) dt else -dt)
     }
     val loadAfter = loadAvg()
+    val probeAfter = cpuProbe(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2.abs).sum
+    // Era-normalized total: value × (probe_ref / mean probe). probe_ref
+    // is the quiet-window probe constant stamped in BASELINE.md §r21 —
+    // a fixed scalar, so the normalization is a pure rescale any reader
+    // can undo; `value` itself stays the raw driver contract.
+    val probeRef = 0.55
+    val probeMean = (probeBefore + probeAfter) / 2.0
+    val totalNorm =
+      if (probeMean > 0) total * (probeRef / probeMean) else total
     // Cost-class split (VERDICT r17 item 2): fixed-lifecycle queries pay
     // a job-count price that is sf-invariant, so lumping them into one
     // total would let their fixed cost masquerade as data-path time.
@@ -95,6 +155,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},""" +
         s""""classes":$classes,""" +
+        s""""probe_sec":[$probeBefore,$probeAfter],""" +
+        s""""probe_ref":$probeRef,"value_norm":$totalNorm,""" +
         s""""load_before":${loadJson(loadBefore)},""" +
         s""""load_after":${loadJson(loadAfter)}}"""
     // ONE clean machine-readable artifact: sbt interleaves [info]/[success]
@@ -129,6 +191,8 @@ object Bench {
         s""""unit":"sec","n_queries":${results.size},""" +
         s""""n_failed":${failed.size},"failed_sample":$failedCapped,""" +
         s""""classes":$classesCompact,""" +
+        s""""probe_sec":[${r1(probeBefore * 10) / 10},""" +
+        s"""${r1(probeAfter * 10) / 10}],"value_norm":${r1(totalNorm)},""" +
         s""""sf":"$sfDir","full_output":"$outPath"}"""
     println(compact)
     // A decoration-free copy of the compact record at a FIXED path

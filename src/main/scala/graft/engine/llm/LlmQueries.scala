@@ -215,7 +215,9 @@ object LlmQueries {
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
       val vocab = Tokenizer.trainWordVocab(docs, "text", 16)
-      docs.select(col("doc_id"),
+      // fanOut: two trie/regex kernels over a one-row-group scan
+      graft.engine.Par.fanOut(docs, col("doc_id"))
+        .select(col("doc_id"),
           Tokenizer.tokenCount(col("text"), vocab).as("n_tok_vocab"),
           TextAnalysis.tokenCount(col("text")).as("n_tok_regex"))
         .orderBy(col("doc_id"))
@@ -243,7 +245,9 @@ object LlmQueries {
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
       val vocab = Tokenizer.trainNgramVocab(docs, "text", 24)
-      docs.select(col("doc_id"),
+      // fanOut: q109's argument for the subword trie kernel
+      graft.engine.Par.fanOut(docs, col("doc_id"))
+        .select(col("doc_id"),
           Tokenizer.tokenCount(col("text"), vocab).as("n_tok_subword"))
         .orderBy(col("doc_id"))
     },
@@ -766,7 +770,11 @@ object LlmQueries {
       val aggRoot = s"$base/agg"
       (0 to 2).foreach { i =>
         IncrementalAgg.refresh(
-          docs.filter(pmod(col("doc_id"), lit(3L)) === i.toLong)
+          // fanOut per ingest batch: the trie kernel must not run at the
+          // one-row-group scan's single-task width (guide §2.5)
+          graft.engine.Par.fanOut(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === i.toLong),
+            col("doc_id"))
             .select(col("source"),
               Tokenizer.tokenCount(col("text"), vocab)
                 .cast("double").as("n_tok")),
@@ -836,9 +844,13 @@ object LlmQueries {
   val q117 = GraftQuery(
     "q117_text_ann_e2e",
     (spark, sfDir) => {
-      val emb = TextAnalysis.embedText(Tables.documents(spark, sfDir),
-          "doc_id", "text", dim = 32)
-        .select(col("doc_id").as("vec_id"), col("embedding"))
+      // fanOut: the embed tail is an AQE-coalesced aggregate; unfanned,
+      // the exact-cosine scoring below runs single-task (q127's argument)
+      val emb = graft.engine.Par.fanOut(
+        TextAnalysis.embedText(Tables.documents(spark, sfDir),
+            "doc_id", "text", dim = 32)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        col("vec_id"))
       Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("qid"), col("rnk"))
     },
@@ -894,7 +906,11 @@ object LlmQueries {
       // counts a production BPE tokenizer reports) says the budget is
       // spent — the production pairing end to end, training and
       // inference both SQL-replayed
-      val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 8)
+      // session-shared artifact (ensureVocab's pattern): q112/q119/q120
+      // need the IDENTICAL full-corpus 8-round merge table — train once
+      val merges = Tokenizer.ensureMerges(spark,
+        graft.engine.Artifacts.root("bpe8full", sfDir) + "/merges")(
+        Tokenizer.trainBpeMerges(docs, "text", numMerges = 8))
       Curation.packSequences(docs, "doc_id", "text", budgetTokens = 1024L,
           shardCols = Seq("source"),
           tokenCounter = t => Tokenizer.bpeTokenCount(t, merges))
@@ -943,9 +959,14 @@ object LlmQueries {
     "q119_bpe_tokens",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 8)
+      // session-shared merges (q112's artifact) + fanOut for the trie
+      // kernel over the one-row-group scan (guide §2.5)
+      val merges = Tokenizer.ensureMerges(spark,
+        graft.engine.Artifacts.root("bpe8full", sfDir) + "/merges")(
+        Tokenizer.trainBpeMerges(docs, "text", numMerges = 8))
       val vocab = Tokenizer.bpeVocab(merges)
-      docs.select(col("doc_id"),
+      graft.engine.Par.fanOut(docs, col("doc_id"))
+        .select(col("doc_id"),
           Tokenizer.tokenCount(col("text"), vocab).as("n_tok_bpe"))
         .orderBy(col("doc_id"))
     },
@@ -973,8 +994,12 @@ object LlmQueries {
     "q120_bpe_true_tokens",
     (spark, sfDir) => {
       val docs = Tables.documents(spark, sfDir)
-      val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 8)
-      docs.select(col("doc_id"),
+      // session-shared merges (q112's artifact) + fanned inference kernel
+      val merges = Tokenizer.ensureMerges(spark,
+        graft.engine.Artifacts.root("bpe8full", sfDir) + "/merges")(
+        Tokenizer.trainBpeMerges(docs, "text", numMerges = 8))
+      graft.engine.Par.fanOut(docs, col("doc_id"))
+        .select(col("doc_id"),
           Tokenizer.bpeTokenCount(col("text"), merges).as("n_tok_bpe_true"))
         .orderBy(col("doc_id"))
     },
@@ -1019,7 +1044,9 @@ object LlmQueries {
       Tokenizer.publishMerges(spark, root,
         Tokenizer.trainBpeMerges(frozen, "text", numMerges = 8))
       val merges = Tokenizer.loadMerges(spark, root)
-      docs.filter(col("doc_id") >= 250)
+      // fanOut: q120's argument for the merge-order inference kernel
+      graft.engine.Par.fanOut(
+        docs.filter(col("doc_id") >= 250), col("doc_id"))
         .select(col("doc_id"),
           Tokenizer.bpeTokenCount(col("text"), merges).as("n_tok_bpe_true"))
         .orderBy(col("doc_id"))
@@ -1078,7 +1105,10 @@ object LlmQueries {
         media.filter(_.media_id % 25 == 0)
           .map(m => m.copy(media_id = m.media_id + 100000))),
         col("media_id"))
-      Multimodal.imageExactDups(corpus)
+      // localCheckpoint before the total ORDER BY (the audioDecodeAudit
+      // pattern): orderBy's range-partition sampling would otherwise run
+      // the encode+decode pipeline a second time
+      Multimodal.imageExactDups(corpus).localCheckpoint()
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""WITH ids AS (SELECT doc_id AS id, doc_id % 256 AS k
@@ -1118,7 +1148,8 @@ object LlmQueries {
         media.filter(_.media_id % 25 == 0)
           .map(m => m.copy(media_id = m.media_id + 100000))),
         col("media_id"))
-      Multimodal.audioExactDups(corpus)
+      // localCheckpoint before the total ORDER BY (q122's argument)
+      Multimodal.audioExactDups(corpus).localCheckpoint()
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
@@ -1198,8 +1229,12 @@ object LlmQueries {
         .orderBy(col("bm25").desc, col("doc_id")).limit(100)
         .select(col("doc_id"), col("bm25").as("score"))
       val lexRank = Similarity.rankCandidates(lex, "doc_id", "score")
-      val emb = TextAnalysis.embedText(docs, "doc_id", "text", dim = 32)
-        .select(col("doc_id").as("vec_id"), col("embedding"))
+      // fanOut: q117's argument — the dense-scoring pass must not run at
+      // the embed aggregate's coalesced width
+      val emb = graft.engine.Par.fanOut(
+        TextAnalysis.embedText(docs, "doc_id", "text", dim = 32)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        col("vec_id"))
       // the query string goes through the SAME featurizer; vec_id = -1
       // so the self-exclusion filter can never drop a real document
       val qv = TextAnalysis.embedText(
@@ -1323,9 +1358,15 @@ object LlmQueries {
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + n).as("doc_id"), col("text")))
-      val emb = TextAnalysis.embedText(corpus, "doc_id", "text", dim = 32)
-        .select(col("doc_id").as("vec_id"),
-          col("embedding").cast("array<double>").as("embedding"))
+      // fanOut BEFORE the checkpoint: the embed tail is an AQE-coalesced
+      // aggregate (~1 partition at harness scale), and this cache feeds
+      // training, encoding AND the probe — unfanned, every one of those
+      // passes would run single-task over it (x44's persist argument).
+      val emb = graft.engine.Par.fanOut(
+        TextAnalysis.embedText(corpus, "doc_id", "text", dim = 32)
+          .select(col("doc_id").as("vec_id"),
+            col("embedding").cast("array<double>").as("embedding")),
+        col("vec_id"))
         .localCheckpoint() // feeds training, encoding, AND the probe
       if (SnapshotStore.currentVersion(s"$root/index") == 0L)
         AnnIndex.publishIndex(spark, s"$root/index",

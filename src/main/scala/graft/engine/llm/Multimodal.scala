@@ -262,7 +262,12 @@ object Multimodal {
   def syntheticImages(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // fanOut BEFORE generation: the exchange carries 8-byte ids, the
+    // PNG encode (and every decode after it) is the per-row CPU cost —
+    // unfanned, a one-row-group docs scan pins the whole codec pipeline
+    // to a single task (guide §2.5).
+    graft.engine.Par.fanOut(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = (id % 16 + 1).toInt
@@ -298,8 +303,8 @@ object Multimodal {
   def imageDecodeAudit(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    extractFeatures(syntheticImages(docs).repartition(col("media_id")),
-        ImageIoDecoder)
+    // generator output is already fanned on doc_id; no blob re-exchange
+    extractFeatures(syntheticImages(docs), ImageIoDecoder)
       .flatMap { f =>
         val w = f.features(0).toLong
         val h = f.features(1).toLong
@@ -398,7 +403,11 @@ object Multimodal {
     * pixel-identical images (same pixels → same integer grid → same
     * hash), which is what the q122 oracle pins value-level. */
   def imageExactDups(media: Dataset[MediaRow]): DataFrame = {
-    val sigs = imageSignatures(media).toDF()
+    // localCheckpoint: the content-key join consumes the signature table
+    // TWICE (both self-join sides) — unmaterialized, each side re-runs
+    // the full decode+hash pipeline over the corpus. The checkpoint is
+    // (media_id, hash, key) — fixed-width rows, never blob-sized.
+    val sigs = imageSignatures(media).toDF().localCheckpoint()
     val a = sigs.select(col("media_id").as("id_a"), col("phash").as("ph_a"),
       col("pixkey"))
     val b = sigs.select(col("media_id").as("id_b"), col("phash").as("ph_b"),
@@ -505,7 +514,9 @@ object Multimodal {
     * clips — the q123 value pin). Near-dup over the envelope hash
     * composes with [[Dedup.fingerprintNearDups]] exactly as images do. */
   def audioExactDups(media: Dataset[MediaRow]): DataFrame = {
-    val sigs = audioSignatures(media).toDF()
+    // localCheckpoint: imageExactDups' argument — one decode+signature
+    // pass, not one per self-join side
+    val sigs = audioSignatures(media).toDF().localCheckpoint()
     val a = sigs.select(col("media_id").as("id_a"), col("envhash").as("eh_a"),
       col("pcmkey"))
     val b = sigs.select(col("media_id").as("id_b"), col("envhash").as("eh_b"),
@@ -534,6 +545,10 @@ object Multimodal {
   def syntheticWavs(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // deliberately NOT fanned (unlike syntheticImages): AudioSystem's
+    // provider registry is synchronized JDK-wide, so 32 concurrent
+    // encode tasks serialize on its lock — measured q107 1.1 -> 2.4 s
+    // with the fan-out; single-digit task counts stay off the lock
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val n = (id % 32 + 1).toInt
@@ -590,7 +605,7 @@ object Multimodal {
 
   /** Rows-only summary query over the full pipeline. */
   def summary(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val features = extractFeatures(fromDocuments(docs).repartition(col("media_id")))
+    val features = extractFeatures(graft.engine.Par.fanOut(fromDocuments(docs), col("media_id")))
     features.toDF()
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),
@@ -611,7 +626,7 @@ object Multimodal {
     * the oracle can count them with a character-class regexp.) */
   def oracleSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val features = extractFeatures(fromDocuments(docs).repartition(col("media_id")))
+    val features = extractFeatures(graft.engine.Par.fanOut(fromDocuments(docs), col("media_id")))
     features.toDF()
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),

@@ -137,7 +137,12 @@ object TextAnalysis {
       dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 65536, "need 1 <= dim <= 65536 (16-bit bucket)")
     val h = md5(col("w").cast("binary"))
-    val sums = df
+    // fanOut: the per-word md5 kernel + explode emit one row per WORD
+    // into the bucket aggregation's shuffle, so one exchange of the raw
+    // text is a rounding error next to it — and it rescues the kernel
+    // from the single-task stage a one-row-group input pins it to
+    // (guide §2.5; same argument as Dedup.windowKeys).
+    val sums = graft.engine.Par.fanOut(df, col(idCol))
       .select(col(idCol).cast(LongType).as("doc_id"),
         explode(regexp_extract_all(lower(col(textCol)),
           lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
