@@ -106,6 +106,10 @@ object Bench {
       graft.engine.sources.SnapshotStore.deleteRecursively(
         java.nio.file.Paths.get(wdir))
     } catch { case _: Throwable => () }
+    // one untimed probe run first: the probe's own codegen/JIT would
+    // otherwise inflate the opening reading (measured 0.52 first vs
+    // 0.30 second on a quiet host)
+    cpuProbe(spark)
     val probeBefore = cpuProbe(spark)
     val loadBefore = loadAvg()
     // Deterministic execution order → comparable per-query numbers across
@@ -128,10 +132,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2.abs).sum
     // Era-normalized total: value × (probe_ref / mean probe). probe_ref
-    // is the quiet-window probe constant stamped in BASELINE.md §r21 —
-    // a fixed scalar, so the normalization is a pure rescale any reader
-    // can undo; `value` itself stays the raw driver contract.
-    val probeRef = 0.55
+    // is the quiet-window probe constant stamped in BASELINE.md §r21
+    // (0.30 s warm on this host at local[32], measured across the r21
+    // quiet reps) — a fixed scalar, so the normalization is a pure
+    // rescale any reader can undo; `value` stays the raw driver contract.
+    val probeRef = 0.30
     val probeMean = (probeBefore + probeAfter) / 2.0
     val totalNorm =
       if (probeMean > 0) total * (probeRef / probeMean) else total

@@ -1164,9 +1164,12 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(PlanAudit.hasBroadcastHashJoin(looked),
       "point-lookup key frame must broadcast, never shuffle the store")
     // non-vacuity: the same walk reads FALSE on a full-table scan of
-    // the same store (no membership filter to find)
+    // the same store (no membership filter to find). foreach, not
+    // count: Dataset.count spawns a NEW QueryExecution, so only an
+    // action on `full` itself finalizes the plan this walk reads
+    // (the q146 idiom; ADVICE r20)
     val full = SnapshotStore.read(spark, r)
-    full.count()
+    full.foreach(_ => ())
     assert(!PlanAudit.prunesOnBucket(full),
       "a full read carries no _bucket membership filter — a TRUE here " +
         "would mean the structural pin is vacuous")
